@@ -1,0 +1,58 @@
+"""Dataset access for the driver-generated parquet tables (TESTDATA.md).
+
+Plain ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition pruning for free — the scan is the first place a
+100 TB plan wins or loses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are constant-size; supplier/part/customer grow with SF but
+# region/nation never do).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's parquet tables.
+
+    `events.ts` is TIMESTAMP(NANOS), which Spark reads as an epoch-nano
+    long (legacy.parquet.nanosAsLong); convert to a µs TimestampType with
+    truncating division — the same ns→µs semantics as DuckDB's
+    CAST(ts AS TIMESTAMP).
+    """
+    from gearpump_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL entry point)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,92 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Column expressions (codegen'd JVM-side — zero Python per row):
+tokenization, quality stats, stopword/punctuation ratios, a stopword-based
+language-ID heuristic, and content fingerprints. Each has an exact ANSI-SQL
+equivalent so the driver can oracle-check the queries built on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic language ID.
+# (n-gram-free variant: hit-count argmax over high-frequency words.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def punct_count(text: Column) -> Column:
+    """Count of .,!?;: characters."""
+    return F.length(F.regexp_replace(text, r"[^.,!?;:]", "")).cast("bigint")
+
+
+def digit_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("bigint")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    lowered = F.transform(tokens(text), lambda t: F.lower(t))
+    return F.size(F.filter(lowered, lambda t: t.isin(*stopwords))).cast("bigint")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length as exact ratio of bigints (deterministic)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return (total.cast("double") / F.size(toks).cast("double")).alias("avg_token_len")
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap quality heuristic in [0,1]: penalize very short docs, high
+    punctuation density, and zero stopwords (Gopher/C4-style rule-of-thumb
+    filters, expression-only)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_density = punct_count(text).cast("double") / F.greatest(char_count(text).cast("double"), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - punct_density * 10.0, F.lit(0.0))
+    stop_score = F.when(stopword_count(text) > 0, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score * punct_score * stop_score).alias("quality")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    lowered = F.transform(tokens(text), lambda t: F.lower(t))
+    return {
+        lang: F.size(F.filter(lowered, lambda t: t.isin(*words))).cast("bigint")
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over stopword profiles; 'und' when all zero.
+    Deterministic tie-break: profile order en > es > fr > de."""
+    scores = lang_scores(text)
+    langs = list(LANG_PROFILES)
+    best = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in reversed(langs):  # earlier profiles win ties (>=)
+        cond = scores[lang] >= F.greatest(best_score, F.lit(1).cast("bigint"))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best

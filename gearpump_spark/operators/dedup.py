@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four tiers, all pure DataFrame expressions (no Python UDFs — everything
+stays inside whole-stage codegen):
+
+- exact_dedup          — fingerprint (normalized md5) + groupBy
+- minhash_signatures   — k-permutation MinHash over word shingles
+- lsh_candidate_pairs  — banded LSH join on the signatures
+- ngram_jaccard_pairs  — exact n-gram Jaccard (verification / small-side)
+
+Cross-engine determinism: the hash family is md5 over seed-prefixed
+shingles (identical in Spark and DuckDB), not engine-private hash
+functions, so every step is oracle-checkable.
+
+Scale notes: MinHash+LSH is the 100 TB path — cost is O(total shingles)
+plus a shuffle keyed by (band, band_hash); exact Jaccard is O(pairs) and
+reserved for candidate verification. This mirrors the standard
+shingle→minhash→band→bucket-join pipeline (Broder 1997; Leskovec et al.,
+Mining of Massive Datasets ch. 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex) of normalized text."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct normalized text, keeping the
+    smallest id (deterministic, unlike dropDuplicates' arbitrary winner).
+
+    Scale: a single hash shuffle keyed by the 128-bit fingerprint — the
+    full text never shuffles, only (fingerprint, id).
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array, JVM-side (split + transform over a
+    sequence of start offsets; no UDF)."""
+    ws = F.split(normalize_text(text), " ")
+    k = F.size(ws) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+
+
+def _minhash_cols(k: int) -> list[Column]:
+    """MinHash estimator h_i = MIN(md5('<i>|' || shingle)) for seeds 0..k-1.
+
+    md5 with a seed prefix is a cheap universal-ish hash family that both
+    Spark and DuckDB compute identically (lexicographic MIN over hex).
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 6, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature (columns h0..h{k-1}).
+
+    Scale: explode is map-side; the only shuffle is the groupBy on doc id,
+    carrying k×32-byte partial minima per doc (map-side combined).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    return sh.groupBy(id_col).agg(*_minhash_cols(k))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", k: int = 6, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a candidate
+    pair (a < b). Returns distinct (a, b).
+
+    Scale: the self-join is keyed on (band_idx, band_key) — a hash shuffle
+    whose fan-out is bounded by bucket sizes, never all-pairs. Hot buckets
+    (boilerplate docs) are the classic skew case → AQE skew-join splits
+    them.
+    """
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    ).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_key"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity of each query doc against the corpus
+    via an inverted shingle index (join on shingle, never all-pairs).
+
+    Returns (q_id, doc_id, jaccard) for pairs over the threshold.
+    Scale: |result of the shingle join| = total co-occurrences, bounded by
+    shingle document frequency; stop-shingle skew is AQE's problem. The
+    query side is broadcast when small (the typical "dedup new batch
+    against corpus" shape).
+    """
+
+    def shingle_set(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        ).distinct()
+
+    q = shingle_set(queries, "q_id")
+    c = shingle_set(corpus, "c_id")
+    q_size = q.groupBy("q_id").agg(F.count("*").alias("q_n"))
+    c_size = c.groupBy("c_id").agg(F.count("*").alias("c_n"))
+    inter = (
+        q.join(c, "shingle")
+        .filter(F.col("q_id") < F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(q_size), "q_id")
+        .join(c_size, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("q_n") + F.col("c_n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash fingerprint per document (Charikar 2002): each token
+    votes ±1 per bit of its 32-bit hash; fingerprint bit = sign of the sum.
+
+    Token hash = first 8 hex chars of md5 (deterministic cross-run). All
+    expression-level (64 agg columns), no UDF. Returns (id, simhash: long).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    h32 = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("long")
+    tok = tok.select(id_col, h32.alias("h"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(32)
+        ]
+    )
+    fp = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select(F.col(id_col), fp.alias("simhash"))

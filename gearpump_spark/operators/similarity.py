@@ -1,0 +1,133 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+- cosine_topk        — exact brute-force top-k, JVM-side expressions
+                       (zip_with + aggregate fold — no Python in the loop)
+- lsh_project        — random-hyperplane LSH bucketing (the scale path:
+                       candidate generation within buckets only)
+- cosine_topk_lsh    — bucketed approximate top-k
+
+Scale: brute force is O(|Q|·|C|·d) — fine when one side broadcasts
+(typical: a few thousand probe vectors against a sharded corpus; the
+corpus side never shuffles). For corpus×corpus the LSH path bounds
+comparisons to per-bucket pairs. Hyperplanes are seeded determinstically
+from md5 so results are reproducible across engines and runs (SimHash-LSH,
+Charikar 2002; IVF-style bucketing as in FAISS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    The query side is broadcast (replicated to every executor — the
+    reference's BroadcastPartitioner pattern, SURVEY §2.A); the corpus
+    scan stays partitioned, so the whole search is shuffle-free except the
+    final per-query top-k (rows = |Q|·k partials).
+    """
+    from pyspark.sql import Window as W
+
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("cosine_sim")
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id), F.col(c_id), sim
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
+
+    Component j ∈ {-1..1}: derived from md5(f"{seed}|{j}") first 8 hex
+    digits scaled to [-1, 1). Pure python at plan-build time (tiny)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / float(2**31) - 1.0)
+    return out
+
+
+def lsh_project(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, out_col: str = "bucket"
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit pattern of n_planes
+    projections (SimHash for vectors). Deterministic across runs/engines.
+
+    Scale: adds one narrow projection — bucketing is map-side; the payoff
+    is that downstream joins/groupBys key on (bucket) instead of all-pairs.
+    """
+    v = _to_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        proj = dot(v, plane)
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Recall < 1 by construction; n_planes trades recall vs cost.
+
+    Scale: equi-join on bucket replaces the cross join — comparisons drop
+    by ~2^n_planes; the join is an ordinary hash shuffle both sides.
+    """
+    from pyspark.sql import Window as W
+
+    qb = lsh_project(queries, q_vec, dim, n_planes, "bucket")
+    cb = lsh_project(corpus, c_vec, dim, n_planes, "bucket")
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("cosine_sim")
+    scored = cb.join(F.broadcast(qb), "bucket").select(F.col(q_id), F.col(c_id), sim)
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine_sim", "rank")
+    )

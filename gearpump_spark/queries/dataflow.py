@@ -1,0 +1,340 @@
+"""Dataflow parity queries — the reference's own operator surface
+(SURVEY.md §2.A/B/D/E) re-expressed Spark-first, in batch form so the
+driver can oracle-check them. The streaming forms of the same operators
+live in gearpump_spark.streaming and are pytest-verified (watermarks and
+stateful output are not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gearpump_spark.datasets import table
+from gearpump_spark.queries import register
+from gearpump_spark.queries._util import dec, dsum, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Wordcount — the reference's canonical example
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    """,
+    desc="canonical wordcount: flatMap(split) + groupBy + count "
+    "(reference: examples/streaming/wordcount/.../Split.scala:24-52, Sum.scala:26-60)",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Split task (regex-split each line, one message per
+    word) + Sum task (per-task HashMap of running counts) collapse to
+    explode+groupBy. Scale: Catalyst does map-side partial counts, so the
+    word shuffle carries one partial row per (task, word), exactly like the
+    reference's per-task HashMap — but with spill + codegen."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beam GroupByKey + Combine.GroupedValues
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gbk_combine",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    desc="Beam GroupByKey + Combine fused: keyed shuffle + monoid aggregate "
+    "(reference: experiments/beam/.../translators/GroupByKeyTranslator.java:39-65, "
+    "CombineGroupedValuesTranslator.java:32-55; monoid contract state/api/Monoid.scala:17-24)",
+)
+def q_gbk_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByKey hash-partitions by encoded key bytes (BeamKeyPartitioner
+    .java:38-47); Combine folds values per key. In Spark both fuse into one
+    hash aggregate with map-side combine — strictly less shuffle than the
+    reference, whose aggregation is single-stage per key (SURVEY §2.F)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (Window(size, step) → tumbling & sliding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_tumbling",
+    oracle=f"""
+    SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) * 1000000)
+             AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, event_type
+    ORDER BY window_start, event_type
+    """,
+    desc="tumbling event-time window (size==step): 5-minute buckets "
+    "(reference: streaming/.../state/impl/Window.scala:22-49, WindowConfig.scala:21)",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window(size=step) in the reference slides when the min-clock passes
+    window end (WindowSpec.scala:29-39); in batch Spark the same assignment
+    is the epoch-aligned `window()` struct. Scale: window+key groupBy is one
+    shuffle; partial aggs happen map-side per (window, key)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle=f"""
+    SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 300) * 300 - o.off AS BIGINT) * 1000000)
+             AS window_start,
+           COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 300]) AS off) o
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    desc="sliding event-time window (step<size): 10-minute window, 5-minute slide "
+    "(reference: streaming/.../state/impl/WindowState.scala:48-159 — interval-split "
+    "partial aggregates with Group.minus retraction)",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference maintains a TreeMap of per-interval partial aggregates
+    and retracts expiring intervals via Group.minus (WindowState.scala:82-98).
+    Spark assigns each row to size/step windows up front; the state store
+    owns pane bookkeeping. Each row lands in exactly 2 windows here."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioner semantics (SURVEY §2.A)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_keyed_route",
+    oracle="""
+    SELECT user_id % 8 AS bucket, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY user_id % 8 ORDER BY bucket
+    """,
+    desc="HashPartitioner/GroupByPartitioner semantics: deterministic keyed "
+    "routing (reference: streaming/.../partitioner/HashPartitioner.scala:24-28, "
+    "GroupByPartitioner.scala:36-42)",
+)
+def q_keyed_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference routes by key.hashCode % n; the observable semantics —
+    all rows of a key meet in one place — is Spark's hash exchange. The
+    bucket column makes the routing auditable cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 8).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_flatten_union",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_type FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_type FROM events WHERE event_type = 'error'
+    ) GROUP BY event_type ORDER BY event_type
+    """,
+    desc="Flatten.PCollections: union N streams "
+    "(reference: experiments/beam/.../translators/FlattenPCollectionsTranslator.java:33-60)",
+)
+def q_flatten_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union is a zero-shuffle concatenation of partition lists in Spark —
+    cheaper than the reference, which routes all inputs through a merge
+    processor's mailbox."""
+    ev = table(spark, sf_dir, "events")
+    parts = [ev.filter(F.col("event_type") == t).select("event_type") for t in ("click", "purchase", "error")]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+@register(
+    "q_multi_output_tags",
+    oracle="""
+    SELECT event_id, 'engagement' AS tag,
+           CAST(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 2, 2) AS DECIMAL(38,2)) AS DOUBLE) AS out_value
+    FROM events WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT event_id, 'revenue' AS tag,
+           CAST(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100, 2) AS DECIMAL(38,2)) AS DOUBLE) AS out_value
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, 'ops' AS tag, CAST(0.0 AS DOUBLE) AS out_value
+    FROM events WHERE event_type IN ('signup', 'error')
+    ORDER BY event_id, tag
+    """,
+    desc="ParDo.MultiOutput: tagged multi-way routing, one branch per tag "
+    "(reference: experiments/beam/.../translators/ParDoMultiOutputTranslator.java:44-100, "
+    "runtime/BeamTaggedOutputTask.java; TaskContext.output(index, msg) TaskWrapper.scala:64)",
+)
+def q_multi_output_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference fans tagged outputs to per-tag selector tasks; in Spark
+    each tag is a filtered branch off the shared scan (Catalyst reuses the
+    exchange), unioned back with the tag as a column."""
+    ev = table(spark, sf_dir, "events")
+    engagement = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        F.lit("engagement").alias("tag"),
+        (dec("value") * 2).cast("decimal(38,2)").cast("double").alias("out_value"),
+    )
+    revenue = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.lit("revenue").alias("tag"),
+        (dec("value") * 100).cast("decimal(38,2)").cast("double").alias("out_value"),
+    )
+    ops = ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "event_id",
+        F.lit("ops").alias("tag"),
+        F.lit(0.0).cast("double").alias("out_value"),
+    )
+    return engagement.unionByName(revenue).unionByName(ops).orderBy("event_id", "tag")
+
+
+@register(
+    "q_complexdag_lineage",
+    oracle="""
+    SELECT path, COUNT(*) AS n FROM (
+        SELECT 'orders>node1>sink' AS path FROM orders
+        UNION ALL
+        SELECT 'orders>node2>sink' AS path FROM orders
+        UNION ALL
+        SELECT 'lineitem>node1>sink' AS path FROM lineitem
+        UNION ALL
+        SELECT 'lineitem>node2>sink' AS path FROM lineitem
+    ) GROUP BY path ORDER BY path
+    """,
+    desc="complexdag: fan-out/fan-in DAG where each node appends its name to "
+    "a lineage path (reference: examples/streaming/complexdag/Dag.scala:40-94, "
+    "Node.scala:22-30)",
+)
+def q_complexdag_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sources each feed two middle nodes which feed one sink; every row
+    carries the path it travelled. Exercises shared-subplan fan-out + union
+    fan-in (the reference's Graph DSL `a ~ edge ~> b`, Graph.scala:438-523)."""
+    orders = table(spark, sf_dir, "orders").select(F.lit("orders").alias("src"))
+    li = table(spark, sf_dir, "lineitem").select(F.lit("lineitem").alias("src"))
+
+    def node(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.concat_ws(">", "src", F.lit(name)).alias("path"))
+
+    branches = [node(orders, "node1"), node(orders, "node2"), node(li, "node1"), node(li, "node2")]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    out = out.select(F.concat(F.col("path"), F.lit(">sink")).alias("path"))
+    return out.groupBy("path").agg(F.count("*").alias("n")).orderBy("path")
+
+
+# ---------------------------------------------------------------------------
+# Source/sink-level semantics (SURVEY §2.B)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sol_passthrough",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+    desc="SOL throughput workload: source → identity pass-through → sink "
+    "(reference: examples/streaming/sol/.../SOLStreamProducer.scala, "
+    "SOLStreamProcessor.scala:42-45)",
+)
+def q_sol_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's published 18M msg/s benchmark is this shape: a
+    pass-through shuffle. The batch form is a pure projection (no shuffle at
+    all); bench.py also runs the rate-source streaming form."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_timestamp_filter",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ORDER BY event_id
+    """,
+    desc="TimeStampFilter: drop messages older than the replay point "
+    "(reference: streaming/.../transaction/api/TimeStampFilter.scala:23-25)",
+)
+def q_timestamp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_lifetime_filter",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+    ORDER BY event_id
+    """,
+    desc="LifeTime(birth, death) guard: operator only accepts rows within "
+    "its event-time lifetime (reference: streaming/.../LifeTime.scala:26-38, "
+    "task/Subscription.scala:103-104)",
+)
+def q_lifetime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-22 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,362 @@
+"""LLM-training-data pipeline queries (SURVEY.md §7 M5 — beyond the
+reference surface, first-class per the north star): deduplication,
+embedding similarity search, text analysis, multimodal metadata.
+
+Oracle strategy: every hash-based operator uses md5 over seed-prefixed
+input — a hash family both Spark and DuckDB evaluate identically — so even
+MinHash/LSH is exactly DuckDB-checkable. Only SimHash (bit twiddling) and
+PageRank (iterative) fall back to rows-only checks + pytest goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gearpump_spark.datasets import table
+from gearpump_spark.operators import dedup as D
+from gearpump_spark.operators import similarity as S
+from gearpump_spark.functions import text as TX
+from gearpump_spark.queries import register
+
+# Shared DuckDB CTE: normalized word 3-gram shingles per document.
+# Mirrors operators/dedup.py word_shingles()+normalize_text() exactly.
+_SQL_SHINGLES = """
+    shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ws) - 1, 1)),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM (SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents)
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+    desc="exact dedup: normalized-content fingerprint + hash groupBy",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: shuffles (fp, id) only — never the document bodies."""
+    return D.exact_dedup(table(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}
+    SELECT doc_id,
+           MIN(MD5('0|' || shingle)) AS h0, MIN(MD5('1|' || shingle)) AS h1,
+           MIN(MD5('2|' || shingle)) AS h2, MIN(MD5('3|' || shingle)) AS h3,
+           MIN(MD5('4|' || shingle)) AS h4, MIN(MD5('5|' || shingle)) AS h5
+    FROM shingled GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="MinHash signatures (k=6) over word 3-gram shingles, md5 hash family",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(table(spark, sf_dir, "documents"), k=6).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc_id,
+               MIN(MD5('0|' || shingle)) AS h0, MIN(MD5('1|' || shingle)) AS h1,
+               MIN(MD5('2|' || shingle)) AS h2, MIN(MD5('3|' || shingle)) AS h3,
+               MIN(MD5('4|' || shingle)) AS h4, MIN(MD5('5|' || shingle)) AS h5
+        FROM shingled GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band_idx,
+               CASE b.band_idx
+                    WHEN 0 THEN MD5(h0 || '|' || h1)
+                    WHEN 1 THEN MD5(h2 || '|' || h3)
+                    ELSE MD5(h4 || '|' || h5) END AS band_key
+        FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS band_idx) b)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ORDER BY a, b
+    """,
+    desc="MinHash-LSH near-dup candidate pairs (3 bands × 2 rows)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the only joins are keyed on (band_idx, band_key) buckets —
+    cost tracks bucket occupancy, never all-pairs."""
+    sig = D.minhash_signatures(table(spark, sf_dir, "documents"), k=6)
+    return D.lsh_candidate_pairs(sig, k=6, rows_per_band=2).orderBy("a", "b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT q.doc_id AS q_id, c.doc_id AS c_id, COUNT(*) AS inter
+        FROM sh q JOIN sh c ON q.shingle = c.shingle AND q.doc_id < c.doc_id
+        WHERE q.doc_id < 10
+        GROUP BY 1, 2)
+    SELECT q_id, c_id,
+           CAST(inter AS DOUBLE) / CAST(qs.n + cs.n - inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes qs ON qs.doc_id = q_id
+               JOIN sizes cs ON cs.doc_id = c_id
+    WHERE CAST(inter AS DOUBLE) / CAST(qs.n + cs.n - inter AS DOUBLE) >= 0.05
+    ORDER BY q_id, c_id
+    """,
+    desc="exact n-gram Jaccard of query docs vs corpus via inverted shingle index",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < 10)
+    out = D.ngram_jaccard_pairs(q, docs, threshold=0.05)
+    return out.select(
+        F.col("q_id"), F.col("c_id"), F.col("jaccard")
+    ).orderBy("q_id", "c_id")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-level; verified by pytest golden instead
+    desc="32-bit SimHash fingerprints per document (Charikar 2002)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash32(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c.embedding) + 1),
+                              i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine_sim
+        FROM embeddings c CROSS JOIN q)
+    SELECT q_id, vec_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored)
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    desc="brute-force cosine top-k ANN baseline (query side broadcast)",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.cosine_topk(q, emb, k=5)
+    return out.select(
+        "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=None,  # approximate by construction; recall asserted in pytest
+    desc="LSH-bucketed approximate cosine top-k (random hyperplanes, scale path)",
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.cosine_topk_lsh(q, emb, dim=64, k=5, n_planes=4)
+    return out.select(
+        "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = """
+    toks AS (
+        SELECT doc_id, lang, text,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM documents)
+"""
+
+
+@register(
+    "text_doc_stats",
+    oracle=f"""
+    WITH {_SQL_TOKS}
+    SELECT doc_id,
+           CAST(LEN(tk) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w))) AS DOUBLE)
+             / CAST(LEN(tk) AS DOUBLE) AS avg_token_len,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(LEN(LIST_FILTER(LIST_TRANSFORM(tk, w -> LOWER(w)),
+                w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
+    FROM toks ORDER BY doc_id
+    """,
+    desc="per-document text statistics: tokens, chars, punct, digits, stopwords",
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.char_count(t).alias("n_chars"),
+        TX.avg_token_len(t).alias("avg_token_len"),
+        TX.punct_count(t).alias("n_punct"),
+        TX.digit_count(t).alias("n_digits"),
+        TX.stopword_count(t).alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_profile",
+    oracle=f"""
+    WITH {_SQL_TOKS}
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(LEN(tk)) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(LEN(tk)) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    desc="corpus profile per language tag: doc counts, token/char volumes",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select("lang", TX.token_count(t).alias("ntok"), TX.char_count(t).alias("nch"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            (F.sum("ntok").cast("double") / F.count("*")).cast("double").alias("avg_tokens"),
+            F.sum("nch").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_FILTER(lt, w -> w IN ('the','a','of','and','to','in','is'))) AS s_en,
+               LEN(LIST_FILTER(lt, w -> w IN ('el','la','de','y','que','los'))) AS s_es,
+               LEN(LIST_FILTER(lt, w -> w IN ('le','la','de','et','les','des'))) AS s_fr,
+               LEN(LIST_FILTER(lt, w -> w IN ('der','die','das','und','ist','ein'))) AS s_de
+        FROM (SELECT doc_id, lang,
+                     LIST_TRANSFORM(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                                w -> w <> ''), w -> LOWER(w)) AS lt
+              FROM documents))
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= 1 THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= 1 THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= 1 THEN 'fr'
+                WHEN s_de >= 1 THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """,
+    desc="stopword-profile language-ID heuristic (argmax, en-first ties)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id,
+               LEAST(CAST(LEN(tk) AS DOUBLE) / 20.0, 1.0)
+               * GREATEST(1.0 - (CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                 / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)) * 10.0, 0.0)
+               * (CASE WHEN LEN(LIST_FILTER(LIST_TRANSFORM(tk, w -> LOWER(w)),
+                            w -> w IN ('the','a','of','and','to','in','is'))) > 0
+                       THEN 1.0 ELSE 0.5 END) AS quality
+        FROM (SELECT doc_id, text,
+                     LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+              FROM documents))
+    SELECT doc_id, quality FROM q WHERE quality >= 0.5 ORDER BY doc_id
+    """,
+    desc="heuristic quality score + filter (length/punct/stopword signals)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+        .filter(F.col("quality") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    desc="deterministic 128-bit content fingerprint per document",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata (binary payload plumbing; decode stubs in
+# operators/multimodal.py are pytest-covered)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(STRLEN(text) AS BIGINT) AS byte_len,
+           CAST(LENGTH(text) AS BIGINT) AS char_len,
+           CASE WHEN STRLEN(text) > LENGTH(text) THEN 'multibyte' ELSE 'ascii' END AS enc_kind,
+           MD5(text) AS content_hash
+    FROM documents ORDER BY doc_id
+    """,
+    desc="opaque-payload metadata: byte length vs char length, content hash "
+    "(the typed-metadata side of binary multimodal columns)",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.octet_length(t).cast("bigint").alias("byte_len"),
+        F.length(t).cast("bigint").alias("char_len"),
+        F.when(F.octet_length(t) > F.length(t), "multibyte").otherwise("ascii").alias("enc_kind"),
+        F.md5(t.cast("binary")).alias("content_hash"),
+    ).orderBy("doc_id")

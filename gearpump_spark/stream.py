@@ -1,0 +1,231 @@
+"""The fluent stream-DAG API — the reference's user-facing surface
+(Processor DAG + Partitioners, SURVEY.md §2.A/§3.1) compiled directly to
+DataFrame plans, the way the reference's Beam runner translates pipelines
+to Processor graphs (SURVEY §3.2,
+reference: experiments/beam/.../translators/GearpumpPipelineTranslator.java:43-53).
+
+A ``Stream`` wraps a DataFrame (batch or streaming — the reference is
+unbounded-only; we support both) plus the event-time column name, mirroring
+``Message(value, timestamp)`` (reference:
+core/src/main/scala/io/gearpump/Message.scala:20-25) with the one deliberate
+upgrade called out in SURVEY §1.3: payloads have real schemas, not Kryo'd
+``Any``.
+
+There is deliberately NO optimizer here (the reference has none either,
+SURVEY §4.1): each method appends one declarative DataFrame operation and
+Catalyst owns all rewrites.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gearpump_spark.session import ensure_runtime_conf
+
+
+class GearContext:
+    """Entry point: builds source Streams (reference: DataSourceProcessor,
+    streaming/.../source/DataSourceProcessor.scala:34-44)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = ensure_runtime_conf(spark)
+
+    # -- bounded sources ----------------------------------------------------
+    def from_collection(
+        self, rows: Iterable[Any], schema: Any, ts_col: str | None = None
+    ) -> "Stream":
+        """Beam Create.Values (reference:
+        experiments/beam/.../translators/CreateValuesTranslator.java:31-52)."""
+        return Stream(self.spark.createDataFrame(list(rows), schema), ts_col)
+
+    def impulse(self) -> "Stream":
+        """Beam Impulse: a single empty element (reference:
+        experiments/beam/.../translators/ImpulseTranslator.java:26-34)."""
+        return Stream(self.spark.range(1).select(F.lit(b"").alias("impulse")), None)
+
+    def from_parquet(self, path: str, ts_col: str | None = None) -> "Stream":
+        """Read.Bounded (reference:
+        experiments/beam/.../translators/ReadBoundedTranslator.java:27-43)."""
+        return Stream(self.spark.read.parquet(path), ts_col)
+
+    # -- unbounded sources --------------------------------------------------
+    def from_rate(self, rows_per_second: int = 1000) -> "Stream":
+        """Unbounded generator source (the SOL producer analog; reference:
+        examples/streaming/sol/.../SOLStreamProducer.scala)."""
+        df = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+        return Stream(df, "timestamp")
+
+    def from_stream_parquet(self, path: str, schema: Any, ts_col: str | None = None) -> "Stream":
+        """Read.Unbounded over files — a replayable source: restart replays
+        from checkpointed offsets (reference TimeReplayableSource,
+        streaming/.../transaction/api/TimeReplayableSource.scala:25-31)."""
+        df = self.spark.readStream.format("parquet").schema(schema).load(path)
+        return Stream(df, ts_col)
+
+
+class Stream:
+    """A node in the operator DAG. Transformations return new Streams;
+    the underlying plan is lazy until a sink/action (reference semantics:
+    the DAG runs only after submit, SURVEY §3.1)."""
+
+    def __init__(self, df: DataFrame, ts_col: str | None = None):
+        self.df = df
+        self.ts_col = ts_col
+
+    def _with(self, df: DataFrame, ts_col: str | None = "__same__") -> "Stream":
+        return Stream(df, self.ts_col if ts_col == "__same__" else ts_col)
+
+    @property
+    def is_streaming(self) -> bool:
+        return self.df.isStreaming
+
+    # -- ParDo family (reference: Task.onNext / Beam ParDo,
+    #    experiments/beam/.../translators/ParDoMultiOutputTranslator.java:44-100)
+    def select(self, *cols: Column | str) -> "Stream":
+        return self._with(self.df.select(*cols))
+
+    def map_columns(self, **exprs: Column) -> "Stream":
+        """Add/replace columns declaratively (the fast ParDo: codegen'd)."""
+        return self._with(self.df.withColumns(exprs))
+
+    def filter(self, cond: Column) -> "Stream":
+        return self._with(self.df.filter(cond))
+
+    def flat_map(self, col: Column, alias: str, keep: list[str] | None = None) -> "Stream":
+        """Explode an array expression — one output row per element
+        (reference Split task: examples/streaming/wordcount/.../Split.scala:24-52)."""
+        keep_cols = [F.col(c) for c in (keep or [])]
+        return self._with(self.df.select(*keep_cols, F.explode(col).alias(alias)))
+
+    def map_in_pandas(self, fn: Callable, schema: Any) -> "Stream":
+        """Arbitrary per-batch logic — the slow path, Arrow-batched
+        (reference arbitrary Task code, task/Task.scala:129-207)."""
+        return self._with(self.df.mapInPandas(fn, schema))
+
+    def tagged_outputs(self, tag_col: Column, tags: list[str]) -> dict[str, "Stream"]:
+        """ParDo.MultiOutput: route to per-tag downstream streams
+        (reference: runtime/BeamTaggedOutputTask.java; TaskWrapper.scala:64)."""
+        tagged = self.df.withColumn("__tag", tag_col)
+        return {t: self._with(tagged.filter(F.col("__tag") == t).drop("__tag")) for t in tags}
+
+    # -- Partitioners (SURVEY §2.A) ----------------------------------------
+    def partition_hash(self, n: int, *cols: str) -> "Stream":
+        """HashPartitioner / GroupByPartitioner: keyed exchange (reference:
+        streaming/.../partitioner/HashPartitioner.scala:24-28,
+        GroupByPartitioner.scala:36-42)."""
+        return self._with(self.df.repartition(n, *[F.col(c) for c in cols]))
+
+    def partition_shuffle(self, n: int) -> "Stream":
+        """ShufflePartitioner: round-robin rebalance (reference:
+        streaming/.../partitioner/ShufflePartitioner.scala:23-39)."""
+        return self._with(self.df.repartition(n))
+
+    def broadcast(self) -> "Stream":
+        """BroadcastPartitioner: replicate to every downstream task; in
+        Spark a broadcast hint consumed by the next join (reference:
+        streaming/.../partitioner/BroadcastPartitioner.scala:20-32)."""
+        return self._with(F.broadcast(self.df))
+
+    def co_locate(self) -> "Stream":
+        """CoLocationPartitioner: narrow chaining, no exchange — Catalyst
+        already fuses narrow deps into one stage (reference:
+        streaming/.../partitioner/CoLocationPartitioner.scala:23-27)."""
+        return self
+
+    # -- Flatten ------------------------------------------------------------
+    def union(self, *others: "Stream") -> "Stream":
+        """Flatten.PCollections (reference:
+        experiments/beam/.../translators/FlattenPCollectionsTranslator.java:33-60)."""
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df)
+        return self._with(df)
+
+    # -- Event time & windows (SURVEY §2.C) ----------------------------------
+    def with_timestamps(self, col: Column, name: str = "ts") -> "Stream":
+        """Attach/replace the event-time column (Message.timestamp,
+        reference: core/.../Message.scala:24)."""
+        return Stream(self.df.withColumn(name, col.cast("timestamp")), name)
+
+    def with_watermark(self, delay: str) -> "Stream":
+        """Event-time watermark (reference Watermark message,
+        streaming/.../source/Watermark.scala:22-36; global min-clock
+        aggregation appmaster/ClockService.scala:302-309)."""
+        if self.ts_col is None:
+            raise ValueError("with_watermark requires a timestamp column (with_timestamps)")
+        return self._with(self.df.withWatermark(self.ts_col, delay))
+
+    def window(self, size: str, step: str | None = None) -> "Stream":
+        """Assign tumbling (step==None) / sliding event-time windows
+        (reference Window(size, step): streaming/.../state/impl/Window.scala:22-49;
+        Beam Window.Assign translators/WindowAssignTranslator.java:33-48)."""
+        if self.ts_col is None:
+            raise ValueError("window requires a timestamp column")
+        w = F.window(F.col(self.ts_col), size, step) if step else F.window(F.col(self.ts_col), size)
+        return self._with(self.df.withColumn("window", w))
+
+    def key_by(self, *cols: Column | str) -> "KeyedStream":
+        """GroupByPartitioner: shuffle by extracted key (reference:
+        streaming/.../partitioner/GroupByPartitioner.scala:36-42)."""
+        return KeyedStream(self, list(cols))
+
+    # -- Sinks (SURVEY §2.B: DataSink contract sink/DataSink.scala:40-61) ---
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def sink_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).parquet(path)
+
+    def sink_memory(self, name: str, output_mode: str = "append"):
+        """Streaming memory sink (test harness); returns the query handle."""
+        return (
+            self.df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+
+    def sink_noop_stream(self, **options):
+        """Null sink for throughput benchmarks (SOL processor analog)."""
+        return self.df.writeStream.format("noop").outputMode("append").start()
+
+    def collect(self):
+        return self.df.collect()
+
+
+class KeyedStream:
+    """Post-shuffle keyed view: aggregation operators (reference
+    GroupByKey + Combine, SURVEY §2.D; monoid state §2.C)."""
+
+    def __init__(self, stream: Stream, keys: list[Column | str]):
+        self.stream = stream
+        self.keys = keys
+
+    def agg(self, *aggs: Column) -> Stream:
+        """Combine.GroupedValues: per-key monoid fold — Spark fuses partial
+        (map-side) and final aggregation, strictly better than the
+        reference's single-stage per-key hash state (SURVEY §2.F)."""
+        return self.stream._with(self.stream.df.groupBy(*self.keys).agg(*aggs))
+
+    def count(self, alias: str = "count") -> Stream:
+        return self.agg(F.count("*").alias(alias))
+
+    def reduce_monoid(self, col: Column, alias: str) -> Stream:
+        """NonWindowState running aggregate: in batch a plain sum; in
+        streaming use outputMode('update') on the sink (reference:
+        streaming/.../state/impl/NonWindowState.scala:30-48)."""
+        return self.agg(F.sum(col).alias(alias))
+
+    def windowed(self, size: str, step: str | None = None) -> "KeyedStream":
+        """Window + key grouping (Beam windowed GBK; reference:
+        runtime/BeamGroupByKeyTask.java:51-120)."""
+        windowed = self.stream.window(size, step)
+        return KeyedStream(windowed, [F.col("window"), *self.keys])

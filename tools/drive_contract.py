@@ -1,0 +1,91 @@
+"""Simulate the driver: fresh SparkSession (driver-style, no gearpump_spark
+session config), import __spark_entry__, smoke entry(), then run every
+queries() entry against its oracle_sql() on DuckDB at sf0.01 with an
+order-insensitive value-hash compare (columns sorted by name)."""
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+# Driver-style session: plain defaults, 200 shuffle partitions, no UTC pin.
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}, {time.time()-t0:.1f}s")
+assert len(rows) > 0
+
+qs = E.queries()
+oracles = E.oracle_sql()
+print(f"queries: {len(qs)}, oracles: {len(oracles)}")
+
+import duckdb
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
+
+
+def value_hash(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    h = hashlib.sha256()
+    for _, row in pdf.sort_values(by=list(pdf.columns), kind="mergesort").iterrows():
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()[:16]
+
+
+import pandas as pd
+
+fails = []
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    try:
+        spdf = fn(spark, SF).toPandas()
+    except Exception as ex:
+        fails.append((name, f"spark error: {ex}"))
+        print(f"  {name}: SPARK ERROR {ex}")
+        continue
+    dt = time.time() - t0
+    if name not in oracles:
+        print(f"  {name}: rows-only, {len(spdf)} rows, {dt:.1f}s")
+        continue
+    dpdf = con.sql(oracles[name]).df()
+    # normalize timestamps to naive us, ints to int64, floats exact
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_datetime64_any_dtype(df[c]):
+                dt_ = df[c]
+                if getattr(dt_.dtype, "tz", None) is not None:
+                    dt_ = dt_.dt.tz_convert("UTC").dt.tz_localize(None)
+                df[c] = dt_.astype("datetime64[us]")
+            elif pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif pd.api.types.is_object_dtype(df[c]):
+                df[c] = df[c].astype(str)
+        return df
+    s_, d_ = norm(spdf), norm(dpdf)
+    ok_rows = len(s_) == len(d_)
+    ok_hash = ok_rows and value_hash(s_) == value_hash(d_)
+    status = "OK" if ok_hash else "MISMATCH"
+    if not ok_hash:
+        fails.append((name, f"rows {len(s_)} vs {len(d_)}, hash mismatch"))
+    print(f"  {name}: {status} ({len(s_)} rows, {dt:.1f}s)")
+
+print(f"\n{len(fails)} failures")
+for f in fails:
+    print("FAIL:", f)
+sys.exit(1 if fails else 0)
