@@ -1,0 +1,87 @@
+"""BENCH harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Shape: {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Plans execute to a noop sink (full execution + materialization, no
+driver-side collect cost). The SOL analog (reference's published 18M msg/s
+pass-through benchmark, docs/contents/introduction/performance-report.md:3-10)
+runs as a rate-source streaming pass-through and reports rows/s separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "q_window_sliding",
+    "q_gbk_combine",
+    "wordcount",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk",
+    "text_doc_stats",
+    "q_topk_per_group",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gearpump_spark.session import get_spark
+    from gearpump_spark.queries import all_queries
+
+    spark = get_spark("gearpump_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    qs = all_queries()
+
+    # Warm the JVM/codegen once so per-query numbers measure the plan,
+    # not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # SOL analog: rate source -> identity projection -> noop sink.
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5_000_000)
+        .option("numPartitions", CPUS)
+        .load()
+        .selectExpr("value", "timestamp")
+    )
+    q = rate.writeStream.format("noop").start()
+    t0 = time.perf_counter()
+    time.sleep(5)
+    rows = sum(p["numInputRows"] for p in q.recentProgress)
+    elapsed = time.perf_counter() - t0
+    q.stop()
+    sol_rows_per_sec = int(rows / elapsed) if elapsed > 0 else 0
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "sol_passthrough_rows_per_sec": sol_rows_per_sec,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,15 +50,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array, JVM-side (split + transform over a
-    sequence of start offsets; no UDF)."""
+    """Word n-gram shingle array, JVM-side (no UDF).
+
+    Built with slice + zip_with rather than per-index element_at: Catalyst
+    inlines the tokenizer expression into every element_at call (one full
+    regex split per element — quadratic per row), whereas the zip_with
+    formulation evaluates the tokenizer a constant number of times per row.
+    """
     ws = F.split(normalize_text(text), " ")
-    k = F.size(ws) - (n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
-    )
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    sh = F.slice(ws, 1, m)
+    for j in range(1, n):
+        sh = F.zip_with(sh, F.slice(ws, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return sh
 
 
 def _minhash_cols(k: int) -> list[Column]:
