@@ -1,0 +1,24 @@
+"""Structured Streaming layer: the reference's event-time / state /
+exactly-once semantics (SURVEY.md §2.B/C) on Spark's micro-batch engine."""
+
+from gearpump_spark.streaming.core import (
+    FLUSH_EPOCH_SEC,
+    FLUSH_TS,
+    assign_windows,
+    replay_parquet_stream,
+    run_to_completion,
+    running_aggregate,
+    windowed_aggregate,
+    stateful_running_count,
+)
+
+__all__ = [
+    "FLUSH_EPOCH_SEC",
+    "FLUSH_TS",
+    "assign_windows",
+    "replay_parquet_stream",
+    "run_to_completion",
+    "running_aggregate",
+    "windowed_aggregate",
+    "stateful_running_count",
+]

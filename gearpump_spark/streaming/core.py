@@ -1,0 +1,176 @@
+"""Streaming operators with reference semantics.
+
+Mapping (SURVEY.md §1.3/§2.C):
+- Watermark message + ClockService global min-clock  → withWatermark
+  (reference: streaming/.../source/Watermark.scala:22-36,
+  appmaster/ClockService.scala:302-309)
+- Watermark.MAX "source drained" → Trigger.AvailableNow completion
+  (reference: Watermark.scala:29-36 — MAX means a bounded run finished)
+- WindowState sliding/tumbling monoid aggregation → groupBy(window(...))
+  with append mode = the reference's single final pane per key×window
+  (reference: state/impl/WindowState.scala:48-159;
+  Beam default-trigger GBK runtime/BeamGroupByKeyTask.java:51-120)
+- NonWindowState running aggregate → update output mode
+  (reference: state/impl/NonWindowState.scala:30-48)
+- PersistentTask checkpoint/recover → checkpointLocation + replayable
+  file source (reference: state/api/PersistentTask.scala:36-98,
+  docs/contents/introduction/message-delivery.md:8-13)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def replay_parquet_stream(
+    spark: SparkSession, path: str, schema: Any, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """A TimeReplayableSource: file source whose offsets live in the
+    checkpoint — restart resumes (replays) from the recorded position
+    (reference: transaction/api/TimeReplayableSource.scala:25-31)."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+# Flush sentinel: the reference signals "source drained" with Watermark.MAX
+# (source/Watermark.scala:29-36), which closes every open window. Spark's
+# watermark only ever advances to max-seen-event-time minus delay, so the
+# trailing window of a bounded stream never closes in append mode. We emulate
+# Watermark.MAX by appending one far-future sentinel row to the source: it
+# passes the EventTimeWatermark operator (advancing the watermark past every
+# real window) and is filtered out before aggregation.
+FLUSH_EPOCH_SEC = 7_000_000_000  # year ~2191 — beyond any fixture timestamp
+FLUSH_TS = "2180-01-01 00:00:00"
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    size: str,
+    step: str | None,
+    keys: list[str],
+    aggs: list[Column],
+    watermark_delay: str = "0 seconds",
+    drop_flush_sentinel: bool = False,
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation (final-pane
+    semantics under append mode — the reference's only trigger,
+    GroupByKeyTranslator.java:67-79 rejects everything else).
+
+    drop_flush_sentinel: filter rows at/after FLUSH_TS *after* the
+    watermark operator — they advance the clock (Watermark.MAX) but never
+    join an aggregate."""
+    s = stream.withWatermark(ts_col, watermark_delay)
+    if drop_flush_sentinel:
+        s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
+    w = F.window(F.col(ts_col), size, step) if step else F.window(F.col(ts_col), size)
+    return s.groupBy(w.alias("window"), *keys).agg(*aggs)
+
+
+def _duration_us(spec: str) -> int:
+    """Parse 'N seconds|minutes|hours|days' to microseconds."""
+    n, unit = spec.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return int(n) * mult
+
+
+def assign_windows(
+    df: DataFrame, ts_col: str, size: str, step: str | None = None,
+    out_col: str = "windows",
+) -> DataFrame:
+    """Beam Window.Assign semantics (reference:
+    experiments/beam/.../translators/WindowAssignTranslator.java:33-48,
+    runtime/BeamAssignWindowsTask.java:51-106): attach the *set* of windows
+    containing each element as an array column — one row per element, so
+    re-windowing (recomputing the column) replaces old windows without
+    duplicating elements (GearpumpRunnerIntegrationTest.java:106-122).
+
+    Explode `out_col` at group-by time to get per-pane grouping. All math
+    is integer microseconds on JVM-side columns — no UDF, codegen-friendly,
+    and the array is bounded by ceil(size/step) entries."""
+    sizeu = _duration_us(size)
+    stepu = _duration_us(step or size)
+    k = -(-sizeu // stepu)  # windows per element
+    tsu = F.unix_micros(F.col(ts_col))
+    smax = (tsu - F.pmod(tsu, F.lit(stepu))).cast("long")
+    cands = F.sequence(smax - F.lit((k - 1) * stepu), smax, F.lit(stepu))
+    wins = F.filter(cands, lambda c: (c + F.lit(sizeu)) > tsu)
+    wins = F.transform(
+        wins,
+        lambda c: F.struct(
+            F.timestamp_micros(c).alias("start"),
+            F.timestamp_micros(c + F.lit(sizeu)).alias("end"),
+        ),
+    )
+    return df.withColumn(out_col, wins)
+
+
+def running_aggregate(stream: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """NonWindowState: unbounded running aggregate; sink it with
+    outputMode('update') (reference: state/impl/NonWindowState.scala:30-48)."""
+    return stream.groupBy(*keys).agg(*aggs)
+
+
+def run_to_completion(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Drain a bounded stream to its Watermark.MAX end state and return the
+    materialized result: availableNow trigger + memory sink, blocking until
+    the source is exhausted (the reference blocks until the global clock
+    hits Watermark.MAX, cluster/client/BeamClientContext.scala)."""
+    spark = df.sparkSession
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def stateful_running_count(
+    stream: DataFrame, key_col: str, timeout: str = "NoTimeout"
+) -> DataFrame:
+    """Custom per-key stateful operator via applyInPandasWithState — the
+    PersistentState/PersistentTask user surface (reference:
+    state/api/PersistentState.scala:26-56, PersistentTask.scala:36-98):
+    recover state, fold each batch, emit updated running value.
+
+    Scale: state is per-key in the state store (RocksDB on a real
+    cluster), partitioned by the groupBy key — same sharding as the
+    reference's one-hash-state-per-task."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def fold(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (count,) = state.get if state.exists else (0,)
+        for pdf in batches:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"key": [key[0]], "running_count": [count]})
+
+    return stream.withColumnRenamed(key_col, "key").groupBy("key").applyInPandasWithState(
+        fold,
+        outputStructType="key string, running_count bigint",
+        stateStructType="count bigint",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,198 @@
+"""Unit goldens for operators without SQL oracles (SURVEY §5 tier 1/2):
+SimHash bit math, LSH near-dup recall, cosine vs numpy, PageRank vs power
+iteration, multimodal plumbing, text-function edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gearpump_spark.operators import dedup as D
+from gearpump_spark.operators import similarity as S
+from gearpump_spark.operators.graph import pagerank, pagerank_numpy_reference
+from gearpump_spark.operators import multimodal as MM
+from gearpump_spark.functions import text as TX
+
+
+# --- SimHash golden (Charikar 2002): recompute in pure python ------------
+
+
+def _simhash32_py(text: str) -> int:
+    norm = " ".join(text.lower().split())
+    votes = [0] * 32
+    for w in norm.split(" "):
+        if not w:
+            continue
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(2**b for b in range(32) if votes[b] > 0)
+
+
+def test_simhash_golden(spark):
+    rows = [(0, "the quick brown fox"), (1, "pack my box with five dozen jugs")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash32(df).collect()}
+    assert got == {i: _simhash32_py(t) for i, t in rows}
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(0, base), (1, base.replace("lazy", "sleepy", 1)), (2, "完全 另一 个 文档 呀 " * 8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash32(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
+
+
+# --- MinHash-LSH recall on an injected near-duplicate ---------------------
+
+
+def test_lsh_finds_near_duplicate(spark):
+    base = ("spark streaming engine with watermarks and windows " * 6).strip()
+    near = base.replace("watermarks", "checkpoints", 1)
+    other = ("an entirely different corpus about cooking pasta at home " * 6).strip()
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id bigint, text string"
+    )
+    sig = D.minhash_signatures(df, k=6)
+    pairs = {(r.a, r.b) for r in D.lsh_candidate_pairs(sig, k=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "Hello  World"), (2, "hello world"), (9, "unrelated")],
+        "doc_id bigint, text string",
+    )
+    out = {r.keep_id: r.n_dups for r in D.exact_dedup(df).collect()}
+    assert out == {2: 2, 9: 1}  # normalization folds case+whitespace
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    t = "a b c d e f g h"
+    df = spark.createDataFrame([(0, t), (1, t)], "doc_id bigint, text string")
+    out = D.ngram_jaccard_pairs(df.filter("doc_id = 0"), df, threshold=0.0).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+# --- Cosine top-k vs numpy -------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    corpus = rng.normal(size=(50, 8)).astype("float32")
+    queries = corpus[:3]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id bigint, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(queries)],
+        "q_id bigint, q_vec array<float>",
+    )
+    got = S.cosine_topk(qdf, cdf, k=3).collect()
+
+    def np_topk(q):
+        sims = corpus @ q / (np.linalg.norm(corpus, axis=1) * np.linalg.norm(q))
+        order = sorted(range(50), key=lambda i: (-round(float(sims[i]), 4), i))
+        return order[:3]
+
+    for qi in range(3):
+        expect = np_topk(queries[qi].astype("float64"))
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.q_id == qi]
+        assert mine == expect
+        # self-similarity tops its own query
+        assert mine[0] == qi
+
+
+def test_lsh_topk_self_recall(spark, sf_dir):
+    from gearpump_spark.datasets import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.cosine_topk_lsh(q, emb, dim=64, k=3, n_planes=4).collect()
+    # a query vector always lands in its own bucket → rank 1 is itself
+    top1 = {r.q_id: r.vec_id for r in out if r.rank == 1}
+    assert top1 == {i: i for i in range(5)}
+
+
+# --- PageRank vs power iteration (FIXTURES.md §B.6) -----------------------
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]  # node 4 dangles
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node_id: r.rank for r in pagerank(edf, max_iter=30, tol=1e-9).collect()}
+    expect = pagerank_numpy_reference(edges, max_iter=30, tol=1e-9)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert math.isclose(got[k], expect[k], rel_tol=1e-6), (k, got[k], expect[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+# --- Multimodal plumbing ---------------------------------------------------
+
+
+def test_multimodal_decode_metadata(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "föö bär")], "doc_id bigint, text string"
+    )
+    with_payload = MM.attach_fake_payload(df)
+    meta = MM.decode_image_metadata(with_payload).collect()
+    assert len(meta) == 2
+    by_id = {r.doc_id: r for r in meta}
+    assert by_id[0].byte_len == len(b"hello world")
+    assert by_id[1].byte_len == len("föö bär".encode())
+    assert all(r.format in MM.FakeDecoder.FORMATS for r in meta)
+    assert all(r.width >= 16 and r.height >= 16 for r in meta)
+    # deterministic across runs
+    meta2 = {r.doc_id: (r.format, r.width) for r in MM.decode_image_metadata(with_payload).collect()}
+    assert meta2 == {r.doc_id: (r.format, r.width) for r in meta}
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([(0, "vid a"), (1, "vid b")], "doc_id bigint, text string")
+    frames = MM.sample_frames(MM.attach_fake_payload(df), n_frames=3).collect()
+    assert len(frames) == 6
+    assert {(r.doc_id, r.frame_idx) for r in frames} == {(i, j) for i in (0, 1) for j in range(3)}
+
+
+def test_library_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        MM.LibraryDecoder().decode_image(b"\x89PNG")
+
+
+# --- Text function edge cases ---------------------------------------------
+
+
+def test_text_functions_empty_and_unicode(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "héllo wörld, twice!")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.nt, r.np)
+        for r in df.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("nt"),
+            TX.punct_count(F.col("text")).alias("np"),
+        ).collect()
+    }
+    assert out == {0: (0, 0), 1: (0, 0), 2: (1, 0), 3: (3, 2)}
+
+
+def test_lang_id_prefers_profile_order_on_tie(spark):
+    # 'la de' hits both es and fr profiles equally → es wins (earlier)
+    df = spark.createDataFrame([(0, "la de"), (1, "xyz qqq")], "doc_id bigint, text string")
+    got = {r.doc_id: r.pred for r in df.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("pred")).collect()}
+    assert got == {0: "es", 1: "und"}

@@ -1,0 +1,118 @@
+"""Fluent Stream-DAG API tests (the reference's Processor/Partitioner user
+surface, SURVEY §2.A/E): wordcount DAG, tagged multi-output, union,
+partitioners, windows, complexdag lineage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gearpump_spark import GearContext
+
+
+def test_wordcount_dag(spark):
+    """The canonical reference app (WordCount.scala:36-48): source ~
+    GroupByPartitioner ~> sum."""
+    ctx = GearContext(spark)
+    lines = ctx.from_collection([("the cat sat",), ("the cat ran",)], "line string")
+    counts = (
+        lines.flat_map(F.split("line", r"\s+"), alias="word")
+        .key_by("word")
+        .count("n")
+        .to_df()
+    )
+    got = {(r.word, r.n) for r in counts.collect()}
+    assert got == {("the", 2), ("cat", 2), ("sat", 1), ("ran", 1)}
+
+
+def test_tagged_outputs_route_disjointly(spark):
+    ctx = GearContext(spark)
+    s = ctx.from_collection([(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+                            "id long, parity string")
+    outs = s.tagged_outputs(F.col("parity"), ["even", "odd"])
+    assert sorted(r.id for r in outs["even"].collect()) == [0, 2, 4, 6, 8]
+    assert sorted(r.id for r in outs["odd"].collect()) == [1, 3, 5, 7, 9]
+
+
+def test_union_flatten(spark):
+    ctx = GearContext(spark)
+    a = ctx.from_collection([(1,), (2,)], "x long")
+    b = ctx.from_collection([(3,)], "x long")
+    c = ctx.from_collection([(4,)], "x long")
+    assert sorted(r.x for r in a.union(b, c).collect()) == [1, 2, 3, 4]
+
+
+def test_partitioners_preserve_data(spark):
+    ctx = GearContext(spark)
+    s = ctx.from_collection([(i, i % 3) for i in range(30)], "id long, k long")
+    hashed = s.partition_hash(4, "k")
+    assert hashed.to_df().rdd.getNumPartitions() == 4
+    assert sorted(r.id for r in hashed.collect()) == list(range(30))
+    shuffled = s.partition_shuffle(5)
+    assert shuffled.to_df().rdd.getNumPartitions() == 5
+    assert sorted(r.id for r in shuffled.collect()) == list(range(30))
+    assert s.co_locate() is s
+
+
+def test_broadcast_join_hint(spark):
+    ctx = GearContext(spark)
+    big = ctx.from_collection([(i, i % 5) for i in range(100)], "id long, k long")
+    dim = ctx.from_collection([(k, f"name{k}") for k in range(5)], "k long, name string").broadcast()
+    joined = big.to_df().join(dim.to_df(), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == 100
+
+
+def test_window_assign_tumbling_and_sliding(spark):
+    ctx = GearContext(spark)
+    s = ctx.from_collection([(i, i * 5) for i in range(4)], "id long, sec long")
+    s = s.with_timestamps(F.timestamp_seconds("sec"))
+    tumb = s.window("10 seconds").to_df()
+    assert tumb.count() == 4  # tumbling: exactly one window per element
+    assert tumb.select("window").distinct().count() == 2  # 0-10, 10-20
+    sliding = s.window("10 seconds", "5 seconds").to_df()
+    assert sliding.count() == 8  # sliding size/step=2: one row per (element, window)
+
+
+def test_keyed_windowed_aggregate(spark):
+    ctx = GearContext(spark)
+    s = ctx.from_collection(
+        [("a", 1, 0), ("a", 2, 5), ("a", 5, 15)], "k string, v long, sec long"
+    ).with_timestamps(F.timestamp_seconds("sec"))
+    out = s.key_by("k").windowed("10 seconds").agg(F.sum("v").alias("total")).to_df()
+    got = {(r.window.start.second, r.total) for r in out.collect()}
+    assert got == {(0, 3), (10, 5)}
+
+
+def test_complexdag_lineage_paths(spark):
+    """complexdag (Dag.scala:40-94): every sink row's lineage is a valid
+    source→node→sink path."""
+    ctx = GearContext(spark)
+    src_a = ctx.from_collection([(i,) for i in range(5)], "id long").map_columns(
+        path=F.lit("A")
+    )
+    src_b = ctx.from_collection([(i,) for i in range(3)], "id long").map_columns(
+        path=F.lit("B")
+    )
+
+    def node(s, name):
+        return s.map_columns(path=F.concat_ws(">", "path", F.lit(name)))
+
+    merged = node(src_a, "n1").union(node(src_a, "n2"), node(src_b, "n1"))
+    sink = node(merged, "sink").to_df()
+    paths = {r.path for r in sink.select("path").distinct().collect()}
+    assert paths == {"A>n1>sink", "A>n2>sink", "B>n1>sink"}
+    assert sink.count() == 13
+
+
+def test_rate_source_is_streaming(spark):
+    ctx = GearContext(spark)
+    s = ctx.from_rate(10)
+    assert s.is_streaming
+    assert s.ts_col == "timestamp"
+
+
+def test_impulse(spark):
+    ctx = GearContext(spark)
+    rows = ctx.impulse().collect()
+    assert len(rows) == 1 and rows[0].impulse == bytearray(b"")
