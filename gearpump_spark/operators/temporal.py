@@ -1,0 +1,153 @@
+"""Temporal join/session operators the reference's users hand-roll inside
+Task.onNext (the reference has no joins at all — SURVEY.md §2.F), expressed
+as scalable DataFrame compositions.
+
+Scale design notes (these run at 100 TB):
+- `asof_join` is the union/sort/carry-forward formulation: ONE shuffle on
+  the key, one sort within partitions, zero row blow-up. The naive
+  formulation (theta-join on ts <= ts then argmax) explodes to
+  O(left x right per key) intermediate rows; this one is O(left + right).
+- `sessionize` is lag + cumulative-sum over a keyed window: one shuffle on
+  the key, sessions assigned without any self-join.
+- `range_join` keeps Catalyst's conditional join but pre-buckets both
+  sides onto a time grid so the join condition gains an equality component
+  (key, bucket) — without it, a pure inequality join degenerates to
+  broadcast-nested-loop at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts for the same key (backward as-of join).
+
+    Implementation: tag both sides, union on (key, ts), then
+    last(right_struct, ignorenulls) over a keyed window ordered by
+    (ts, side) — right rows sort before left rows at equal ts so a tie
+    matches (<=). One shuffle, no row explosion.
+
+    tolerance: optional max staleness (e.g. '3600 seconds'); matches older
+    than left_ts - tolerance are nulled out.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    rstruct = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
+
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(rstruct.alias("x")).schema["x"].dataType
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("x"))
+            .schema["x"].dataType
+        ).alias("__l"),
+        rstruct.alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance:
+        too_old = F.col("__match.__rts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        merged = merged.withColumn(
+            "__match", F.when(too_old, F.lit(None)).otherwise(F.col("__match"))
+        )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__match.__rts").alias(f"{right_ts}{suffix}"))
+    out_cols += [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return merged.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    bucket: str | None = None,
+) -> DataFrame:
+    """Join right rows whose right_ts falls in
+    [left_ts + lower, left_ts + upper) for the same key.
+
+    bucket (e.g. '1 hour'): bucketize both sides onto a grid no finer than
+    the range width and join on (key, bucket) + the range predicate, giving
+    the shuffle an equality component. The left side explodes one row per
+    covered bucket — bounded by ceil(range/bucket)+1, a constant.
+    """
+    lo = F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+    if bucket is None:
+        return left.join(
+            right,
+            (left[key] == right[key]) & (F.col(right_ts) >= lo) & (F.col(right_ts) < hi),
+        )
+    step = F.expr(f"INTERVAL {bucket}")
+    l_b = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.date_trunc("hour", lo), F.date_trunc("hour", hi), step)),
+    )
+    r_b = right.withColumn("__bucket", F.date_trunc("hour", F.col(right_ts)))
+    cond = (
+        (l_b[key] == r_b[key])
+        & (l_b["__bucket"] == r_b["__bucket"])
+        & (r_b[right_ts] >= l_b[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (r_b[right_ts] < l_b[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l_b.join(r_b, cond).drop(l_b["__bucket"]).drop(r_b["__bucket"])
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str = "ts", gap: str = "30 minutes"
+) -> DataFrame:
+    """Assign batch session ids: a new session starts when the gap since
+    the previous event of the same key exceeds `gap`. Adds `session_id`
+    (0-based per key, ordered by ts).
+
+    Streaming equivalent: F.session_window(ts, gap) under a watermark —
+    same semantics, state-store managed. The reference cannot express
+    sessions at all (merging windows rejected,
+    experiments/beam/.../GroupByKeyTranslator.java:43-47).
+    """
+    from gearpump_spark.streaming.core import _duration_us
+
+    gap_us = _duration_us(gap)
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(ts).over(w)
+    new_session = (
+        prev.isNull() | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > F.lit(gap_us))
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1,
+    )

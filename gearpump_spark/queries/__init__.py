@@ -70,6 +70,8 @@ def _load() -> None:
     if _LOADED:
         return
     import gearpump_spark.queries.relational  # noqa: F401
+    import gearpump_spark.queries.tpch_extra  # noqa: F401
+    import gearpump_spark.queries.temporal  # noqa: F401
     import gearpump_spark.queries.dataflow  # noqa: F401
     import gearpump_spark.queries.llm  # noqa: F401
 

@@ -360,3 +360,122 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.octet_length(t) > F.length(t), "multibyte").otherwise("ascii").alias("enc_kind"),
         F.md5(t.cast("binary")).alias("content_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Additions: embedding near-dup, token counting, video-frame plumbing,
+# iterative graph compute
+# ---------------------------------------------------------------------------
+
+_SQL_COS = """
+    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, {_SQL_COS} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= 0.30
+    ORDER BY id_a, id_b
+    """,
+    desc="embedding-cosine near-dup pairs, blocked by label (the IVF-style "
+    "coarse partition); production threshold ~0.95, fixture embeddings are "
+    "random so 0.30 exercises the same plan",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pair generation: self-join ONLY within a label block (the
+    quantizer cell), never the full cross product. Scale: pairs per block
+    ~ (n/blocks)^2; shuffle keys on label; cosine is a JVM-side fold
+    (operators/similarity.cosine) rounded before thresholding so the
+    boundary is engine-stable."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    cos = F.round(S.cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= 0.30)
+        .select("id_a", "id_b", "label", "cosine_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS BIGINT) AS n_words
+    FROM documents ORDER BY doc_id
+    """,
+    desc="token counting: whitespace tokens + BPE-style piece segmentation "
+    "(letters / digits / punctuation runs)",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure JVM regex (no UDF): the BPE-ish pre-tokenizer pattern splits
+    letter runs, digit runs, and single punctuation — the standard
+    pre-segmentation before a real BPE merge table is applied."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(words).cast("bigint").alias("n_words"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle=None,  # md5-over-binary-concat isn't expressible in DuckDB SQL;
+    # determinism is pytest-verified (tests/test_operators_unit.py)
+    desc="video-frame sampling plumbing: one row per (payload, frame_idx) "
+    "via Arrow-batched mapInPandas over a stubbed decoder",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    with_payload = MM.attach_fake_payload(docs)
+    return MM.sample_frames(with_payload, n_frames=3).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "graph_pagerank",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; golden-checked
+    # against a NumPy power iteration in tests/test_operators_unit.py
+    desc="iterative PageRank over the part->supplier shipment graph "
+    "(reference: examples/pagerank BSP loop)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side superstep loop (reference PageRankController ticks);
+    each iteration = one shuffle keyed on dst + a broadcast scalar.
+    Lineage cut per round via localCheckpoint (operators/graph.py)."""
+    from gearpump_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, max_iter=10, tol=1e-7)
+    return ranks.select(
+        "node_id", F.round("rank", 8).cast("double").alias("rank")
+    ).orderBy("node_id")

@@ -1,0 +1,326 @@
+"""Temporal joins, sessionization, analytic window functions, and
+semi-structured (JSON) queries over the `events` table.
+
+The reference's users implement all of this imperatively inside Task state
+(SURVEY.md §2.E: Task.onNext + HashMap); here each is a declarative plan.
+Oracles: DuckDB supports ASOF JOIN, window frames, and JSON natively, so
+every query below is hash-checked, including the as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gearpump_spark.datasets import table
+from gearpump_spark.operators.temporal import asof_join, range_join, sessionize
+from gearpump_spark.queries import register
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.value,
+           s.ts AS ref_ts, s.value AS ref_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+    desc="backward as-of join: each purchase matched to the user's latest prior login",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: union/sort/carry-forward — one shuffle on user_id, no row
+    explosion (operators/temporal.py asof_join docstring)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    logins = ev.filter(F.col("event_type") == "login").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, logins, key="user_id", right_cols=["value"], suffix="_ref"
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("ts_ref").alias("ref_ts"), F.col("value_ref").alias("ref_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT e.event_id, COUNT(p.event_id) AS n_follow,
+           COALESCE(CAST(CAST(ROUND(SUM(CAST(p.value AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE), 0.0) AS follow_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id ORDER BY e.event_id
+    """,
+    desc="event-time range join: purchases within 10 min after each error, per user",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bucketed formulation in operators/temporal.range_join
+    gives the join an equality component; here the plain conditional join
+    is used and left-outer aggregated. Sum is decimal-exact."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts"))
+        & (F.col("p_ts") < F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("e_id").alias("event_id"))
+        .agg(
+            F.count("p_id").alias("n_follow"),
+            F.coalesce(
+                F.sum(F.col("p_value").cast("decimal(18,4)"))
+                .cast("decimal(38,2)").cast("double"),
+                F.lit(0.0),
+            ).alias("follow_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    desc="batch sessionization (30-min gap): lag + running sum, one shuffle",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions via operators/temporal.sessionize. The reference rejects
+    merging (session) windows outright (GroupByKeyTranslator.java:43-47);
+    Spark expresses them in one keyed window pass."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap="30 minutes")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,2)").cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(value - LAG(value) OVER w, 4) AS DOUBLE) AS delta_prev,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    desc="lag/lead analytics: per-user value delta and next event type",
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).cast("double").alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_trailing_1h",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DECIMAL(38,2)) AS DOUBLE)
+           AS trailing_1h_value
+    FROM events ORDER BY event_id
+    """,
+    desc="RANGE-frame window: trailing 1-hour per-user value sum",
+)
+def q_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range frame over epoch seconds — the incremental sliding-window
+    aggregate the reference implements with TreeMap interval math
+    (state/impl/WindowState.scala:82-98), as one window spec."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_micros("ts") / F.lit(1_000_000.0)
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("decimal(38,2)").cast("double").alias("trailing_1h_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_ntile",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_cust,
+           CAST(ROUND(MIN(c_acctbal), 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(c_acctbal), 2) AS DOUBLE) AS hi
+    FROM (SELECT c_acctbal,
+                 CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bucket
+          FROM customer)
+    GROUP BY bucket ORDER BY bucket
+    """,
+    desc="ntile quartiles of customer account balance",
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_acctbal", F.ntile(4).over(w).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).cast("double").alias("lo"),
+            F.round(F.max("c_acctbal"), 2).cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS median_qty,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    desc="exact continuous quantiles (median, p90) per return flag",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact `percentile` (continuous interpolation, same definition as
+    DuckDB quantile_cont). For 100 TB use approx_percentile — documented
+    trade-off; exactness here is what makes the oracle check possible."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).cast("double").alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).cast("double").alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY k_mod ORDER BY k_mod
+    """,
+    desc="JSON extraction from the events.props column + aggregate",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, CAST(ROUND(val, 2) AS DOUBLE) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    desc="unpivot wide measures to (measure, value) long form",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure", "val",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure",
+            F.round("val", 2).cast("double").alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    desc="explicit GROUPING SETS over nation x order priority",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets = one shuffle producing all groupings (Spark expands
+    to a union of aggregations over the same exchange)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    )
+    joined.createOrReplaceTempView("__gs_in")
+    return joined.sparkSession.sql(
+        """
+        SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total
+        FROM __gs_in
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )

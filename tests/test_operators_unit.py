@@ -196,3 +196,50 @@ def test_lang_id_prefers_profile_order_on_tie(spark):
     got = {r.doc_id: r.pred for r in df.select(
         "doc_id", TX.lang_id(F.col("text")).alias("pred")).collect()}
     assert got == {0: "es", 1: "und"}
+
+
+# --- Temporal operators ----------------------------------------------------
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    from pyspark.sql import functions as F
+    from gearpump_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (2, 50)], "k bigint, sec bigint"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 100, "exact"), (1, 150, "mid"), (2, 60, "later")],
+        "k bigint, sec bigint, tag string",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "tag")
+
+    out = {
+        (r.k, r.ts.second + 60 * r.ts.minute): r.tag_right
+        for r in asof_join(left, right, key="k").collect()
+    }
+    # equal timestamps match (<=); later right rows don't; no match → null
+    assert out == {(1, 100): "exact", (1, 205): "mid", (2, 50): None}
+
+    tol = {
+        (r.k, r.ts.second + 60 * r.ts.minute): r.tag_right
+        for r in asof_join(left, right, key="k", tolerance="30 seconds").collect()
+    }
+    # (1, 205): latest match at 150 is 55s stale > 30s tolerance → nulled
+    assert tol == {(1, 100): "exact", (1, 205): None, (2, 50): None}
+
+
+def test_sessionize_gap_boundary(spark):
+    from pyspark.sql import functions as F
+    from gearpump_spark.operators.temporal import sessionize
+
+    # gaps: 1800s (== gap, same session) and 1801s (> gap, new session)
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1800), (1, 3601)], "k bigint, sec bigint"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    got = {
+        r.sec: r.session_id
+        for r in sessionize(df, key="k", ts="ts", gap="30 minutes")
+        .withColumn("sec", F.unix_micros("ts") / 1_000_000)
+        .collect()
+    }
+    assert got == {0: 0, 1800: 0, 3601: 1}
