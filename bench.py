@@ -43,9 +43,18 @@ def main() -> None:
     spark = get_spark("gearpump_bench", cpus=CPUS, shuffle_partitions=CPUS)
     qs = all_queries()
 
-    # Warm the JVM/codegen once so per-query numbers measure the plan,
-    # not session startup.
+    # Warm the JVM + whole-stage-codegen cache per plan shape by running
+    # each headline query once at the smallest SF (different files — no
+    # data caching, only code). Long-running cluster jobs amortize codegen
+    # the same way; without this the numbers measure javac, not the engine.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     spark.range(1000).selectExpr("sum(id)").collect()
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR.rstrip("/"):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -54,18 +63,22 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # SOL analog: rate source -> identity projection -> noop sink.
+    # SOL analog: rate source -> identity projection -> noop sink. The
+    # requested rate is far above what the engine can sustain, so the
+    # measured number is engine throughput, not the throttle.
     rate = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", 5_000_000)
+        .option("rowsPerSecond", 100_000_000)
         .option("numPartitions", CPUS)
         .load()
         .selectExpr("value", "timestamp")
     )
     q = rate.writeStream.format("noop").start()
+    time.sleep(3)  # ramp-up: first micro-batches compile + right-size
     t0 = time.perf_counter()
-    time.sleep(5)
-    rows = sum(p["numInputRows"] for p in q.recentProgress)
+    seen_before = sum(p["numInputRows"] for p in q.recentProgress)
+    time.sleep(6)
+    rows = sum(p["numInputRows"] for p in q.recentProgress) - seen_before
     elapsed = time.perf_counter() - t0
     q.stop()
     sol_rows_per_sec = int(rows / elapsed) if elapsed > 0 else 0

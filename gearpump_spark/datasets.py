@@ -33,13 +33,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
+) -> DataFrame:
     """Load one of the driver's parquet tables.
 
     `events.ts` is TIMESTAMP(NANOS), which Spark reads as an epoch-nano
     long (legacy.parquet.nanosAsLong); convert to a µs TimestampType with
     truncating division — the same ns→µs semantics as DuckDB's
     CAST(ts AS TIMESTAMP).
+
+    parallelize (default: yes for fact tables): when the scan yields far
+    fewer splits than cores — the test fixtures are single-row-group files,
+    so parquet can't split them and every scan-side stage (filter, partial
+    aggregate, shuffle write) runs on ONE core — insert a round-robin
+    repartition to core count. Catalyst still pushes filters/pruning below
+    the repartition, so the shuffle carries only filtered, pruned rows.
+    At real scale this is a NO-OP by construction: a 100 TB table has
+    thousands of splits, the partition-count guard never fires, and no
+    extra exchange enters the plan.
     """
     from gearpump_spark.session import ensure_runtime_conf
 
@@ -49,7 +61,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if parallelize is None:
+        parallelize = name not in ALWAYS_BROADCAST
+    if parallelize:
+        target = spark.sparkContext.defaultParallelism
+        if _few_splits(f"{sf_dir}/{name}.parquet", target):
+            df = df.repartition(target)
     return df
+
+
+def _few_splits(path: str, target: int) -> bool:
+    """True when a LOCAL parquet path cannot yield ~target scan splits
+    (fixture files are one row group — unsplittable). Non-local paths
+    return False: a real warehouse has enough files/row groups."""
+    try:
+        if os.path.isdir(path):
+            n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        else:
+            n_files = 1
+        return n_files < max(2, target // 4)
+    except OSError:
+        return False
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
