@@ -10,6 +10,10 @@ from gearpump_spark.streaming.core import (
     running_aggregate,
     windowed_aggregate,
     stateful_running_count,
+    session_window_aggregate,
+    stream_dedup,
+    stream_stream_interval_join,
+    monoid_windowed_state,
 )
 
 __all__ = [
@@ -21,4 +25,8 @@ __all__ = [
     "running_aggregate",
     "windowed_aggregate",
     "stateful_running_count",
+    "session_window_aggregate",
+    "stream_dedup",
+    "stream_stream_interval_join",
+    "monoid_windowed_state",
 ]

@@ -174,3 +174,154 @@ def stateful_running_count(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def session_window_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark_delay: str = "0 seconds",
+    drop_flush_sentinel: bool = False,
+) -> DataFrame:
+    """Session (merging) windows — the one window type the reference
+    explicitly REJECTS (experiments/beam/.../GroupByKeyTranslator.java:43-47
+    throws on merging WindowFns). Spark's state store merges adjacent
+    sessions under the watermark; append mode emits each session once when
+    it can no longer grow. Batch equivalent: operators/temporal.sessionize."""
+    s = stream.withWatermark(ts_col, watermark_delay)
+    if drop_flush_sentinel:
+        s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
+    return s.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), *keys
+    ).agg(*aggs)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup on key columns. With a watermark +
+    within_watermark, state for old keys is dropped once they can no longer
+    recur — the reference's replay story (TimeStampFilter,
+    transaction/api/TimeStampFilter.scala:23-25) drops re-delivered records
+    the same way: anything behind the recovered clock is a duplicate.
+    Scale: state is hash-partitioned by key in the state store; without a
+    watermark the state grows forever — always bound it."""
+    s = stream.withWatermark(ts_col, watermark_delay) if ts_col else stream
+    cols = keys if ts_col is None else [*keys, ts_col]
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(cols)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    left_delay: str = "0 seconds",
+    right_delay: str = "0 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with an event-time interval condition:
+    right_ts in [left_ts - lower, left_ts + upper]. Both sides buffered in
+    watermark-bounded state (Spark evicts rows once they can no longer
+    match — the interval plus both watermarks bound state size; without
+    them a stream-stream join is unbounded). The reference cannot join
+    streams at all (SURVEY.md §2.F)."""
+    l = left.withWatermark(left_ts, left_delay).alias("l")
+    r = right.withWatermark(right_ts, right_delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how)
+
+
+def monoid_windowed_state(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_size: str,
+    plus,
+    zero,
+    lift,
+    watermark_delay: str = "0 seconds",
+    drop_flush_sentinel: bool = False,
+) -> DataFrame:
+    """The reference's WindowState as a custom stateful operator
+    (state/impl/WindowState.scala:48-159 keeps per-window monoid partials
+    and finalizes a window when the clock passes its end; monoid contract
+    state/api/Monoid.scala:17-24).
+
+    Implemented on applyInPandasWithState with event-time timeouts:
+    state = {window_start_ms: partial}; each batch folds its rows into
+    partials (plus is associative — partial aggregation order never
+    matters, the reference's exactly-once argument); when the watermark
+    passes a window's end, that pane is emitted once (append semantics)
+    and its slot freed.
+
+    Built-in `windowed_aggregate` compiles to Spark's native window agg —
+    use THAT for sums/counts; this operator is the extension seam for
+    monoids Spark lacks (custom sketches, CRDTs). `lift` maps a pandas
+    Series of values to the monoid; `plus` combines; `zero` is identity.
+
+    Scale: state is per (key, open windows) — the watermark bounds open
+    windows per key to ceil(delay/size)+1, same bound as the reference's
+    TreeMap of intervals.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    size_ms = _duration_us(window_size) // 1000
+
+    def fold(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        partials: dict[int, Any] = dict(zip(*state.get)) if state.exists else {}
+        if not state.hasTimedOut:
+            for pdf in batches:
+                starts = (pdf[ts_col].astype("int64") // 1_000_000).astype("int64")
+                starts = (starts // size_ms) * size_ms
+                for w_start, group in pdf.groupby(starts):
+                    partials[int(w_start)] = plus(
+                        partials.get(int(w_start), zero), lift(group)
+                    )
+        wm = state.getCurrentWatermarkMs()
+        closed = sorted(w for w in partials if w + size_ms <= wm)
+        out = pd.DataFrame(
+            {
+                "key": [key[0]] * len(closed),
+                "window_start": pd.to_datetime([w * 1_000_000 for w in closed], unit="ns"),
+                "result": [float(partials.pop(w)) for w in closed],
+            }
+        )
+        if partials:
+            ks, vs = zip(*sorted(partials.items()))
+            state.update((list(ks), [float(v) for v in vs]))
+            state.setTimeoutTimestamp(min(ks) + size_ms)
+        else:
+            state.remove()
+        if len(out):
+            yield out
+
+    s = stream.withWatermark(ts_col, watermark_delay)
+    if drop_flush_sentinel:
+        s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
+    return (
+        s.withColumnRenamed(key_col, "key")
+        .groupBy("key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="key string, window_start timestamp, result double",
+            stateStructType="starts array<bigint>, partials array<double>",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

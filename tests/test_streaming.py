@@ -211,3 +211,91 @@ def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
     out = run_to_completion(agg, "stream_win", output_mode="append")
     got = {(r.window.start, r.n) for r in out.collect()}
     assert got == batch
+
+
+# Session windows under a watermark: events at 0/10/100/115s with a 30s gap
+# form sessions [0,10] and [100,115] per key. The reference REJECTS merging
+# windows (GroupByKeyTranslator.java:43-47) — this is strict upside.
+def test_session_window_stream(spark, tmp_path):
+    from gearpump_spark.streaming import session_window_aggregate
+
+    stream = _stream_from_rows(
+        spark,
+        [[("a", 1, 0), ("a", 2, 10), ("a", 3, 100), ("a", 4, 115), ("b", 9, 50)]],
+        tmp_path, "sess", flush=True,
+    )
+    agg = session_window_aggregate(
+        stream, TS, "30 seconds", ["k"],
+        [F.sum("v").alias("total"), F.count("*").alias("n")],
+        drop_flush_sentinel=True,
+    )
+    out = run_to_completion(agg, "sess_win", output_mode="append").collect()
+    got = {(r.k, r.session.start.second + 60 * r.session.start.minute, r.total, r.n) for r in out}
+    assert got == {("a", 0, 3, 2), ("a", 100, 7, 2), ("b", 50, 9, 1)}
+
+
+# Streaming dedup: replayed duplicates (same key) collapse to one row —
+# the reference's replay story (TimeStampFilter drops re-delivered rows).
+def test_stream_dedup(spark, tmp_path):
+    from gearpump_spark.streaming import stream_dedup
+
+    stream = _stream_from_rows(
+        spark,
+        [[("a", 1, 5), ("b", 2, 6)], [("a", 1, 5), ("c", 3, 7)]],  # batch 2 replays a@5
+        tmp_path, "dedup",
+    )
+    out = run_to_completion(
+        stream_dedup(stream, ["k", "v"]), "sdedup", output_mode="append"
+    )
+    rows = [(r.k, r.v) for r in out.collect()]
+    assert sorted(rows) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+# Stream-stream interval join: purchase joins the clicks within 10s before it.
+def test_stream_stream_interval_join(spark, tmp_path):
+    from gearpump_spark.streaming import stream_stream_interval_join
+
+    clicks = _stream_from_rows(
+        spark, [[("u1", 1, 100), ("u1", 2, 104), ("u1", 3, 200)]], tmp_path, "clicks"
+    ).withColumnRenamed("v", "click_id")
+    buys = _stream_from_rows(
+        spark, [[("u1", 77, 105)]], tmp_path, "buys"
+    ).withColumnRenamed("v", "buy_id").withColumnRenamed("ts", "buy_ts")
+
+    joined = stream_stream_interval_join(
+        buys, clicks, key="k", left_ts="buy_ts", right_ts="ts",
+        lower="10 seconds", upper="0 seconds",
+    )
+    out = run_to_completion(
+        joined.select("buy_id", "click_id"), "ssj", output_mode="append"
+    )
+    assert sorted((r.buy_id, r.click_id) for r in out.collect()) == [(77, 1), (77, 2)]
+
+
+# WindowState monoid analog: MAX is a monoid Spark's built-in windowed agg
+# also has — perfect for cross-checking the custom state operator against
+# the native plan.
+def test_monoid_windowed_state_matches_native(spark, tmp_path):
+    from gearpump_spark.streaming import monoid_windowed_state
+
+    rows = [[("a", 3, 1), ("a", 9, 4), ("a", 5, 12), ("b", 7, 2)],
+            [("a", 1, 13), ("b", 2, 21)]]
+    stream = _stream_from_rows(spark, rows, tmp_path, "monoid", flush=True)
+    out = monoid_windowed_state(
+        stream, key_col="k", ts_col=TS, window_size="10 seconds",
+        plus=max, zero=float("-inf"), lift=lambda g: g["v"].max(),
+        drop_flush_sentinel=True,
+    )
+    got = {
+        (r.key, r.window_start.second + 60 * r.window_start.minute, r.result)
+        for r in run_to_completion(out, "monoid_win", output_mode="append").collect()
+    }
+    # native equivalent on the same (batch) data
+    flat = [t for chunk in rows for t in chunk]
+    native = {
+        (r.k, r.window.start.second + 60 * r.window.start.minute, float(r.mx))
+        for r in _kv_df(spark, flat)
+        .groupBy(F.window(TS, "10 seconds").alias("window"), "k")
+        .agg(F.max("v").alias("mx")).collect()
+    }
+    assert got == native
