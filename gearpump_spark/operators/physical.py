@@ -1,0 +1,86 @@
+"""Physical-layout operators: skew-aware joins and bucketed (co-located)
+joins. These are the knobs a 100 TB deployment turns when the default
+shuffle strategy hits its limits; on the test rig they are exercised for
+correctness and plan shape.
+
+Reference context: the reference's only layout controls are its
+partitioners (SURVEY.md §2.A) — co-location by task index
+(partitioner/CoLocationPartitioner.scala:23-27) and hash routing; it has no
+skew story at all (one hot key = one hot actor). Spark gives AQE skew-join
+splitting for free; the operators here cover the cases AQE cannot:
+aggregation skew (salting changes the KEY, AQE only splits partitions) and
+repeated joins on the same key (bucketing amortizes the shuffle to zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key join: salt the skewed (left) side into n_salts sub-keys and
+    replicate the right side once per salt, so one hot key spreads over
+    n_salts tasks instead of melting one.
+
+    Salt is derived from a hash of the full left row — deterministic, no
+    rand() (reruns and retries produce identical partitioning). Cost: the
+    right side is duplicated n_salts×; use only when right is small-ish but
+    too big (or too skewed downstream) to broadcast outright.
+    """
+    l = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [key, "__salt"], how).drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    n_salts: int = 16,
+    out: str = "total",
+) -> DataFrame:
+    """Two-stage skew-safe SUM: aggregate on (key, salt) first — the hot
+    key's rows combine across n_salts parallel tasks — then re-aggregate the
+    n_salts partials per key. Works for any commutative monoid; the shape
+    the reference's per-task HashMap state gets for free only because it
+    never re-partitions by key volume.
+
+    NOTE Spark's partial (map-side) aggregation already does this when
+    upstream partitioning is row-random; explicit salting matters when the
+    input is ALREADY partitioned by the hot key (e.g. right after a keyed
+    join), where map-side partials collapse into the same hot reducer."""
+    salted = df.withColumn("__salt", F.pmod(F.hash(agg_col), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(F.sum(agg_col).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias(out))
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 8, sort_by: str | None = None
+) -> None:
+    """Persist hash-bucketed by key (CoLocationPartitioner at the storage
+    layer): every future join/aggregation on `key` between tables bucketed
+    the same way runs shuffle-free — the exchange is amortized into the
+    write. At 100 TB, bucket fact tables on their join key once; every
+    downstream query drops its biggest exchange."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables: Catalyst sees compatible
+    HashClusteredDistribution on both sides and plans SortMergeJoin with
+    ZERO Exchange nodes (verified in tests/test_plan_quality.py)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

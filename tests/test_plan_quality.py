@@ -1,0 +1,135 @@
+"""Physical-plan assertions — the 100 TB properties, locked as tests.
+
+A query that is correct but reads every column, shuffles both join sides,
+or globally sorts for a top-k does not survive a 100× scale-up. These tests
+pin the plan shapes: pushdown reaches the parquet scan, constant-size dims
+broadcast, top-k avoids global sort, partial aggregation runs map-side,
+bucketed joins drop their exchanges, and the as-of join stays single-shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from gearpump_spark.queries import all_queries
+
+
+QS = all_queries()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """All q6 predicates reach the scan; only needed columns are read."""
+    p = plan(QS["q6_revenue_forecast"](spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:400]
+    # projection pruning: the scan schema must not include unused columns
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    """region/nation (constant-size) must broadcast — never shuffle."""
+    p = plan(QS["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q3_topk_no_global_sort(spark, sf_dir):
+    """LIMIT 10 over ORDER BY compiles to TakeOrderedAndProject: each task
+    keeps 10 rows; no global sort materialization."""
+    p = plan(QS["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side partial agg: shuffle volume is O(groups), not O(rows)."""
+    p = plan(QS["q1_pricing_summary"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is one keyed exchange (plus the local-rig scan
+    repartition) — no theta-join blow-up, no extra exchanges."""
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events", parallelize=False)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    logins = ev.filter(F.col("event_type") == "login").select("user_id", "ts", "value")
+    p = plan(asof_join(purchases, logins, key="user_id", right_cols=["value"]))
+    # one hashpartitioning exchange for the window; union feeds it directly
+    assert p.count("hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "NestedLoop" not in p
+
+
+def test_salted_join_matches_plain(spark):
+    from gearpump_spark.operators.physical import salted_join
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k bigint, tag string")
+    plain = {(r.k, r.v, r.tag) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.tag) for r in salted_join(left, right, "k", n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from gearpump_spark.operators.physical import salted_aggregate
+
+    df = spark.range(0, 5000).select(
+        (F.when(F.col("id") % 100 < 99, "hot").otherwise("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    plain = {(r.k, r.total) for r in df.groupBy("k").agg(F.sum("v").alias("total")).collect()}
+    salted = {(r.k, r.total) for r in salted_aggregate(df, "k", "v", n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Same-bucketed tables join with zero Exchange nodes — the
+    CoLocationPartitioner semantics, amortized into the write."""
+    from gearpump_spark.operators.physical import bucketed_join, write_bucketed
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(a, "bj_a", "k", n_buckets=4)
+    write_bucketed(b, "bj_b", "k", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (broadcast would trivially avoid the
+        # exchange; the point is that bucketing removes it for big-big)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bj_a", "bj_b", "k")
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        assert "hashpartitioning" not in p  # zero shuffle exchanges
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_wordcount_partial_agg_before_exchange(spark, sf_dir):
+    p = plan(QS["wordcount"](spark, sf_dir))
+    partial_idx = p.find("HashAggregate")
+    assert partial_idx != -1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    """The probe side broadcasts; the corpus never shuffles."""
+    p = plan(QS["similarity_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
