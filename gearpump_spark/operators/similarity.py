@@ -131,3 +131,93 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cosine_sim", "rank")
     )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame, vec_col: str, nlist: int = 16, id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Train IVF coarse centroids: deterministic seeds (lowest ids) + one
+    distributed Lloyd refinement (assign → per-cluster mean).
+
+    Scale: the assign pass is a narrow map over the corpus (centroids are
+    literals in the plan, i.e. broadcast-by-closure); the mean reduces to
+    nlist·dim rows via posexplode+groupBy — only those reach the driver.
+    At 100 TB you train on a bounded sample (df.sample) exactly like
+    FAISS trains on a subset; the refinement math is unchanged."""
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    ]
+    v = _to_double(F.col(vec_col))
+    cands = F.array(*[
+        F.struct(_sq_dist(v, F.array(*[F.lit(c) for c in seeds[i]])).alias("d"),
+                 F.lit(i).alias("cid"))
+        for i in range(len(seeds))
+    ])
+    assigned = corpus.select(F.array_min(cands)["cid"].alias("cid"), v.alias("v"))
+    means = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        .collect()
+    )
+    refined = {r["cid"]: [float(x) for x in r["centroid"]] for r in means}
+    return [refined.get(i, seeds[i]) for i in range(len(seeds))]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
+               out_col: str = "cid", nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its nprobe nearest centroids (exploded).
+
+    nprobe=1 builds the inverted lists (corpus side); nprobe>1 is the
+    query side's multi-list probe. Pure JVM expressions, no shuffle."""
+    v = _to_double(F.col(vec_col))
+    cands = F.array(*[
+        F.struct(_sq_dist(v, F.array(*[F.lit(c) for c in centroids[i]])).alias("d"),
+                 F.lit(i).alias("cid"))
+        for i in range(len(centroids))
+    ])
+    probes = F.slice(F.array_sort(cands), 1, nprobe)
+    return df.withColumn(out_col, F.explode(F.transform(probes, lambda s: s["cid"])))
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus sharded into nlist inverted lists by
+    nearest centroid; each query scores only its nprobe nearest lists.
+
+    Scale: comparisons drop ~nlist/nprobe vs brute force. The corpus-side
+    assignment is a narrow map (re-usable as a written, partitioned-by-cid
+    index); the probe join is an equi-join on cid with the small query side
+    broadcast — same shuffle-free shape as cosine_topk."""
+    from pyspark.sql import Window as W
+
+    cents = ivf_train_centroids(corpus, c_vec, nlist, c_id)
+    lists_ = ivf_assign(corpus, c_vec, cents, "cid", nprobe=1)
+    probes = ivf_assign(queries, q_vec, cents, "cid", nprobe=nprobe)
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("cosine_sim")
+    scored = lists_.join(F.broadcast(probes), "cid").select(F.col(q_id), F.col(c_id), sim)
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine_sim", "rank")
+    )

@@ -189,6 +189,25 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # approximate by construction; recall asserted in pytest
+    desc="IVF-bucketed approximate cosine top-k (coarse centroids + nprobe lists)",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF: train 8 coarse centroids (deterministic seeds + one
+    Lloyd pass), shard the corpus into inverted lists, probe the 3 nearest
+    lists per query. See operators/similarity.py for the scale story."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.cosine_topk_ivf(q, emb, nlist=8, nprobe=3, k=5)
+    return out.select(
+        "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -526,3 +526,145 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("value"), "l_partkey")
     )
+
+
+@register(
+    "q12_ship_priority_class",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    desc="TPC-H Q12 shape: conditional priority counts per line class",
+)
+def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shipmode priority count; l_linestatus stands in for the absent
+    l_shipmode, ship-year range for the absent commit/receipt window. The
+    CASE runs post-join, map-side; the agg is a tiny 2-group hash.
+
+    Scale: the date filter prunes the lineitem scan (pushed to parquet);
+    the join shuffles on orderkey only for surviving rows."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q20_excess_part_suppliers",
+    oracle="""
+    WITH pair_qty AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey),
+    part_total AS (
+        SELECT l_partkey, SUM(qty) AS total_qty FROM pair_qty GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT p1.l_suppkey
+        FROM pair_qty p1
+        JOIN part_total pt ON p1.l_partkey = pt.l_partkey
+        JOIN part p ON p.p_partkey = p1.l_partkey
+        WHERE p.p_name LIKE '%a%' AND p1.qty > 0.5 * pt.total_qty)
+    ORDER BY s_suppkey
+    """,
+    desc="TPC-H Q20 shape: suppliers holding >half a part's shipped volume",
+)
+def q20_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested availqty threshold re-expressed without partsupp: a
+    (part, supplier) quantity rollup compared against the per-part total —
+    dominant suppliers of filtered parts, surfaced via a semi join.
+
+    Scale: both aggregates shuffle on l_partkey (the second reuses the
+    first's output — no second scan); part filter broadcasts; the final
+    semi join sends only distinct suppkeys."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    part_total = pair_qty.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    parts = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select("p_partkey")
+    )
+    dominant = (
+        pair_qty.join(part_total, "l_partkey")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_last_shipper",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+    desc="TPC-H Q21 shape: sole latest shipper in multi-supplier orders",
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's waiting-supplier pattern with l_shipdate standing in for the
+    absent receipt/commit dates: EXISTS → left-semi self-join, NOT EXISTS →
+    left-anti self-join, both on orderkey.
+
+    Scale: three shuffles on l_orderkey that AQE coalesces into one
+    exchange reuse; supplier is broadcast. The self-join sides carry only
+    (orderkey, suppkey, shipdate) — column pruning keeps the exchange
+    narrow."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders_f = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.alias("l1").join(orders_f, F.col("l1.l_orderkey") == F.col("o_orderkey")).select("l1.*")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_latest = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        sole_latest.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -125,6 +125,29 @@ def test_lsh_topk_self_recall(spark, sf_dir):
     assert top1 == {i: i for i in range(5)}
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from gearpump_spark.datasets import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.cosine_topk(q, emb, k=5).collect()
+    approx = S.cosine_topk_ivf(q, emb, nlist=8, nprobe=3, k=5).collect()
+    # a query's own list is always its nearest probe → rank 1 is itself
+    top1 = {r.q_id: r.vec_id for r in approx if r.rank == 1}
+    assert top1 == {i: i for i in range(5)}
+    # probing 3/8 lists must keep decent overlap with exact top-5
+    exact_ids = {(r.q_id, r.vec_id) for r in exact}
+    approx_ids = {(r.q_id, r.vec_id) for r in approx}
+    assert len(exact_ids & approx_ids) >= int(0.5 * len(exact_ids))
+    # nprobe = nlist degenerates to exact search
+    full = S.cosine_topk_ivf(q, emb, nlist=8, nprobe=8, k=5).collect()
+    assert {(r.q_id, r.vec_id, r.cosine_sim) for r in full} == {
+        (r.q_id, r.vec_id, r.cosine_sim) for r in exact
+    }
+
+
 # --- PageRank vs power iteration (FIXTURES.md §B.6) -----------------------
 
 
