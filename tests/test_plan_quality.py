@@ -133,3 +133,28 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
     """The probe side broadcasts; the corpus never shuffles."""
     p = plan(QS["similarity_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q12_pushdown_reaches_lineitem_scan(spark, sf_dir):
+    """The ship-year range must prune the lineitem scan, not filter post-join."""
+    p = plan(QS["q12_ship_priority_class"](spark, sf_dir))
+    assert "PushedFilters" in p
+    li_scan = [s for s in p.split("Scan parquet") if "lineitem" in s.split("ReadSchema")[0]]
+    assert any("l_shipdate" in s.split("PushedFilters")[1][:400] for s in li_scan if "PushedFilters" in s)
+
+
+def test_q21_self_join_sides_pruned(spark, sf_dir):
+    """Every lineitem side of the self-joins carries only the 2-3 needed
+    columns — the exchanges stay narrow at 100 TB."""
+    p = plan(QS["q21_last_shipper"](spark, sf_dir))
+    for seg in p.split("ReadSchema")[1:]:
+        schema = seg.splitlines()[0]
+        if "l_orderkey" in schema:
+            assert "l_extendedprice" not in schema
+            assert "l_quantity" not in schema
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    """IVF probe: inverted lists stay partitioned; the query side broadcasts."""
+    p = plan(QS["similarity_topk_ivf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
