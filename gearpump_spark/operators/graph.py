@@ -104,3 +104,60 @@ def pagerank_numpy_reference(edge_list, damping=0.85, max_iter=20, tol=1e-6):
             break
         r = nr
     return {v: float(r[idx[v]]) for v in nodes}
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node_id,
+    component) where component = min node id in the component.
+
+    Min-label propagation: every round each node takes the min label among
+    itself and its neighbors; converges in O(component diameter) rounds —
+    near-dup clusters are shallow (stars/cliques), so 2-3 rounds in
+    practice. Same BSP loop discipline as pagerank above (the reference's
+    controller-tick pattern, examples/pagerank/PageRankController.scala:38-70):
+    one keyed shuffle per round, lineage cut via localCheckpoint, driver
+    only sees the 1-row convergence count. For adversarially long chains at
+    100 TB, swap the propagation body for large-star/small-star
+    (Kiveris et al. 2014) — same loop skeleton, fewer rounds.
+
+    ``nodes`` (optional, one ``node_id`` column) adds isolated vertices as
+    singleton components.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    base = und.select(F.col("u").alias("node_id"))
+    if nodes is not None:
+        base = base.union(nodes.select(F.col(nodes.columns[0]).alias("node_id")))
+    labels = base.distinct().withColumn("comp", F.col("node_id")).localCheckpoint()
+    und = und.persist()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.u == labels.node_id)
+            .select(F.col("v").alias("node_id"), "comp")
+        )
+        new_labels = (
+            labels.select("node_id", "comp")
+            .union(neighbor_min)
+            .groupBy("node_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node_id", "comp")

@@ -100,6 +100,59 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc_id,
+               MIN(MD5('0|' || shingle)) AS h0, MIN(MD5('1|' || shingle)) AS h1,
+               MIN(MD5('2|' || shingle)) AS h2, MIN(MD5('3|' || shingle)) AS h3,
+               MIN(MD5('4|' || shingle)) AS h4, MIN(MD5('5|' || shingle)) AS h5
+        FROM shingled GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band_idx,
+               CASE b.band_idx
+                    WHEN 0 THEN MD5(h0 || '|' || h1)
+                    WHEN 1 THEN MD5(h2 || '|' || h3)
+                    ELSE MD5(h4 || '|' || h5) END AS band_key
+        FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS band_idx) b),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs),
+    cc(node_id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.node_id
+        WHERE cc.comp < e.v)
+    SELECT node_id AS doc_id, MIN(comp) AS cluster_id
+    FROM cc GROUP BY node_id ORDER BY doc_id
+    """,
+    desc="near-dup clusters: MinHash-LSH pairs → connected components",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline ending: candidate pairs grouped into
+    duplicate clusters (component id = min doc_id — the canonical
+    representative to keep). Components via min-label propagation
+    (operators/graph.py); the DuckDB oracle computes the same fixpoint
+    with a recursive CTE."""
+    from gearpump_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="a", dst="b"
+    )
+    return comps.select(
+        F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHINGLES},

@@ -266,3 +266,15 @@ def test_sessionize_gap_boundary(spark):
         .collect()
     }
     assert got == {0: 0, 1800: 0, 3601: 1}
+
+
+def test_connected_components_known_graph(spark):
+    from gearpump_spark.operators.graph import connected_components
+
+    # two components {1,2,3,7} (chain) + {5,6}, isolated node 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(9,)], "node_id bigint")
+    got = {r.node_id: r.comp for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
