@@ -57,11 +57,18 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    # Best-of-2 at the target SF: run 1 still pays parquet footer reads and
+    # any codegen the sf0.001 warmup missed; run 2 is the steady-state cost
+    # a resident engine pays per query. Data is NOT cached (noop sink, no
+    # .cache() anywhere) — both runs do the full scan+shuffle+agg.
     for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # SOL analog: rate source -> identity projection -> noop sink. The
     # requested rate is far above what the engine can sustain, so the
@@ -73,15 +80,21 @@ def main() -> None:
         .load()
         .selectExpr("value", "timestamp")
     )
+    # Throughput = rows / trigger busy-time over post-ramp batches (the
+    # rate source caps each batch at the requested rate, so the engine
+    # idles between triggers; wall-clock would measure the throttle, not
+    # the engine). Wait until enough steady-state batches completed.
     q = rate.writeStream.format("noop").start()
-    time.sleep(3)  # ramp-up: first micro-batches compile + right-size
-    t0 = time.perf_counter()
-    seen_before = sum(p["numInputRows"] for p in q.recentProgress)
-    time.sleep(6)
-    rows = sum(p["numInputRows"] for p in q.recentProgress) - seen_before
-    elapsed = time.perf_counter() - t0
+    deadline = time.perf_counter() + 30
+    while time.perf_counter() < deadline:
+        time.sleep(1)
+        done = [p for p in q.recentProgress if p["batchId"] >= 3]
+        if len(done) >= 6:
+            break
     q.stop()
-    sol_rows_per_sec = int(rows / elapsed) if elapsed > 0 else 0
+    rows = sum(p["numInputRows"] for p in done)
+    busy_s = sum(p["durationMs"]["triggerExecution"] for p in done) / 1000.0
+    sol_rows_per_sec = int(rows / busy_s) if busy_s > 0 else 0
 
     total = round(sum(timings.values()), 3)
     out = {
