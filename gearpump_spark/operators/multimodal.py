@@ -30,6 +30,10 @@ IMAGE_META_SCHEMA = (
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
 
+RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int, byte_len bigint"
+
+FEATURE_SCHEMA = "doc_id bigint, features array<float>"
+
 
 def attach_fake_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> Column:
     """Deterministic stand-in binary payload (UTF-8 bytes of the text);
@@ -48,6 +52,14 @@ class LibraryDecoder:
 
     def sample_frames(self, payload: bytes, n: int):
         raise NotImplementedError("video decoding requires ffmpeg/av, not installed")
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        raise NotImplementedError("image resize requires PIL/opencv, not installed")
+
+    def features(self, payload: bytes, dim: int):
+        raise NotImplementedError(
+            "feature extraction requires a vision/audio model runtime, not installed"
+        )
 
 
 class FakeDecoder:
@@ -68,6 +80,25 @@ class FakeDecoder:
 
     def sample_frames(self, payload: bytes, n: int):
         return [hashlib.md5(payload + bytes([i])).hexdigest() for i in range(n)]
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        # Output bytes scale with the target raster (3 bytes/px, like an
+        # uncompressed RGB bitmap) so size accounting behaves like a real
+        # resize; content = md5 keystream seeded by payload + dims.
+        seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
+        need = width * height * 3
+        blocks = [seed]
+        while sum(len(b) for b in blocks) < need:
+            blocks.append(hashlib.md5(blocks[-1]).digest())
+        return b"".join(blocks)[:need]
+
+    def features(self, payload: bytes, dim: int):
+        # One float in [0, 1) per dimension from md5(payload + dim index).
+        return [
+            int.from_bytes(hashlib.md5(payload + bytes([i])).digest()[:4], "big")
+            / 2**32
+            for i in range(dim)
+        ]
 
 
 def decode_image_metadata(
@@ -91,6 +122,62 @@ def decode_image_metadata(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, IMAGE_META_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
+) -> DataFrame:
+    """Resize every image payload to (width, height); returns the new
+    binary payload plus dims. Narrow map — no shuffle; resized bytes are
+    written straight to the sink partition that holds the input row."""
+    decoder = decoder or FakeDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decoder.resize(bytes(p), width, height) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "byte_len": [len(b) for b in out],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, RESIZE_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
+) -> DataFrame:
+    """Feature extraction: payload → dense float vector (the embedding
+    column the similarity operators consume). Real pipelines put a model
+    forward pass behind the decoder seam; batch size stays Arrow-bounded so
+    accelerator batching maps 1:1 onto these pandas batches."""
+    decoder = decoder or FakeDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "features": [
+                        decoder.features(bytes(p), dim) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, FEATURE_SCHEMA)
 
 
 def sample_frames(

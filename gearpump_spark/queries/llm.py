@@ -530,6 +530,45 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle=None,  # md5-keystream pixels aren't expressible in DuckDB SQL;
+    # size law (byte_len == w*h*3) and determinism are pytest-verified
+    desc="image resize plumbing: payload -> fixed-raster payload via "
+    "Arrow-batched mapInPandas over the stubbed decoder seam",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    with_payload = MM.attach_fake_payload(docs)
+    return (
+        MM.resize_images(with_payload, width=32, height=24)
+        .select("doc_id", "width", "height", "byte_len", F.md5("payload").alias("payload_md5"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # feature floats come from the stubbed decoder (md5 math);
+    # determinism across partitionings is pytest-verified
+    desc="feature extraction plumbing: payload -> dense float vector "
+    "(model-forward-pass seam), the embedding column similarity ops consume",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators import multimodal as MM
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    with_payload = MM.attach_fake_payload(docs)
+    feats = MM.extract_features(with_payload, dim=8)
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.size("features").alias("dim"),
+    ).orderBy("doc_id")
+
+
+@register(
     "graph_pagerank",
     oracle=None,  # iterative fixpoint — not SQL-expressible; golden-checked
     # against a NumPy power iteration in tests/test_operators_unit.py

@@ -189,9 +189,41 @@ def test_multimodal_frame_sampling(spark):
     assert {(r.doc_id, r.frame_idx) for r in frames} == {(i, j) for i in (0, 1) for j in range(3)}
 
 
+def test_multimodal_resize_size_law_and_determinism(spark):
+    df = spark.createDataFrame([(0, "img a"), (1, "img b")], "doc_id bigint, text string")
+    out = MM.resize_images(MM.attach_fake_payload(df), width=32, height=24).collect()
+    assert all(r.byte_len == 32 * 24 * 3 == len(r.payload) for r in out)
+    # deterministic and payload-dependent
+    again = {r.doc_id: bytes(r.payload) for r in
+             MM.resize_images(MM.attach_fake_payload(df), width=32, height=24).collect()}
+    assert again == {r.doc_id: bytes(r.payload) for r in out}
+    assert again[0] != again[1]
+
+
+def test_multimodal_features_match_local_decoder(spark):
+    df = spark.createDataFrame([(0, "doc x"), (1, "doc y")], "doc_id bigint, text string")
+    got = {r.doc_id: r.features for r in
+           MM.extract_features(MM.attach_fake_payload(df), dim=4).collect()}
+    dec = MM.FakeDecoder()
+    for doc_id, text in [(0, "doc x"), (1, "doc y")]:
+        expect = dec.features(text.encode(), 4)
+        assert got[doc_id] == pytest.approx(expect, abs=1e-7)
+        assert all(0.0 <= v < 1.0 for v in got[doc_id])
+    # stable under a different partitioning (narrow map — order-free)
+    repart = {r.doc_id: r.features for r in
+              MM.extract_features(MM.attach_fake_payload(df).repartition(7), dim=4).collect()}
+    assert repart.keys() == got.keys()
+    for k in got:
+        assert repart[k] == pytest.approx(got[k], abs=1e-7)
+
+
 def test_library_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         MM.LibraryDecoder().decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.LibraryDecoder().resize(b"\x89PNG", 8, 8)
+    with pytest.raises(NotImplementedError):
+        MM.LibraryDecoder().features(b"\x89PNG", 4)
 
 
 # --- Text function edge cases ---------------------------------------------
