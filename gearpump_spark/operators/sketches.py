@@ -1,0 +1,155 @@
+"""Approximate / sketch operators: Bloom filter, HLL distinct, quantiles.
+
+The reference has no sketches at all (SURVEY.md §2.F: "'distinct' and
+'approx distinct' don't exist" — aggregation is always exact per-key hash
+state). At 100 TB these are the difference between a feasible plan and an
+infeasible one:
+
+- **Bloom-filter semi-join reduction**: build a tiny bit array from the
+  small side's join keys, broadcast it, and drop non-matching fact rows at
+  the scan — the classic way to cut a 100 TB shuffle before it happens.
+  Our build uses the seeded-md5 hash family (same family as
+  operators/dedup.py), so the filter bits are *bit-identical* across
+  engines and the whole operator is exactly DuckDB-oracle-checkable
+  (no false negatives by construction; false positives are deterministic
+  given the hash family).
+- **HLL approximate distinct** (`approx_count_distinct`): constant memory
+  per group vs O(distinct) for exact — mergeable across partitions, so the
+  partial-aggregation tree stays map-side.
+- **Approximate quantiles** (`percentile_approx`, KLL/GK-style): mergeable
+  rank sketch with a hard rank-error bound of n/accuracy.
+
+Cross-engine check strategy: the Bloom filter is exact (same bits both
+engines). HLL and quantile sketches differ by engine (HLL++ vs DuckDB HLL,
+GK vs t-digest), so their queries emit *tolerance booleans* — each engine
+checks its own approximation against its own exact computation with the
+same bound; both sides must print `true` plus exact anchor columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit words stored in BIGINT: DuckDB's BIGINT << overflows at bit 63,
+# and 32-bit masks keep every intermediate positive on both engines.
+WORD_BITS = 32
+
+
+def _h15(col: Column, seed: int) -> Column:
+    """Seeded md5 → first 15 hex chars → non-negative bigint in [0, 2^60).
+
+    Same hash family as operators/dedup.py token hashing; DuckDB mirror is
+    CAST(CONCAT('0x', SUBSTR(MD5(seed || '|' || v), 1, 15)) AS BIGINT).
+    """
+    s = F.concat(F.lit(f"{seed}|"), col.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def bloom_build(df: DataFrame, col: str, num_words: int = 64, num_hashes: int = 3) -> DataFrame:
+    """Build a Bloom filter over df[col] as (word: bigint, bits: bigint) rows.
+
+    m = num_words*32 bits; k = num_hashes seeded-md5 hash functions. The
+    result is tiny (num_words rows) — broadcast it to probe a fact table.
+    Build cost: one shuffle of (word, mask) pairs with map-side bit_or.
+    """
+    m = num_words * WORD_BITS
+    vals = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    rows = vals.select(
+        F.explode(F.array(*[(_h15(F.col("v"), i) % m) for i in range(num_hashes)])).alias("p")
+    )
+    words = rows.select(
+        F.floor(F.col("p") / WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))").alias("mask"),
+    )
+    return words.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probe: DataFrame,
+    col: str,
+    num_words: int = 64,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Probe: per distinct probe[col], `bloom_maybe` = all k bits set.
+
+    The bloom side is broadcast (num_words rows) — at 100 TB the probe scan
+    filters in place with no shuffle of the fact table. No false negatives;
+    false-positive rate ≈ (1 - e^{-kn/m})^k, deterministic given the family.
+    """
+    m = num_words * WORD_BITS
+    keys = probe.select(F.col(col).alias("key")).where(F.col("key").isNotNull()).distinct()
+    rows = keys.select(
+        "key",
+        F.explode(F.array(*[(_h15(F.col("key"), i) % m) for i in range(num_hashes)])).alias("p"),
+    )
+    pos = rows.select(
+        "key",
+        F.floor(F.col("p") / WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))").alias("mask"),
+    )
+    joined = pos.join(F.broadcast(bloom), "word", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).alias("hit")
+    return joined.select("key", hit).groupBy("key").agg(F.bool_and("hit").alias("bloom_maybe"))
+
+
+def approx_distinct_by(
+    df: DataFrame, group_col: str, value_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Per-group exact distinct count + HLL estimate + tolerance verdict.
+
+    `exact_nd` anchors the cross-engine hash; `approx_ok` asserts the HLL
+    estimate is within max(8, 25% ) of exact — loose vs the ~1.04/√m rsd
+    so the check never flakes, tight enough to catch a broken sketch.
+    """
+    exact = F.count_distinct(F.col(value_col)).alias("exact_nd")
+    approx = F.approx_count_distinct(value_col, rsd)
+    tol = F.greatest(F.lit(8), (F.col("exact_nd") * 0.25).cast("long"))
+    return (
+        df.groupBy(group_col)
+        .agg(exact, approx.alias("_approx"))
+        .select(
+            group_col,
+            "exact_nd",
+            (F.abs(F.col("_approx") - F.col("exact_nd")) <= tol).alias("approx_ok"),
+        )
+    )
+
+
+def approx_quantiles_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+    rank_slack: float = 0.01,
+) -> DataFrame:
+    """Per-group approximate quantiles validated against exact rank bounds.
+
+    percentile_approx guarantees rank error ≤ n/accuracy; we check each
+    estimate lies between tight bracketing quantiles at p ± rank_slack
+    (bounds computed at 10× the accuracy, so their own error is negligible
+    vs the slack). Exact anchors: row count, min, max.
+    """
+    v = F.col(value_col)
+    aggs = [
+        F.count(v).alias("n_rows"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    ]
+    for p in probs:
+        lo, hi = max(0.0, p - rank_slack), min(1.0, p + rank_slack)
+        aggs += [
+            F.percentile_approx(v, p, accuracy).alias(f"_q{int(p * 100)}"),
+            F.percentile_approx(v, lo, accuracy * 10).alias(f"_lo{int(p * 100)}"),
+            F.percentile_approx(v, hi, accuracy * 10).alias(f"_hi{int(p * 100)}"),
+        ]
+    g = df.groupBy(group_col).agg(*aggs)
+    out = [F.col(group_col), F.col("n_rows"), F.col("min_v"), F.col("max_v")]
+    for p in probs:
+        t = int(p * 100)
+        out.append(
+            F.col(f"_q{t}").between(F.col(f"_lo{t}"), F.col(f"_hi{t}")).alias(f"ok_q{t}")
+        )
+    return g.select(*out)

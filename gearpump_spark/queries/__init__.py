@@ -74,5 +74,6 @@ def _load() -> None:
     import gearpump_spark.queries.temporal  # noqa: F401
     import gearpump_spark.queries.dataflow  # noqa: F401
     import gearpump_spark.queries.llm  # noqa: F401
+    import gearpump_spark.queries.sketches  # noqa: F401
 
     _LOADED = True

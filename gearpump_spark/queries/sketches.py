@@ -1,0 +1,131 @@
+"""Sketch / approximate-query operators (beyond the reference surface —
+SURVEY.md §2.F documents that 'distinct'/'approx distinct' don't exist in
+gearpump; at 100 TB they're mandatory).
+
+Oracle strategy (see operators/sketches.py): the Bloom filter uses the
+seeded-md5 hash family so both engines build bit-identical filters —
+exactly hash-checked. HLL and quantile sketches differ by engine, so those
+queries emit exact anchor columns plus per-engine tolerance booleans that
+must all be `true` on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gearpump_spark.datasets import table
+from gearpump_spark.operators import sketches as SK
+from gearpump_spark.queries import register
+
+_BLOOM_WORDS = 64  # m = 2048 bits
+_BLOOM_K = 3
+
+# DuckDB mirror of operators/sketches._h15: seeded md5 → hex15 → bigint.
+_SQL_H15 = "CAST(CONCAT('0x', SUBSTR(MD5({seed} || '|' || {v}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(RANGE(0, {_BLOOM_K})) AS i),
+    vals AS (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL),
+    build AS (
+        SELECT CAST(FLOOR(p / 32) AS BIGINT) AS word,
+               BIT_OR(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        FROM (SELECT {_SQL_H15.format(seed="i", v="v")} % {_BLOOM_WORDS * 32} AS p
+              FROM vals, seeds)
+        GROUP BY 1),
+    keys AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_custkey IS NOT NULL),
+    pos AS (
+        SELECT key, CAST(FLOOR(p / 32) AS BIGINT) AS word,
+               (1::BIGINT << CAST(p % 32 AS INT)) AS mask
+        FROM (SELECT key, {_SQL_H15.format(seed="i", v="key")} % {_BLOOM_WORDS * 32} AS p
+              FROM keys, seeds)),
+    probed AS (
+        SELECT key, BOOL_AND((COALESCE(b.bits, 0) & mask) <> 0) AS bloom_maybe
+        FROM pos LEFT JOIN build b USING (word) GROUP BY key)
+    SELECT p.key AS custkey, p.bloom_maybe,
+           COALESCE(m.is_member, FALSE) AS is_member
+    FROM probed p
+    LEFT JOIN (SELECT DISTINCT o_custkey AS key, TRUE AS is_member FROM orders) m
+           USING (key)
+    ORDER BY custkey
+    """,
+    desc="Bloom-filter semi-join reduction: build on orders keys, probe customers "
+    "— bit-identical filters across engines (seeded-md5 family)",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the filter is 64 rows → broadcast; the fact side never shuffles.
+
+    No false negatives by construction (every is_member row has
+    bloom_maybe=true); false positives are deterministic given the family.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    bloom = SK.bloom_build(orders, "o_custkey", _BLOOM_WORDS, _BLOOM_K)
+    probed = SK.bloom_probe(bloom, customer, "c_custkey", _BLOOM_WORDS, _BLOOM_K)
+    members = (
+        orders.select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    return (
+        probed.join(members, "key", "left")
+        .select(
+            F.col("key").alias("custkey"),
+            "bloom_maybe",
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_nd,
+           ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+               <= GREATEST(8, CAST(COUNT(DISTINCT o_custkey) * 0.25 AS BIGINT)) AS approx_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    desc="HLL approximate distinct per group; each engine validates its own "
+    "sketch against its own exact count (sketches differ: HLL++ vs DuckDB HLL)",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: HLL is constant memory per group and mergeable map-side —
+    the exact column here exists only to anchor the oracle check."""
+    return SK.approx_distinct_by(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey", rsd=0.05
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "sketch_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(l_extendedprice) AS n_rows,
+           MIN(l_extendedprice) AS min_v,
+           MAX(l_extendedprice) AS max_v,
+           approx_quantile(l_extendedprice, 0.25)
+               BETWEEN quantile_disc(l_extendedprice, 0.24)
+                   AND quantile_disc(l_extendedprice, 0.26) AS ok_q25,
+           approx_quantile(l_extendedprice, 0.50)
+               BETWEEN quantile_disc(l_extendedprice, 0.49)
+                   AND quantile_disc(l_extendedprice, 0.51) AS ok_q50,
+           approx_quantile(l_extendedprice, 0.75)
+               BETWEEN quantile_disc(l_extendedprice, 0.74)
+                   AND quantile_disc(l_extendedprice, 0.76) AS ok_q75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    desc="mergeable rank-sketch quantiles (GK vs t-digest) with per-engine "
+    "rank-error validation at ±1% rank slack",
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: percentile_approx is a mergeable sketch (rank err ≤ n/accuracy)
+    — partial aggregation stays map-side; exact quantiles would need a
+    global sort."""
+    return SK.approx_quantiles_check(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    ).orderBy("l_returnflag")

@@ -310,3 +310,54 @@ def test_connected_components_known_graph(spark):
     nodes = spark.createDataFrame([(9,)], "node_id bigint")
     got = {r.node_id: r.comp for r in connected_components(edges, nodes=nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+
+# --- Sketches: Bloom / HLL / quantiles (operators/sketches.py) -----------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from gearpump_spark.operators import sketches as SK
+
+    members = spark.range(0, 50).select(F.col("id").alias("k"))
+    bloom = SK.bloom_build(members, "k", num_words=64, num_hashes=3)
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    got = {r.key: r.bloom_maybe for r in SK.bloom_probe(bloom, probe, "k").collect()}
+    assert all(got[k] for k in range(50)), "Bloom filter produced a false negative"
+    fps = sum(1 for k in range(50, 100) if got[k])
+    # m=2048, k=3, n=50 -> theoretical fp rate ~0.04%; 5/50 is far beyond any
+    # plausible draw and would mean the hash family or bit math is broken.
+    assert fps <= 5, f"implausible false-positive count {fps}"
+
+
+def test_bloom_bits_match_pure_python(spark):
+    from gearpump_spark.operators import sketches as SK
+
+    vals, words, k = [3, 17, 99], 4, 2
+    m = words * 32
+    expect: dict[int, int] = {}
+    for v in vals:
+        for i in range(k):
+            p = int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:15], 16) % m
+            expect[p // 32] = expect.get(p // 32, 0) | (1 << (p % 32))
+    df = spark.createDataFrame([(v,) for v in vals], "k bigint")
+    got = {r.word: r.bits for r in SK.bloom_build(df, "k", words, k).collect()}
+    assert got == expect
+
+
+def test_approx_distinct_by_flags_ok(spark):
+    from gearpump_spark.operators import sketches as SK
+
+    rows = [(g, v) for g in ("a", "b") for v in range(200)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {r.g: r for r in SK.approx_distinct_by(df, "g", "v").collect()}
+    assert out["a"].exact_nd == 200 and out["b"].exact_nd == 200
+    assert out["a"].approx_ok and out["b"].approx_ok
+
+
+def test_approx_quantiles_check_bounds(spark):
+    from gearpump_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(1000)], "g string, v double")
+    row = SK.approx_quantiles_check(df, "g", "v").collect()[0]
+    assert row.n_rows == 1000 and row.min_v == 0.0 and row.max_v == 999.0
+    assert row.ok_q25 and row.ok_q50 and row.ok_q75

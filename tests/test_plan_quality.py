@@ -158,3 +158,13 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     """IVF probe: inverted lists stay partitioned; the query side broadcasts."""
     p = plan(QS["similarity_topk_ivf"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators import sketches as SK
+
+    bloom = SK.bloom_build(table(spark, sf_dir, "orders"), "o_custkey")
+    probed = SK.bloom_probe(bloom, table(spark, sf_dir, "customer"), "c_custkey")
+    p = plan(probed)
+    assert "BroadcastHashJoin" in p, "bloom filter side must broadcast, not shuffle"
