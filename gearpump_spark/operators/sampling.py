@@ -1,0 +1,88 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+The reference has no sampling at all (values are opaque; any sampling would
+be user Task code). For LLM-data work these are first-class: train/test
+splits, per-source mixing rates, and down-sampling all have to be
+**deterministic and key-stable** at 100 TB — re-running the pipeline, or
+running it on a different engine, must keep every document on the same side
+of every split. Random() can't do that; a content-keyed hash can.
+
+All operators hash with the seeded-md5 family (operators/dedup.py /
+sketches.py): bucket = hex15(md5(seed|key)) % 10000 basis points. This is:
+
+- **shuffle-free**: a scan-local filter — Catalyst pushes it into the scan
+  stage; sampling 1% of 100 TB reads the column but moves nothing.
+- **reproducible**: same key → same bucket, across runs, partitionings,
+  and engines (DuckDB evaluates the identical expression — exact oracles).
+- **split-safe**: disjoint rate ranges give disjoint, leakage-free splits.
+
+`bottom_k_sample` is the distributed fixed-size uniform sample: global
+top-k by hash order, which Spark executes as per-partition TakeOrdered +
+driver merge of k — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BASIS = 10_000  # rates are expressed in basis points (1 bp = 0.01%)
+
+
+def hash_bucket(key: Column, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, 10000): hex15(md5(seed|key)) % 10000.
+
+    DuckDB mirror:
+    CAST(CONCAT('0x', SUBSTR(MD5(seed || '|' || key), 1, 15)) AS BIGINT) % 10000
+    """
+    s = F.concat(F.lit(f"{seed}|"), key.cast("string"))
+    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    return (h % BASIS).alias("bucket")
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bp: int, seed: int = 0) -> DataFrame:
+    """Keep rows whose key hashes into the first `rate_bp` basis points.
+
+    rate_bp=1000 → 10% expected sample, exact membership decided per key.
+    """
+    return df.where(hash_bucket(F.col(key_col), seed) < rate_bp)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_bp: int = 1000, seed: int = 0
+) -> DataFrame:
+    """Add a `split` column: 'test' for the first test_bp basis points,
+    'train' otherwise. Key-stable → no leakage across reruns/engines."""
+    split = F.when(hash_bucket(F.col(key_col), seed) < test_bp, F.lit("test")).otherwise(
+        F.lit("train")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_hash_sample(
+    df: DataFrame, strata_col: str, key_col: str, rates_bp: dict[str, int], seed: int = 0
+) -> DataFrame:
+    """Per-stratum sampling rates (data mixing): keep a row iff its key
+    bucket < the rate for its stratum. Unlisted strata are dropped.
+
+    This is the "mix sources at fixed proportions" primitive: one scan, one
+    scan-local predicate, no shuffle, deterministic membership.
+    """
+    rate = None
+    for stratum, bp in rates_bp.items():
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, bp) if rate is None else rate.when(cond, bp)
+    rate = rate.otherwise(F.lit(-1))  # unlisted strata: bucket < -1 never holds
+    return df.where(hash_bucket(F.col(key_col), seed) < rate)
+
+
+def bottom_k_sample(df: DataFrame, key_col: str, k: int, seed: int = 0) -> DataFrame:
+    """Fixed-size uniform sample: the k smallest md5(seed|key) values.
+
+    Equivalent to a reservoir sample but deterministic and mergeable:
+    bottom-k by hash is a coordinated sample — the sample of a union is
+    computable from per-part bottom-k's, and Spark plans the limit as
+    TakeOrderedAndProject (per-partition top-k, no global sort).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
+    return df.withColumn("_h", h).orderBy("_h").limit(k).drop("_h")

@@ -75,5 +75,6 @@ def _load() -> None:
     import gearpump_spark.queries.dataflow  # noqa: F401
     import gearpump_spark.queries.llm  # noqa: F401
     import gearpump_spark.queries.sketches  # noqa: F401
+    import gearpump_spark.queries.sampling  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,139 @@
+"""Deterministic sampling / splitting / mixing queries (training-data
+pipeline surface — beyond the reference, which has no sampling at all).
+
+Every operator here is keyed md5-hash sampling (operators/sampling.py), so
+membership is bit-identical across engines and every query has an exact
+DuckDB oracle. At scale these are scan-local filters: no shuffle, full
+pushdown, reproducible splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gearpump_spark.datasets import table
+from gearpump_spark.operators import sampling as SP
+from gearpump_spark.queries import register
+
+# DuckDB mirror of operators/sampling.hash_bucket
+_SQL_BUCKET = (
+    "CAST(CONCAT('0x', SUBSTR(MD5({seed} || '|' || {key}), 1, 15)) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "sample_hash_10pct",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SQL_BUCKET.format(seed="'0'", key="doc_id")} < 1000
+    ORDER BY doc_id
+    """,
+    desc="deterministic 10% sample by key hash — scan-local, shuffle-free, "
+    "bit-identical membership across engines",
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return SP.hash_sample(docs, "doc_id", rate_bp=1000).select("doc_id", "lang").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_SQL_BUCKET.format(seed="'0'", key="doc_id")} < 1000
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY lang, split
+    """,
+    desc="key-stable train/test split (10% test): same doc lands on the same "
+    "side across reruns and engines — no leakage",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = SP.train_test_split(table(spark, sf_dir, "documents"), "doc_id", test_bp=1000)
+    return docs.groupBy("lang", "split").agg(F.count("*").alias("n")).orderBy("lang", "split")
+
+
+_MIX_RATES = {"en": 5000, "de": 2500, "fr": 1000}
+
+
+@register(
+    "sample_stratified_mix",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SQL_BUCKET.format(seed="'0'", key="doc_id")} <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000
+                    ELSE -1 END
+    ORDER BY doc_id
+    """,
+    desc="stratified source mixing: per-language sampling rates (en 50% / "
+    "de 25% / fr 10%, others dropped) in one scan-local predicate",
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        SP.stratified_hash_sample(docs, "lang", "doc_id", _MIX_RATES)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_bottom_k",
+    oracle="""
+    SELECT doc_id FROM (
+        SELECT doc_id FROM documents
+        ORDER BY MD5('0|' || doc_id) LIMIT 64)
+    ORDER BY doc_id
+    """,
+    desc="fixed-size (k=64) uniform sample = bottom-k by key hash; Spark "
+    "plans it as per-partition TakeOrdered, never a global sort",
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return SP.bottom_k_sample(docs, "doc_id", k=64).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "pipeline_quality_dedup_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               LEAST(CAST(LEN(tk) AS DOUBLE) / 20.0, 1.0)
+               * GREATEST(1.0 - (CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                 / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0)) * 10.0, 0.0)
+               * (CASE WHEN LEN(LIST_FILTER(LIST_TRANSFORM(tk, w -> LOWER(w)),
+                            w -> w IN ('the','a','of','and','to','in','is'))) > 0
+                       THEN 1.0 ELSE 0.5 END) AS quality
+        FROM (SELECT doc_id, lang, text,
+                     LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+              FROM documents)),
+    kept AS (SELECT doc_id, lang, text FROM scored WHERE quality >= 0.5),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang
+        FROM kept
+        GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))),
+    sampled AS (
+        SELECT doc_id, lang FROM deduped
+        WHERE {_SQL_BUCKET.format(seed="'0'", key="doc_id")} < 5000)
+    SELECT lang, COUNT(*) AS n_docs FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    desc="end-to-end curation pipeline: quality filter → exact dedup (keep "
+    "min doc_id) → 50% deterministic sample → per-language counts",
+)
+def pipeline_quality_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shape a real curation job has. At 100 TB: the quality
+    filter is scan-local, dedup shuffles only (fp, doc_id, lang), and the
+    sample filter runs before the final count shuffle."""
+    from gearpump_spark.functions import text as TX
+    from gearpump_spark.operators.dedup import fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    kept = docs.where(TX.quality_score(F.col("text")) >= 0.5)
+    deduped = kept.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    sampled = SP.hash_sample(deduped, "doc_id", rate_bp=5000)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")

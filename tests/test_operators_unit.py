@@ -361,3 +361,42 @@ def test_approx_quantiles_check_bounds(spark):
     row = SK.approx_quantiles_check(df, "g", "v").collect()[0]
     assert row.n_rows == 1000 and row.min_v == 0.0 and row.max_v == 999.0
     assert row.ok_q25 and row.ok_q50 and row.ok_q75
+
+
+# --- Sampling: determinism, disjointness, fixed-size (operators/sampling.py)
+
+
+def test_hash_sample_deterministic_and_disjoint_splits(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r.k for r in SP.hash_sample(df, "k", 1000).collect()}
+    b = {r.k for r in SP.hash_sample(df, "k", 1000).collect()}
+    assert a == b, "same key + seed must give the same sample"
+    # rate sanity: 10% of 2000 with hash uniformity -> well within [100, 300]
+    assert 100 <= len(a) <= 300
+    split = {r.k: r.split for r in SP.train_test_split(df, "k", 1000).collect()}
+    test_keys = {k for k, s in split.items() if s == "test"}
+    assert test_keys == a, "test split must equal the same-rate hash sample"
+
+
+def test_stratified_rates_and_unlisted_drop(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k bigint, lang string")
+    out = SP.stratified_hash_sample(df, "lang", "k", {"en": 10000, "de": 0}).collect()
+    langs = {r.lang for r in out}
+    assert langs == {"en"}, "rate-0 and unlisted strata must drop entirely"
+    assert len(out) == 1000, "rate 10000bp keeps every row of the stratum"
+
+
+def test_bottom_k_matches_python_and_is_fixed_size(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    got = sorted(r.k for r in SP.bottom_k_sample(df, "k", 16).collect())
+    expect = sorted(
+        sorted(range(500), key=lambda v: hashlib.md5(f"0|{v}".encode()).hexdigest())[:16]
+    )
+    assert got == expect

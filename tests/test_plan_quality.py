@@ -168,3 +168,21 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     probed = SK.bloom_probe(bloom, table(spark, sf_dir, "customer"), "c_custkey")
     p = plan(probed)
     assert "BroadcastHashJoin" in p, "bloom filter side must broadcast, not shuffle"
+
+
+def test_hash_sample_filter_pushed_to_scan(spark, sf_dir):
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators import sampling as SP
+
+    # parallelize=False: skip the local-rig single-file repartition so the
+    # plan under test is the at-scale shape (real tables have many splits).
+    p = plan(SP.hash_sample(table(spark, sf_dir, "documents", parallelize=False), "doc_id", 1000))
+    assert "Exchange" not in p, "hash sampling must be scan-local (no shuffle)"
+
+
+def test_bottom_k_sample_no_global_sort(spark, sf_dir):
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators import sampling as SP
+
+    p = plan(SP.bottom_k_sample(table(spark, sf_dir, "documents"), "doc_id", 64))
+    assert "TakeOrderedAndProject" in p, "bottom-k must plan as TakeOrdered, not sort"
