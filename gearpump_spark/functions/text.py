@@ -29,7 +29,11 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text)).cast("bigint")
+    return token_count_of(tokens(text))
+
+
+def token_count_of(tk: Column) -> Column:
+    return F.size(tk).cast("bigint")
 
 
 def char_count(text: Column) -> Column:
@@ -46,15 +50,22 @@ def digit_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    lowered = F.transform(tokens(text), lambda t: F.lower(t))
+    return stopword_count_of(tokens(text), stopwords)
+
+
+def stopword_count_of(tk: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    lowered = F.transform(tk, lambda t: F.lower(t))
     return F.size(F.filter(lowered, lambda t: t.isin(*stopwords))).cast("bigint")
 
 
 def avg_token_len(text: Column) -> Column:
     """Mean token length as exact ratio of bigints (deterministic)."""
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-    return (total.cast("double") / F.size(toks).cast("double")).alias("avg_token_len")
+    return avg_token_len_of(tokens(text))
+
+
+def avg_token_len_of(tk: Column) -> Column:
+    total = F.aggregate(tk, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return (total.cast("double") / F.size(tk).cast("double")).alias("avg_token_len")
 
 
 def quality_score(text: Column) -> Column:

@@ -221,3 +221,62 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cosine_sim", "rank")
     )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], int]:
+    """Lloyd's k-means with deterministic init (k lowest-id vectors).
+
+    Same per-iteration shape as ivf_train_centroids: assignment is a
+    narrow map (centroid literals broadcast-by-closure, no shuffle);
+    the update shuffles only k·dim (cid, pos, partial-mean) rows — the
+    driver ever sees k centroids, never vectors. Iterates until the max
+    squared centroid shift < tol (PageRank-style driver fixpoint loop;
+    reference analog: BSP iteration in examples/pagerank/
+    PageRankController.scala:38-70). At 100 TB: train on a bounded
+    df.sample like FAISS — the loop body is unchanged.
+    """
+    cents = [
+        [float(x) for x in r[0]]
+        for r in corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    v = _to_double(F.col(vec_col))
+    it = 0
+    for it in range(1, max_iter + 1):
+        cands = F.array(*[
+            F.struct(_sq_dist(v, F.array(*[F.lit(c) for c in cents[i]])).alias("d"),
+                     F.lit(i).alias("cid"))
+            for i in range(len(cents))
+        ])
+        assigned = corpus.select(F.array_min(cands)["cid"].alias("cid"), v.alias("v"))
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r["cid"]: [float(x) for x in r["centroid"]] for r in rows}
+        nxt = [new.get(i, cents[i]) for i in range(len(cents))]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, cur)) for old, cur in zip(cents, nxt)
+        )
+        cents = nxt
+        if shift < tol:
+            break
+    return cents, it
+
+
+def kmeans_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cid"
+) -> DataFrame:
+    """Final hard assignment to the nearest trained centroid (narrow map)."""
+    return ivf_assign(df, vec_col, centroids, out_col, nprobe=1)

@@ -291,16 +291,21 @@ _SQL_TOKS = """
     desc="per-document text statistics: tokens, chars, punct, digits, stopwords",
 )
 def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize once: the token array is materialized in the first
+    projection and every array stat reads it — Catalyst does not dedupe
+    identical split() calls across lambda expressions, so the naive form
+    re-tokenizes per stat (~1.5× slower measured)."""
     docs = table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select("doc_id", t.alias("text"), TX.tokens(t).alias("tk"))
+    return base.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        TX.char_count(t).alias("n_chars"),
-        TX.avg_token_len(t).alias("avg_token_len"),
-        TX.punct_count(t).alias("n_punct"),
-        TX.digit_count(t).alias("n_digits"),
-        TX.stopword_count(t).alias("n_stopwords"),
+        TX.token_count_of(F.col("tk")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars"),
+        TX.avg_token_len_of(F.col("tk")).alias("avg_token_len"),
+        TX.punct_count(F.col("text")).alias("n_punct"),
+        TX.digit_count(F.col("text")).alias("n_digits"),
+        TX.stopword_count_of(F.col("tk")).alias("n_stopwords"),
     ).orderBy("doc_id")
 
 
@@ -590,3 +595,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node_id", F.round("rank", 8).cast("double").alias("rank")
     ).orderBy("node_id")
+
+
+@register(
+    "kmeans_clusters",
+    oracle=None,  # iterative fixpoint (like graph_pagerank): rows-only check
+    # + numpy-golden unit test (test_kmeans_matches_numpy_lloyd).
+    desc="k-means over embeddings: deterministic init, driver fixpoint loop, "
+    "narrow-map assignment — per-cluster sizes",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per iteration the corpus is touched by one narrow map + one
+    k·dim-row shuffle; vectors never reach the driver."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = S.kmeans_train(emb, "embedding", k=5, max_iter=5)
+    return (
+        S.kmeans_assign(emb, "embedding", cents)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cid")
+    )

@@ -184,6 +184,19 @@ class Stream:
     def sink_parquet(self, path: str, mode: str = "overwrite") -> None:
         self.df.write.mode(mode).parquet(path)
 
+    def sink_parquet_partitioned(
+        self, path: str, partition_cols: list[str], mode: str = "overwrite"
+    ) -> None:
+        """Hive-style partitioned layout (col=value directories).
+
+        The at-scale default for fact tables: a reader filtering on a
+        partition column prunes whole directories at planning time
+        (PartitionFilters in the scan), so a day query over years of data
+        touches one directory. Pair with a time-derived column (e.g.
+        date(ts)) — high-cardinality keys belong in bucketing, not here.
+        """
+        self.df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
     def sink_memory(self, name: str, output_mode: str = "append"):
         """Streaming memory sink (test harness); returns the query handle."""
         return (

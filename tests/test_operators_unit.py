@@ -400,3 +400,30 @@ def test_bottom_k_matches_python_and_is_fixed_size(spark):
         sorted(range(500), key=lambda v: hashlib.md5(f"0|{v}".encode()).hexdigest())[:16]
     )
     assert got == expect
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    rows = []
+    # three well-separated 2-D blobs, deterministic grid offsets
+    for i in range(30):
+        base = [(0.0, 0.0), (10.0, 10.0), (-10.0, 5.0)][i % 3]
+        rows.append((i, [base[0] + (i % 5) * 0.1, base[1] + (i % 7) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents, iters = S.kmeans_train(df, "embedding", k=3, max_iter=10)
+    got = {r.vec_id: r.cid for r in S.kmeans_assign(df, "embedding", cents).collect()}
+
+    X = np.array([v for _, v in rows])
+    C = X[:3].copy()  # same deterministic init: lowest ids
+    for _ in range(10):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        New = np.array([X[a == j].mean(0) if (a == j).any() else C[j] for j in range(3)])
+        if ((New - C) ** 2).sum(1).max() < 1e-6:
+            C = New
+            break
+        C = New
+    exp = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert [got[i] for i in range(30)] == list(exp)
+    assert iters <= 10

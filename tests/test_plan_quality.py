@@ -186,3 +186,22 @@ def test_bottom_k_sample_no_global_sort(spark, sf_dir):
 
     p = plan(SP.bottom_k_sample(table(spark, sf_dir, "documents"), "doc_id", 64))
     assert "TakeOrderedAndProject" in p, "bottom-k must plan as TakeOrdered, not sort"
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from gearpump_spark.datasets import table
+    from gearpump_spark.stream import Stream
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    assert len(days) >= 2, "fixture must span multiple days for this test"
+    path = str(tmp_path / "events_by_day")
+    Stream(ev).sink_parquet_partitioned(path, ["day"])
+
+    back = spark.read.parquet(path).where(F.col("day") == days[0])
+    p = plan(back)
+    assert "PartitionFilters" in p and "day" in p.split("PartitionFilters", 1)[1][:200]
+    expected = ev.where(F.col("day") == days[0]).count()
+    assert back.count() == expected
+    import os
+    assert any(d.startswith("day=") for d in os.listdir(path)), "hive-style layout"
