@@ -52,6 +52,35 @@ class GearContext:
         experiments/beam/.../translators/ReadBoundedTranslator.java:27-43)."""
         return Stream(self.spark.read.parquet(path), ts_col)
 
+    def from_csv(
+        self,
+        path: str,
+        schema: Any = None,
+        header: bool = True,
+        ts_col: str | None = None,
+        **options: Any,
+    ) -> "Stream":
+        """CSV source. Pass an explicit schema at scale — schema inference
+        reads the data twice, and a declared schema lets malformed rows go
+        to `_corrupt_record` (PERMISSIVE) instead of failing the job."""
+        reader = self.spark.read.options(header=str(header).lower(), **options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return Stream(reader.csv(path), ts_col)
+
+    def from_json_lines(
+        self, path: str, schema: Any = None, ts_col: str | None = None, **options: Any
+    ) -> "Stream":
+        """Newline-delimited JSON source (the common raw-crawl layout).
+        Same schema discipline as from_csv; nested structs/arrays land as
+        StructType/ArrayType columns."""
+        reader = self.spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return Stream(reader.json(path), ts_col)
+
     # -- unbounded sources --------------------------------------------------
     def from_rate(self, rows_per_second: int = 1000) -> "Stream":
         """Unbounded generator source (the SOL producer analog; reference:

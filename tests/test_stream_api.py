@@ -116,3 +116,28 @@ def test_impulse(spark):
     ctx = GearContext(spark)
     rows = ctx.impulse().collect()
     assert len(rows) == 1 and rows[0].impulse == bytearray(b"")
+
+
+def test_from_csv_and_json_sources(spark, tmp_path):
+    from gearpump_spark.stream import GearContext
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("k,v\na,1\nb,2\n")
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"k":"a","v":1,"tags":["x","y"]}\n{"k":"b","v":2,"tags":[]}\n')
+    ctx = GearContext(spark)
+
+    got_csv = {(r.k, r.v) for r in ctx.from_csv(str(csv), "k string, v bigint").collect()}
+    assert got_csv == {("a", 1), ("b", 2)}
+
+    js = ctx.from_json_lines(str(jl), "k string, v bigint, tags array<string>")
+    got = {(r.k, r.v, tuple(r.tags)) for r in js.collect()}
+    assert got == {("a", 1, ("x", "y")), ("b", 2, ())}
+
+    # malformed rows must not fail the job under an explicit schema
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"k":"a","v":1}\n{nope\n')
+    rows = ctx.from_json_lines(
+        str(bad), "k string, v bigint, _corrupt_record string"
+    ).collect()
+    assert len(rows) == 2 and sum(r._corrupt_record is not None for r in rows) == 1

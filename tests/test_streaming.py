@@ -299,3 +299,22 @@ def test_monoid_windowed_state_matches_native(spark, tmp_path):
         .agg(F.max("v").alias("mx")).collect()
     }
     assert got == native
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: enrich a fact stream with a small dimension.
+    The dim side must broadcast per micro-batch (no state store, no
+    watermark needed) — the standard dimension-enrichment pattern."""
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, label string"
+    )
+    stream = _stream_from_rows(
+        spark, [[("a", 1, 10), ("b", 2, 20)], [("a", 3, 30), ("c", 4, 40)]],
+        tmp_path, "ss_join",
+    )
+    joined = stream.join(F.broadcast(dim), "k", "left")
+    out = run_to_completion(joined, "ss_join_out").collect()
+    got = {(r.k, r.v, r.label) for r in out}
+    assert got == {
+        ("a", 1, "alpha"), ("b", 2, "beta"), ("a", 3, "alpha"), ("c", 4, None),
+    }
