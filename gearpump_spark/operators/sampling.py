@@ -86,3 +86,23 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int, seed: int = 0) -> DataF
     """
     h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
     return df.withColumn("_h", h).orderBy("_h").limit(k).drop("_h")
+
+
+def k_per_group_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Fixed-size deterministic sample per group: the k smallest
+    md5(seed|key) within each group (per-class balanced subsets).
+
+    One shuffle on group_col; rank runs inside each partition. At scale
+    prefer this over per-group LIMIT loops — it's a single window pass.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
+    w = W.partitionBy(group_col).orderBy(h)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

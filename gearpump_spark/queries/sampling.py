@@ -137,3 +137,25 @@ def pipeline_quality_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sampled = SP.hash_sample(deduped, "doc_id", rate_bp=5000)
     return sampled.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5('0|' || doc_id)) AS rn
+        FROM documents)
+    WHERE rn <= 8
+    ORDER BY doc_id
+    """,
+    desc="balanced per-class sample: 8 docs per language by hash order — "
+    "one window pass, deterministic membership",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        SP.k_per_group_sample(docs, "lang", "doc_id", k=8)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

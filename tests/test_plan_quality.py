@@ -205,3 +205,26 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert back.count() == expected
     import os
     assert any(d.startswith("day=") for d in os.listdir(path)), "hive-style layout"
+
+
+def test_dynamic_partition_pruning_on_day_join(spark, sf_dir, tmp_path):
+    """Joining a day-partitioned fact to a filtered dim must inject a
+    dynamic pruning subquery: at 100 TB only the dim's days are scanned."""
+    from gearpump_spark.datasets import table
+    from gearpump_spark.stream import Stream
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    path = str(tmp_path / "events_dpp")
+    Stream(ev).sink_parquet_partitioned(path, ["day"])
+
+    fact = spark.read.parquet(path)
+    # DPP requires a *selective predicate* on the build side — a bare
+    # literal relation doesn't qualify, a filtered one does.
+    dim = spark.createDataFrame(
+        [(d, f"campaign_{i}") for i, d in enumerate(days)], "day date, campaign string"
+    ).where(F.col("campaign") == "campaign_0")
+    joined = fact.join(dim, "day")
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower(), "expected a DPP subquery on the day key"
+    assert joined.count() == ev.where(F.col("day") == days[0]).count()
