@@ -46,6 +46,13 @@ def replay_parquet_stream(
 # Watermark.MAX by appending one far-future sentinel row to the source: it
 # passes the EventTimeWatermark operator (advancing the watermark past every
 # real window) and is filtered out before aggregation.
+#
+# PITFALL: drop sentinels by a predicate on the EVENT-TIME column only.
+# A predicate on any other column (e.g. key == '<flush>') is pushed down to
+# the source scan, removing the sentinel before it reaches the
+# EventTimeWatermark operator — the watermark silently never advances.
+# Predicates on the watermark column itself are not pushed below the
+# watermark node, so `ts < FLUSH_TS` is safe.
 FLUSH_EPOCH_SEC = 7_000_000_000  # year ~2191 — beyond any fixture timestamp
 FLUSH_TS = "2180-01-01 00:00:00"
 

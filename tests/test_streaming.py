@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from gearpump_spark.streaming import (
     FLUSH_EPOCH_SEC,
+    FLUSH_TS,
     assign_windows,
     replay_parquet_stream,
     run_to_completion,
@@ -318,3 +319,41 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     assert got == {
         ("a", 1, "alpha"), ("b", 2, "beta"), ("a", 3, "alpha"), ("c", 4, None),
     }
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """Outer stream-stream join: unmatched left rows emit with nulls only
+    after both watermarks pass their eligibility window (state-bounded)."""
+    from gearpump_spark.streaming import stream_stream_interval_join
+
+    # two flush-sentinel chunks: watermark advances in the first sentinel
+    # batch, and the *next* batch performs the eviction that emits the
+    # null-padded unmatched rows.
+    sentinel = ("\x00flush", 0, FLUSH_EPOCH_SEC)
+    buys = _stream_from_rows(
+        spark, [[("u1", 77, 105), ("u2", 88, 300)], [sentinel], [sentinel]],
+        tmp_path, "lo_buys",
+    ).withColumnRenamed("v", "buy_id").withColumnRenamed("ts", "buy_ts")
+    clicks = _stream_from_rows(
+        spark, [[("u1", 1, 100), ("u1", 2, 104)], [sentinel], [sentinel]],
+        tmp_path, "lo_clicks",
+    ).withColumnRenamed("v", "click_id")
+
+    # Drop sentinels by their EVENT-TIME columns, not by key: a key
+    # predicate is pushed down to the parquet scan, which would remove the
+    # sentinel rows before they ever reach the EventTimeWatermark operator
+    # (the watermark would never advance). Predicates on the watermark
+    # column itself are not pushed below the watermark node.
+    flush = F.lit(FLUSH_TS).cast("timestamp")
+    joined = stream_stream_interval_join(
+        buys, clicks, key="k", left_ts="buy_ts", right_ts="ts",
+        lower="10 seconds", upper="0 seconds", how="left_outer",
+    ).filter((F.col("buy_ts") < flush) & (F.col("ts").isNull() | (F.col("ts") < flush)))
+    out = run_to_completion(
+        joined.select("buy_id", "click_id"), "ssj_lo", output_mode="append"
+    )
+    got = sorted(
+        [(r.buy_id, r.click_id) for r in out.collect()],
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    assert got == [(77, 1), (77, 2), (88, None)]
