@@ -332,3 +332,32 @@ def monoid_windowed_state(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def transform_with_state_supported() -> bool:
+    """Whether Spark 4's transformWithStateInPandas path can run here.
+
+    The modern arbitrary-state API (StatefulProcessor: typed state +
+    event-time timers — the closest Spark analog to the reference's
+    PersistentTask, state/api/PersistentTask.scala:36-98) ships a driver
+    worker that hard-requires the `protobuf` python package and the RocksDB
+    state store provider. This rig has no protobuf, so the engine's custom
+    stateful operators use applyInPandasWithState (same semantics, timer
+    expiry emulated with the flush sentinel); on a cluster with protobuf
+    installed the processors port over mechanically.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def require_transform_with_state() -> None:
+    if not transform_with_state_supported():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the `protobuf` package (absent "
+            "in this environment) and the RocksDB state store provider; use "
+            "the applyInPandasWithState operators instead"
+        )

@@ -357,3 +357,18 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
         key=lambda t: (t[0], t[1] if t[1] is not None else -1),
     )
     assert got == [(77, 1), (77, 2), (88, None)]
+
+
+def test_transform_with_state_gate():
+    """The modern TWS API is gated: absent protobuf it must raise the
+    explicit NotImplementedError, never crash a query mid-run."""
+    from gearpump_spark.streaming.core import (
+        require_transform_with_state,
+        transform_with_state_supported,
+    )
+
+    if transform_with_state_supported():
+        require_transform_with_state()  # no-op when the dependency exists
+    else:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            require_transform_with_state()
