@@ -324,3 +324,101 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+        SELECT s.user_id, s.signup_ts,
+               MAX(CASE WHEN p.ts >= s.signup_ts
+                         AND p.ts <= s.signup_ts + INTERVAL 72 HOUR
+                        THEN 1 ELSE 0 END) AS converted
+        FROM signups s
+        LEFT JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        GROUP BY s.user_id, s.signup_ts)
+    SELECT CAST(CAST(signup_ts AS DATE) AS TIMESTAMP) AS signup_day,
+           COUNT(*) AS n_signups,
+           CAST(SUM(converted) AS BIGINT) AS n_converted
+    FROM conv GROUP BY 1 ORDER BY signup_day
+    """,
+    desc="funnel analysis: signup → purchase within 72h, conversion by cohort day",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel. Scale: both sides shuffle once on user_id
+    (the natural key); the purchase side is pre-filtered at the scan, and
+    per-user state is a single (signup_ts, flag) pair."""
+    ev = table(spark, sf_dir, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = F.max(
+        F.when(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 72 HOURS")),
+            1,
+        ).otherwise(0)
+    ).alias("converted")
+    conv = (
+        signups.join(purchases, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(converted)
+    )
+    return (
+        conv.groupBy(F.to_date("signup_ts").cast("timestamp").alias("signup_day"))
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .orderBy("signup_day")
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN a7.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_day7
+    FROM firsts f
+    LEFT JOIN activity a7
+      ON a7.user_id = f.user_id AND a7.day = f.cohort_day + INTERVAL 7 DAY
+    GROUP BY f.cohort_day ORDER BY cohort_day
+    """,
+    desc="cohort retention: users first active on day D still active on D+7",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: activity dedups to (user, day) before the join — the join
+    input is bounded by users x active-days, not raw events."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    a7 = activity.select("user_id", F.col("day").alias("a_day"))
+    joined = firsts.join(
+        a7,
+        (a7.user_id == firsts.user_id)
+        & (F.col("a_day") == F.date_add(F.col("cohort_day"), 7)),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("cohort_day").cast("timestamp").alias("cohort_day"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("a_day").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_day7"),
+        )
+        .orderBy("cohort_day")
+    )
