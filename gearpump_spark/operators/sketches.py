@@ -153,3 +153,28 @@ def approx_quantiles_check(
             F.col(f"_q{t}").between(F.col(f"_lo{t}"), F.col(f"_hi{t}")).alias(f"ok_q{t}")
         )
     return g.select(*out)
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_words: int = 4096,
+    num_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with a Bloom pre-filter on the fact side.
+
+    Builds the filter from the dim side's keys, broadcasts it, and drops
+    non-candidate fact rows BEFORE the join shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    only rows that can match. No false negatives, so the join result is
+    exactly the plain join's; false positives merely ride along to the
+    join and drop there.
+    """
+    bloom = bloom_build(dim, dim_key, num_words, num_hashes)
+    probed = bloom_probe(bloom, fact.select(fact_key), fact_key, num_words, num_hashes)
+    candidates = probed.where(F.col("bloom_maybe")).select(F.col("key").alias(fact_key))
+    filtered = fact.join(F.broadcast(candidates), fact_key, "left_semi")
+    return filtered.join(dim, filtered[fact_key] == dim[dim_key], how)

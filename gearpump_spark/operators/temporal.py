@@ -151,3 +151,19 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ) - 1,
     )
+
+
+def latest_by_key(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str) -> DataFrame:
+    """Upsert view / log compaction: the most recent row per key.
+
+    The streaming-table duality primitive — a changelog stream compacts to
+    its latest-value table (the reference has no table concept at all; its
+    users keep a HashMap per task, Sum.scala:26-60). `max_by` runs as a
+    single partial-aggregating pass: one shuffle of one row per key, no
+    window sort. Ties on ts are broken by the highest `tiebreak` value so
+    the result is deterministic under replay.
+    """
+    ordering = F.struct(F.col(ts_col), F.col(tiebreak))
+    others = [c for c in df.columns if c not in key_cols]
+    aggs = [F.max_by(F.col(c), ordering).alias(c) for c in others]
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -129,3 +129,38 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.approx_quantiles_check(
         table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
     ).orderBy("l_returnflag")
+
+
+@register(
+    "sketch_bloom_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_custs
+    FROM orders o
+    JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    desc="Bloom-pre-filtered join == plain join (no false negatives): fact "
+    "rows are dropped before the join shuffle by a broadcast bit array",
+)
+def sketch_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bloom (4096 words) broadcasts; only candidate fact rows
+    reach the join. The oracle is the PLAIN join — correctness of the
+    reduction is exactly 'the filter changed nothing'."""
+    orders = table(spark, sf_dir, "orders")
+    dim = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = SK.bloom_filtered_join(orders, dim, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -422,3 +422,23 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@register(
+    "q_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    desc="log compaction / upsert view: latest event per user via max_by — "
+    "one partial-agg pass, no window sort",
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.temporal import latest_by_key
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    return latest_by_key(ev, ["user_id"], "ts", "event_id").orderBy("user_id")

@@ -427,3 +427,18 @@ def test_kmeans_matches_numpy_lloyd(spark):
     exp = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
     assert [got[i] for i in range(30)] == list(exp)
     assert iters <= 10
+
+
+def test_bloom_filtered_join_matches_plain_join(spark):
+    from gearpump_spark.operators import sketches as SK
+
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 400).alias("fk"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(0, 40)], "dk bigint, name string")
+    plain = {(r.fk, r.payload, r.name) for r in
+             fact.join(dim, fact.fk == dim.dk).select("fk", "payload", "name").collect()}
+    bloomed = {(r.fk, r.payload, r.name) for r in
+               SK.bloom_filtered_join(fact, dim, "fk", "dk")
+               .select("fk", "payload", "name").collect()}
+    assert bloomed == plain

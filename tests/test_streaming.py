@@ -372,3 +372,38 @@ def test_transform_with_state_gate():
     else:
         with pytest.raises(NotImplementedError, match="protobuf"):
             require_transform_with_state()
+
+
+# Property test (SURVEY §5: the reference property-tests its Window math,
+# streaming/.../state/impl/WindowSpec.scala) — assign_windows must agree
+# with the definitional set {s : s ≡ 0 (mod step), s ≤ t < s+size} for
+# arbitrary timestamps and window geometries.
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    secs=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    size_s=st.integers(min_value=1, max_value=120),
+    step_frac=st.integers(min_value=1, max_value=4),
+)
+def test_assign_windows_property(spark, secs, size_s, step_frac):
+    step_s = max(1, size_s // step_frac)
+    df = spark.createDataFrame([(s,) for s in secs], "sec long").select(
+        F.timestamp_seconds("sec").alias(TS), "sec"
+    )
+    got = {
+        (r.sec, tuple(sorted((w.start.timestamp(), w.end.timestamp()) for w in r.windows)))
+        for r in assign_windows(df, TS, f"{size_s} seconds", f"{step_s} seconds").collect()
+    }
+    expect = set()
+    for t in secs:
+        wins = []
+        s = t - (t % step_s)
+        while s + size_s > t:
+            wins.append((float(s), float(s + size_s)))
+            s -= step_s
+            if s < t - size_s:
+                break
+        expect.add((t, tuple(sorted(wins))))
+    assert got == expect
