@@ -106,3 +106,41 @@ def k_per_group_sample(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def epochs_sample(df: DataFrame, key_col: str, epochs_bp: int, seed: int = 0) -> DataFrame:
+    """Oversample at a fractional epoch rate (mixing weights > 1): e.g.
+    epochs_bp=25000 = 2.5 epochs → every row duplicated twice (copy 0,1)
+    plus a deterministic 50% hash-sample third copy.
+
+    Adds a `copy` column (0-based repeat index) so downstream shuffles
+    spread duplicates. Scan-local: explode(sequence) + one hash predicate,
+    no shuffle, exact membership both engines.
+    """
+    whole = epochs_bp // BASIS
+    frac = epochs_bp % BASIS
+    n_copies = F.when(
+        hash_bucket(F.col(key_col), seed) < frac, whole + 1
+    ).otherwise(whole)
+    return df.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), n_copies - 1))
+    ).where(F.col("copy") >= 0)
+
+
+def pack_sequences(
+    df: DataFrame, key_col: str, size_col: str, budget: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: order docs by key hash,
+    then assign bin = floor(running_size_before_doc / budget).
+
+    The streaming-fill analog of first-fit packing (each bin holds ~budget
+    tokens; a doc may straddle a boundary — at train time that's where the
+    sequence is cut). One global-ordered window pass; at 100 TB partition
+    the pack by a shard column first so each shard packs independently.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
+    w = W.orderBy(h, F.col(key_col)).rowsBetween(W.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("bin_id", F.floor(before / budget).cast("long"))

@@ -615,3 +615,39 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("cid")
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(DISTINCT shingle) AS n_distinct,
+           CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS distinct_ratio,
+           CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) < 0.6 AS repetitive
+    FROM shingled GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="Gopher-style repetition filter: distinct/total 3-gram shingle ratio "
+    "per document; low ratio flags boilerplate/spam",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher 'repeated n-gram'
+    quality rule). Scale: one shuffle on (doc_id) of shingle rows whose
+    count is linear in corpus tokens; the ratio is an exact integer
+    division surfaced as double."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle"))
+    ratio = (F.count_distinct("shingle").cast("double") / F.count("*")).alias("distinct_ratio")
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_distinct("shingle").alias("n_distinct"),
+            ratio,
+            (F.count_distinct("shingle").cast("double") / F.count("*") < 0.6).alias(
+                "repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )

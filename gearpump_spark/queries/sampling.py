@@ -159,3 +159,47 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_epochs_mix",
+    oracle=f"""
+    SELECT doc_id, lang, UNNEST(RANGE(0,
+           CASE WHEN {_SQL_BUCKET.format(seed="'0'", key="doc_id")} < 5000
+                THEN 3 ELSE 2 END)) AS copy
+    FROM documents
+    ORDER BY doc_id, copy
+    """,
+    desc="fractional-epoch oversampling (2.5 epochs): whole copies + a "
+    "deterministic hash-sampled extra copy, scan-local",
+)
+def sample_epochs_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        SP.epochs_sample(docs, "doc_id", epochs_bp=25000)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+@register(
+    "sample_pack_sequences",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (ORDER BY MD5('0|' || doc_id), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM documents)
+    SELECT doc_id, n_chars, CAST(FLOOR(before / 4096) AS BIGINT) AS bin_id
+    FROM ordered ORDER BY doc_id
+    """,
+    desc="deterministic sequence packing: hash-shuffled contiguous fill into "
+    "4096-char bins via one running-sum window pass",
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        SP.pack_sequences(docs, "doc_id", "n_chars", budget=4096)
+        .select("doc_id", "n_chars", "bin_id")
+        .orderBy("doc_id")
+    )

@@ -442,3 +442,32 @@ def test_bloom_filtered_join_matches_plain_join(spark):
                SK.bloom_filtered_join(fact, dim, "fk", "dk")
                .select("fk", "payload", "name").collect()}
     assert bloomed == plain
+
+
+def test_epochs_sample_copy_counts(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = SP.epochs_sample(df, "k", epochs_bp=25000).groupBy("k").count().collect()
+    counts = {r.k: r["count"] for r in out}
+    assert set(counts.values()) <= {2, 3}, "2.5 epochs -> every key 2 or 3 copies"
+    total = sum(counts.values())
+    assert 2300 <= total <= 2700, f"expected ~2500 rows, got {total}"
+    # determinism: the 3-copy set is exactly the 50% hash sample
+    three = {k for k, c in counts.items() if c == 3}
+    sampled = {r.k for r in SP.hash_sample(df, "k", 5000).collect()}
+    assert three == sampled
+
+
+def test_pack_sequences_respects_budget(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"), F.lit(100).alias("sz"))
+    out = SP.pack_sequences(df, "k", "sz", budget=1000).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin_id, 0)
+        bins[r.bin_id] += 100
+    # contiguous fill of equal sizes: every bin holds exactly budget tokens
+    assert all(v == 1000 for v in bins.values())
+    assert sorted(bins) == list(range(20))
