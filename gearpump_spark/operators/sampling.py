@@ -128,19 +128,40 @@ def epochs_sample(df: DataFrame, key_col: str, epochs_bp: int, seed: int = 0) ->
 
 
 def pack_sequences(
-    df: DataFrame, key_col: str, size_col: str, budget: int, seed: int = 0
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    seed: int = 0,
+    shards: int | None = None,
 ) -> DataFrame:
     """Deterministic contiguous sequence packing: order docs by key hash,
     then assign bin = floor(running_size_before_doc / budget).
 
     The streaming-fill analog of first-fit packing (each bin holds ~budget
     tokens; a doc may straddle a boundary — at train time that's where the
-    sequence is cut). One global-ordered window pass; at 100 TB partition
-    the pack by a shard column first so each shard packs independently.
+    sequence is cut).
+
+    shards=None runs ONE global-ordered window — fine up to millions of
+    rows, a bottleneck at 100 TB. With shards=N, each doc is hash-assigned
+    to a shard and every shard packs independently in parallel (bin_id =
+    shard * 2^40 + local_bin; disjoint, deterministic). Cross-shard bins
+    never mix, so N only changes grouping, not correctness.
     """
     from pyspark.sql import Window as W
 
     h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
-    w = W.orderBy(h, F.col(key_col)).rowsBetween(W.unboundedPreceding, -1)
+    if shards is None:
+        w = W.orderBy(h, F.col(key_col)).rowsBetween(W.unboundedPreceding, -1)
+        before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+        return df.withColumn("bin_id", F.floor(before / budget).cast("long"))
+    shard = hash_bucket(F.col(key_col), seed + 1) % shards
+    out = df.withColumn("_shard", shard)
+    w = W.partitionBy("_shard").orderBy(h, F.col(key_col)).rowsBetween(
+        W.unboundedPreceding, -1
+    )
     before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn("bin_id", F.floor(before / budget).cast("long"))
+    local_bin = F.floor(before / budget).cast("long")
+    return out.withColumn(
+        "bin_id", (F.col("_shard").cast("long") * F.lit(1 << 40) + local_bin)
+    ).drop("_shard")

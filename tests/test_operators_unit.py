@@ -471,3 +471,21 @@ def test_pack_sequences_respects_budget(spark):
     # contiguous fill of equal sizes: every bin holds exactly budget tokens
     assert all(v == 1000 for v in bins.values())
     assert sorted(bins) == list(range(20))
+
+
+def test_pack_sequences_sharded_disjoint_and_parallel(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.range(0, 300).select(F.col("id").alias("k"), F.lit(50).alias("sz"))
+    out = SP.pack_sequences(df, "k", "sz", budget=500, shards=4).collect()
+    assert len(out) == 300
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, 0)
+        by_bin[r.bin_id] += 50
+    # every non-terminal bin within a shard fills to the budget
+    shards = {b >> 40 for b in by_bin}
+    assert shards == {0, 1, 2, 3}
+    for s in shards:
+        bins = sorted(b for b in by_bin if b >> 40 == s)
+        assert all(by_bin[b] == 500 for b in bins[:-1]), "interior bins must be full"
