@@ -97,6 +97,33 @@ def main() -> None:
     busy_s = sum(p["durationMs"]["triggerExecution"] for p in done) / 1000.0
     sol_rows_per_sec = int(rows / busy_s) if busy_s > 0 else 0
 
+    # Stateful-streaming analog: the same source through a watermarked
+    # windowed aggregation (the reference's WindowState workload). Rows
+    # flow through EventTimeWatermark + stateful HashAggregate per batch.
+    from pyspark.sql import functions as F
+
+    win = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 20_000_000)
+        .option("numPartitions", CPUS)
+        .load()
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(F.window("timestamp", "10 seconds"), (F.col("value") % 64).alias("k"))
+        .count()
+    )
+    q = win.writeStream.format("noop").outputMode("update").start()
+    deadline = time.perf_counter() + 45
+    wdone: list = []
+    while time.perf_counter() < deadline:
+        time.sleep(1)
+        wdone = [p for p in q.recentProgress if p["batchId"] >= 3 and p["numInputRows"] > 0]
+        if len(wdone) >= 5:
+            break
+    q.stop()
+    wrows = sum(p["numInputRows"] for p in wdone)
+    wbusy = sum(p["durationMs"]["triggerExecution"] for p in wdone) / 1000.0
+    windowed_rows_per_sec = int(wrows / wbusy) if wbusy > 0 else 0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
@@ -105,6 +132,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "sol_passthrough_rows_per_sec": sol_rows_per_sec,
+        "windowed_agg_rows_per_sec": windowed_rows_per_sec,
         "cpus": CPUS,
     }
     print(json.dumps(out))

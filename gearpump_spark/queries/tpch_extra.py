@@ -668,3 +668,43 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    """,
+    desc="market-basket co-occurrence: part pairs ordered together ≥2 times "
+    "via dedup → keyed self-join → pair counts",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: dedup to (order, part) FIRST so the self-join input is
+    bounded by basket sizes; the join is keyed on l_orderkey (one shuffle)
+    and pair cardinality is sum(basket^2)/2, not corpus^2."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pairs.where(F.col("n_orders") >= 2).orderBy(
+        F.desc("n_orders"), "part_a", "part_b"
+    )
