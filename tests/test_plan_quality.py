@@ -228,3 +228,36 @@ def test_dynamic_partition_pruning_on_day_join(spark, sf_dir, tmp_path):
     p = plan(joined)
     assert "dynamicpruning" in p.lower(), "expected a DPP subquery on the day key"
     assert joined.count() == ev.where(F.col("day") == days[0]).count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot key must not serialize the join: with AQE skew handling on,
+    the executed plan splits the oversized partition (skew=true markers).
+    This plus salted_join covers both skew strategies at 100 TB."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 600_000).select(
+            F.when(F.col("id") < 500_000, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        assert j.collect()[0].s == 179_999_700_000  # correctness under the split
+        p = plan(j)  # same DataFrame -> finalized adaptive plan
+        assert "isFinalPlan=true" in p
+        assert p.count("skew=true") >= 1, "AQE must mark/split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
