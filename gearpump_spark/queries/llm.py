@@ -651,3 +651,84 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_lang_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_FILTER(lt, w -> w IN ('the','a','of','and','to','in','is'))) AS s_en,
+               LEN(LIST_FILTER(lt, w -> w IN ('el','la','de','y','que','los'))) AS s_es,
+               LEN(LIST_FILTER(lt, w -> w IN ('le','la','de','et','les','des'))) AS s_fr,
+               LEN(LIST_FILTER(lt, w -> w IN ('der','die','das','und','ist','ein'))) AS s_de
+        FROM (SELECT doc_id, lang,
+                     LIST_TRANSFORM(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                                w -> w <> ''), w -> LOWER(w)) AS lt
+              FROM documents)),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= 1 THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= 1 THEN 'es'
+                    WHEN s_fr >= s_de AND s_fr >= 1 THEN 'fr'
+                    WHEN s_de >= 1 THEN 'de'
+                    ELSE 'und' END AS pred_lang
+        FROM scored)
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    desc="language-ID confusion matrix: tagged vs predicted language counts",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a one-shuffle aggregation (the eval step a
+    curation pipeline runs after any heuristic labeler)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH words AS (
+        SELECT LOWER(w) AS word FROM (
+            SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                      w -> w <> '')) AS w
+            FROM documents)),
+    freq AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    ranked AS (
+        SELECT word, n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rk FROM freq),
+    tot AS (SELECT SUM(n) AS total FROM freq)
+    SELECT CAST(64 AS BIGINT) AS vocab_size,
+           CAST(SUM(n) AS BIGINT) AS covered_tokens,
+           CAST((SELECT total FROM tot) AS BIGINT) AS total_tokens,
+           CAST(SUM(n) AS DOUBLE) / (SELECT total FROM tot) AS coverage
+    FROM ranked WHERE rk <= 64
+    """,
+    desc="vocabulary coverage: share of corpus tokens covered by the "
+    "top-64-word vocabulary (tokenizer sizing signal)",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: word frequency is one partial-agg shuffle; the top-V cut is a
+    TakeOrdered (never a global sort); the final scalar join broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("w")
+    ).select(F.lower("w").alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    top = freq.orderBy(F.desc("n"), "word").limit(64)
+    return (
+        top.agg(F.sum("n").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit(64).cast("bigint").alias("vocab_size"),
+            F.col("covered_tokens").cast("bigint"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+            (F.col("covered_tokens").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )
