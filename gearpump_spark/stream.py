@@ -99,6 +99,41 @@ class GearContext:
         df = self.spark.readStream.format("parquet").schema(schema).load(path)
         return Stream(df, ts_col)
 
+    def from_kafka(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        starting_offsets_by_timestamp: str | None = None,
+        **options: Any,
+    ) -> "Stream":
+        """Kafka source — the reference's KafkaSource replay-from-timestamp
+        design (offset↔timestamp mapping, docs/contents/internals/
+        gearpump-internals.md:214-227) is Spark's built-in
+        `startingOffsetsByTimestamp`. Requires the spark-sql-kafka connector
+        on the classpath (absent in this test rig — raises with guidance).
+        """
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+        )
+        if starting_offsets_by_timestamp is not None:
+            reader = reader.option(
+                "startingOffsetsByTimestamp", starting_offsets_by_timestamp
+            )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        try:
+            return Stream(reader.load(), "timestamp")
+        except Exception as e:
+            if "Failed to find data source: kafka" in str(e):
+                raise NotImplementedError(
+                    "Kafka source needs the spark-sql-kafka connector jar "
+                    "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13); "
+                    "not present in this environment"
+                ) from e
+            raise
+
 
 class Stream:
     """A node in the operator DAG. Transformations return new Streams;
@@ -271,3 +306,26 @@ class KeyedStream:
         runtime/BeamGroupByKeyTask.java:51-120)."""
         windowed = self.stream.window(size, step)
         return KeyedStream(windowed, [F.col("window"), *self.keys])
+
+
+def progress_summary(query) -> dict:
+    """Condensed health view of a StreamingQuery — the analog of the
+    reference's per-app REST metrics + clock endpoint (services/.../
+    AppMasterService.scala:50-160 exposes DAG clocks/metrics; Spark exposes
+    the same via query.lastProgress).
+
+    Returns {} before the first progress event.
+    """
+    p = query.lastProgress
+    if not p:
+        return {}
+    return {
+        "batch_id": p.get("batchId"),
+        "input_rows": p.get("numInputRows"),
+        "rows_per_sec": p.get("processedRowsPerSecond"),
+        "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+        "watermark": (p.get("eventTime") or {}).get("watermark"),
+        "state_rows": sum(
+            (op.get("numRowsTotal") or 0) for op in (p.get("stateOperators") or [])
+        ),
+    }

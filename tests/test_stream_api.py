@@ -141,3 +141,36 @@ def test_from_csv_and_json_sources(spark, tmp_path):
         str(bad), "k string, v bigint, _corrupt_record string"
     ).collect()
     assert len(rows) == 2 and sum(r._corrupt_record is not None for r in rows) == 1
+
+
+def test_from_kafka_gated_without_connector(spark):
+    from gearpump_spark.stream import GearContext
+
+    ctx = GearContext(spark)
+    try:
+        s = ctx.from_kafka("broker:9092", "topic")
+        assert "value" in s.df.columns  # connector present: reader constructed
+    except NotImplementedError as e:
+        assert "spark-sql-kafka" in str(e)
+
+
+def test_progress_summary_reports_watermark_and_rows(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from gearpump_spark.stream import progress_summary
+
+    path = str(tmp_path / "prog_src")
+    df = spark.createDataFrame([("a", 1)], "k string, v long").select(
+        "k", "v", F.timestamp_seconds(F.lit(100)).alias("ts")
+    )
+    df.write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema).parquet(path)
+        .withWatermark("ts", "0 seconds")
+        .groupBy("k").count()
+    )
+    q = (stream.writeStream.format("memory").queryName("prog_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    s = progress_summary(q)
+    assert s["batch_id"] is not None and s["input_rows"] >= 0
+    assert "watermark" in s and s["state_rows"] >= 1
