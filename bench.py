@@ -70,59 +70,60 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # SOL analog: rate-micro-batch source -> identity projection -> noop
-    # sink. Unlike `rate` (which couples batch size to wall-clock and lets
-    # the backlog explode when oversubscribed), rate-micro-batch delivers a
-    # fixed 50M rows per trigger immediately — each batch is a pure
+    # Streaming throughput = rows / trigger busy-time over steady-state
+    # batches. rate-micro-batch (unlike `rate`, which couples batch size to
+    # wall-clock and lets the backlog explode when oversubscribed) delivers
+    # a fixed row count per trigger immediately — each batch is a pure
     # engine-throughput sample. Batches 0-2 pay JIT/codegen warmup
-    # (measured: 13.7s -> 4.0s -> 1.5s for the same 50M rows), so the
-    # steady-state number uses batchId >= 3.
-    rate = (
-        spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", 50_000_000)
-        .option("numPartitions", CPUS)
-        .load()
-        .selectExpr("value", "timestamp")
-    )
-    q = rate.writeStream.format("noop").start()
-    deadline = time.perf_counter() + 45
-    done: list = []
-    while time.perf_counter() < deadline:
-        time.sleep(1)
-        done = [p for p in q.recentProgress if p["batchId"] >= 3 and p["numInputRows"] > 0]
-        if len(done) >= 5:
-            break
-    q.stop()
-    rows = sum(p["numInputRows"] for p in done)
-    busy_s = sum(p["durationMs"]["triggerExecution"] for p in done) / 1000.0
-    sol_rows_per_sec = int(rows / busy_s) if busy_s > 0 else 0
+    # (measured: 13.7s -> 4.0s -> 1.5s for the same 50M rows), so only
+    # batchId >= 3 counts.
+    def measure_stream(transform, rows_per_batch: int, output_mode: str = "append") -> int:
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("numPartitions", CPUS)
+            .load()
+        )
+        q = transform(src).writeStream.format("noop").outputMode(output_mode).start()
+        deadline = time.perf_counter() + 75
+        done: list = []
+        while time.perf_counter() < deadline:
+            time.sleep(1)
+            done = [
+                p for p in q.recentProgress if p["batchId"] >= 3 and p["numInputRows"] > 0
+            ]
+            if len(done) >= 5:
+                break
+        if not done:
+            # Slow machine: warmup ate the window. Fall back to the best
+            # completed batch after batch 0 — an underestimate (still paying
+            # JIT), never a zero.
+            done = sorted(
+                (p for p in q.recentProgress if p["batchId"] >= 1 and p["numInputRows"] > 0),
+                key=lambda p: p["durationMs"]["triggerExecution"],
+            )[:1]
+        q.stop()
+        rows = sum(p["numInputRows"] for p in done)
+        busy_s = sum(p["durationMs"]["triggerExecution"] for p in done) / 1000.0
+        return int(rows / busy_s) if busy_s > 0 else 0
 
-    # Stateful-streaming analog: the same source through a watermarked
-    # windowed aggregation (the reference's WindowState workload). Rows
-    # flow through EventTimeWatermark + stateful HashAggregate per batch.
     from pyspark.sql import functions as F
 
-    win = (
-        spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", 20_000_000)
-        .option("numPartitions", CPUS)
-        .load()
-        .withWatermark("timestamp", "0 seconds")
-        .groupBy(F.window("timestamp", "10 seconds"), (F.col("value") % 64).alias("k"))
-        .count()
+    # SOL analog: identity projection (the reference's pass-through bench).
+    sol_rows_per_sec = measure_stream(
+        lambda s: s.selectExpr("value", "timestamp"), 50_000_000
     )
-    q = win.writeStream.format("noop").outputMode("update").start()
-    deadline = time.perf_counter() + 45
-    wdone: list = []
-    while time.perf_counter() < deadline:
-        time.sleep(1)
-        wdone = [p for p in q.recentProgress if p["batchId"] >= 3 and p["numInputRows"] > 0]
-        if len(wdone) >= 5:
-            break
-    q.stop()
-    wrows = sum(p["numInputRows"] for p in wdone)
-    wbusy = sum(p["durationMs"]["triggerExecution"] for p in wdone) / 1000.0
-    windowed_rows_per_sec = int(wrows / wbusy) if wbusy > 0 else 0
+    # Stateful analog: watermarked windowed aggregation (WindowState workload)
+    # — rows flow through EventTimeWatermark + stateful HashAggregate.
+    windowed_rows_per_sec = measure_stream(
+        lambda s: (
+            s.withWatermark("timestamp", "0 seconds")
+            .groupBy(F.window("timestamp", "10 seconds"), (F.col("value") % 64).alias("k"))
+            .count()
+        ),
+        20_000_000,
+        output_mode="update",
+    )
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -7,8 +7,8 @@ splits, per-source mixing rates, and down-sampling all have to be
 running it on a different engine, must keep every document on the same side
 of every split. Random() can't do that; a content-keyed hash can.
 
-All operators hash with the seeded-md5 family (operators/dedup.py /
-sketches.py): bucket = hex15(md5(seed|key)) % 10000 basis points. This is:
+All operators hash with the seeded-md5 family (operators/hashing.py):
+bucket = hex15(md5(seed|key)) % 10000 basis points. This is:
 
 - **shuffle-free**: a scan-local filter — Catalyst pushes it into the scan
   stage; sampling 1% of 100 TB reads the column but moves nothing.
@@ -19,6 +19,12 @@ sketches.py): bucket = hex15(md5(seed|key)) % 10000 basis points. This is:
 `bottom_k_sample` is the distributed fixed-size uniform sample: global
 top-k by hash order, which Spark executes as per-partition TakeOrdered +
 driver merge of k — never a global sort.
+
+Determinism caveat: ordering-based samplers (`bottom_k_sample`,
+`k_per_group_sample`, `pack_sequences`) tie-break the hash with key_col,
+so they are fully deterministic only when key_col is unique per row —
+duplicate keys carry identical hashes AND identical tiebreaks, leaving
+which physical duplicate wins partition-order-dependent. Use a unique id.
 """
 
 from __future__ import annotations
@@ -26,18 +32,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gearpump_spark.operators.hashing import seeded_hash15, seeded_md5
+
 BASIS = 10_000  # rates are expressed in basis points (1 bp = 0.01%)
 
 
 def hash_bucket(key: Column, seed: int = 0) -> Column:
     """Deterministic bucket in [0, 10000): hex15(md5(seed|key)) % 10000.
 
-    DuckDB mirror:
-    CAST(CONCAT('0x', SUBSTR(MD5(seed || '|' || key), 1, 15)) AS BIGINT) % 10000
+    DuckDB mirror: hashing.SQL_H15 % 10000.
     """
-    s = F.concat(F.lit(f"{seed}|"), key.cast("string"))
-    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
-    return (h % BASIS).alias("bucket")
+    return (seeded_hash15(key, seed) % BASIS).alias("bucket")
 
 
 def hash_sample(df: DataFrame, key_col: str, rate_bp: int, seed: int = 0) -> DataFrame:
@@ -63,11 +68,15 @@ def stratified_hash_sample(
     df: DataFrame, strata_col: str, key_col: str, rates_bp: dict[str, int], seed: int = 0
 ) -> DataFrame:
     """Per-stratum sampling rates (data mixing): keep a row iff its key
-    bucket < the rate for its stratum. Unlisted strata are dropped.
+    bucket < the rate for its stratum. Unlisted strata are dropped — so an
+    empty rates dict selects nothing (not an error: a computed mixing
+    config may legitimately be empty).
 
     This is the "mix sources at fixed proportions" primitive: one scan, one
     scan-local predicate, no shuffle, deterministic membership.
     """
+    if not rates_bp:
+        return df.where(F.lit(False))
     rate = None
     for stratum, bp in rates_bp.items():
         cond = F.col(strata_col) == stratum
@@ -77,30 +86,31 @@ def stratified_hash_sample(
 
 
 def bottom_k_sample(df: DataFrame, key_col: str, k: int, seed: int = 0) -> DataFrame:
-    """Fixed-size uniform sample: the k smallest md5(seed|key) values.
+    """Fixed-size uniform sample: the k smallest md5(seed|key) values
+    (key_col as tiebreak — see the module caveat on duplicate keys).
 
     Equivalent to a reservoir sample but deterministic and mergeable:
     bottom-k by hash is a coordinated sample — the sample of a union is
     computable from per-part bottom-k's, and Spark plans the limit as
     TakeOrderedAndProject (per-partition top-k, no global sort).
     """
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
-    return df.withColumn("_h", h).orderBy("_h").limit(k).drop("_h")
+    h = seeded_md5(F.col(key_col), seed)
+    return df.withColumn("_h", h).orderBy("_h", key_col).limit(k).drop("_h")
 
 
 def k_per_group_sample(
     df: DataFrame, group_col: str, key_col: str, k: int, seed: int = 0
 ) -> DataFrame:
     """Fixed-size deterministic sample per group: the k smallest
-    md5(seed|key) within each group (per-class balanced subsets).
+    md5(seed|key) within each group (per-class balanced subsets; key_col
+    tiebreak — see the module caveat on duplicate keys).
 
     One shuffle on group_col; rank runs inside each partition. At scale
     prefer this over per-group LIMIT loops — it's a single window pass.
     """
     from pyspark.sql import Window as W
 
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
-    w = W.partitionBy(group_col).orderBy(h)
+    w = W.partitionBy(group_col).orderBy(seeded_md5(F.col(key_col), seed), key_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
@@ -109,9 +119,10 @@ def k_per_group_sample(
 
 
 def epochs_sample(df: DataFrame, key_col: str, epochs_bp: int, seed: int = 0) -> DataFrame:
-    """Oversample at a fractional epoch rate (mixing weights > 1): e.g.
-    epochs_bp=25000 = 2.5 epochs → every row duplicated twice (copy 0,1)
-    plus a deterministic 50% hash-sample third copy.
+    """Sample at a fractional epoch rate: epochs_bp=25000 = 2.5 epochs →
+    every row appears twice (copy 0,1) plus a deterministic 50%
+    hash-sample third copy. Rates below 1.0 epoch work too: 5000 = plain
+    50% sample (rows keep copy 0 or vanish).
 
     Adds a `copy` column (0-based repeat index) so downstream shuffles
     spread duplicates. Scan-local: explode(sequence) + one hash predicate,
@@ -122,9 +133,13 @@ def epochs_sample(df: DataFrame, key_col: str, epochs_bp: int, seed: int = 0) ->
     n_copies = F.when(
         hash_bucket(F.col(key_col), seed) < frac, whole + 1
     ).otherwise(whole)
-    return df.withColumn(
-        "copy", F.explode(F.sequence(F.lit(0), n_copies - 1))
-    ).where(F.col("copy") >= 0)
+    # explode() drops rows whose array is empty, which is exactly the
+    # n_copies=0 case; sequence(0, -1) would instead yield a DESCENDING
+    # [0, -1] and wrongly keep a copy.
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy", F.explode(copies))
 
 
 def pack_sequences(
@@ -150,7 +165,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window as W
 
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")).cast("binary"))
+    h = seeded_md5(F.col(key_col), seed)
     if shards is None:
         w = W.orderBy(h, F.col(key_col)).rowsBetween(W.unboundedPreceding, -1)
         before = F.coalesce(F.sum(size_col).over(w), F.lit(0))

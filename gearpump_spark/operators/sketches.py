@@ -28,22 +28,15 @@ same bound; both sides must print `true` plus exact anchor columns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The shared cross-engine hash family; DuckDB mirror is hashing.SQL_H15.
+from gearpump_spark.operators.hashing import seeded_hash15 as _h15
 
 # 32-bit words stored in BIGINT: DuckDB's BIGINT << overflows at bit 63,
 # and 32-bit masks keep every intermediate positive on both engines.
 WORD_BITS = 32
-
-
-def _h15(col: Column, seed: int) -> Column:
-    """Seeded md5 → first 15 hex chars → non-negative bigint in [0, 2^60).
-
-    Same hash family as operators/dedup.py token hashing; DuckDB mirror is
-    CAST(CONCAT('0x', SUBSTR(MD5(seed || '|' || v), 1, 15)) AS BIGINT).
-    """
-    s = F.concat(F.lit(f"{seed}|"), col.cast("string"))
-    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
 def bloom_build(df: DataFrame, col: str, num_words: int = 64, num_hashes: int = 3) -> DataFrame:
@@ -172,7 +165,17 @@ def bloom_filtered_join(
     only rows that can match. No false negatives, so the join result is
     exactly the plain join's; false positives merely ride along to the
     join and drop there.
+
+    Only join types that ignore unmatched FACT rows are valid: the
+    pre-filter removes them, so left/full outer or anti joins (whose
+    results are built from exactly those rows) would be silently wrong.
     """
+    if how not in ("inner", "left_semi", "semi", "cross"):
+        raise ValueError(
+            f"bloom_filtered_join supports inner/semi joins, not {how!r}: "
+            "the pre-filter drops unmatched fact rows, which outer/anti "
+            "semantics depend on"
+        )
     bloom = bloom_build(dim, dim_key, num_words, num_hashes)
     probed = bloom_probe(bloom, fact.select(fact_key), fact_key, num_words, num_hashes)
     candidates = probed.where(F.col("bloom_maybe")).select(F.col("key").alias(fact_key))

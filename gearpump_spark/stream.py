@@ -129,8 +129,8 @@ class GearContext:
             if "Failed to find data source: kafka" in str(e):
                 raise NotImplementedError(
                     "Kafka source needs the spark-sql-kafka connector jar "
-                    "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13); "
-                    "not present in this environment"
+                    "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>, "
+                    "e.g. :4.1.2 to match this Spark); not present in this environment"
                 ) from e
             raise
 

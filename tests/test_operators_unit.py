@@ -489,3 +489,31 @@ def test_pack_sequences_sharded_disjoint_and_parallel(spark):
     for s in shards:
         bins = sorted(b for b in by_bin if b >> 40 == s)
         assert all(by_bin[b] == 500 for b in bins[:-1]), "interior bins must be full"
+
+
+def test_epochs_sample_fractional_below_one(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = SP.epochs_sample(df, "k", epochs_bp=5000).collect()
+    # 0.5 epochs == a plain 50% sample, every kept row exactly once
+    assert all(r.copy == 0 for r in out)
+    kept = {r.k for r in out}
+    assert kept == {r.k for r in SP.hash_sample(df, "k", 5000).collect()}
+    assert 350 <= len(kept) <= 650
+
+
+def test_stratified_empty_rates_selects_nothing(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    df = spark.createDataFrame([(1, "en")], "k bigint, lang string")
+    assert SP.stratified_hash_sample(df, "lang", "k", {}).count() == 0
+
+
+def test_bloom_filtered_join_rejects_outer(spark):
+    from gearpump_spark.operators import sketches as SK
+
+    fact = spark.range(3).select(F.col("id").alias("fk"))
+    dim = spark.range(2).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="outer/anti"):
+        SK.bloom_filtered_join(fact, dim, "fk", "dk", how="left")
