@@ -3,10 +3,11 @@ session config), import __spark_entry__, smoke entry(), then run every
 queries() entry against its oracle_sql() on DuckDB at sf0.01 with an
 order-insensitive value-hash compare (columns sorted by name)."""
 import hashlib
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
