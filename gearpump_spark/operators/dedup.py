@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gearpump_spark.operators.hashing import seeded_md5
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
@@ -57,12 +59,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     regex split per element — quadratic per row), whereas the zip_with
     formulation evaluates the tokenizer a constant number of times per row.
     """
-    ws = F.split(normalize_text(text), " ")
+    norm = normalize_text(text)
+    ws = F.split(norm, " ")
     m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     sh = F.slice(ws, 1, m)
     for j in range(1, n):
         sh = F.zip_with(sh, F.slice(ws, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
-    return sh
+    # Short docs (< n words) have no n-grams; emit the whole normalized
+    # text as their single shingle so they still participate in MinHash/
+    # Jaccard — short near-identical docs are the most duplicate-prone
+    # class, and silently dropping them breaks recall. DuckDB mirror:
+    # CASE WHEN LEN(ws) < n THEN [ARRAY_TO_STRING(ws, ' ')] ELSE ... END.
+    return F.when(F.size(ws) < n, F.array(norm)).otherwise(sh)
 
 
 def _minhash_cols(k: int) -> list[Column]:
@@ -71,10 +79,7 @@ def _minhash_cols(k: int) -> list[Column]:
     md5 with a seed prefix is a cheap universal-ish hash family that both
     Spark and DuckDB compute identically (lexicographic MIN over hex).
     """
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
-        for i in range(k)
-    ]
+    return [F.min(seeded_md5(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
 
 
 def minhash_signatures(
@@ -102,6 +107,11 @@ def lsh_candidate_pairs(
     (boilerplate docs) are the classic skew case → AQE skew-join splits
     them.
     """
+    if rows_per_band < 1 or k % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide k={k}: a remainder "
+            "would silently waste hash columns (or band nothing at all)"
+        )
     n_bands = k // rows_per_band
     bands = F.array(
         *[
@@ -160,9 +170,13 @@ def ngram_jaccard_pairs(
     c = shingle_set(corpus, "c_id")
     q_size = q.groupBy("q_id").agg(F.count("*").alias("q_n"))
     c_size = c.groupBy("c_id").agg(F.count("*").alias("c_n"))
+    # Exclude only the self-pair: query and corpus ids are independent
+    # namespaces (the "dedup new batch against corpus" shape), so an
+    # ordering filter like q_id < c_id would silently drop every match
+    # whose query id exceeds the corpus id.
     inter = (
         q.join(c, "shingle")
-        .filter(F.col("q_id") < F.col("c_id"))
+        .filter(F.col("q_id") != F.col("c_id"))
         .groupBy("q_id", "c_id")
         .agg(F.count("*").alias("inter"))
     )
@@ -206,4 +220,11 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     for b in range(32):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    hashed = votes.select(F.col(id_col), fp.alias("simhash"))
+    # Token-less (empty/whitespace) docs vanish in the explode; re-attach
+    # them with the all-zero-votes fingerprint (0) so every input doc has
+    # a defined output row.
+    ids = docs.select(F.col(id_col)).distinct()
+    return ids.join(hashed, id_col, "left").select(
+        id_col, F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
+    )

@@ -41,6 +41,10 @@ def asof_join(
 
     tolerance: optional max staleness (e.g. '3600 seconds'); matches older
     than left_ts - tolerance are nulled out.
+
+    Ties: multiple right rows sharing (key, right_ts) resolve to the one
+    with the greatest (right_ts, *right_cols) struct — deterministic under
+    any partitioning (requires orderable right_cols types; no maps).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     rstruct = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
@@ -64,9 +68,11 @@ def asof_join(
         ).alias("__l"),
         rstruct.alias("__r"),
     )
+    # __r as final sort key: equal-(ts, side) right rows otherwise sort in
+    # partition-dependent order and last() would pick an arbitrary one.
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
@@ -110,12 +116,20 @@ def range_join(
             right,
             (left[key] == right[key]) & (F.col(right_ts) >= lo) & (F.col(right_ts) < hi),
         )
+    from gearpump_spark.streaming.core import _duration_us
+
+    # Both sides must land on the SAME epoch-anchored grid of width
+    # `bucket`; date_trunc to a fixed unit would mis-align any bucket that
+    # is not exactly that unit and silently drop in-range matches.
+    bucket_us = _duration_us(bucket)
+
+    def grid(col):
+        us = F.unix_micros(col)
+        return F.timestamp_micros(us - F.pmod(us, F.lit(bucket_us)))
+
     step = F.expr(f"INTERVAL {bucket}")
-    l_b = left.withColumn(
-        "__bucket",
-        F.explode(F.sequence(F.date_trunc("hour", lo), F.date_trunc("hour", hi), step)),
-    )
-    r_b = right.withColumn("__bucket", F.date_trunc("hour", F.col(right_ts)))
+    l_b = left.withColumn("__bucket", F.explode(F.sequence(grid(lo), grid(hi), step)))
+    r_b = right.withColumn("__bucket", grid(F.col(right_ts)))
     cond = (
         (l_b[key] == r_b[key])
         & (l_b["__bucket"] == r_b["__bucket"])
@@ -161,9 +175,15 @@ def latest_by_key(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str
     users keep a HashMap per task, Sum.scala:26-60). `max_by` runs as a
     single partial-aggregating pass: one shuffle of one row per key, no
     window sort. Ties on ts are broken by the highest `tiebreak` value so
-    the result is deterministic under replay.
+    the result is deterministic under replay (requires tiebreak unique per
+    (key, ts) — e.g. an event id).
+
+    All non-key columns are selected through ONE max_by over a packed
+    struct, so the output row is always an actual input row — independent
+    per-column max_by calls could tear a row by resolving a full tie
+    differently during partial aggregation.
     """
     ordering = F.struct(F.col(ts_col), F.col(tiebreak))
     others = [c for c in df.columns if c not in key_cols]
-    aggs = [F.max_by(F.col(c), ordering).alias(c) for c in others]
-    return df.groupBy(*key_cols).agg(*aggs)
+    packed = F.max_by(F.struct(*[F.col(c) for c in others]), ordering).alias("_row")
+    return df.groupBy(*key_cols).agg(packed).select(*key_cols, "_row.*")

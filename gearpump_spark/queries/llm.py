@@ -24,8 +24,9 @@ from gearpump_spark.queries import register
 _SQL_SHINGLES = """
     shingled AS (
         SELECT doc_id,
-               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ws) - 1, 1)),
-                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+               UNNEST(CASE WHEN LEN(ws) < 3 THEN [ARRAY_TO_STRING(ws, ' ')]
+                      ELSE LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS shingle
         FROM (SELECT doc_id,
                      STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS ws
               FROM documents)
@@ -160,7 +161,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT q.doc_id AS q_id, c.doc_id AS c_id, COUNT(*) AS inter
-        FROM sh q JOIN sh c ON q.shingle = c.shingle AND q.doc_id < c.doc_id
+        FROM sh q JOIN sh c ON q.shingle = c.shingle AND q.doc_id <> c.doc_id
         WHERE q.doc_id < 10
         GROUP BY 1, 2)
     SELECT q_id, c_id,

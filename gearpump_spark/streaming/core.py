@@ -53,8 +53,11 @@ def replay_parquet_stream(
 # EventTimeWatermark operator — the watermark silently never advances.
 # Predicates on the watermark column itself are not pushed below the
 # watermark node, so `ts < FLUSH_TS` is safe.
-FLUSH_EPOCH_SEC = 7_000_000_000  # year ~2191 — beyond any fixture timestamp
-FLUSH_TS = "2180-01-01 00:00:00"
+FLUSH_EPOCH_SEC = 7_000_000_000  # 2191-10-27T12:26:40Z — beyond any real ts
+# The SAME instant as FLUSH_EPOCH_SEC: `ts < FLUSH_TS` keeps every
+# legitimate row and drops exactly the sentinel (the two constants MUST
+# name one boundary — a gap between them would silently discard real data).
+FLUSH_TS = "2191-10-27 12:26:40"
 
 
 def windowed_aggregate(
@@ -217,8 +220,15 @@ def stream_dedup(
     recur — the reference's replay story (TimeStampFilter,
     transaction/api/TimeStampFilter.scala:23-25) drops re-delivered records
     the same way: anything behind the recovered clock is a duplicate.
+    Identity semantics: with ts_col (and within_watermark=False) a
+    duplicate is a re-delivered record — same keys AND same event time —
+    matching the replay story above; state never expires, so only use it
+    on bounded runs. within_watermark=True dedups on the key columns alone
+    with state expiring at the watermark (requires ts_col).
     Scale: state is hash-partitioned by key in the state store; without a
     watermark the state grows forever — always bound it."""
+    if within_watermark and ts_col is None:
+        raise ValueError("within_watermark dedup needs ts_col (a watermark)")
     s = stream.withWatermark(ts_col, watermark_delay) if ts_col else stream
     cols = keys if ts_col is None else [*keys, ts_col]
     if within_watermark:
@@ -289,13 +299,21 @@ def monoid_windowed_state(
     from pyspark.sql.streaming.state import GroupState
 
     size_ms = _duration_us(window_size) // 1000
+    # applyInPandasWithState hands pandas tz-NAIVE timestamps rendered in
+    # the session timezone, but getCurrentWatermarkMs() is UTC epoch ms —
+    # capture the session tz so window math happens in true epoch space
+    # (and render outputs back to session-naive). The engine pins UTC
+    # (session.py), where this is an identity.
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def fold(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         partials: dict[int, Any] = dict(zip(*state.get)) if state.exists else {}
         if not state.hasTimedOut:
             for pdf in batches:
-                starts = (pdf[ts_col].astype("int64") // 1_000_000).astype("int64")
-                starts = (starts // size_ms) * size_ms
+                epoch_ms = (
+                    pdf[ts_col].dt.tz_localize(tz).astype("int64") // 1_000_000
+                ).astype("int64")
+                starts = (epoch_ms // size_ms) * size_ms
                 for w_start, group in pdf.groupby(starts):
                     partials[int(w_start)] = plus(
                         partials.get(int(w_start), zero), lift(group)
@@ -305,7 +323,11 @@ def monoid_windowed_state(
         out = pd.DataFrame(
             {
                 "key": [key[0]] * len(closed),
-                "window_start": pd.to_datetime([w * 1_000_000 for w in closed], unit="ns"),
+                "window_start": pd.to_datetime(
+                    [w * 1_000_000 for w in closed], unit="ns", utc=True
+                )
+                .tz_convert(tz)
+                .tz_localize(None),
                 "result": [float(partials.pop(w)) for w in closed],
             }
         )

@@ -517,3 +517,70 @@ def test_bloom_filtered_join_rejects_outer(spark):
     dim = spark.range(2).select(F.col("id").alias("dk"))
     with pytest.raises(ValueError, match="outer/anti"):
         SK.bloom_filtered_join(fact, dim, "fk", "dk", how="left")
+
+
+# --- Review-fix regressions ------------------------------------------------
+
+
+def test_ngram_jaccard_new_batch_higher_ids(spark):
+    """Query ids above every corpus id must still match (the advertised
+    'dedup new batch against corpus' shape)."""
+    t = "a b c d e f g h"
+    corpus = spark.createDataFrame([(3, t)], "doc_id bigint, text string")
+    batch = spark.createDataFrame([(100, t)], "doc_id bigint, text string")
+    out = D.ngram_jaccard_pairs(batch, corpus, threshold=0.5).collect()
+    assert len(out) == 1 and out[0].q_id == 100 and out[0].c_id == 3
+    assert out[0].jaccard == 1.0
+
+
+def test_short_docs_get_minhash_signatures(spark):
+    """Docs with fewer words than the shingle width must still sign (whole
+    normalized text as the single shingle) — identical short docs pair."""
+    df = spark.createDataFrame(
+        [(0, "hi there"), (1, "hi  THERE"), (2, "x")], "doc_id bigint, text string"
+    )
+    sig = D.minhash_signatures(df, k=6)
+    assert sig.count() == 3
+    pairs = {(r.a, r.b) for r in D.lsh_candidate_pairs(sig, k=6).collect()}
+    assert (0, 1) in pairs  # same normalized text -> identical signatures
+
+
+def test_simhash_emits_row_for_empty_doc(spark):
+    df = spark.createDataFrame([(0, "   "), (1, "hello")], "doc_id bigint, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash32(df).collect()}
+    assert set(got) == {0, 1} and got[0] == 0
+
+
+def test_lsh_rejects_non_dividing_band_width(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id bigint, text string")
+    sig = D.minhash_signatures(df, k=6)
+    with pytest.raises(ValueError, match="must divide"):
+        D.lsh_candidate_pairs(sig, k=6, rows_per_band=4)
+
+
+def test_range_join_bucket_wider_than_hour(spark):
+    """bucket='4 hours' must not drop in-range matches — the two sides
+    share one epoch-anchored grid (regression: hour-truncation mismatch)."""
+    from gearpump_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 5400)], "k bigint, sec long").select(
+        "k", F.timestamp_seconds("sec").alias("lts")
+    )  # 01:30
+    right = spark.createDataFrame([(1, 10800)], "k bigint, sec long").select(
+        "k", F.timestamp_seconds("sec").alias("rts")
+    )  # 03:00 — inside [01:30, 05:30)
+    plain = range_join(left, right, "k", "lts", "rts", "0 seconds", "4 hours").count()
+    bucketed = range_join(
+        left, right, "k", "lts", "rts", "0 seconds", "4 hours", bucket="4 hours"
+    ).count()
+    assert plain == 1 and bucketed == 1
+
+
+def test_latest_by_key_no_torn_rows_on_full_tie(spark):
+    from gearpump_spark.operators.temporal import latest_by_key
+
+    rows = [(1, 100, 7, "x", 10), (1, 100, 7, "y", 20)]  # full tie on (ts, tb)
+    df = spark.createDataFrame(rows, "k bigint, ts bigint, tb bigint, a string, b bigint")
+    out = latest_by_key(df, ["k"], "ts", "tb").collect()
+    assert len(out) == 1
+    assert (out[0].a, out[0].b) in {("x", 10), ("y", 20)}, "must be an actual input row"

@@ -407,3 +407,20 @@ def test_assign_windows_property(spark, secs, size_s, step_frac):
                 break
         expect.add((t, tuple(sorted(wins))))
     assert got == expect
+
+
+def test_stream_dedup_requires_ts_for_within_watermark(spark):
+    from gearpump_spark.streaming.core import stream_dedup
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="needs ts_col"):
+        stream_dedup(df, ["value"], ts_col=None, within_watermark=True)
+
+
+def test_flush_constants_name_one_instant():
+    from datetime import datetime, timezone
+
+    from gearpump_spark.streaming.core import FLUSH_EPOCH_SEC, FLUSH_TS
+
+    instant = datetime.fromtimestamp(FLUSH_EPOCH_SEC, tz=timezone.utc)
+    assert instant.strftime("%Y-%m-%d %H:%M:%S") == FLUSH_TS
