@@ -73,12 +73,24 @@ def table(
 def _few_splits(path: str, target: int) -> bool:
     """True when a LOCAL parquet path cannot yield ~target scan splits
     (fixture files are one row group — unsplittable). Non-local paths
-    return False: a real warehouse has enough files/row groups."""
+    (any scheme://) return False: a real warehouse has enough files/row
+    groups, and forcing a repartition there would shuffle the whole table."""
+    if "://" in path:
+        return False
     try:
         if os.path.isdir(path):
-            n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-        else:
+            # count recursively: hive-partitioned layouts keep their
+            # parquet files in subdirectories, not at the top level
+            n_files = sum(
+                1
+                for _root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        elif os.path.exists(path):
             n_files = 1
+        else:
+            return False  # unreadable/unknown: trust the source's splits
         return n_files < max(2, target // 4)
     except OSError:
         return False

@@ -41,6 +41,8 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph: empty result
     out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
 
     out_deg = out_deg.persist()

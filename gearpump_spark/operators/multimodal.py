@@ -35,7 +35,7 @@ RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int, byte_len 
 FEATURE_SCHEMA = "doc_id bigint, features array<float>"
 
 
-def attach_fake_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> Column:
+def attach_fake_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
     """Deterministic stand-in binary payload (UTF-8 bytes of the text);
     real pipelines read bytes from parquet/object storage directly."""
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
@@ -79,23 +79,31 @@ class FakeDecoder:
         }
 
     def sample_frames(self, payload: bytes, n: int):
-        return [hashlib.md5(payload + bytes([i])).hexdigest() for i in range(n)]
+        # 4-byte index: bytes([i]) would overflow past i=255
+        return [
+            hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest() for i in range(n)
+        ]
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
         # Output bytes scale with the target raster (3 bytes/px, like an
         # uncompressed RGB bitmap) so size accounting behaves like a real
         # resize; content = md5 keystream seeded by payload + dims.
+        # Running byte counter: re-summing the block list per iteration
+        # would be quadratic in the raster size (hours for one 1080p image).
         seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
         need = width * height * 3
         blocks = [seed]
-        while sum(len(b) for b in blocks) < need:
+        have = len(seed)
+        while have < need:
             blocks.append(hashlib.md5(blocks[-1]).digest())
+            have += len(blocks[-1])
         return b"".join(blocks)[:need]
 
     def features(self, payload: bytes, dim: int):
-        # One float in [0, 1) per dimension from md5(payload + dim index).
+        # One float in [0, 1) per dimension from md5(payload + dim index);
+        # 4-byte index so dims > 255 work.
         return [
-            int.from_bytes(hashlib.md5(payload + bytes([i])).digest()[:4], "big")
+            int.from_bytes(hashlib.md5(payload + i.to_bytes(4, "big")).digest()[:4], "big")
             / 2**32
             for i in range(dim)
         ]

@@ -33,7 +33,16 @@ def salted_join(
     rand() (reruns and retries produce identical partitioning). Cost: the
     right side is duplicated n_salts×; use only when right is small-ish but
     too big (or too skewed downstream) to broadcast outright.
+
+    Join types that emit unmatched RIGHT rows (right/full outer) are
+    rejected: the right side exists n_salts× pre-join, so each unmatched
+    right row would surface n_salts times.
     """
+    if how in ("right", "right_outer", "full", "full_outer", "outer"):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: the replicated "
+            "right side would emit unmatched right rows once per salt"
+        )
     l = left.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     )
@@ -60,7 +69,15 @@ def salted_aggregate(
     upstream partitioning is row-random; explicit salting matters when the
     input is ALREADY partitioned by the hot key (e.g. right after a keyed
     join), where map-side partials collapse into the same hot reducer."""
-    salted = df.withColumn("__salt", F.pmod(F.hash(agg_col), F.lit(n_salts)))
+    # Salt from a per-partition row counter, NOT hash(agg_col): a hot key
+    # whose rows all carry the same value (flags, unit counts) would hash
+    # to ONE salt and defeat the spreading entirely. The counter is
+    # deterministic given partition contents (safe under task retry, which
+    # recomputes whole partitions), and associativity of SUM makes the
+    # salt assignment itself irrelevant to the result.
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
     partial = salted.groupBy(key, "__salt").agg(F.sum(agg_col).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias(out))
 

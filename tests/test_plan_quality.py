@@ -261,3 +261,25 @@ def test_aqe_splits_skewed_join_partition(spark):
             if v is not None:
                 spark.conf.set(k, v)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from gearpump_spark.operators.physical import salted_join
+
+    left = spark.range(2).select(F.col("id").alias("k"))
+    right = spark.range(2).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unmatched right rows"):
+        salted_join(left, right, "k", how="full")
+
+
+def test_salted_aggregate_spreads_constant_values(spark):
+    """Regression: salting by hash(value) collapses when the hot key's
+    values are constant — the counter-based salt must still spread."""
+    from gearpump_spark.operators.physical import salted_aggregate
+
+    df = spark.range(0, 4000).select(F.lit("hot").alias("k"), F.lit(1).alias("v"))
+    out = salted_aggregate(df, "k", "v", n_salts=8).collect()
+    assert out == [("hot", 4000)] or (out[0].k == "hot" and out[0].total == 4000)
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+    n_groups = salted.select("__salt").distinct().count()
+    assert n_groups > 1, "constant values must still spread over salts"
