@@ -23,9 +23,16 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 EN_STOPWORDS = LANG_PROFILES["en"]
 
 
+# Whitespace class shared by every Spark-side tokenizer: the RE2 set
+# ([ \t\n\f\r]) rather than Java's \s, which also matches U+000B —
+# the DuckDB oracles evaluate \s with RE2, and the two engines MUST
+# split identically or hash checks diverge on \x0b-bearing text.
+WS_RE = "[ \\t\\n\\f\\r]+"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens, empties dropped."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(text, WS_RE), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:

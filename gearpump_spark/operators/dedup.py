@@ -24,12 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gearpump_spark.functions.text import WS_RE
 from gearpump_spark.operators.hashing import seeded_md5
 
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WS_RE, " "))
 
 
 def fingerprint(col: Column) -> Column:

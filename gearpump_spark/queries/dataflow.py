@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gearpump_spark.datasets import table
+from gearpump_spark.functions import text as TX
 from gearpump_spark.queries import register
 from gearpump_spark.queries._util import dec, dsum, sql_dsum
 
@@ -39,7 +40,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-task HashMap — but with spill + codegen."""
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.col("text"), TX.WS_RE)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))

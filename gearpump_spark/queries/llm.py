@@ -507,7 +507,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter runs, digit runs, and single punctuation — the standard
     pre-segmentation before a real BPE merge table is applied."""
     docs = table(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    ws = F.filter(F.split("text", TX.WS_RE), lambda w: w != "")
     pieces = F.regexp_extract_all(
         F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
     )
@@ -718,7 +718,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (never a global sort); the final scalar join broadcasts."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("w")
+        F.explode(F.filter(F.split("text", TX.WS_RE), lambda w: w != "")).alias("w")
     ).select(F.lower("w").alias("word"))
     freq = words.groupBy("word").agg(F.count("*").alias("n"))
     total = freq.agg(F.sum("n").alias("total"))

@@ -615,7 +615,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice"))
             .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("decimal(38,2)").cast("double")
             .alias("running_spend"),
-            F.lag("o_totalprice").over(w).cast("decimal(38,2)").cast("double").alias("prev_price"),
+            # raw double both sides: lag moves a value without arithmetic,
+            # so no decimal rounding — the oracle is CAST(LAG(..) AS DOUBLE)
+            F.lag("o_totalprice").over(w).alias("prev_price"),
             F.row_number().over(w).cast("bigint").alias("order_seq"),
         )
         .orderBy("o_custkey", "order_seq")

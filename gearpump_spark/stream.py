@@ -145,7 +145,13 @@ class Stream:
         self.ts_col = ts_col
 
     def _with(self, df: DataFrame, ts_col: str | None = "__same__") -> "Stream":
-        return Stream(df, self.ts_col if ts_col == "__same__" else ts_col)
+        keep = self.ts_col if ts_col == "__same__" else ts_col
+        # A projection that drops the timestamp column must also drop the
+        # ts binding — otherwise a later with_watermark/window passes the
+        # None-guard and dies deep in analysis with UNRESOLVED_COLUMN.
+        if keep is not None and keep not in df.columns:
+            keep = None
+        return Stream(df, keep)
 
     @property
     def is_streaming(self) -> bool:
@@ -185,6 +191,10 @@ class Stream:
         """HashPartitioner / GroupByPartitioner: keyed exchange (reference:
         streaming/.../partitioner/HashPartitioner.scala:24-28,
         GroupByPartitioner.scala:36-42)."""
+        if not cols:
+            # repartition(n) with no columns is ROUND-ROBIN, silently
+            # breaking the all-rows-of-a-key-co-located contract
+            raise ValueError("partition_hash needs key columns; use partition_shuffle for round-robin")
         return self._with(self.df.repartition(n, *[F.col(c) for c in cols]))
 
     def partition_shuffle(self, n: int) -> "Stream":
@@ -272,7 +282,10 @@ class Stream:
 
     def sink_noop_stream(self, **options):
         """Null sink for throughput benchmarks (SOL processor analog)."""
-        return self.df.writeStream.format("noop").outputMode("append").start()
+        writer = self.df.writeStream.format("noop").outputMode("append")
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        return writer.start()
 
     def collect(self):
         return self.df.collect()
