@@ -34,7 +34,7 @@ print(f"queries: {len(qs)}, oracles: {len(oracles)}")
 
 import duckdb
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
