@@ -98,7 +98,9 @@ def approx_distinct_by(
     """
     exact = F.count_distinct(F.col(value_col)).alias("exact_nd")
     approx = F.approx_count_distinct(value_col, rsd)
-    tol = F.greatest(F.lit(8), (F.col("exact_nd") * 0.25).cast("long"))
+    # floor, matching the oracle's CAST(FLOOR(..) AS BIGINT) — a plain
+    # BIGINT cast rounds in DuckDB but truncates in Spark
+    tol = F.greatest(F.lit(8), F.floor(F.col("exact_nd") * 0.25).cast("long"))
     return (
         df.groupBy(group_col)
         .agg(exact, approx.alias("_approx"))

@@ -509,7 +509,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", TX.WS_RE), lambda w: w != "")
     pieces = F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        # explicit RE2 whitespace set, not Java \s (which adds U+000B)
+        F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), F.lit(0)
     )
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
     return docs.select(
@@ -530,7 +531,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators import multimodal as MM
 
-    docs = table(spark, sf_dir, "documents").limit(200)
+    # key-predicate subset, NOT limit(): limit takes partition-layout-
+    # dependent rows and the processed set would differ across machines
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     with_payload = MM.attach_fake_payload(docs)
     return MM.sample_frames(with_payload, n_frames=3).orderBy("doc_id", "frame_idx")
 
@@ -545,7 +548,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators import multimodal as MM
 
-    docs = table(spark, sf_dir, "documents").limit(200)
+    # key-predicate subset, NOT limit(): limit takes partition-layout-
+    # dependent rows and the processed set would differ across machines
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     with_payload = MM.attach_fake_payload(docs)
     return (
         MM.resize_images(with_payload, width=32, height=24)
@@ -564,7 +569,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators import multimodal as MM
 
-    docs = table(spark, sf_dir, "documents").limit(200)
+    # key-predicate subset, NOT limit(): limit takes partition-layout-
+    # dependent rows and the processed set would differ across machines
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     with_payload = MM.attach_fake_payload(docs)
     feats = MM.extract_features(with_payload, dim=8)
     return feats.select(

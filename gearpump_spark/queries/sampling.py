@@ -16,10 +16,11 @@ from gearpump_spark.datasets import table
 from gearpump_spark.operators import sampling as SP
 from gearpump_spark.queries import register
 
-# DuckDB mirror of operators/sampling.hash_bucket
-_SQL_BUCKET = (
-    "CAST(CONCAT('0x', SUBSTR(MD5({seed} || '|' || {key}), 1, 15)) AS BIGINT) % 10000"
-)
+# DuckDB mirror of operators/sampling.hash_bucket, derived from the
+# single-source hash-family template.
+from gearpump_spark.operators.hashing import SQL_H15 as _SQL_H15
+
+_SQL_BUCKET = _SQL_H15 + " % 10000"
 
 
 @register(

@@ -21,8 +21,10 @@ from gearpump_spark.queries import register
 _BLOOM_WORDS = 64  # m = 2048 bits
 _BLOOM_K = 3
 
-# DuckDB mirror of operators/sketches._h15: seeded md5 → hex15 → bigint.
-_SQL_H15 = "CAST(CONCAT('0x', SUBSTR(MD5({seed} || '|' || {v}), 1, 15)) AS BIGINT)"
+# The single-source DuckDB mirror of the seeded hash family.
+from gearpump_spark.operators.hashing import SQL_H15 as _SQL_H15_T
+
+_SQL_H15 = _SQL_H15_T.replace("{key}", "{v}")
 
 
 @register(
@@ -87,7 +89,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS exact_nd,
            ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
-               <= GREATEST(8, CAST(COUNT(DISTINCT o_custkey) * 0.25 AS BIGINT)) AS approx_ok
+               <= GREATEST(8, CAST(FLOOR(COUNT(DISTINCT o_custkey) * 0.25) AS BIGINT)) AS approx_ok
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     desc="HLL approximate distinct per group; each engine validates its own "
