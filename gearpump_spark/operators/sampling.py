@@ -180,3 +180,19 @@ def pack_sequences(
     return out.withColumn(
         "bin_id", (F.col("_shard").cast("long") * F.lit(1 << 40) + local_bin)
     ).drop("_shard")
+
+
+def global_shuffle_order(df: DataFrame, key_col: str, seed: int = 0) -> DataFrame:
+    """Deterministic training-order shuffle: position = rank of
+    md5(seed|key) (key_col tiebreak). Re-runs, engines, and partitionings
+    all produce the same permutation; changing the seed gives a fresh
+    epoch order with no state.
+
+    One global sort — at 100 TB materialize per shard instead (the
+    pack_sequences shards pattern) or write sorted-by-hash files and let
+    readers stream them in file order.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(seeded_md5(F.col(key_col), seed), key_col)
+    return df.withColumn("position", F.row_number().over(w).cast("bigint") - 1)

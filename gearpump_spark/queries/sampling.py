@@ -204,3 +204,19 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "bin_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY MD5('7|' || doc_id), doc_id) AS BIGINT) - 1
+             AS position
+    FROM documents ORDER BY doc_id
+    """,
+    desc="deterministic epoch shuffle: training positions from seeded hash "
+    "rank — same permutation on every engine/run, reseed for a new epoch",
+)
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return SP.global_shuffle_order(docs, "doc_id", seed=7).orderBy("doc_id")
