@@ -101,3 +101,20 @@ def bucketed_join(spark, left_table: str, right_table: str, key: str, how: str =
     HashClusteredDistribution on both sides and plans SortMergeJoin with
     ZERO Exchange nodes (verified in tests/test_plan_quality.py)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def merge_aggregate_state(
+    base: DataFrame, delta: DataFrame, keys: list[str], merge_cols: dict[str, str]
+) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a new batch's
+    partial aggregates into the running state. merge_cols maps column →
+    'sum'|'min'|'max' (any commutative monoid already reduced per key on
+    both sides).
+
+    This is the batch half of the streaming-table duality: state tables
+    update by monoid merge, never full recompute — at 100 TB the delta
+    touches only its own keys' partitions. Counts merge as 'sum'.
+    """
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    aggs = [fns[how](c).alias(c) for c, how in merge_cols.items()]
+    return base.unionByName(delta).groupBy(*keys).agg(*aggs)

@@ -708,3 +708,45 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("n_orders") >= 2).orderBy(
         F.desc("n_orders"), "part_a", "part_b"
     )
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {{total}} AS total_spend
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """.format(total=(
+        "CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) "
+        "AS DECIMAL(38,2)) AS DOUBLE)"
+    )),
+    desc="incremental view maintenance: per-batch partial aggregates merged "
+    "by monoid == one-shot full aggregation (the oracle computes the "
+    "full recompute; the Spark side merges two incremental batches)",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-table duality check: state(old ⊕ new) == agg(all).
+    Scale: each delta merge shuffles only delta keys + their state rows."""
+    from gearpump_spark.operators.physical import merge_aggregate_state
+    from gearpump_spark.queries._util import dec, out_double
+
+    orders = table(spark, sf_dir, "orders")
+    cut = orders.agg(F.expr("percentile_approx(o_orderkey, 0.8, 100000)")).collect()[0][0]
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("total_spend"),
+        )
+
+    old = partial(orders.where(F.col("o_orderkey") <= cut))
+    new = partial(orders.where(F.col("o_orderkey") > cut))
+    merged = merge_aggregate_state(
+        old, new, ["o_custkey"], {"n_orders": "sum", "total_spend": "sum"}
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        out_double(F.col("total_spend")).alias("total_spend"),
+    ).orderBy("o_custkey")

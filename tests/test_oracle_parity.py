@@ -81,3 +81,26 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_parity_doc_query_names_exist():
+    """Guard against doc rot: every backticked `q_*`/named query reference
+    in PARITY.md must be a real registry entry."""
+    import re
+
+    text = open("PARITY.md").read()
+    referenced = set(re.findall(r"`([a-z0-9_]+)`", text))
+    known = set(REGISTRY)
+    # names that look like queries (appear in the registry-name style)
+    candidates = {
+        n for n in referenced
+        if n.startswith(("q", "dedup_", "sample_", "sketch_", "text_", "multimodal_",
+                         "similarity_", "graph_", "kmeans_", "pipeline_", "doc_", "wordcount"))
+        and not n.startswith(("q1", "q2")) or n in known
+    }
+    ghosts = {n for n in candidates if n not in known and "_" in n and not n.endswith((".py", ".md"))}
+    # filter non-query identifiers referenced in prose (operators, files)
+    ghosts = {g for g in ghosts if g.split("_")[0] in
+              ("q", "dedup", "sample", "sketch", "text", "multimodal", "similarity",
+               "graph", "kmeans", "pipeline", "doc") and g not in known}
+    assert not ghosts, f"PARITY.md references unknown queries: {sorted(ghosts)}"
