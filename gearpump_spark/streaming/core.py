@@ -69,6 +69,7 @@ def windowed_aggregate(
     aggs: list[Column],
     watermark_delay: str = "0 seconds",
     drop_flush_sentinel: bool = False,
+    set_watermark: bool = True,
 ) -> DataFrame:
     """Watermarked tumbling/sliding window aggregation (final-pane
     semantics under append mode — the reference's only trigger,
@@ -76,8 +77,12 @@ def windowed_aggregate(
 
     drop_flush_sentinel: filter rows at/after FLUSH_TS *after* the
     watermark operator — they advance the clock (Watermark.MAX) but never
-    join an aggregate."""
-    s = stream.withWatermark(ts_col, watermark_delay)
+    join an aggregate.
+
+    set_watermark=False when composing after another stateful operator
+    that already set it (stream_dedup, a join) — Spark disallows
+    redefining the watermark downstream."""
+    s = stream.withWatermark(ts_col, watermark_delay) if set_watermark else stream
     if drop_flush_sentinel:
         s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
     w = F.window(F.col(ts_col), size, step) if step else F.window(F.col(ts_col), size)

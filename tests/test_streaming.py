@@ -424,3 +424,26 @@ def test_flush_constants_name_one_instant():
 
     instant = datetime.fromtimestamp(FLUSH_EPOCH_SEC, tz=timezone.utc)
     assert instant.strftime("%Y-%m-%d %H:%M:%S") == FLUSH_TS
+
+
+def test_dedup_then_window_pipeline(spark, tmp_path):
+    """Composed streaming pipeline: replay-duplicate rows are dropped by
+    stream_dedup BEFORE the windowed aggregate, so each logical record
+    counts once per pane — the reference's replay story end-to-end."""
+    from gearpump_spark.streaming.core import stream_dedup
+
+    chunks = [
+        [("a", 1, 2), ("a", 2, 7)],
+        [("a", 2, 7), ("b", 5, 3)],  # ("a",2,7) re-delivered
+    ]
+    stream = _stream_from_rows(spark, chunks, tmp_path, "dw_pipe", flush=True)
+    deduped = stream_dedup(stream, ["k", "v"], ts_col=TS)
+    agg = windowed_aggregate(
+        deduped, TS, "10 seconds", None, ["k"],
+        [F.sum("v").alias("total"), F.count("*").alias("n")],
+        drop_flush_sentinel=True,
+        set_watermark=False,  # stream_dedup already set it
+    )
+    out = run_to_completion(agg, "dw_pipe_out", output_mode="append").collect()
+    panes = {(r.k, r.window.start.second, r.total, r.n) for r in out}
+    assert panes == {("a", 0, 3, 2), ("b", 0, 5, 1)}
