@@ -41,6 +41,12 @@ def main() -> None:
     from gearpump_spark.queries import all_queries
 
     spark = get_spark("gearpump_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # Round-1 postmortem (VERDICT.md "What's wrong" #1): the driver failed
+    # to recover the JSON line because Spark WARN noise (streaming-stop
+    # TaskKilled messages) interleaved with / followed it in the captured
+    # output. Run at ERROR so the JSON line is the only stdout the bench
+    # emits after startup.
+    spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
     # Warm the JVM + whole-stage-codegen cache per plan shape by running
@@ -136,7 +142,17 @@ def main() -> None:
         "windowed_agg_rows_per_sec": windowed_rows_per_sec,
         "cpus": CPUS,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Belt and braces for the driver handoff: (1) persist the artifact to a
+    # file so it can never be lost to log interleaving, (2) stop Spark
+    # BEFORE printing so no async JVM log line can land after the JSON,
+    # (3) print the JSON as the final stdout line.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

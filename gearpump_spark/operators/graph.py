@@ -49,10 +49,19 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
 
     for _ in range(max_iter):
-        with_deg = ranks.join(out_deg, ranks.node_id == out_deg[src], "left")
-        # dangling mass: rank of nodes with no outgoing edges
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull()).agg(F.sum("rank")).collect()[0][0] or 0.0
+        # Dangling mass folds into the rank plan as a 1-row broadcast
+        # cross-join (left-anti vs out_deg = nodes with no outgoing edges)
+        # instead of a separate driver collect — the superstep's real
+        # pipeline runs exactly once, in the localCheckpoint job; the
+        # convergence delta then joins the two CHECKPOINTED rank tables
+        # (O(n) scan, no recompute). Two pinned non-designs, both measured
+        # to double per-iteration time from ~iter 15 under AQE by defeating
+        # lineage truncation: (a) localCheckpoint(eager=False) + reading
+        # delta off the same action; (b) carrying prev_rank via a
+        # ranks-self-join inside the checkpointed plan.
+        dangling_mass = (
+            ranks.join(out_deg, ranks.node_id == out_deg[src], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
         contribs = (
             edges.join(out_deg, src)
@@ -61,12 +70,16 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contribs.groupBy("node_id").agg(F.sum("c").alias("in_mass")), "node_id", "left")
+            .crossJoin(F.broadcast(dangling_mass))
             .select(
                 "node_id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()  # truncate lineage: plan stays O(1) per round

@@ -62,6 +62,130 @@ class LibraryDecoder:
         )
 
 
+class HeaderDecoder:
+    """REAL byte decoding for container *headers* — pure python, no codec
+    libraries. Parses PNG / BMP / GIF / JPEG image headers (dimensions,
+    channel count) and RIFF/WAV audio headers (channels, sample rate, bit
+    depth) directly from payload bytes. Pixel/sample-level work
+    (resize/features/frames) still needs real codecs and delegates to
+    ``fallback`` (default FakeDecoder), as does metadata for unrecognized
+    containers — so pipelines run end-to-end on any bytes while recognized
+    containers report true metadata.
+    """
+
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+    # PNG color type → sample channels (spec §11.2.2); palette counts as 1.
+    _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+    def __init__(self, fallback=None):
+        self.fallback = fallback or FakeDecoder()
+
+    # -- container sniffing -------------------------------------------------
+    def sniff_image(self, payload: bytes) -> dict | None:
+        """Return {format,width,height,n_channels} for a recognized image
+        container, else None. Never raises on truncated/garbage bytes."""
+        try:
+            if payload.startswith(self._PNG_SIG) and payload[12:16] == b"IHDR":
+                color_type = payload[25]
+                return {
+                    "format": "png",
+                    "width": int.from_bytes(payload[16:20], "big"),
+                    "height": int.from_bytes(payload[20:24], "big"),
+                    "n_channels": self._PNG_CHANNELS.get(color_type, 0),
+                }
+            if payload.startswith(b"BM") and len(payload) >= 30:
+                bpp = int.from_bytes(payload[28:30], "little")
+                return {
+                    "format": "bmp",
+                    "width": int.from_bytes(payload[18:22], "little", signed=True),
+                    # negative height = top-down row order; size is |height|
+                    "height": abs(int.from_bytes(payload[22:26], "little", signed=True)),
+                    "n_channels": max(1, bpp // 8),
+                }
+            if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+                return {
+                    "format": "gif",
+                    "width": int.from_bytes(payload[6:8], "little"),
+                    "height": int.from_bytes(payload[8:10], "little"),
+                    "n_channels": 3,  # palette entries are RGB triples
+                }
+            if payload.startswith(b"\xff\xd8"):
+                return self._sniff_jpeg(payload)
+        except (IndexError, ValueError):
+            return None
+        return None
+
+    def _sniff_jpeg(self, payload: bytes) -> dict | None:
+        """Walk JPEG segments to the SOFn frame header (dimensions live
+        there, not at a fixed offset)."""
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame header
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 >= n:
+                    return None
+                return {
+                    "format": "jpeg",
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "n_channels": payload[i + 9],
+                }
+            i += 2 + seg_len
+        return None
+
+    def sniff_audio(self, payload: bytes) -> dict | None:
+        """Return {format,n_channels,sample_rate,bits_per_sample} for a
+        RIFF/WAVE payload, else None. Walks chunks to 'fmt ' (it is not at
+        a fixed offset when LIST/INFO chunks precede it)."""
+        try:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                return None
+            i = 12
+            n = len(payload)
+            while i + 8 <= n:
+                chunk_id = payload[i : i + 4]
+                chunk_len = int.from_bytes(payload[i + 4 : i + 8], "little")
+                if chunk_id == b"fmt " and i + 24 <= n:
+                    return {
+                        "format": "wav",
+                        "n_channels": int.from_bytes(payload[i + 10 : i + 12], "little"),
+                        "sample_rate": int.from_bytes(payload[i + 12 : i + 16], "little"),
+                        "bits_per_sample": int.from_bytes(payload[i + 22 : i + 24], "little"),
+                    }
+                i += 8 + chunk_len + (chunk_len & 1)  # chunks pad to even
+        except (IndexError, ValueError):
+            return None
+        return None
+
+    # -- decoder seam -------------------------------------------------------
+    def decode_image(self, payload: bytes):
+        meta = self.sniff_image(payload)
+        return meta if meta is not None else self.fallback.decode_image(payload)
+
+    def decode_audio(self, payload: bytes):
+        meta = self.sniff_audio(payload)
+        if meta is None:
+            raise ValueError("not a RIFF/WAVE payload")
+        return meta
+
+    def sample_frames(self, payload: bytes, n: int):
+        return self.fallback.sample_frames(payload, n)
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        return self.fallback.resize(payload, width, height)
+
+    def features(self, payload: bytes, dim: int):
+        return self.fallback.features(payload, dim)
+
+
 class FakeDecoder:
     """Deterministic pseudo-decoder: metadata derived from md5(payload).
     Stable across runs, engines, and partitionings — good enough to test
@@ -112,8 +236,12 @@ class FakeDecoder:
 def decode_image_metadata(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
 ) -> DataFrame:
-    """Extract image metadata per payload via mapInPandas (Arrow batches)."""
-    decoder = decoder or FakeDecoder()
+    """Extract image metadata per payload via mapInPandas (Arrow batches).
+
+    Default decoder parses real PNG/BMP/GIF/JPEG headers (HeaderDecoder)
+    and falls back to the deterministic FakeDecoder for unrecognized
+    containers, so mixed-corpus runs never fail mid-batch."""
+    decoder = decoder or HeaderDecoder()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,6 +258,103 @@ def decode_image_metadata(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, IMAGE_META_SCHEMA)
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL RIFF/WAV bytes per row with parameters derived from the id
+    (channels = 1 + id%2, sample rate = 8000 + (id%5)*1000, bit depth =
+    8·(1 + id%3), 4 silent samples). The bytes round-trip through
+    decode_audio_metadata's actual header parser, so a driver oracle can
+    verify the parse against the closed-form parameters — real bytes, no
+    codec libraries."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ch, rate, bits = 1 + i % 2, 8000 + (i % 5) * 1000, 8 * (1 + i % 3)
+                block = ch * bits // 8
+                data = bytes(4 * block)
+                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+                body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                body += b"data" + struct.pack("<I", len(data)) + data
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL PNG bytes per row (valid signature/IHDR/IDAT/IEND with
+    correct CRCs) sized by the id: width = 16 + id%64, height =
+    16 + (7·id)%64, color type cycling 0/2/4/6. IDAT carries a minimal
+    zlib stream — header parsing never reads it, and keeping it tiny makes
+    the synthesis O(1) per row regardless of nominal dimensions."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 64, 16 + (7 * i) % 64
+                color_type = (0, 2, 4, 6)[i % 4]
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b""))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, format string, n_channels int, "
+    "sample_rate int, bits_per_sample int"
+)
+
+
+def decode_audio_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """RIFF/WAV audio metadata per payload (real header parse, no codec
+    libs). Non-WAV payloads yield nulls for the audio fields rather than
+    failing the batch — filter on `format IS NOT NULL` downstream."""
+    decoder = decoder or HeaderDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder.sniff_audio(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
+                    "format": [m["format"] if m else None for m in metas],
+                    "n_channels": [m["n_channels"] if m else None for m in metas],
+                    "sample_rate": [m["sample_rate"] if m else None for m in metas],
+                    "bits_per_sample": [m["bits_per_sample"] if m else None for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, AUDIO_META_SCHEMA)
 
 
 def resize_images(

@@ -440,6 +440,63 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "multimodal_image_real",
+    oracle="""
+    SELECT doc_id,
+           'png' AS format,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + (7 * doc_id) % 64 AS INT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS INT)
+             AS n_channels
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL container bytes: synthesize a valid PNG per document "
+    "(id-derived dims/color type), parse it back with the pure-python "
+    "header decoder; the oracle states the closed-form parameters — a "
+    "parser or synthesizer bug on either field breaks the hash",
+)
+def multimodal_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        decode_image_metadata,
+        synthesize_png_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    parsed = decode_image_metadata(synthesize_png_payloads(docs))
+    return parsed.select("doc_id", "format", "width", "height", "n_channels").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "multimodal_audio_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + 4 * (1 + doc_id % 2) * (1 + doc_id % 3) AS BIGINT) AS byte_len,
+           'wav' AS format,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS bits_per_sample
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL container bytes: synthesize a RIFF/WAV per document, parse "
+    "it back with the header decoder (fmt-chunk walk); byte_len checks the "
+    "whole container layout (44-byte header + 4 samples x block align)",
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        decode_audio_metadata,
+        synthesize_wav_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    parsed = decode_audio_metadata(synthesize_wav_payloads(docs))
+    return parsed.select(
+        "doc_id", "byte_len", "format", "n_channels", "sample_rate", "bits_per_sample"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Additions: embedding near-dup, token counting, video-frame plumbing,
 # iterative graph compute

@@ -404,15 +404,25 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated AVG decorrelates to a per-part aggregate joined back
-    on partkey — one extra shuffle on partkey, no per-row subquery."""
+    on partkey — but only over lineitem rows whose partkey survives the
+    Brand#11 filter.  Brand#11 parts are ~1/25 of part, so the broadcast
+    semi-join drops ~96% of lineitem BEFORE the per-part aggregate; the
+    shuffle feeding the AVG carries only relevant keys.  (Round-1 version
+    aggregated the full table and discarded most of it post-join —
+    VERDICT.md "What's wrong" #3.)"""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+    li_b11 = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_part_avg = li_b11.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(per_part_avg, li.l_partkey == F.col("avg_pk"))
+        li_b11.join(F.broadcast(part), li_b11.l_partkey == part.p_partkey)
+        .join(per_part_avg, li_b11.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.sum(dec("l_extendedprice")) / F.lit(7.0))

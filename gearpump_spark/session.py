@@ -26,6 +26,12 @@ _RUNTIME_CONF = {
     # Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet columns outright; read
     # them as epoch-nano longs and convert in the loader (datasets.table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet columns otherwise
+    # infer as TIMESTAMP_NTZ, which unix_micros()/window() reject. With the
+    # session pinned to UTC, reading them as plain TIMESTAMP gives the same
+    # wall-clock values DuckDB sees, and scan-level predicate pushdown on
+    # the column keeps working (no cast wrapper needed in the loader).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

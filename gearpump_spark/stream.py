@@ -280,6 +280,67 @@ class Stream:
             .start()
         )
 
+    def sink_kafka(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        checkpoint: str | None = None,
+        key_col: str | None = None,
+        value_col: str | None = None,
+        **options: Any,
+    ):
+        """Kafka sink — pair of ``from_kafka`` (reference KafkaSink,
+        docs/contents/dev/dev-connectors.md:14-28). Works for both batch
+        and streaming frames; requires the spark-sql-kafka connector jar
+        (absent in this test rig — raises with the same guidance as the
+        source).
+
+        ``value_col`` defaults to a JSON encoding of every column (the
+        reference's message-serialization seam); ``key_col`` (optional)
+        sets the Kafka partition key so downstream keyed consumers see the
+        same GroupByPartitioner routing the in-engine operators use.
+        Streaming writes are at-least-once into Kafka (checkpoint tracks
+        offsets; Kafka has no transactional sink in Spark) — exactly-once
+        end-to-end needs an idempotent/companion-table consumer.
+        """
+        cols = []
+        if key_col is not None:
+            cols.append(F.col(key_col).cast("string").alias("key"))
+        if value_col is not None:
+            cols.append(F.col(value_col).cast("string").alias("value"))
+        else:
+            cols.append(F.to_json(F.struct(*self.df.columns)).alias("value"))
+        out = self.df.select(*cols)
+        try:
+            if out.isStreaming:
+                writer = (
+                    out.writeStream.format("kafka")
+                    .option("kafka.bootstrap.servers", bootstrap_servers)
+                    .option("topic", topic)
+                )
+                if checkpoint is not None:
+                    writer = writer.option("checkpointLocation", checkpoint)
+                for k, v in options.items():
+                    writer = writer.option(k, v)
+                return writer.start()
+            writer = (
+                out.write.format("kafka")
+                .option("kafka.bootstrap.servers", bootstrap_servers)
+                .option("topic", topic)
+            )
+            for k, v in options.items():
+                writer = writer.option(k, v)
+            writer.save()
+            return None
+        except Exception as e:
+            if "Failed to find data source: kafka" in str(e):
+                raise NotImplementedError(
+                    "Kafka sink needs the spark-sql-kafka connector jar "
+                    "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>, "
+                    "e.g. :4.1.2 to match this Spark); not present in this environment"
+                ) from e
+            raise
+
     def sink_noop_stream(self, **options):
         """Null sink for throughput benchmarks (SOL processor analog)."""
         writer = self.df.writeStream.format("noop").outputMode("append")

@@ -14,9 +14,11 @@ from gearpump_spark.streaming.core import (
     stream_dedup,
     stream_stream_interval_join,
     monoid_windowed_state,
+    replace_and_restart,
 )
 
 __all__ = [
+    "replace_and_restart",
     "FLUSH_EPOCH_SEC",
     "FLUSH_TS",
     "assign_windows",

@@ -19,6 +19,7 @@ Mapping (SURVEY.md §1.3/§2.C):
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 from typing import Any
 
@@ -160,6 +161,35 @@ def run_to_completion(
     q = writer.start()
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def replace_and_restart(running_query, start_replacement, timeout_sec: float = 60.0):
+    """Dynamic-DAG operator replacement — the reference's ReplaceProcessor
+    (streaming/.../appmaster/DagManager.scala:103-160: pause the app, swap
+    the processor in the DAG, resume from the checkpointed min clock).
+
+    Spark's plan is immutable per query, so the same contract maps to:
+    stop the running query (committed offsets + operator state land in the
+    checkpoint), then start the REPLACEMENT plan against the SAME
+    checkpointLocation — the replayable source resumes from the committed
+    offsets, so rows already processed by the old plan are neither lost
+    nor reprocessed, and rows after the swap point flow through the new
+    operator.
+
+    ``start_replacement`` is a zero-arg callable returning the started
+    StreamingQuery for the new plan; it MUST reuse the old query's
+    checkpointLocation and sink. Spark's recovery rules apply across the
+    swap: stateless transformations (map/filter/projection logic) replace
+    freely; stateful operators must keep a compatible state schema; the
+    number/kind of stateful operators cannot change.
+    """
+    running_query.stop()
+    deadline = time.monotonic() + timeout_sec
+    while running_query.isActive:
+        if time.monotonic() > deadline:
+            raise TimeoutError("old query did not stop within timeout")
+        time.sleep(0.05)
+    return start_replacement()
 
 
 def stateful_running_count(

@@ -57,6 +57,51 @@ def test_exactly_once_restart(spark, tmp_path):
     assert result.select("id").distinct().count() == 400, "no duplication"
 
 
+def test_replace_operator_mid_stream_no_loss_no_dup(spark, tmp_path):
+    """Dynamic-DAG ReplaceProcessor analog (reference DagManager.scala:
+    103-160): swap a transformation mid-stream via replace_and_restart.
+    Rows drained before the swap keep the OLD operator's output; rows after
+    get the NEW one; nothing is lost or duplicated across the swap."""
+    from gearpump_spark.streaming import replace_and_restart
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, ts timestamp"
+
+    def start_with(transform):
+        stream = replay_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        return (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase 1: old operator (v = id + 1) drains the first two files
+    _write_chunk(spark, src, 0, 100)
+    _write_chunk(spark, src, 100, 250)
+    q1 = start_with(lambda s: s.select("id", (F.col("id") + 1).alias("v")))
+    q1.awaitTermination()
+
+    # swap: new data lands, the replacement operator computes v = id * 10
+    _write_chunk(spark, src, 250, 400)
+    q2 = replace_and_restart(
+        q1, lambda: start_with(lambda s: s.select("id", (F.col("id") * 10).alias("v")))
+    )
+    q2.awaitTermination()
+
+    result = spark.read.parquet(out)
+    assert result.count() == 400, "no loss across the swap"
+    assert result.select("id").distinct().count() == 400, "no duplication"
+    # pre-swap rows carry the old operator's output, post-swap rows the new
+    pre = result.filter(F.col("id") < 250).filter(F.col("v") != F.col("id") + 1).count()
+    post = result.filter(F.col("id") >= 250).filter(F.col("v") != F.col("id") * 10).count()
+    assert pre == 0 and post == 0
+
+
 def test_stateful_running_count_across_batches(spark, tmp_path):
     """PersistentTask analog: state recovered per micro-batch and folded
     (reference: state/api/PersistentTask.scala:36-98). Two files → two

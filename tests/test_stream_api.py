@@ -154,6 +154,33 @@ def test_from_kafka_gated_without_connector(spark):
         assert "spark-sql-kafka" in str(e)
 
 
+def test_sink_kafka_gated_without_connector(spark):
+    """Batch path: the payload projection (key/value columns) builds fine;
+    only the actual kafka write needs the connector jar."""
+    from gearpump_spark.stream import Stream
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    try:
+        Stream(df).sink_kafka("broker:9092", "events_out", key_col="k")
+        raise AssertionError("expected a gate error without the connector jar")
+    except NotImplementedError as e:
+        assert "spark-sql-kafka" in str(e)
+
+
+def test_sink_kafka_streaming_gated_without_connector(spark, tmp_path):
+    from gearpump_spark.stream import GearContext
+
+    ctx = GearContext(spark)
+    s = ctx.from_rate(rows_per_second=10)
+    try:
+        q = s.sink_kafka(
+            "broker:9092", "events_out", checkpoint=str(tmp_path / "ck")
+        )
+        q.stop()  # connector present: query started
+    except NotImplementedError as e:
+        assert "spark-sql-kafka" in str(e)
+
+
 def test_progress_summary_reports_watermark_and_rows(spark, tmp_path):
     import pyspark.sql.functions as F
     from gearpump_spark.stream import progress_summary

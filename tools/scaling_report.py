@@ -19,13 +19,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE  # single source of truth for the query set
 
-SFS = ["sf0.001", "sf0.01", "sf0.1"]
 BASE = "/root/testdata"
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".testdata", "sf1"),
+)
+RATIO_FLAG = 10.0  # 10x data -> >10x time = superlinear, flag it
 
 
 def main() -> None:
     from gearpump_spark.session import get_spark
     from gearpump_spark.queries import all_queries
+
+    # (label, dir) per scale step; sf1 is synthesized (tools/make_sf1.py)
+    # and joins the sweep when present — run make_sf1 first for the top step.
+    sfs = [(sf, f"{BASE}/{sf}") for sf in ("sf0.001", "sf0.01", "sf0.1")]
+    if os.path.isdir(SF1_DIR):
+        sfs.append(("sf1*", SF1_DIR))
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("scaling_report", cpus=cpus, shuffle_partitions=cpus)
@@ -33,30 +43,43 @@ def main() -> None:
 
     # warm codegen per plan shape at the smallest sf
     for name in HEADLINE:
-        qs[name](spark, f"{BASE}/{SFS[0]}").write.mode("overwrite").format("noop").save()
+        qs[name](spark, sfs[0][1]).write.mode("overwrite").format("noop").save()
 
     times: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for sf in SFS:
+    for _label, sf_dir in sfs:
         for name in HEADLINE:
             best = float("inf")
             for _ in range(2):
-                df = qs[name](spark, f"{BASE}/{sf}")
+                df = qs[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             times[name].append(best)
 
+    labels = [label for label, _ in sfs]
     print("# Scaling report (best-of-2, noop sink, local[%d])\n" % cpus)
     print("10× data per step; a ratio well under 10 means fixed costs still")
-    print("dominate; a ratio near 10 is linear scaling; above 10 is a flag.\n")
-    print("| query | sf0.001 | sf0.01 | sf0.1 | 0.001→0.01 | 0.01→0.1 |")
-    print("|---|---|---|---|---|---|")
+    print("dominate; a ratio near 10 is linear scaling; above 10 is flagged ⚠.")
+    if len(sfs) > 3:
+        print("sf1* is synthesized: 10× sf0.1 with offset keys (tools/make_sf1.py).")
+    print()
+    header = " | ".join(labels)
+    ratio_hdr = " | ".join(f"{a}→{b}" for a, b in zip(labels, labels[1:]))
+    print(f"| query | {header} | {ratio_hdr} |")
+    print("|---" * (1 + len(labels) + len(labels) - 1) + "|")
+    flagged = []
     for name in HEADLINE:
-        a, b, c = times[name]
-        print(
-            f"| {name} | {a:.2f}s | {b:.2f}s | {c:.2f}s "
-            f"| {b / a:.1f}× | {c / b:.1f}× |"
+        ts = times[name]
+        ratios = [b / a for a, b in zip(ts, ts[1:])]
+        cells = " | ".join(f"{t:.2f}s" for t in ts)
+        rcells = " | ".join(
+            f"{r:.1f}×" + (" ⚠" if r > RATIO_FLAG else "") for r in ratios
         )
+        if any(r > RATIO_FLAG for r in ratios):
+            flagged.append(name)
+        print(f"| {name} | {cells} | {rcells} |")
+    if flagged:
+        print(f"\n**⚠ superlinear step-ratio (> {RATIO_FLAG}×):** {', '.join(flagged)}")
 
 
 if __name__ == "__main__":
