@@ -87,6 +87,35 @@ def quality_score(text: Column) -> Column:
     return (len_score * punct_score * stop_score).alias("quality")
 
 
+# PII patterns — written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, no \b (structure bounds
+# the match instead). Order matters: emails before the generic digit runs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{3,4}-\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4s, and international-format phone numbers with
+    typed placeholders. Pure JVM regexp_replace chain — no UDF; the same
+    patterns run in DuckDB with the 'g' flag for oracle parity."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (size of regexp_extract_all — identical
+    semantics in DuckDB via LEN(REGEXP_EXTRACT_ALL(...)))."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("bigint")
+        for name, pat, _repl in PII_PATTERNS
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword hit counts."""
     lowered = F.transform(tokens(text), lambda t: F.lower(t))

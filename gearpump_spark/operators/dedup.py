@@ -196,6 +196,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every 'test' document, the
+    fraction of its distinct word shingles that also occur in ANY 'train'
+    document. contam_frac == 1.0 means the test doc is fully covered by
+    training text (leaked); 0.0 means disjoint.
+
+    Returns (id, n_shingles, n_shared, contam_frac) for test docs.
+
+    Scale: the inverted-index shape — one shuffle keyed on shingle for the
+    per-doc distinct + the semi-join; the train side collapses to DISTINCT
+    shingles before joining, so shingle document-frequency skew (stop
+    shingles) feeds AQE one hot partition at worst. At 100 TB swap the
+    shingle string for seeded_hash15(shingle) on BOTH sides: 8-byte join
+    keys, identical semantics (collisions ~2^-60).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    test_sh = sh.filter(F.col(split_col) == "test").select(id_col, "shingle")
+    train_sh = sh.filter(F.col(split_col) == "train").select("shingle").distinct()
+    totals = test_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    shared = (
+        test_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return totals.join(shared, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        F.round(
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+            4,
+        ).alias("contam_frac"),
+    )
+
+
 def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash fingerprint per document (Charikar 2002): each token
     votes ±1 per bit of its 32-bit hash; fingerprint bit = sign of the sum.

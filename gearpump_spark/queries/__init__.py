@@ -78,6 +78,7 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_contamination",
     # similarity search (brute-force, LSH-bucketed, IVF)
     "similarity_topk",
     "similarity_topk_lsh",
@@ -91,6 +92,7 @@ DRIVER_SAMPLE_WINDOW = [
     "text_token_count",
     "text_repetition",
     "text_vocab_coverage",
+    "text_pii_redact",
     "doc_fingerprint",
     # multimodal (incl. real container-byte round-trips)
     "multimodal_metadata",
@@ -125,10 +127,9 @@ DRIVER_SAMPLE_WINDOW = [
     "q_keyed_route",
     "q_sol_passthrough",
     "q_flatten_union",
-    # temporal joins
+    # temporal join (q_range_join/q_sessionize were driver-verified in r1;
+    # the slots go to the two new flagship ops above)
     "q_asof_join",
-    "q_range_join",
-    "q_sessionize",
 ]
 
 

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from gearpump_spark.datasets import table
 from gearpump_spark.operators import dedup as D
+from gearpump_spark.operators import sampling as SP
 from gearpump_spark.operators import similarity as S
+from gearpump_spark.operators.hashing import SQL_H15 as _SQL_H15
 from gearpump_spark.functions import text as TX
 from gearpump_spark.queries import register
 
@@ -180,6 +182,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("q_id"), F.col("c_id"), F.col("jaccard")
     ).orderBy("q_id", "c_id")
+
+
+_SQL_TEST_BUCKET = _SQL_H15.format(seed="'0'", key="doc_id") + " % 10000 < 1000"
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sp AS (SELECT doc_id,
+                  CASE WHEN {_SQL_TEST_BUCKET} THEN 'test' ELSE 'train' END AS split
+           FROM documents),
+    sh AS (SELECT DISTINCT s.doc_id, s.shingle, sp.split
+           FROM shingled s JOIN sp USING (doc_id)),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    test_sh AS (SELECT doc_id, shingle FROM sh WHERE split = 'test'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+    shr AS (SELECT t.doc_id, COUNT(*) AS n_shared
+            FROM test_sh t JOIN train_sh USING (shingle) GROUP BY t.doc_id)
+    SELECT t.doc_id, t.n_shingles, COALESCE(s.n_shared, 0) AS n_shared,
+           ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                 / CAST(t.n_shingles AS DOUBLE), 4) AS contam_frac
+    FROM tot t LEFT JOIN shr s USING (doc_id) ORDER BY t.doc_id
+    """,
+    desc="benchmark-contamination check: per test doc, fraction of its "
+    "distinct 3-gram shingles present in ANY train doc (key-stable 10% "
+    "test split; inverted shingle index, never all-pairs)",
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = SP.train_test_split(table(spark, sf_dir, "documents"), "doc_id", test_bp=1000)
+    return D.cross_split_contamination(docs).orderBy("doc_id")
 
 
 @register(
@@ -407,6 +440,81 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# PII injection formula shared by the Spark query and its oracle: both
+# engines append deterministic synthetic PII to the document text, then the
+# Spark side redacts with functions/text.py patterns while the oracle runs
+# the SAME patterns (single source: TX.PII_PATTERNS) via DuckDB regex.
+_SQL_PII_INJECT = """
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' call +1-555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-0199' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t
+    FROM documents
+"""
+
+
+def _sql_redact_chain(col: str) -> str:
+    out = col
+    for _name, pat, repl in TX.PII_PATTERNS:
+        out = f"REGEXP_REPLACE({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+_SQL_PII_COUNTS = ", ".join(
+    f"CAST(LEN(REGEXP_EXTRACT_ALL(t, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _repl in TX.PII_PATTERNS
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH injected AS ({_SQL_PII_INJECT})
+    SELECT doc_id, {_SQL_PII_COUNTS},
+           MD5({_sql_redact_chain("t")}) AS redacted_hash
+    FROM injected ORDER BY doc_id
+    """,
+    desc="PII scrubbing: deterministic synthetic emails/phones/IPs injected "
+    "per doc, then redacted by the shared regex chain; counts + md5 of the "
+    "redacted text verify both detection and replacement byte-for-byte",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = TX.pii_counts(F.col("t"))
+    return injected.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        F.md5(TX.redact_pii(F.col("t")).cast("binary")).alias("redacted_hash"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -584,3 +584,62 @@ def test_latest_by_key_no_torn_rows_on_full_tie(spark):
     out = latest_by_key(df, ["k"], "ts", "tb").collect()
     assert len(out) == 1
     assert (out[0].a, out[0].b) in {("x", 10), ("y", 20)}, "must be an actual input row"
+
+
+# --- Contamination & PII (r2 additions) ------------------------------------
+
+
+def test_cross_split_contamination_full_partial_none(spark):
+    from gearpump_spark.operators.dedup import cross_split_contamination
+
+    rows = [
+        # train corpus
+        (1, "the quick brown fox jumps over the lazy dog", "train"),
+        (2, "completely different training material here today", "train"),
+        # test docs: fully leaked / partially leaked / clean
+        (10, "the quick brown fox jumps", "test"),          # all shingles in doc 1
+        (11, "the quick brown cat sat quietly", "test"),    # shares 1 of 4 shingles
+        (12, "zebra xylophone quartz vortex glyph", "test"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, split string")
+    out = {r.doc_id: r for r in cross_split_contamination(df).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10].contam_frac == 1.0
+    assert out[12].contam_frac == 0.0 and out[12].n_shared == 0
+    assert 0.0 < out[11].contam_frac < 1.0
+    assert out[11].n_shingles == 4  # 6 words -> 4 trigram shingles
+
+
+def test_cross_split_contamination_short_doc_whole_text_shingle(spark):
+    """Docs under n words shingle as their whole normalized text — a
+    2-word test doc is contaminated iff the same 2-word doc is in train."""
+    from gearpump_spark.operators.dedup import cross_split_contamination
+
+    rows = [
+        (1, "hello world", "train"),
+        (10, "Hello   WORLD", "test"),   # same after normalization
+        (11, "hello there", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, split string")
+    out = {r.doc_id: r for r in cross_split_contamination(df).collect()}
+    assert out[10].contam_frac == 1.0
+    assert out[11].contam_frac == 0.0
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from gearpump_spark.functions.text import pii_counts, redact_pii
+
+    txt = (
+        "mail a.b-c_9@sub.example.org or CALL +44-800-123-4567, "
+        "server 192.168.0.1 stays; plain text 1.2 unaffected"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    counts = pii_counts(F.col("t"))
+    row = df.select(
+        redact_pii(F.col("t")).alias("red"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).collect()[0]
+    assert "<EMAIL>" in row.red and "<PHONE>" in row.red and "<IP>" in row.red
+    assert "a.b-c_9" not in row.red and "192.168" not in row.red
+    assert "1.2 unaffected" in row.red  # short float is not an IP
+    assert (row.email, row.ip, row.phone) == (1, 1, 1)
