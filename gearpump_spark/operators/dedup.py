@@ -275,3 +275,53 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return ids.join(hashed, id_col, "left").select(
         id_col, F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
     )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    min_doc_frac: float = 0.02,
+) -> DataFrame:
+    """Corpus-frequency boilerplate screen (C4/RefinedWeb-style): a shingle
+    is boilerplate when it occurs in >= min_doc_frac of all documents;
+    each document reports how much of it is made of such shingles.
+
+    Returns (id, n_shingles, n_boilerplate, bp_frac) — one row per doc,
+    counting shingle INSTANCES (repeats included), bp_frac rounded to 4.
+
+    Scale: document frequencies are a (shingle, doc) distinct + count —
+    map-side combined, shuffling only shingle keys; the qualifying set is
+    small by construction (high-DF shingles are few) so it broadcasts
+    back, and the per-doc tally shuffles only (id, flags). The threshold
+    count comes from a 1-row aggregate cross-joined in, so the whole
+    thing is one plan — no driver round-trip, no collect.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    bp = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_df") >= F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")))
+        .select("shingle", F.lit(1).alias("_bp"))
+    )
+    return (
+        sh.join(F.broadcast(bp), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_bp"), F.lit(0)).cast("long").alias("n_boilerplate"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate").cast("double") / F.col("n_shingles").cast("double"), 4
+            ).alias("bp_frac"),
+        )
+    )

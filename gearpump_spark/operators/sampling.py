@@ -85,6 +85,49 @@ def stratified_hash_sample(
     return df.where(hash_bucket(F.col(key_col), seed) < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source mixing: per-group sampling rates computed
+    FROM the data so that the kept mass per group is proportional to
+    (group weight)^alpha — the standard multilingual/multi-source rebalance
+    (alpha<1 flattens the distribution; alpha=1 keeps natural proportions).
+
+    The smallest group is kept in full; a group with total weight w is
+    sampled at rate (w_min / w)^(1-alpha), applied as a deterministic
+    hash-bucket predicate on key_col.
+
+    Cross-engine exactness: at the default alpha=0.5 the rate is
+    sqrt(w_min/w) — IEEE sqrt and division are correctly rounded, so the
+    floor'd basis-point rate is bit-identical in Spark and DuckDB and the
+    sample membership has an exact oracle. Other alphas go through pow(),
+    which is NOT guaranteed correctly rounded across engines; they work
+    but their oracles are only almost-surely exact.
+
+    Scale: one tiny per-group aggregate (map-side combined), broadcast back
+    as a rate table; the filter itself is scan-local. The corpus never
+    shuffles.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).cast("double").alias("_w"))
+    wmin = totals.agg(F.min("_w").alias("_wmin"))
+    ratio = F.col("_wmin") / F.col("_w")
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, 1.0 - alpha)
+    rates = (
+        totals.crossJoin(F.broadcast(wmin))
+        .select(group_col, F.floor(F.lit(float(BASIS)) * frac).cast("long").alias("_rate_bp"))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(hash_bucket(F.col(key_col), seed) < F.col("_rate_bp"))
+        .drop("_rate_bp")
+    )
+
+
 def bottom_k_sample(df: DataFrame, key_col: str, k: int, seed: int = 0) -> DataFrame:
     """Fixed-size uniform sample: the k smallest md5(seed|key) values
     (key_col as tiebreak — see the module caveat on duplicate keys).

@@ -285,3 +285,66 @@ def kmeans_assign(
 ) -> DataFrame:
     """Final hard assignment to the nearest trained centroid (narrow map)."""
     return ivf_assign(df, vec_col, centroids, out_col, nprobe=1)
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group embedding outliers: the k vectors farthest (squared L2)
+    from their group's centroid — the standard contamination / mislabel
+    screen over an embedding table.
+
+    Cross-engine exactness: floats are fixed-pointed to round(v*scale)
+    BIGINTs, and the score is the all-integer identity
+        score = sum_d (c * v_d - S_d)^2  =  c^2 * ||v - mean||^2
+    (c = group count, S_d = per-dim integer sum), so no float summation
+    order can diverge and the oracle is exact. With |v| <= ~2 and scale
+    1e3 the per-dim term is < 2^62 up to c ~ 1e5 rows/group; beyond that
+    (true 100 TB groups) switch scoring to double against a broadcast
+    mean — the plan shape is identical, the oracle becomes tolerance.
+
+    Scale: the per-(label,pos) integer sums are a tiny aggregate (explode
+    is map-side combined); they fold into one array row per label and
+    broadcast back, so the corpus itself is scored in a narrow map —
+    never exploded twice, never shuffled. The only corpus-wide shuffle is
+    the final per-label top-k window (k partials per label under
+    TakeOrdered-style ranking).
+    """
+    from pyspark.sql import Window as W
+
+    vs = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: F.round(x * scale, 0).cast("long"),
+    )
+    e = emb.select(F.col(id_col), F.col(label_col), vs.alias("_vs"))
+    stats = (
+        e.select(label_col, F.posexplode("_vs").alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+            F.min("c").alias("_c"),
+        )
+        .select(label_col, F.transform("ps", lambda r: r["s"]).alias("_s"), "_c")
+    )
+    c = F.col("_c")
+    score = F.aggregate(
+        F.zip_with(F.col("_vs"), F.col("_s"), lambda v, s: (c * v - s) * (c * v - s)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(F.broadcast(stats), label_col).select(
+        id_col, label_col, score.alias("score")
+    )
+    w = W.partitionBy(label_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, label_col, "score", "rank")
+    )

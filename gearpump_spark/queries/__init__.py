@@ -127,9 +127,12 @@ DRIVER_SAMPLE_WINDOW = [
     "q_keyed_route",
     "q_sol_passthrough",
     "q_flatten_union",
-    # temporal join (q_range_join/q_sessionize were driver-verified in r1;
-    # the slots go to the two new flagship ops above)
-    "q_asof_join",
+    # r3 rotation: q_asof_join was driver-verified green in r1
+    # (CORRECTNESS_r01.json), so its slot rotates to the new embedding
+    # outlier screen; sample_temperature_mix / text_boilerplate /
+    # q_session_window queue for the next rotation once this round's
+    # artifact lands.
+    "embedding_outliers",
 ]
 
 

@@ -905,3 +905,84 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("covered_tokens").cast("double") / F.col("total")).alias("coverage"),
         )
     )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(i AS BIGINT) AS pos,
+               CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vs
+        FROM (SELECT vec_id, label,
+                     UNNEST(embedding) AS v,
+                     UNNEST(RANGE(0, LEN(embedding))) AS i
+              FROM embeddings)),
+    stats AS (
+        SELECT label, pos, SUM(vs) AS s, COUNT(*) AS c
+        FROM e GROUP BY label, pos),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               SUM((st.c * e.vs - st.s) * (st.c * e.vs - st.s)) AS score
+        FROM e JOIN stats st ON e.label = st.label AND e.pos = st.pos
+        GROUP BY e.vec_id, e.label)
+    SELECT vec_id, label, CAST(score AS BIGINT) AS score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT vec_id, label, score,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY label, rank
+    """,
+    desc="embedding outlier screen: top-5 per label by squared distance to "
+    "the label centroid — all-integer fixed-point score, exact cross-engine",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination/mislabel screen. Scale: centroid sums are a tiny
+    aggregate broadcast back; the corpus is scored in a narrow map and only
+    the per-label top-k window shuffles (operators/similarity.py
+    centroid_outliers)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        S.centroid_outliers(emb, "vec_id", "label", "embedding", k=5)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("label", "rank")
+    )
+
+
+@register(
+    "text_boilerplate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(CASE WHEN LEN(ws) < 2 THEN [ARRAY_TO_STRING(ws, ' ')]
+                      ELSE LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                           i -> ws[i] || ' ' || ws[i+1]) END) AS shingle
+        FROM (SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents)),
+    bp AS (
+        SELECT shingle FROM sh
+        GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >=
+               CEIL(0.02 * (SELECT COUNT(*) FROM documents)))
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(ROUND(CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 4) AS DOUBLE) AS bp_frac
+    FROM sh LEFT JOIN bp ON sh.shingle = bp.shingle
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    desc="boilerplate screen: per-doc fraction of word-2-gram instances "
+    "whose corpus document-frequency is >= 2% of docs (C4-style filter)",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: DF counts shuffle shingle keys only; the qualifying
+    (high-DF) set is small by construction and broadcasts; threshold is a
+    1-row cross join — one plan, no collect (operators/dedup.py
+    boilerplate_stats)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.boilerplate_stats(docs, shingle_n=2, min_doc_frac=0.02).orderBy("doc_id")

@@ -82,6 +82,36 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH totals AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w
+        FROM documents GROUP BY source),
+    rates AS (
+        SELECT source,
+               CAST(FLOOR(10000.0 * SQRT((SELECT MIN(w) FROM totals) / w)) AS BIGINT)
+                 AS rate_bp
+        FROM totals)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE {_SQL_BUCKET.format(seed="'0'", key="d.doc_id")} < r.rate_bp
+    ORDER BY d.doc_id
+    """,
+    desc="temperature mixing (alpha=0.5): per-source rates computed from the "
+    "char mass so kept mass ∝ sqrt(source size) — rates exact cross-engine "
+    "(sqrt/div are correctly rounded), membership by hash bucket",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate table is a tiny broadcast; the corpus never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        SP.temperature_mix(docs, "source", "doc_id", "n_chars", alpha=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "sample_bottom_k",
     oracle="""
     SELECT doc_id FROM (

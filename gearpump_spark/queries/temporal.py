@@ -131,6 +131,52 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    desc="native Spark session_window (30-min gap): merging event-time "
+    "sessions the reference rejects outright; end = last event + gap",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessions as q_sessionize but via Spark's native session_window
+    merging-window operator (one keyed aggregate, streaming-capable with a
+    watermark — reference rejects merging windows at
+    GroupByKeyTranslator.java:43-47). The oracle reconstructs merge
+    semantics gap-wise: an event exactly `gap` after its predecessor
+    starts a NEW session (windows touching, not overlapping, don't merge),
+    hence `>=` where the lag-based sessionize operator uses `>`.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "q_lag_lead",
     oracle="""
     SELECT event_id, user_id,

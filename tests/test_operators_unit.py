@@ -643,3 +643,91 @@ def test_redact_pii_patterns_and_counts(spark):
     assert "a.b-c_9" not in row.red and "192.168" not in row.red
     assert "1.2 unaffected" in row.red  # short float is not an IP
     assert (row.email, row.ip, row.phone) == (1, 1, 1)
+
+
+# --- temperature mix golden: rates from closed-form math ------------------
+
+
+def test_temperature_mix_rates_and_membership(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    # Source A: weight 100, B: 400, C: 900.  alpha=0.5 → rate_bp =
+    # floor(10000*sqrt(wmin/w)) = A:10000, B:5000, C:3333.
+    rows = [(i, "A", 10) for i in range(10)]
+    rows += [(100 + i, "B", 40) for i in range(10)]
+    rows += [(200 + i, "C", 90) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    kept = SP.temperature_mix(df, "source", "doc_id", "n_chars", alpha=0.5).collect()
+
+    def bucket(key: int) -> int:
+        return int(hashlib.md5(f"0|{key}".encode()).hexdigest()[:15], 16) % 10_000
+
+    expect_rate = {"A": 10_000, "B": 5_000, "C": 3_333}
+    expected = {(i, s) for i, s, _ in rows if bucket(i) < expect_rate[s]}
+    assert {(r.doc_id, r.source) for r in kept} == expected
+    # the smallest source is kept in full
+    assert sum(1 for r in kept if r.source == "A") == 10
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark):
+    from gearpump_spark.operators import sampling as SP
+
+    rows = [(1, "A", 5), (2, "B", 500), (3, "B", 500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    # alpha=1 → natural proportions → every rate is 10000 bp
+    assert SP.temperature_mix(df, "source", "doc_id", "n_chars", alpha=1.0).count() == 3
+
+
+# --- centroid outliers golden vs numpy ------------------------------------
+
+
+def test_centroid_outliers_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 4).astype("float32")
+    labels = [i % 3 for i in range(30)]
+    rows = [(i, labels[i], [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    got = S.centroid_outliers(df, k=2).collect()
+
+    vs = np.round(vecs.astype("float64") * 1000).astype("int64")
+    expect = set()
+    for lab in range(3):
+        idx = [i for i in range(30) if labels[i] == lab]
+        c = len(idx)
+        s = vs[idx].sum(axis=0)
+        scores = {i: int(((c * vs[i] - s) ** 2).sum()) for i in idx}
+        top = sorted(idx, key=lambda i: (-scores[i], i))[:2]
+        expect |= {(i, lab, scores[i], r + 1) for r, i in enumerate(top)}
+    assert {(r.vec_id, r.label, r.score, r.rank) for r in got} == expect
+
+
+# --- boilerplate stats golden ---------------------------------------------
+
+
+def test_boilerplate_stats_counts_instances(spark):
+    # "a b" occurs in all 3 docs (and twice in doc 0); "c d" only in doc 2.
+    rows = [
+        (0, "a b a b"),          # shingles: "a b", "b a", "a b"
+        (1, "a b"),              # "a b"
+        (2, "a b c d"),          # "a b", "b c", "c d"
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # threshold: ceil(0.67 * 3 docs) = 3 distinct docs → only "a b" is bp
+    got = {
+        r.doc_id: (r.n_shingles, r.n_boilerplate, r.bp_frac)
+        for r in D.boilerplate_stats(df, shingle_n=2, min_doc_frac=0.67).collect()
+    }
+    assert got == {0: (3, 2, 0.6667), 1: (1, 1, 1.0), 2: (3, 1, 0.3333)}
+
+
+def test_boilerplate_short_doc_whole_text_shingle(spark):
+    rows = [(0, "solo"), (1, "solo"), (2, "x y")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.n_boilerplate
+        for r in D.boilerplate_stats(df, shingle_n=2, min_doc_frac=0.6).collect()
+    }
+    # "solo" appears in 2/3 docs ≥ ceil(1.8)=2 → boilerplate; "x y" not
+    assert got == {0: 1, 1: 1, 2: 0}
