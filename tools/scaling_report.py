@@ -39,6 +39,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("scaling_report", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
     # warm codegen per plan shape at the smallest sf
