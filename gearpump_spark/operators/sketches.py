@@ -183,3 +183,57 @@ def bloom_filtered_join(
     candidates = probed.where(F.col("bloom_maybe")).select(F.col("key").alias(fact_key))
     filtered = fact.join(F.broadcast(candidates), fact_key, "left_semi")
     return filtered.join(dim, filtered[fact_key] == dim[dim_key], how)
+
+
+def countmin_build(
+    df: DataFrame, col: str, width: int = 512, depth: int = 3, seed_base: int = 100
+) -> DataFrame:
+    """Count-min sketch over df[col] as (j, bucket, cnt) rows — the
+    mergeable frequency sketch (Cormode & Muthukrishnan 2005): depth
+    seeded-md5 hash rows of width counters; estimate = min over rows.
+
+    Scale: ONE aggregation of depth×rows exploded cells with map-side
+    combine down to ≤ depth·width cells — constant memory per partition,
+    mergeable across partitions/batches by cell-wise sum (the same monoid
+    discipline as the reference's state, state/api/Monoid.scala:17-24).
+    The finished sketch is ≤ depth·width rows — broadcastable.
+
+    Cross-engine: the hash family is seeded md5 (hashing.SQL_H15), so
+    sketch cells AND estimates are bit-identical in DuckDB — the oracle
+    checks exact equality, not a tolerance.
+    """
+    vals = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    cells = vals.select(
+        F.posexplode(
+            F.array(*[(_h15(F.col("v"), seed_base + j) % width) for j in range(depth)])
+        ).alias("j", "bucket")
+    )
+    return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 3,
+    seed_base: int = 100,
+) -> DataFrame:
+    """Point-frequency estimates for probes[col]: est = min_j cnt[j][h_j(v)].
+
+    Guaranteed >= true count (no false negatives); overcount bounded by
+    collisions. The sketch side broadcasts (≤ depth·width rows); probes
+    shuffle only on the final per-value min."""
+    pr = probes.select(F.col(col).alias("v")).distinct()
+    hashed = pr.select(
+        "v",
+        F.posexplode(
+            F.array(*[(_h15(F.col("v"), seed_base + j) % width) for j in range(depth)])
+        ).alias("j", "bucket"),
+    )
+    joined = hashed.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return (
+        joined.groupBy("v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+        .select(F.col("v").alias(col), "est_n")
+    )

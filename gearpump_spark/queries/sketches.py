@@ -166,3 +166,66 @@ def sketch_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_CMS_W, _CMS_D = 512, 3
+_SQL_WORDS = """
+    words AS (
+        SELECT LOWER(w) AS word FROM (
+            SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                      w -> w <> '')) AS w
+            FROM documents))
+"""
+
+
+@register(
+    "sketch_countmin_words",
+    oracle=f"""
+    WITH {_SQL_WORDS},
+    cms AS (
+        SELECT j, {_SQL_H15_T.format(seed="(100 + j)", key="word")} % {_CMS_W} AS bucket,
+               COUNT(*) AS cnt
+        FROM words CROSS JOIN (SELECT UNNEST(RANGE(0, {_CMS_D})) AS j) js
+        GROUP BY 1, 2),
+    exact AS (SELECT word, COUNT(*) AS exact_n FROM words GROUP BY word),
+    est AS (
+        SELECT e.word, MIN(c.cnt) AS est_n
+        FROM exact e
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {_CMS_D})) AS j) js
+        JOIN cms c ON c.j = js.j
+                  AND c.bucket = {_SQL_H15_T.format(seed="(100 + js.j)", key="e.word")} % {_CMS_W}
+        GROUP BY e.word)
+    SELECT exact.word, CAST(exact.exact_n AS BIGINT) AS exact_n,
+           CAST(est.est_n AS BIGINT) AS est_n,
+           CAST(est.est_n - exact.exact_n AS BIGINT) AS overcount
+    FROM exact JOIN est ON exact.word = est.word
+    ORDER BY exact.word
+    """,
+    desc="count-min sketch: depth-3/width-512 seeded-md5 counters over the "
+    "word stream; per-word min-estimate vs exact count — cells and "
+    "estimates bit-identical cross-engine (exact oracle, no tolerance)",
+)
+def sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sketch is one map-side-combined aggregation to ≤ d·w
+    cells, mergeable across partitions/batches by cell-wise sum, then
+    broadcast for probing — frequency estimates over 100 TB in constant
+    sketch memory (operators/sketches.py countmin_build/estimate)."""
+    from gearpump_spark.functions.text import WS_RE
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split("text", WS_RE), lambda w: w != "")).alias("w")
+    ).select(F.lower("w").alias("word"))
+    cms = SK.countmin_build(words, "word", width=_CMS_W, depth=_CMS_D)
+    exact = words.groupBy("word").agg(F.count("*").alias("exact_n"))
+    est = SK.countmin_estimate(cms, words, "word", width=_CMS_W, depth=_CMS_D)
+    return (
+        exact.join(est, "word")
+        .select(
+            "word",
+            F.col("exact_n").cast("long"),
+            F.col("est_n").cast("long"),
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy("word")
+    )

@@ -731,3 +731,70 @@ def test_boilerplate_short_doc_whole_text_shingle(spark):
     }
     # "solo" appears in 2/3 docs ≥ ceil(1.8)=2 → boilerplate; "x y" not
     assert got == {0: 1, 1: 1, 2: 0}
+
+
+# --- count-min sketch: estimate bounds ------------------------------------
+
+
+def test_countmin_never_underestimates_and_is_exact_without_collisions(spark):
+    from gearpump_spark.operators.sketches import countmin_build, countmin_estimate
+
+    vals = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(vals, "v string")
+    cms = countmin_build(df, "v", width=64, depth=3)
+    est = {r.v: r.est_n for r in countmin_estimate(cms, df, "v", width=64, depth=3).collect()}
+    exact = {"a": 5, "b": 3, "c": 1}
+    assert all(est[k] >= exact[k] for k in exact)  # no false negatives
+    # 3 values in 64 buckets × 3 rows: some row is collision-free → exact
+    assert est == exact
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    from gearpump_spark.operators.sketches import countmin_build
+
+    df1 = spark.createDataFrame([("x",)] * 4, "v string")
+    df2 = spark.createDataFrame([("x",)] * 2 + [("y",)], "v string")
+    merged = (
+        countmin_build(df1, "v").union(countmin_build(df2, "v"))
+        .groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_build(df1.union(df2), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+# --- triangle count golden vs brute force ---------------------------------
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(12))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)})
+    from gearpump_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    row = triangle_count(df).collect()[0]
+    eset = set(edges)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(sorted({n for e in edges for n in e}), 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len({n for e in edges for n in e})
+
+
+def test_triangle_count_counts_each_once_on_clique(spark):
+    import itertools
+
+    # K5: C(5,3) = 10 triangles; also feed duplicate/reversed edges
+    edges = list(itertools.combinations(range(5), 2))
+    noisy = edges + [(b, a) for a, b in edges] + edges[:3]
+    df = spark.createDataFrame(noisy, "src bigint, dst bigint")
+    from gearpump_spark.operators.graph import triangle_count
+
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 10, 10)
