@@ -325,3 +325,32 @@ def boilerplate_stats(
             ).alias("bp_frac"),
         )
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus snapshot —
+    the steady-state shape of a 100 TB crawl pipeline, where re-hashing
+    the historical corpus per increment is the thing to avoid.
+
+    Two stages, both on 16-byte fingerprints (bodies never shuffle):
+    1. within-batch exact dedup (min-id winner per fingerprint);
+    2. left-anti join of the survivors against the snapshot's DISTINCT
+       fingerprint index.
+
+    At scale the snapshot side is a pre-materialized fingerprint table
+    (write `fingerprint(text)` once at ingest, bucketed by fp, and the
+    anti-join co-locates without re-shuffling history); here we derive it
+    inline from the snapshot rows.
+    """
+    snap_fp = snapshot.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    survivors = (
+        batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return survivors.join(snap_fp, "fp", "left_anti").select(id_col, "fp")

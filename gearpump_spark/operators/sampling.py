@@ -239,3 +239,60 @@ def global_shuffle_order(df: DataFrame, key_col: str, seed: int = 0) -> DataFram
 
     w = W.orderBy(seeded_md5(F.col(key_col), seed), key_col)
     return df.withColumn("position", F.row_number().over(w).cast("bigint") - 1)
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Weighted sample of k rows WITHOUT replacement with unbiased
+    subset-sum estimates — priority sampling (Duffield, Lund, Thorup 2007).
+
+    priority = w / u with u = (hex15(md5(seed|key)) + 1) / 2^60 ∈ (0, 1];
+    the k highest priorities win and each winner's weight estimate is
+    max(w, tau) where tau is the (k+1)-th priority. sum(w_est) over the
+    sample is an unbiased estimator of sum(w) over the population.
+
+    Determinism across engines: priority uses only *, / on exact inputs —
+    IEEE-deterministic, unlike pow/ln-based Efraimidis-Spirakis keys, so
+    the DuckDB oracle reproduces it bit-for-bit. Ties broken by key_col.
+
+    Scale: one distributed top-(k+1) (TakeOrderedAndProject — per-partition
+    heap, no global sort); tau/rank run as a window over k+1 rows only.
+    """
+    from pyspark.sql import Window as W
+
+    u_den = float(1 << 60)
+    pr = (
+        F.col(weight_col).cast("double")
+        * F.lit(u_den)
+        / (seeded_hash15(F.col(key_col), seed) + F.lit(1)).cast("double")
+    )
+    top = (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col).cast("double").alias("w"),
+            pr.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), key_col)
+        .limit(k + 1)
+    )
+    w_all = W.orderBy(F.desc("priority"), key_col)
+    w_tau = w_all.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        top.withColumn("_rn", F.row_number().over(w_all))
+        # tau = (k+1)-th priority; if the population has <= k rows the
+        # threshold never fires and w_est = w exactly.
+        .withColumn(
+            "_tau",
+            F.when(F.count("*").over(w_tau) > k, F.min("priority").over(w_tau)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .where(F.col("_rn") <= k)
+        .select(
+            key_col,
+            "w",
+            "priority",
+            F.greatest(F.col("w"), F.col("_tau")).alias("w_est"),
+        )
+    )

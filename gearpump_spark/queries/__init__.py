@@ -79,10 +79,12 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_contamination",
-    # similarity search (brute-force, LSH-bucketed, IVF)
+    "dedup_incremental",
+    # similarity search (brute-force + LSH-bucketed; IVF rotates out — it
+    # is rows-only-checkable and pytest-golden'd, an oracle-backed query
+    # earns more from a hash-checked slot)
     "similarity_topk",
     "similarity_topk_lsh",
-    "similarity_topk_ivf",
     # text analysis
     "text_doc_stats",
     "text_lang_profile",
@@ -94,13 +96,14 @@ DRIVER_SAMPLE_WINDOW = [
     "text_vocab_coverage",
     "text_pii_redact",
     "doc_fingerprint",
-    # multimodal (incl. real container-byte round-trips)
+    "text_chunk_windows",
+    "text_doc_freq",
+    # multimodal (incl. real container-byte round-trips; frames/resize/
+    # features are rows-only-checkable → rotated out in favor of
+    # oracle-backed chunking/doc-freq, still pytest-golden'd)
     "multimodal_metadata",
     "multimodal_image_real",
     "multimodal_audio_real",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_features",
     # iterative / clustering
     "graph_pagerank",
     "kmeans_clusters",
@@ -118,6 +121,7 @@ DRIVER_SAMPLE_WINDOW = [
     "sample_epochs_mix",
     "sample_pack_sequences",
     "sample_shuffle_order",
+    "sample_weighted_priority",
     "pipeline_quality_dedup_sample",
     # dataflow / streaming analogs
     "wordcount",
@@ -126,7 +130,9 @@ DRIVER_SAMPLE_WINDOW = [
     "q_window_sliding",
     "q_keyed_route",
     "q_sol_passthrough",
-    "q_flatten_union",
+    # q_flatten_union rotates out (union is exhaustively pytest-covered and
+    # locally oracle-checked) for the oracle-backed tf-idf flagship
+    "text_tfidf_topterms",
     # r3 rotation: q_asof_join was driver-verified green in r1
     # (CORRECTNESS_r01.json), so its slot rotates to the new embedding
     # outlier screen; sample_temperature_mix / text_boilerplate /

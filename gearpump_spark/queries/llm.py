@@ -1129,3 +1129,168 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Chunking / incremental dedup / document frequency (r2 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM documents),
+    st AS (
+        SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, LEN(tk) - 1, 24)) AS start
+        FROM toks WHERE LEN(tk) > 0)
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS tok_start,
+           CAST(LEN(tk[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(tk[start + 1 : start + 32], ' ') AS chunk_text
+    FROM st
+    WHERE start = 0 OR LEN(tk) > start + 8
+    ORDER BY doc_id, chunk_idx
+    """,
+    desc="overlapping token-window chunking (size 32, stride 24) for "
+    "context construction — pure narrow map, zero shuffles",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators import chunking as CH
+
+    docs = table(spark, sf_dir, "documents")
+    return CH.chunk_by_tokens(docs, size=32, stride=24).orderBy("doc_id", "chunk_idx")
+
+
+_SQL_SNAP = "(" + _SQL_H15.format(seed="'7'", key="doc_id") + " % 10000) < 8000"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp,
+               {_SQL_SNAP} AS in_snap
+        FROM documents),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp WHERE NOT in_snap GROUP BY fp)
+    SELECT doc_id, fp FROM keep
+    WHERE fp NOT IN (SELECT fp FROM fp WHERE in_snap)
+    ORDER BY doc_id
+    """,
+    desc="incremental crawl dedup: new batch (hash-stable 20%) exact-deduped "
+    "within itself then anti-joined against the snapshot fingerprint index",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = SP.hash_bucket(F.col("doc_id"), seed=7)
+    snapshot = docs.where(bucket < 8000)
+    batch = docs.where(~(bucket < 8000))
+    return D.incremental_dedup(batch, snapshot).orderBy("doc_id")
+
+
+@register(
+    "text_doc_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM documents),
+    dw AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(tk, w -> LOWER(w))) AS word
+           FROM toks),
+    dfc AS (SELECT word, COUNT(*) AS df_count FROM dw GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT word, CAST(df_count AS BIGINT) AS df_count,
+           CAST(df_count AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_frac
+    FROM dfc, tot
+    WHERE CAST(df_count AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.2
+    ORDER BY df_count DESC, word
+    """,
+    desc="corpus stopword discovery: document frequency of lowercased "
+    "tokens, words present in >= 20% of documents",
+)
+def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dw = docs.select(
+        F.explode(
+            F.array_distinct(F.transform(TX.tokens(F.col("text")), F.lower))
+        ).alias("word")
+    )
+    dfc = dw.groupBy("word").agg(F.count("*").cast("long").alias("df_count"))
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    frac = F.col("df_count").cast("double") / F.col("n_docs").cast("double")
+    return (
+        dfc.crossJoin(F.broadcast(tot))
+        .withColumn("df_frac", frac)
+        .where(F.col("df_frac") >= 0.2)
+        .select("word", "df_count", "df_frac")
+        .orderBy(F.desc("df_count"), "word")
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    tf AS (SELECT doc_id, UNNEST(tk) AS word FROM toks),
+    tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY doc_id, word),
+    dfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.word, CAST(t.tf AS BIGINT) AS tf,
+               CAST(d.df AS BIGINT) AS df,
+               CAST(t.tf * n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+        FROM tfc t JOIN dfc d USING (word), tot),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        FROM scored)
+    SELECT doc_id, word, tf, df, score FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, score DESC, word
+    """,
+    desc="per-document top-3 terms by tf-idf (idf as exact rational N/df — "
+    "no ln, so scores are IEEE-identical across engines)",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction over the corpus. Shuffle budget: one on
+    (doc_id, word) for tf, one on word for df, the df→tf join re-uses the
+    word shuffle, one on doc_id for the per-doc top-k window — all keyed,
+    no broadcast of the vocabulary (at 100 TB the vocab is itself huge)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.transform(TX.tokens(F.col("text")), F.lower)).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tot = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .drop("_rn")
+        .orderBy("doc_id", F.desc("score"), "word")
+    )

@@ -250,3 +250,37 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return SP.global_shuffle_order(docs, "doc_id", seed=7).orderBy("doc_id")
+
+
+_SQL_PRI = (
+    "CAST(n_chars AS DOUBLE) * 1152921504606846976.0 / CAST("
+    + _SQL_H15.format(seed="'3'", key="doc_id")
+    + " + 1 AS DOUBLE)"
+)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pr AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, {_SQL_PRI} AS priority
+        FROM documents),
+    top AS (SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT 101),
+    ranked AS (
+        SELECT doc_id, w, priority,
+               ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn,
+               CASE WHEN COUNT(*) OVER () > 100
+                    THEN MIN(priority) OVER () ELSE 0.0 END AS tau
+        FROM top)
+    SELECT doc_id, w, priority, GREATEST(w, tau) AS w_est
+    FROM ranked WHERE rn <= 100 ORDER BY doc_id
+    """,
+    desc="priority sampling (Duffield-Lund-Thorup): 100-row weighted sample "
+    "without replacement with unbiased tau-adjusted subset-sum estimates; "
+    "IEEE-exact */ only, so the oracle reproduces it bit-for-bit",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SP.priority_sample(docs, "doc_id", "n_chars", k=100, seed=3).orderBy(
+        "doc_id"
+    )

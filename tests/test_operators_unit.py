@@ -798,3 +798,156 @@ def test_triangle_count_counts_each_once_on_clique(spark):
 
     row = triangle_count(df).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 10, 10)
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: chunking, incremental dedup, priority sampling
+# ---------------------------------------------------------------------------
+
+
+class TestChunkByTokens:
+    def test_windows_and_tail_rule(self, spark):
+        from gearpump_spark.operators.chunking import chunk_by_tokens
+
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_by_tokens(docs, size=4, stride=3).orderBy("chunk_idx").collect()
+        # starts 0,3,6,9; start=9 gives 1 token, all inside [6..9] -> dropped
+        assert [r.tok_start for r in out] == [0, 3, 6]
+        assert [r.n_tokens for r in out] == [4, 4, 4]
+        assert out[0].chunk_text == "t0 t1 t2 t3"
+        assert out[2].chunk_text == "t6 t7 t8 t9"
+        # every token appears in at least one chunk
+        covered = set()
+        for r in out:
+            covered.update(r.chunk_text.split(" "))
+        assert covered == {f"t{i}" for i in range(10)}
+
+    def test_short_and_empty_docs(self, spark):
+        from gearpump_spark.operators.chunking import chunk_by_tokens
+
+        docs = spark.createDataFrame(
+            [(1, "only two"), (2, "   "), (3, "one")],
+            "doc_id long, text string",
+        )
+        out = chunk_by_tokens(docs, size=4, stride=3).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert set(by_id) == {1, 3}  # whitespace-only doc emits no chunks
+        assert by_id[1].n_tokens == 2 and by_id[1].chunk_text == "only two"
+        assert by_id[3].n_tokens == 1
+
+    def test_no_overlap_stride_equals_size(self, spark):
+        from gearpump_spark.operators.chunking import chunk_by_tokens
+
+        text = " ".join(f"t{i}" for i in range(7))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_by_tokens(docs, size=3, stride=3).orderBy("chunk_idx").collect()
+        assert [r.tok_start for r in out] == [0, 3, 6]
+        assert [r.n_tokens for r in out] == [3, 3, 1]
+        joined = " ".join(r.chunk_text for r in out)
+        assert joined == text  # exact partition, no dup/loss
+
+    def test_invalid_params(self, spark):
+        import pytest as _pytest
+
+        from gearpump_spark.operators.chunking import chunk_by_tokens
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        for size, stride in [(0, 1), (4, 0), (4, 5)]:
+            with _pytest.raises(ValueError):
+                chunk_by_tokens(docs, size=size, stride=stride)
+
+    def test_plan_is_narrow(self, spark):
+        from gearpump_spark.operators.chunking import chunk_by_tokens
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = chunk_by_tokens(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # chunking must never shuffle
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_snapshot(self, spark):
+        from gearpump_spark.operators.dedup import incremental_dedup
+
+        snap = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "Alpha   beta"),  # dup of snapshot after normalization
+                (11, "delta"),
+                (12, "delta"),  # within-batch dup, higher id loses
+                (13, "epsilon"),
+            ],
+            "doc_id long, text string",
+        )
+        out = incremental_dedup(batch, snap).orderBy("doc_id").collect()
+        assert [r.doc_id for r in out] == [11, 13]
+
+    def test_empty_batch(self, spark):
+        from gearpump_spark.operators.dedup import incremental_dedup
+
+        snap = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        batch = snap.where("doc_id < 0")
+        assert incremental_dedup(batch, snap).count() == 0
+
+
+class TestPrioritySample:
+    def test_golden_vs_numpy(self, spark):
+        import hashlib
+
+        from gearpump_spark.operators.sampling import priority_sample
+
+        rows = [(i, 10 + (i * 37) % 90) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        k = 20
+        out = priority_sample(df, "doc_id", "w", k=k, seed=5).collect()
+
+        def h15(key, seed):
+            return int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:15], 16)
+
+        pri = sorted(
+            ((w * float(1 << 60) / float(h15(i, 5) + 1), i, w) for i, w in rows),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = pri[:k]
+        tau = pri[k][0]
+        got = sorted(out, key=lambda r: (-r.priority, r.doc_id))
+        assert [(r.doc_id, r.w) for r in got] == [(i, float(w)) for _, i, w in expect]
+        for r in got:
+            assert r.w_est == max(r.w, tau)
+
+    def test_population_smaller_than_k(self, spark):
+        from gearpump_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, w long")
+        out = priority_sample(df, "doc_id", "w", k=10).orderBy("doc_id").collect()
+        # everyone sampled, no threshold adjustment: w_est == w exactly
+        assert [(r.doc_id, r.w, r.w_est) for r in out] == [(1, 5.0, 5.0), (2, 7.0, 7.0)]
+
+    def test_unbiased_estimator_total(self, spark):
+        from pyspark.sql import functions as F
+
+        from gearpump_spark.operators.sampling import priority_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        true_total = docs.agg(F.sum("n_chars")).collect()[0][0]
+        ests = []
+        for seed in range(6):
+            s = priority_sample(docs, "doc_id", "n_chars", k=150, seed=seed)
+            ests.append(s.agg(F.sum("w_est")).collect()[0][0])
+        mean_est = sum(ests) / len(ests)
+        assert abs(mean_est - true_total) / true_total < 0.15
+
+    def test_topk_plan_no_global_sort(self, spark):
+        from gearpump_spark.operators.sampling import priority_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            priority_sample(docs, "doc_id", "n_chars", k=100)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the big-data scan must feed TakeOrderedAndProject, not a full Sort
+        assert "TakeOrderedAndProject" in plan

@@ -361,3 +361,31 @@ def test_session_window_single_keyed_exchange(spark, sf_dir):
     )
     p = plan(df)
     assert p.count("hashpartitioning") == 1
+
+
+def test_incremental_dedup_anti_join_and_mapside_min(spark, sf_dir):
+    p = plan(QS["dedup_incremental"](spark, sf_dir), "extended")
+    assert "LeftAnti" in p, "snapshot check must be an anti-join, not a filter scan"
+    # within-batch min-id dedup must partial-aggregate map-side before the
+    # fp shuffle (bodies reduce to 16-byte fingerprints pre-exchange)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_doc_freq_total_is_broadcast(spark, sf_dir):
+    p = plan(QS["text_doc_freq"](spark, sf_dir))
+    # the 1-row corpus count joins by broadcast, never a shuffled cross join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2  # word counts combine map-side
+
+
+def test_chunk_windows_zero_exchanges_pre_sort(spark, sf_dir):
+    from gearpump_spark.operators.chunking import chunk_by_tokens
+
+    # the operator itself (without the query's presentation orderBy) must
+    # be a pure narrow map: tokenize/explode/slice with no shuffle at all.
+    # Raw read, not datasets.table(): the table() helper's single-split
+    # parallelism guard inserts a round-robin repartition on this rig
+    # (docs/SCALING.md), which would mask the operator's own shape.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan(chunk_by_tokens(docs))
+    assert "Exchange" not in p
