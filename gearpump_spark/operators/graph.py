@@ -241,3 +241,100 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.col("n_triangles").cast("long"),
         )
     )
+
+
+def connected_components_twophase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+
+    Same output contract as connected_components (node_id, comp=min id in
+    component), but converges in O(log^2 n) rounds instead of O(diameter):
+    - large-star: every node points its LARGER neighbors at the minimum of
+      its closed neighborhood;
+    - small-star: every node and its SMALLER neighbors collapse onto that
+      minimum.
+    A 10^6-node path graph needs ~20 rounds here vs 10^6 for min-label
+    propagation — this is the variant to use when cluster shapes are
+    unknown (min-label stays the default for shallow near-dup clusters,
+    where 2-3 rounds beat the two shuffles per round paid here).
+
+    Scale: each phase is one groupBy shuffle + one keyed join; edge count
+    never grows (stars only re-point edges); lineage cut per round via
+    localCheckpoint; the driver sees only a per-round (count, checksum)
+    pair for the fixpoint test.
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(pairs: DataFrame):
+        # one action per round: (n_edges, order-insensitive content hash)
+        # sum in decimal(38,0): 2^60-sized terms overflow BIGINT sums under
+        # ANSI mode long before the row count gets interesting
+        h = seeded_hash15(F.concat_ws(",", "hi", "lo"), 0).cast("decimal(38,0)")
+        row = pairs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row.n, row.s
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric view: for each center u, m =
+        # min(N(u) ∪ {u}); larger neighbors v > u re-point to (v, m).
+        s = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            s.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star on the (hi -> lo) orientation: for each hi, m =
+        # min(smaller neighbors); they and hi itself collapse onto m.
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .select(F.greatest("lo", "m").alias("hi"), F.least("lo", "m").alias("lo"))
+            .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = ss
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # At the fixpoint every edge points a node straight at its component
+    # minimum: labels = non-root nodes (hi -> lo) ∪ roots ∪ isolated nodes.
+    labels = e.select(F.col("hi").alias("node_id"), F.col("lo").alias("comp")).union(
+        e.select(F.col("lo").alias("node_id"), F.col("lo").alias("comp"))
+    )
+    all_nodes = edges.select(F.col(src).alias("node_id")).union(
+        edges.select(F.col(dst).alias("node_id"))
+    )
+    if nodes is not None:
+        all_nodes = all_nodes.union(nodes.select(F.col(nodes.columns[0]).alias("node_id")))
+    singletons = all_nodes.distinct().join(
+        labels.select("node_id"), "node_id", "left_anti"
+    )
+    return labels.distinct().union(
+        singletons.withColumn("comp", F.col("node_id"))
+    )

@@ -102,9 +102,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sig, k=6, rows_per_band=2).orderBy("a", "b")
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Shared by dedup_clusters and dedup_clusters_twophase: both compute the
+# SAME clustering (component id = min doc_id), differing only in the
+# distributed fixpoint algorithm, so one oracle checks both.
+_SQL_CLUSTERS = f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     sig AS (
         SELECT doc_id,
@@ -133,7 +134,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE cc.comp < e.v)
     SELECT node_id AS doc_id, MIN(comp) AS cluster_id
     FROM cc GROUP BY node_id ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_SQL_CLUSTERS,
     desc="near-dup clusters: MinHash-LSH pairs → connected components",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,6 +154,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(docs, k=6)
     pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
     comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="a", dst="b"
+    )
+    return comps.select(
+        F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_clusters_twophase",
+    oracle=_SQL_CLUSTERS,
+    desc="same clustering via alternating large-star/small-star "
+    "(Kiveris 2014) — O(log^2 n) rounds for adversarially deep components",
+)
+def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical output to dedup_clusters; the fixpoint runs as the
+    two-phase star algorithm (operators/graph.py
+    connected_components_twophase), the variant to choose at 100 TB when
+    component shapes are unknown."""
+    from gearpump_spark.operators.graph import connected_components_twophase
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components_twophase(
         pairs, nodes=docs.select("doc_id"), src="a", dst="b"
     )
     return comps.select(

@@ -951,3 +951,44 @@ class TestPrioritySample:
         )
         # the big-data scan must feed TakeOrderedAndProject, not a full Sort
         assert "TakeOrderedAndProject" in plan
+
+
+class TestConnectedComponentsTwoPhase:
+    def _labels(self, df):
+        return sorted((r.node_id, r.comp) for r in df.collect())
+
+    def test_matches_min_label_on_random_graph(self, spark):
+        import random
+
+        from gearpump_spark.operators.graph import (
+            connected_components,
+            connected_components_twophase,
+        )
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = self._labels(connected_components(df, max_iter=50))
+        b = self._labels(connected_components_twophase(df))
+        assert a == b
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from gearpump_spark.operators.graph import connected_components_twophase
+
+        n = 256  # path graph: diameter 255, min-label would need ~255 rounds
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        out = connected_components_twophase(df, max_iter=12)
+        labels = self._labels(out)
+        assert labels == [(i, 0) for i in range(n)]
+
+    def test_singletons_and_empty(self, spark):
+        from gearpump_spark.operators.graph import connected_components_twophase
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        nodes = spark.createDataFrame([(1,), (2,), (9,)], "node_id long")
+        out = self._labels(connected_components_twophase(edges, nodes=nodes))
+        assert out == [(1, 1), (2, 1), (9, 9)]
+        empty = edges.where("src < 0")
+        assert connected_components_twophase(empty, nodes=nodes).count() == 3
