@@ -1324,3 +1324,113 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("doc_id", F.desc("score"), "word")
     )
+
+
+@register(
+    "pipeline_chunk_pack",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM documents),
+    st AS (
+        SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, LEN(tk) - 1, 32)) AS start
+        FROM toks WHERE LEN(tk) > 0),
+    chunks AS (
+        SELECT doc_id,
+               CAST(start // 32 AS BIGINT) AS chunk_idx,
+               CAST(LEN(tk[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+               doc_id || ':' || CAST(start // 32 AS BIGINT) AS key
+        FROM st),
+    packed AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST(CONCAT('0x', SUBSTR(MD5('1' || '|' || key), 1, 15)) AS BIGINT)
+                 % 10000 % 8 AS shard,
+               MD5('0' || '|' || key) AS h, key
+        FROM chunks),
+    binned AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               shard * 1099511627776
+                 + CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY h, key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 128) AS BIGINT) AS bin_id
+        FROM packed)
+    SELECT doc_id, chunk_idx, n_tokens, bin_id
+    FROM binned ORDER BY doc_id, chunk_idx
+    """,
+    desc="end-to-end context construction: non-overlapping 32-token chunks "
+    "packed into 128-token bins via 8-way sharded parallel packing",
+)
+def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking (narrow map) feeds sharded sequence packing (one window
+    pass per shard, shards packed independently in parallel) — the shape
+    that survives 100 TB, vs a single global packing order."""
+    from gearpump_spark.operators import chunking as CH
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = CH.chunk_by_tokens(docs, size=32, stride=32).withColumn(
+        "key", F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))
+    )
+    packed = SP.pack_sequences(chunks, "key", "n_tokens", budget=128, shards=8)
+    return packed.select("doc_id", "chunk_idx", "n_tokens", "bin_id").orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "text_rare_bigram_frac",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    bi AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM toks WHERE LEN(tk) >= 2),
+    c AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    j AS (SELECT doc_id, CASE WHEN c2 <= 2 THEN 1 ELSE 0 END AS rare
+          FROM bi JOIN c USING (bg))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(rare) AS BIGINT) AS n_rare,
+           CAST(SUM(rare) AS DOUBLE) / COUNT(*) AS rare_frac
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="corpus-fit quality screen: fraction of a doc's bigrams that are "
+    "rare (corpus count <= 2) in the corpus's own bigram model — a "
+    "perplexity proxy with integer counts and one IEEE division, so it is "
+    "bit-exact across engines (no log/pow)",
+)
+def text_rare_bigram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gibberish/boilerplate screen in the CCNet spirit but self-trained:
+    the corpus's own bigram counts stand in for an external LM. Shuffle
+    budget: one groupBy on bigram (vocab-sized, map-side combined), the
+    count join reuses that key, one final groupBy on doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    tk = F.transform(TX.tokens(F.col("text")), F.lower)
+    base = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+        ),
+    )
+    bi = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    c = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    j = bi.join(c, "bg").select(
+        "doc_id", F.when(F.col("c2") <= 2, F.lit(1)).otherwise(F.lit(0)).alias("rare")
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("rare").cast("long").alias("n_rare"),
+            (F.sum("rare").cast("double") / F.count("*")).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -389,3 +389,24 @@ def test_chunk_windows_zero_exchanges_pre_sort(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = plan(chunk_by_tokens(docs))
     assert "Exchange" not in p
+
+
+def test_chunk_pack_pipeline_shards_avoid_global_window(spark, sf_dir):
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators import chunking as CH
+    from gearpump_spark.operators import sampling as SP
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = CH.chunk_by_tokens(docs, size=32, stride=32).withColumn(
+        "key", F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))
+    )
+    p = plan(SP.pack_sequences(chunks, "key", "n_tokens", budget=128, shards=8))
+    # sharded packing must hash-partition by shard; a SinglePartition
+    # exchange means the whole corpus funnels through one task's window
+    assert "SinglePartition" not in p
+
+
+def test_tfidf_and_bigram_partial_aggregation(spark, sf_dir):
+    for name in ("text_tfidf_topterms", "text_rare_bigram_frac"):
+        p = plan(QS[name](spark, sf_dir))
+        assert p.count("HashAggregate") >= 2, name  # map-side combine on word/bigram
