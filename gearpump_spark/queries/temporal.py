@@ -488,3 +488,41 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     return latest_by_key(ev, ["user_id"], "ts", "event_id").orderBy("user_id")
+
+
+@register(
+    "q_window_topk_trending",
+    oracle="""
+    WITH w AS (
+        SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)
+                 * 1000000) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, event_type),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start ORDER BY n DESC, event_type) AS rn
+          FROM w)
+    SELECT window_start, event_type, n, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 2 ORDER BY window_start, rank
+    """,
+    desc="trending: top-2 event types per 10-minute tumbling window "
+    "(windowed count + per-window rank, deterministic tie-break)",
+)
+def q_window_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy-hitter ranking — the batch shape of a streaming
+    trending-topics board. One shuffle on (window, type) with map-side
+    combine; the rank window re-shuffles only the per-window aggregate
+    rows (O(windows × types), not O(events))."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rk = W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("rank") <= 2)
+        .orderBy("window_start", "rank")
+    )

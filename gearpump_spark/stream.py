@@ -81,6 +81,16 @@ class GearContext:
             reader = reader.schema(schema)
         return Stream(reader.json(path), ts_col)
 
+    def from_orc(self, path: str, ts_col: str | None = None) -> "Stream":
+        """ORC source (columnar like parquet: predicate pushdown, column
+        pruning, and split-ability all apply)."""
+        return Stream(self.spark.read.orc(path), ts_col)
+
+    def from_text(self, path: str, ts_col: str | None = None) -> "Stream":
+        """Line-oriented text source: one `value: string` column per line
+        (the raw-corpus entry point — feed it to functions/text.py)."""
+        return Stream(self.spark.read.text(path), ts_col)
+
     # -- unbounded sources --------------------------------------------------
     def from_rate(self, rows_per_second: int = 1000) -> "Stream":
         """Unbounded generator source (the SOL producer analog; reference:
@@ -270,6 +280,20 @@ class Stream:
         date(ts)) — high-cardinality keys belong in bucketing, not here.
         """
         self.df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+    def sink_orc(self, path: str, mode: str = "overwrite") -> None:
+        """ORC sink — columnar alternative when the downstream reader is
+        ORC-native (Hive/Trino estates)."""
+        self.df.write.mode(mode).orc(path)
+
+    def sink_csv(self, path: str, mode: str = "overwrite", header: bool = True, **options: Any) -> None:
+        """CSV sink (interchange/export; lossy for nested types — prefer
+        parquet/orc for anything read back by this engine)."""
+        self.df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
+    def sink_json_lines(self, path: str, mode: str = "overwrite", **options: Any) -> None:
+        """Newline-delimited JSON sink (pairs with from_json_lines)."""
+        self.df.write.mode(mode).options(**options).json(path)
 
     def sink_memory(self, name: str, output_mode: str = "append"):
         """Streaming memory sink (test harness); returns the query handle."""

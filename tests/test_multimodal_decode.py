@@ -233,3 +233,166 @@ def test_audio_samples_signed_widths():
     w8 = make_wav(1, 8000, 8)
     w8 = w8[:4] + struct.pack("<I", 38) + w8[8:40] + struct.pack("<I", 2) + bytes([118, 138])
     assert d.decode_audio_samples(w8) == [-10, 10]
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel tier (zlib inflate + scanline unfiltering)
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(pixels_rgb, filters):
+    """Hand-assemble an 8-bit RGB PNG applying the given per-row forward
+    filter types — the test owns the byte layout, the decoder must undo it."""
+    import struct
+    import zlib
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    stride = w * 3
+    raw = bytearray()
+    prior = bytearray(stride)
+    for y, ft in zip(range(h), filters):
+        line = bytearray()
+        for r, g, b in pixels_rgb[y]:
+            line += bytes((r, g, b))
+        out = bytearray(stride)
+        for k in range(stride):
+            a = line[k - 3] if k >= 3 else 0
+            b_ = prior[k]
+            c = prior[k - 3] if k >= 3 else 0
+            pred = [0, a, b_, (a + b_) >> 1, PixelDecoder._paeth(a, b_, c)][ft]
+            out[k] = (line[k] - pred) & 0xFF
+        raw.append(ft)
+        raw += out
+        prior = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_five_filters():
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    pixels = [
+        [((x * 37 + y * 11) % 256, (x * 5 + y * 91) % 256, (x * 13 + y) % 256) for x in range(4)]
+        for y in range(5)
+    ]
+    payload = _png_with_filters(pixels, [0, 1, 2, 3, 4])
+    img = PixelDecoder().decode_pixels(payload)
+    assert img["width"] == 4 and img["height"] == 5
+    for y in range(5):
+        for x in range(4):
+            r, g, b = pixels[y][x]
+            assert img["rows"][y][x] == [b, g, r], (x, y)
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 3x2 grayscale, filter 0 rows
+    gray_raw = b"\x00" + bytes([10, 20, 30]) + b"\x00" + bytes([40, 50, 60])
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(gray_raw))
+        + chunk(b"IEND", b"")
+    )
+    img = PixelDecoder().decode_pixels(gray)
+    assert img["rows"][0] == [[10, 10, 10], [20, 20, 20], [30, 30, 30]]
+    assert img["rows"][1] == [[40, 40, 40], [50, 50, 50], [60, 60, 60]]
+
+    # 2x1 RGBA: alpha dropped
+    rgba_raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rgba_raw))
+        + chunk(b"IEND", b"")
+    )
+    img = PixelDecoder().decode_pixels(rgba)
+    assert img["rows"][0] == [[3, 2, 1], [6, 5, 4]]
+
+
+def test_png_unsupported_variants_return_none():
+    import struct
+    import zlib
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    d = PixelDecoder()
+    # palette color type
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    assert d.decode_png_pixels(pal) is None
+    # truncated IDAT (inflate fails) must not raise
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x78\x9c\x01")
+        + chunk(b"IEND", b"")
+    )
+    assert d.decode_png_pixels(trunc) is None
+
+
+def test_png_resize_roundtrip_stays_png():
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    pixels = [[(x * 40 % 256, y * 30 % 256, (x + y) * 20 % 256) for x in range(6)] for y in range(4)]
+    payload = _png_with_filters(pixels, [4, 3, 2, 1])
+    d = PixelDecoder()
+    rz = d.resize(payload, 3, 2)
+    assert rz.startswith(b"\x89PNG\r\n\x1a\n")
+    img = d.decode_pixels(rz)
+    assert img["width"] == 3 and img["height"] == 2
+    # nearest-neighbor source index arithmetic
+    for y in range(2):
+        for x in range(3):
+            r, g, b = pixels[(y * 4) // 2][(x * 6) // 3]
+            assert img["rows"][y][x] == [b, g, r]
+
+
+def test_png_and_bmp_same_raster_same_features():
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    rows = [[[(x + y) % 256, (2 * x) % 256, (3 * y) % 256] for x in range(5)] for y in range(3)]
+    d = PixelDecoder()
+    bmp = PixelDecoder.encode_bmp(rows)
+    png = PixelDecoder.encode_png(rows)
+    assert d.features(bmp, 11) == d.features(png, 11)

@@ -201,3 +201,31 @@ def test_progress_summary_reports_watermark_and_rows(spark, tmp_path):
     s = progress_summary(q)
     assert s["batch_id"] is not None and s["input_rows"] >= 0
     assert "watermark" in s and s["state_rows"] >= 1
+
+
+def test_orc_text_sources_and_format_sinks_roundtrip(spark, tmp_path):
+    from gearpump_spark.stream import GearContext
+
+    ctx = GearContext(spark)
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v bigint")
+    s = ctx.from_collection([("a", 1), ("b", 2), ("c", 3)], "k string, v bigint")
+
+    orc = str(tmp_path / "t.orc")
+    s.sink_orc(orc)
+    assert {(r.k, r.v) for r in ctx.from_orc(orc).collect()} == {("a", 1), ("b", 2), ("c", 3)}
+
+    csv = str(tmp_path / "t.csv")
+    s.sink_csv(csv)
+    got = {(r.k, r.v) for r in ctx.from_csv(csv, "k string, v bigint").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+    jl = str(tmp_path / "t.jsonl")
+    s.sink_json_lines(jl)
+    got = {(r.k, r.v) for r in ctx.from_json_lines(jl, "k string, v bigint").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+    txt = str(tmp_path / "t.txt")
+    (tmp_path / "t.txt").mkdir()
+    (tmp_path / "t.txt" / "part.txt").write_text("hello world\nsecond line\n")
+    lines = sorted(r.value for r in ctx.from_text(txt).collect())
+    assert lines == ["hello world", "second line"]

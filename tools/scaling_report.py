@@ -17,7 +17,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # single source of truth for the query set
+from bench import HEADLINE  # single source of truth for the bench set
+
+# r2 flagship additions swept here (not in BENCH: the headline total stays
+# comparable across rounds; scaling behavior is still verified per-op)
+EXTRA = [
+    "text_chunk_windows",
+    "pipeline_chunk_pack",
+    "dedup_incremental",
+    "text_tfidf_topterms",
+    "text_rare_bigram_frac",
+    "sample_weighted_priority",
+    "dedup_clusters_twophase",
+]
+SWEEP = HEADLINE + EXTRA
 
 BASE = "/root/testdata"
 SF1_DIR = os.environ.get(
@@ -43,12 +56,12 @@ def main() -> None:
     qs = all_queries()
 
     # warm codegen per plan shape at the smallest sf
-    for name in HEADLINE:
+    for name in SWEEP:
         qs[name](spark, sfs[0][1]).write.mode("overwrite").format("noop").save()
 
-    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    times: dict[str, list[float]] = {name: [] for name in SWEEP}
     for _label, sf_dir in sfs:
-        for name in HEADLINE:
+        for name in SWEEP:
             best = float("inf")
             for _ in range(2):
                 df = qs[name](spark, sf_dir)
@@ -69,7 +82,7 @@ def main() -> None:
     print(f"| query | {header} | {ratio_hdr} |")
     print("|---" * (1 + len(labels) + len(labels) - 1) + "|")
     flagged = []
-    for name in HEADLINE:
+    for name in SWEEP:
         ts = times[name]
         ratios = [b / a for a, b in zip(ts, ts[1:])]
         cells = " | ".join(f"{t:.2f}s" for t in ts)
