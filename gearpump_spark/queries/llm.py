@@ -1524,3 +1524,51 @@ def multimodal_png_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_raster_payloads(docs), width=3, height=2, decoder=PixelDecoder()
     )
     return pixel_stats(resized).orderBy("doc_id")
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM documents),
+    st AS (
+        SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, LEN(tk) - 1, 32)) AS start
+        FROM toks WHERE LEN(tk) > 0),
+    ch AS (
+        SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+               MD5(ARRAY_TO_STRING(tk[start + 1 : start + 32], ' ')) AS fp
+        FROM st),
+    r AS (
+        SELECT doc_id, chunk_idx, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY fp) AS n_dups
+        FROM ch)
+    SELECT fp, doc_id, chunk_idx, CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1 ORDER BY doc_id, chunk_idx
+    """,
+    desc="chunk-level exact dedup: 32-token non-overlapping chunks, one "
+    "winner (min doc_id, chunk_idx) per distinct chunk text — the dedup "
+    "granularity modern pipelines use so one boilerplate passage can't "
+    "carry a whole document through",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks never shuffle their text: only the 16-byte fingerprint and
+    coordinates reach the exchange (one shuffle on fp)."""
+    from pyspark.sql import Window as W
+
+    from gearpump_spark.operators import chunking as CH
+
+    docs = table(spark, sf_dir, "documents")
+    ch = CH.chunk_by_tokens(docs, size=32, stride=32).select(
+        "doc_id", "chunk_idx", F.md5(F.col("chunk_text").cast("binary")).alias("fp")
+    )
+    w = W.partitionBy("fp")
+    return (
+        ch.withColumn("rn", F.row_number().over(w.orderBy("doc_id", "chunk_idx")))
+        .withColumn("n_dups", F.count("*").over(w).cast("long"))
+        .where(F.col("rn") == 1)
+        .select("fp", "doc_id", "chunk_idx", "n_dups")
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -526,3 +526,101 @@ def q_window_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 2)
         .orderBy("window_start", "rank")
     )
+
+
+@register(
+    "q_upsert_merge",
+    oracle="""
+    WITH ups AS (
+        SELECT c_custkey AS k, c_acctbal + 100.0 AS bal, 'update' AS op
+        FROM customer WHERE c_custkey % 10 < 3
+        UNION ALL
+        SELECT c_custkey + 10000000 AS k, 0.0 AS bal, 'insert' AS op
+        FROM customer WHERE c_custkey % 10 = 7)
+    SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+           COALESCE(u.bal, c.c_acctbal) AS acctbal,
+           COALESCE(u.op, 'keep') AS op
+    FROM customer c FULL OUTER JOIN ups u ON u.k = c.c_custkey
+    ORDER BY c_custkey
+    """,
+    desc="MERGE INTO analog: deterministic update/insert batch applied to "
+    "the customer snapshot via full-outer join + coalesce (updates win, "
+    "inserts append, untouched rows keep)",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch upsert shape of an incremental pipeline. Scale: one
+    keyed full-outer join; with a small update batch Spark broadcasts it
+    (plan assert in test_plan_quality) so the snapshot never re-shuffles —
+    the lakehouse MERGE fast path."""
+    cust = table(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 10 < 3).select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("bal"),
+        F.lit("update").alias("op"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + F.lit(10000000)).alias("k"),
+        F.lit(0.0).alias("bal"),
+        F.lit("insert").alias("op"),
+    )
+    ups = updates.unionAll(inserts)
+    return (
+        cust.join(ups, ups.k == cust.c_custkey, "full_outer")
+        .select(
+            F.coalesce(ups.k, cust.c_custkey).alias("c_custkey"),
+            F.coalesce(ups.bal, cust.c_acctbal).alias("acctbal"),
+            F.coalesce(ups.op, F.lit("keep")).alias("op"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_corr_qty_price",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+               CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)))) AS DOUBLE) AS sxx,
+               CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)))) AS DOUBLE) AS syy,
+               CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr
+    FROM s ORDER BY l_returnflag
+    """,
+    desc="Pearson correlation (quantity vs extended price) per return flag "
+    "— moments as exact decimal sums, final formula in IEEE doubles with "
+    "correctly-rounded sqrt, so both engines agree bitwise (built-in corr() "
+    "would sum doubles in partition order and diverge)",
+)
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregate pass computes all five moments (map-side
+    combined — decimal sums are associative); correlation itself is
+    O(groups) driver-free arithmetic."""
+    from gearpump_spark.queries._util import dec
+
+    li = table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("decimal(38,2)").cast("double").alias("sx"),
+        F.sum(y).cast("decimal(38,2)").cast("double").alias("sy"),
+        # FLOOR, not a scale-0 decimal cast: Spark's downcast rounds
+        # HALF_UP while DuckDB's truncates — floor is identical on both
+        # (moments are positive) and keeps the unscaled value < 2^53
+        F.floor(F.sum(x * x)).cast("double").alias("sxx"),
+        F.floor(F.sum(y * y)).cast("double").alias("syy"),
+        F.floor(F.sum(x * y)).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", F.col("n").cast("long").alias("n_rows"), corr.alias("corr")
+    ).orderBy("l_returnflag")

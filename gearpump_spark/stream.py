@@ -81,6 +81,22 @@ class GearContext:
             reader = reader.schema(schema)
         return Stream(reader.json(path), ts_col)
 
+    def from_avro(self, path: str, ts_col: str | None = None) -> "Stream":
+        """Avro source. Avro has been an EXTERNAL Spark module since 2.4:
+        the pip pyspark distribution does not bundle spark-avro, so this
+        raises with deployment guidance when the jar is absent (same gating
+        contract as the Kafka connector)."""
+        try:
+            return Stream(self.spark.read.format("avro").load(path), ts_col)
+        except Exception as e:
+            if "Failed to find data source: avro" in str(e):
+                raise NotImplementedError(
+                    "Avro needs the spark-avro module on the classpath "
+                    "(spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                    "not present in this environment"
+                ) from e
+            raise
+
     def from_orc(self, path: str, ts_col: str | None = None) -> "Stream":
         """ORC source (columnar like parquet: predicate pushdown, column
         pruning, and split-ability all apply)."""
@@ -280,6 +296,20 @@ class Stream:
         date(ts)) — high-cardinality keys belong in bucketing, not here.
         """
         self.df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+    def sink_avro(self, path: str, mode: str = "overwrite") -> None:
+        """Avro sink — gated exactly like from_avro when the external
+        spark-avro module is absent."""
+        try:
+            self.df.write.mode(mode).format("avro").save(path)
+        except Exception as e:
+            if "Failed to find data source: avro" in str(e):
+                raise NotImplementedError(
+                    "Avro needs the spark-avro module on the classpath "
+                    "(spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                    "not present in this environment"
+                ) from e
+            raise
 
     def sink_orc(self, path: str, mode: str = "overwrite") -> None:
         """ORC sink — columnar alternative when the downstream reader is

@@ -229,3 +229,16 @@ def test_orc_text_sources_and_format_sinks_roundtrip(spark, tmp_path):
     (tmp_path / "t.txt" / "part.txt").write_text("hello world\nsecond line\n")
     lines = sorted(r.value for r in ctx.from_text(txt).collect())
     assert lines == ["hello world", "second line"]
+
+
+def test_avro_gated_without_module(spark, tmp_path):
+    import pytest as _pytest
+
+    from gearpump_spark.stream import GearContext
+
+    ctx = GearContext(spark)
+    s = ctx.from_collection([("a", 1)], "k string, v bigint")
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        s.sink_avro(str(tmp_path / "t.avro"))
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        ctx.from_avro(str(tmp_path / "t.avro"))
