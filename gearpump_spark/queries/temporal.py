@@ -549,9 +549,12 @@ def q_window_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch upsert shape of an incremental pipeline. Scale: one
-    keyed full-outer join; with a small update batch Spark broadcasts it
-    (plan assert in test_plan_quality) so the snapshot never re-shuffles —
-    the lakehouse MERGE fast path."""
+    keyed full-outer join (sort-merge — Spark cannot broadcast a full
+    outer side), i.e. one shuffle of each input on the merge key. When
+    the update batch is small relative to the snapshot, prefer splitting
+    into a left-anti (inserts) + broadcast inner join (updates) so the
+    snapshot never re-shuffles; the single full-outer form is the
+    general-case semantics the oracle pins."""
     cust = table(spark, sf_dir, "customer")
     updates = cust.where(F.col("c_custkey") % 10 < 3).select(
         F.col("c_custkey").alias("k"),

@@ -992,3 +992,73 @@ class TestConnectedComponentsTwoPhase:
         assert out == [(1, 1), (2, 1), (9, 9)]
         empty = edges.where("src < 0")
         assert connected_components_twophase(empty, nodes=nodes).count() == 3
+
+
+# Property tests (hypothesis): chunking coverage/reconstruction and
+# priority-sample membership invariants over arbitrary inputs.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+    size=st.integers(min_value=1, max_value=12),
+    stride_frac=st.integers(min_value=1, max_value=3),
+)
+def test_chunking_property_full_coverage_no_drop(spark, n_toks, size, stride_frac):
+    """Every token appears in >= 1 chunk; chunk starts are stride-aligned;
+    with stride == size the chunks partition the doc exactly."""
+    from gearpump_spark.operators.chunking import chunk_by_tokens
+
+    stride = max(1, size // stride_frac)
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(n_toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_by_tokens(docs, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_toks):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.tok_start)
+        if n == 0:
+            assert chunks == []
+            continue
+        covered = set()
+        for c in chunks:
+            assert c.tok_start % stride == 0
+            got = c.chunk_text.split(" ")
+            assert got == [f"w{i}_{j}" for j in range(c.tok_start, min(c.tok_start + size, n))]
+            covered.update(range(c.tok_start, c.tok_start + c.n_tokens))
+        assert covered == set(range(n)), (i, n, size, stride)
+        if stride == size:  # exact partition: no overlap either
+            assert sum(c.n_tokens for c in chunks) == n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=60),
+    k=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=5),
+)
+def test_priority_sample_property_invariants(spark, weights, k, seed):
+    """|sample| == min(k, n); sample ⊆ population; w_est >= w; and the
+    winners are exactly the top-k by the definitional priority."""
+    import hashlib
+
+    from gearpump_spark.operators.sampling import priority_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = priority_sample(df, "doc_id", "w", k=k, seed=seed).collect()
+    assert len(out) == min(k, len(rows))
+    ids = {r.doc_id for r in out}
+    assert ids <= {i for i, _ in rows}
+    for r in out:
+        assert r.w_est >= r.w
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+        return w * float(1 << 60) / float(h + 1)
+
+    expect = sorted(rows, key=lambda t: (-pri(t[0], t[1]), t[0]))[:k]
+    assert ids == {i for i, _ in expect}

@@ -447,3 +447,37 @@ def test_dedup_then_window_pipeline(spark, tmp_path):
     out = run_to_completion(agg, "dw_pipe_out", output_mode="append").collect()
     panes = {(r.k, r.window.start.second, r.total, r.n) for r in out}
     assert panes == {("a", 0, 3, 2), ("b", 0, 5, 1)}
+
+
+def test_streaming_trending_topk_foreachbatch(spark, tmp_path):
+    """Per-window top-k in a stream: rank functions are not allowed inside
+    a streaming aggregation, so the trending board is windowed counts
+    (stateful, incremental) + a foreachBatch rank over the tiny aggregate
+    — the streaming twin of q_window_topk_trending. At scale the ranked
+    side is O(windows × keys), never O(events)."""
+    from pyspark.sql import Window as W
+
+    stream = _stream_from_rows(
+        spark,
+        [[("a", 1, 0), ("a", 1, 1), ("b", 1, 2), ("b", 1, 3), ("b", 1, 4), ("c", 1, 5)]],
+        tmp_path,
+        "trend",
+    )
+    counts = stream.groupBy(F.window(TS, "10 seconds").alias("window"), "k").count()
+    seen = {}
+
+    def rank_batch(df, _epoch):
+        w = W.partitionBy("window").orderBy(F.desc("count"), "k")
+        top = df.withColumn("rn", F.row_number().over(w)).where("rn <= 2").collect()
+        if top:
+            seen["last"] = {(r.window.start.second, r.k, r["count"], r.rn) for r in top}
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", str(tmp_path / "trend_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen["last"] == {(0, "b", 3, 1), (0, "a", 2, 2)}
