@@ -137,3 +137,38 @@ def lang_id(text: Column) -> Column:
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     return best
+
+
+# HTML stripping: ordered regexp_replace chain shared (single source) by the
+# Spark expression and the DuckDB oracle. Order matters — script/style
+# bodies go first so their text content never leaks into the output.
+# Patterns are RE2-safe (both engines); entities cover the common named set
+# plus numeric escapes for < 128.
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Plain text from HTML-ish markup: drop script/style/comment bodies,
+    strip tags, decode the common entities, collapse whitespace. Pure JVM
+    regexp chain — no parser, no UDF; mirrors the crawl-preprocessing
+    front of a C4-style pipeline. Not a full HTML5 parser (malformed
+    nesting degrades gracefully to tag-stripping)."""
+    out = text
+    for pat, repl in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, WS_RE, " "))

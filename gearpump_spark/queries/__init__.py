@@ -80,6 +80,8 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_embedding_cosine",
     "dedup_contamination",
     "dedup_incremental",
+    "dedup_chunk_exact",
+    "dedup_clusters_twophase",
     # similarity search (brute-force + LSH-bucketed; IVF rotates out — it
     # is rows-only-checkable and pytest-golden'd, an oracle-backed query
     # earns more from a hash-checked slot)
@@ -98,12 +100,15 @@ DRIVER_SAMPLE_WINDOW = [
     "doc_fingerprint",
     "text_chunk_windows",
     "text_doc_freq",
+    "text_rare_bigram_frac",
+    "text_boilerplate",
     # multimodal (incl. real container-byte round-trips; frames/resize/
     # features are rows-only-checkable → rotated out in favor of
     # oracle-backed chunking/doc-freq, still pytest-golden'd)
+    # image_real/audio_real rotate out this round (locally oracle-checked;
+    # metadata keeps the family driver-sampled) to admit flagship dedup/
+    # text newcomers
     "multimodal_metadata",
-    "multimodal_image_real",
-    "multimodal_audio_real",
     # iterative / clustering
     "graph_pagerank",
     "kmeans_clusters",
@@ -129,16 +134,14 @@ DRIVER_SAMPLE_WINDOW = [
     "q_window_tumbling",
     "q_window_sliding",
     "q_keyed_route",
-    "q_sol_passthrough",
     # q_flatten_union rotates out (union is exhaustively pytest-covered and
     # locally oracle-checked) for the oracle-backed tf-idf flagship
     "text_tfidf_topterms",
-    # r3 rotation: q_asof_join was driver-verified green in r1
-    # (CORRECTNESS_r01.json), so its slot rotates to the new embedding
-    # outlier screen; sample_temperature_mix / text_boilerplate /
-    # q_session_window queue for the next rotation once this round's
+    # sol_passthrough / embedding_outliers / image_real / audio_real
+    # rotated out for flagship newcomers (all stay locally oracle-checked
+    # in pytest); similarity_topk_ivf / sketch_countmin_words /
+    # sample_temperature_mix queue for the r3 rotation once this round's
     # artifact lands.
-    "embedding_outliers",
 ]
 
 

@@ -1572,3 +1572,75 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp", "doc_id", "chunk_idx", "n_dups")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# HTML-injection formula shared by the Spark query and its oracle: both
+# engines wrap the document text in markup; the Spark side strips it with
+# functions/text.py strip_html while the oracle replays the SAME ordered
+# regex/entity chain (single source: TX.HTML_STRIP_STEPS/HTML_ENTITIES).
+_SQL_HTML_INJECT = """
+    SELECT doc_id,
+           '<html><head><style>p {color: red}</style></head><body><p class="x">'
+           || text || '</p>'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN '<!-- hidden
+comment -->' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '<p>&amp;lt; &nbsp;&quot;q&#39;s&quot;</p>' ELSE '' END
+           || '</body></html>' AS raw
+    FROM documents
+"""
+
+
+def _sql_strip_html(col: str) -> str:
+    out = col
+    for pat, repl in TX.HTML_STRIP_STEPS:
+        out = f"REGEXP_REPLACE({out}, '{pat}', '{repl}', 'g')"
+    for ent, ch in TX.HTML_ENTITIES:
+        sq = ch.replace("'", "''")
+        out = f"REPLACE({out}, '{ent}', '{sq}')"
+    return f"TRIM(REGEXP_REPLACE({out}, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+
+
+@register(
+    "text_strip_html",
+    oracle=f"""
+    WITH h AS ({_SQL_HTML_INJECT})
+    SELECT doc_id,
+           CAST(LENGTH(raw) AS BIGINT) AS n_chars_raw,
+           {_sql_strip_html("raw")} AS clean_text,
+           CAST(LENGTH({_sql_strip_html("raw")}) AS BIGINT) AS n_chars_clean
+    FROM h ORDER BY doc_id
+    """,
+    desc="crawl preprocessing: strip script/style/comment bodies and tags, "
+    "decode common entities, collapse whitespace — pure JVM regex chain "
+    "(C4-style front end), markup injected deterministically per doc",
+)
+def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<html><head><style>p {color: red}</style></head><body><p class="x">'),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("<!-- hidden\ncomment -->")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("<p>&amp;lt; &nbsp;&quot;q&#39;s&quot;</p>")
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    base = docs.select("doc_id", raw.alias("raw"))
+    clean = TX.strip_html(F.col("raw"))
+    return base.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("n_chars_raw"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    ).orderBy("doc_id")

@@ -627,3 +627,60 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", F.col("n").cast("long").alias("n_rows"), corr.alias("corr")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_user_value_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+               CAST(FLOOR(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)))) AS DOUBLE) AS sxx
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 5),
+    s AS (
+        SELECT user_id, n, sx / n AS mean,
+               SQRT((n * sxx - sx * sx) / (n * n)) AS std
+        FROM m)
+    SELECT e.event_id, e.user_id, e.value, s.mean, s.std
+    FROM events e JOIN s USING (user_id)
+    WHERE ABS(e.value - s.mean) > 3.0 * s.std
+    ORDER BY e.event_id
+    """,
+    desc="per-user anomaly screen: events deviating > 3 sigma from the "
+    "user's own mean (decimal-exact moments -> IEEE formula, same "
+    "determinism discipline as q_corr_qty_price; users with < 5 events "
+    "have no stable baseline and are skipped)",
+)
+def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments aggregate map-side (one shuffle on user_id); the
+    flag join re-shuffles events on the same key — co-partitioned with
+    the aggregate, no second wide stage on a real cluster."""
+    from gearpump_spark.queries._util import dec
+
+    ev = table(spark, sf_dir, "events")
+    x = dec("value")
+    m = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(x).cast("decimal(38,2)").cast("double").alias("sx"),
+            F.floor(F.sum(x * x)).cast("double").alias("sxx"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    s = m.select(
+        "user_id",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("n"))
+        ).alias("std"),
+    )
+    return (
+        ev.join(s, "user_id")
+        .where(F.abs(F.col("value") - F.col("mean")) > F.lit(3.0) * F.col("std"))
+        .select("event_id", "user_id", "value", "mean", "std")
+        .orderBy("event_id")
+    )

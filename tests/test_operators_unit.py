@@ -1062,3 +1062,31 @@ def test_priority_sample_property_invariants(spark, weights, k, seed):
 
     expect = sorted(rows, key=lambda t: (-pri(t[0], t[1]), t[0]))[:k]
     assert ids == {i for i, _ in expect}
+
+
+class TestStripHtml:
+    def _clean(self, spark, s):
+        from gearpump_spark.functions.text import strip_html
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(s,)], "raw string")
+        return df.select(strip_html(F.col("raw")).alias("c")).collect()[0].c
+
+    def test_tags_scripts_entities(self, spark):
+        raw = (
+            '<div><script>if (a < b) { alert("x"); }</script>'
+            "<style>p\n{ color: red }</style>"
+            "<p>Hello <b>world</b>!</p><!-- note\nmultiline -->"
+            "&quot;A &amp; B&quot; &lt;tag&gt;&nbsp;end</div>"
+        )
+        # tags become spaces (never glue adjacent words), so `</b>!` keeps
+        # a space before the bang — the standard safe stripping semantics
+        assert self._clean(spark, raw) == 'Hello world ! "A & B" <tag> end'
+
+    def test_double_escaped_entity_single_decode(self, spark):
+        # &amp;lt; means the literal text "&lt;" — must NOT double-decode
+        assert self._clean(spark, "x &amp;lt; y") == "x &lt; y"
+
+    def test_malformed_markup_degrades_gracefully(self, spark):
+        assert self._clean(spark, "a <b unclosed attr='3' b > c") == "a c"
+        assert self._clean(spark, "plain text, no markup") == "plain text, no markup"
