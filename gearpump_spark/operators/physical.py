@@ -118,3 +118,24 @@ def merge_aggregate_state(
     fns = {"sum": F.sum, "min": F.min, "max": F.max}
     aggs = [fns[how](c).alias(c) for c, how in merge_cols.items()]
     return base.unionByName(delta).groupBy(*keys).agg(*aggs)
+
+
+def upsert_split(snapshot: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO fast path for a SMALL update batch: the general
+    full-outer-join form (queries/temporal.py q_upsert_merge) shuffles the
+    whole snapshot on the merge key — Spark cannot broadcast a full-outer
+    side. When the batch fits the broadcast threshold, split the merge:
+
+      untouched = snapshot LEFT ANTI broadcast(update keys)   -- no shuffle
+      merged    = untouched UNION ALL updates                 -- narrow
+
+    The snapshot is read once and never exchanged; only the tiny key set
+    replicates. Same result set as the full-outer form for key-unique
+    inputs (asserted by test_upsert_split_matches_full_outer).
+
+    ``updates`` must carry the snapshot's full schema (upserted rows
+    replace wholesale — partial-column merges belong in
+    merge_aggregate_state).
+    """
+    untouched = snapshot.join(F.broadcast(updates.select(key)), key, "left_anti")
+    return untouched.unionByName(updates)

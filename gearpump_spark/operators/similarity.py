@@ -348,3 +348,58 @@ def centroid_outliers(
         .filter(F.col("rank") <= k)
         .select(id_col, label_col, "score", "rank")
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    table_name: str,
+    nlist: int = 16,
+    n_buckets: int = 8,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[list[float]]:
+    """Materialize a persistent IVF index: assign every corpus vector to
+    its nearest-centroid inverted list and write the result BUCKETED by
+    `cid` (physical.write_bucketed discipline). Returns the trained
+    centroids (pass them to ivf_topk_from_index).
+
+    This is how ANN runs at 100 TB: the assignment scan is paid ONCE at
+    ingest; every subsequent query joins the bucketed lists on cid with
+    zero shuffle of the corpus (the probe side broadcasts), and partition
+    pruning on cid can skip unprobed lists entirely.
+    """
+    from gearpump_spark.operators.physical import write_bucketed
+
+    cents = ivf_train_centroids(corpus, c_vec, nlist, c_id)
+    lists_ = ivf_assign(corpus, c_vec, cents, "cid", nprobe=1)
+    write_bucketed(lists_, table_name, "cid", n_buckets=n_buckets, sort_by="cid")
+    return cents
+
+
+def ivf_topk_from_index(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Query a persistent IVF index written by ivf_write_index: probe
+    assignment is a narrow map over the (small) query side, the candidate
+    join reads the bucketed lists — no corpus-side exchange."""
+    from pyspark.sql import Window as W
+
+    lists_ = spark.table(table_name)
+    probes = ivf_assign(queries, q_vec, centroids, "cid", nprobe=nprobe)
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("cosine_sim")
+    scored = lists_.join(F.broadcast(probes), "cid").select(F.col(q_id), F.col(c_id), sim)
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine_sim", "rank")
+    )

@@ -410,3 +410,75 @@ def test_tfidf_and_bigram_partial_aggregation(spark, sf_dir):
     for name in ("text_tfidf_topterms", "text_rare_bigram_frac"):
         p = plan(QS[name](spark, sf_dir))
         assert p.count("HashAggregate") >= 2, name  # map-side combine on word/bigram
+
+
+def test_lsh_pairs_bucketed_equi_join_not_nested_loop(spark, sf_dir):
+    """The LSH candidate join MUST be an equi-join on (band_idx, band_key)
+    — a nested-loop/cartesian here is the all-pairs blow-up LSH exists to
+    avoid."""
+    p = plan(QS["dedup_minhash_lsh_pairs"](spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_minhash_signatures_partial_agg(spark, sf_dir):
+    """Signature build: per-doc MIN over shingle hashes must combine
+    map-side — the shuffle carries k x 32B partials, not raw shingles.
+    (String mins plan as SortAggregate, so check for the partial_min
+    functions rather than HashAggregate nodes.)"""
+    p = plan(QS["dedup_minhash_signature"](spark, sf_dir))
+    assert "partial_min" in p
+    assert p.count("Aggregate") >= 2  # partial + final
+
+
+def test_upsert_split_matches_full_outer_and_never_shuffles_snapshot(spark):
+    from gearpump_spark.operators.physical import upsert_split
+
+    snap = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ups = spark.createDataFrame(
+        [(3, 999), (7, 888), (2000, 111)], "k bigint, v bigint"
+    )
+    merged = upsert_split(snap, ups, "k")
+    got = {(r.k, r.v) for r in merged.collect()}
+    # equivalence with the general full-outer coalesce form
+    full = (
+        snap.alias("s")
+        .join(ups.alias("u"), "k", "full_outer")
+        .select("k", F.coalesce("u.v", "s.v").alias("v"))
+    )
+    assert got == {(r.k, r.v) for r in full.collect()}
+    p = plan(merged)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "hashpartitioning" not in p  # the snapshot is never exchanged
+
+
+def test_ivf_persistent_index_query_no_corpus_exchange(spark):
+    """Index build pays the bucketed write once; the query path must show
+    a broadcast probe join with NO exchange of the stored lists, and
+    results must equal the inline (non-persistent) IVF search."""
+    from gearpump_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_topk_from_index,
+        ivf_write_index,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.limit(6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    try:
+        cents = ivf_write_index(corpus, "ivf_idx_test", nlist=8, n_buckets=4)
+        out = ivf_topk_from_index(spark, "ivf_idx_test", queries, cents, nprobe=3, k=4)
+        p = plan(out)
+        assert "BroadcastHashJoin" in p
+        # the bucketed list table must not be re-exchanged for the join
+        segs = [s for s in p.split("Exchange")[1:]]
+        for s in segs:
+            first_line = s.splitlines()[0]
+            assert "cid" not in first_line, f"corpus lists re-shuffled: {first_line}"
+        inline = cosine_topk_ivf(queries, corpus, nlist=8, nprobe=3, k=4)
+        assert {tuple(r) for r in out.collect()} == {tuple(r) for r in inline.collect()}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
