@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque BinaryType payloads with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the actual byte decoding is
-STUBBED: `FakeDecoder` derives deterministic pseudo-metadata/pixels from the
-payload's md5 (stable across runs/engines), and `LibraryDecoder` raises
-NotImplementedError with the dependency it would need. Everything
-Spark-side — schema, batch iteration, partitioning, UDF signatures — is
-real and tested; swapping in PIL/ffmpeg later changes only the decoder
-object.
+Decoding is TIERED, all pure python (no codec libraries in this rig):
+- `HeaderDecoder` parses REAL PNG/BMP/GIF/JPEG image headers and RIFF/WAV
+  audio headers byte-for-byte;
+- `PixelDecoder` additionally decodes REAL rasters/samples: uncompressed
+  24-bit BMP, 8-bit PNG (zlib inflate + all five scanline filters;
+  gray/RGB/RGBA/palette), and 8/16/24/32-bit PCM — with real resize
+  (re-encoding BMP/PNG bytes) and real pixel features;
+- only lossy/LZW codecs (JPEG, GIF pixel data) and exotic PNG variants
+  (16-bit, interlaced) fall through to `FakeDecoder`, which derives
+  deterministic pseudo-values from the payload's md5 so pipelines still
+  run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
+  seam (raises with the dependency it would need).
 
 Scale notes: decode work is embarrassingly parallel per partition; batches
 stream through Arrow (never a whole partition in memory at once). Payload
@@ -243,7 +248,8 @@ class PixelDecoder(HeaderDecoder):
         gray/RGB/RGBA non-interlaced PNG: concatenate IDATs, zlib-inflate,
         reconstruct every scanline through the spec's filter types 0-4
         (None/Sub/Up/Average/Paeth). Gray expands to B=G=R; RGBA drops
-        alpha. Palette (color 3), 16-bit, and interlaced PNGs → None."""
+        alpha; palette (color 3) indices resolve through PLTE. 16-bit and
+        interlaced PNGs → None."""
         import struct
         import zlib
 
@@ -252,6 +258,7 @@ class PixelDecoder(HeaderDecoder):
                 return None
             i, n = 8, len(payload)
             idat = bytearray()
+            palette = None
             w = h = None
             depth = color = interlace = 0
             while i + 8 <= n:
@@ -262,14 +269,21 @@ class PixelDecoder(HeaderDecoder):
                     w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                         ">IIBBBBB", body
                     )
+                elif tag == b"PLTE":
+                    palette = [
+                        (body[j], body[j + 1], body[j + 2])
+                        for j in range(0, len(body) - 2, 3)
+                    ]
                 elif tag == b"IDAT":
                     idat += body
                 elif tag == b"IEND":
                     break
                 i += 12 + ln
-            if w is None or depth != 8 or color not in (0, 2, 6) or interlace:
+            if w is None or depth != 8 or color not in (0, 2, 3, 6) or interlace:
                 return None
-            ch = {0: 1, 2: 3, 6: 4}[color]
+            if color == 3 and palette is None:
+                return None
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
             raw = zlib.decompress(bytes(idat))
             stride = w * ch
             if len(raw) < h * (1 + stride):
@@ -297,7 +311,13 @@ class PixelDecoder(HeaderDecoder):
                         line[k] = (line[k] + self._paeth(a, prior[k], c)) & 0xFF
                 elif ft != 0:
                     return None
-                if ch == 1:
+                if color == 3:  # palette index -> RGB lookup -> [B,G,R]
+                    if any(v >= len(palette) for v in line):
+                        return None
+                    row = [
+                        [palette[v][2], palette[v][1], palette[v][0]] for v in line
+                    ]
+                elif ch == 1:
                     row = [[v, v, v] for v in line]
                 else:  # RGB / RGBA byte order -> [B, G, R]
                     row = [

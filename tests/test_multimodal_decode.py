@@ -396,3 +396,41 @@ def test_png_and_bmp_same_raster_same_features():
     bmp = PixelDecoder.encode_bmp(rows)
     png = PixelDecoder.encode_png(rows)
     assert d.features(bmp, 11) == d.features(png, 11)
+
+
+def test_png_palette_color_type():
+    import struct
+    import zlib
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = PixelDecoder().decode_pixels(png)
+    # rows are [B,G,R]
+    assert img["rows"][0] == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+    assert img["rows"][1] == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    # out-of-range palette index -> None, never IndexError
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x09"))
+        + chunk(b"IEND", b"")
+    )
+    assert PixelDecoder().decode_pixels(bad) is None
