@@ -8,8 +8,11 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
   24-bit BMP, 8-bit PNG (zlib inflate + all five scanline filters;
   gray/RGB/RGBA/palette), and 8/16/24/32-bit PCM — with real resize
   (re-encoding BMP/PNG bytes) and real pixel features;
-- only lossy/LZW codecs (JPEG, GIF pixel data) and exotic PNG variants
-  (16-bit, interlaced) fall through to `FakeDecoder`, which derives
+- `GifDecoder` adds REAL GIF pixel decoding: full LZW decompression
+  (variable code width, dictionary growth, clear/EOI), global/local
+  palettes, deinterlacing — plus a real LZW encoder for round-trips;
+- only JPEG pixel data and exotic PNG variants (16-bit, interlaced) fall
+  through to `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
   seam (raises with the dependency it would need).
@@ -877,3 +880,267 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(op, FRAME_SCHEMA)
+
+
+class GifDecoder(PixelDecoder):
+    """Adds REAL GIF pixel decoding to the PixelDecoder tier: logical
+    screen / image descriptors, global+local color tables, full LZW
+    decompression (variable code width, dictionary growth, clear/EOI
+    codes), deinterlacing. Pure python — with this, JPEG is the only
+    container whose pixel data still needs an external codec.
+
+    Kept as a subclass (not folded into PixelDecoder) so the cost of the
+    python LZW loop is opt-in; header-only pipelines keep using the
+    cheaper tiers.
+    """
+
+    def decode_pixels(self, payload: bytes):
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self.decode_gif_pixels(payload)
+        return super().decode_pixels(payload)
+
+    @staticmethod
+    def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int):
+        """Decode a GIF LZW code stream to a list of color-table indices."""
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        # bit reader: GIF packs codes LSB-first
+        bitpos = 0
+        nbits = len(data) * 8
+
+        def read(width):
+            nonlocal bitpos
+            if bitpos + width > nbits:
+                return None
+            v = 0
+            for i in range(width):
+                byte = data[(bitpos + i) >> 3]
+                if (byte >> ((bitpos + i) & 7)) & 1:
+                    v |= 1 << i
+            bitpos += width
+            return v
+
+        out: list[int] = []
+        width = min_code_size + 1
+        table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+        prev: list[int] | None = None
+        while len(out) < n_pixels:
+            code = read(width)
+            if code is None or code == eoi:
+                break
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # the KwK special case
+            else:
+                return None  # corrupt stream
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        return out[:n_pixels] if len(out) >= n_pixels else None
+
+    def decode_gif_pixels(self, payload: bytes):
+        """(height, width, [B,G,R] rows top-down) for the FIRST image in a
+        GIF87a/89a stream, else None. Handles global/local color tables,
+        interlaced row order, and skips extension blocks."""
+        try:
+            w_screen = int.from_bytes(payload[6:8], "little")  # noqa: F841
+            packed = payload[10]
+            i = 13
+            gct = None
+            if packed & 0x80:
+                gct_len = 2 << (packed & 0x07)
+                gct = [
+                    (payload[i + 3 * j], payload[i + 3 * j + 1], payload[i + 3 * j + 2])
+                    for j in range(gct_len)
+                ]
+                i += 3 * gct_len
+            n = len(payload)
+            while i < n:
+                b = payload[i]
+                if b == 0x21:  # extension: label + sub-blocks
+                    i += 2
+                    while i < n and payload[i] != 0:
+                        i += 1 + payload[i]
+                    i += 1
+                elif b == 0x2C:  # image descriptor
+                    w = int.from_bytes(payload[i + 5 : i + 7], "little")
+                    h = int.from_bytes(payload[i + 7 : i + 9], "little")
+                    ipacked = payload[i + 9]
+                    i += 10
+                    table = gct
+                    if ipacked & 0x80:  # local color table
+                        lct_len = 2 << (ipacked & 0x07)
+                        table = [
+                            (
+                                payload[i + 3 * j],
+                                payload[i + 3 * j + 1],
+                                payload[i + 3 * j + 2],
+                            )
+                            for j in range(lct_len)
+                        ]
+                        i += 3 * lct_len
+                    if table is None or w == 0 or h == 0:
+                        return None
+                    min_code = payload[i]
+                    i += 1
+                    data = bytearray()
+                    while i < n and payload[i] != 0:
+                        ln = payload[i]
+                        data += payload[i + 1 : i + 1 + ln]
+                        i += 1 + ln
+                    idx = self._lzw_decode(min_code, bytes(data), w * h)
+                    if idx is None or any(v >= len(table) for v in idx):
+                        return None
+                    flat = [
+                        [table[v][2], table[v][1], table[v][0]] for v in idx
+                    ]  # [B,G,R]
+                    rows = [flat[y * w : (y + 1) * w] for y in range(h)]
+                    if ipacked & 0x40:  # interlaced: pass order 0,4 / 8,4 / 4,8? spec:
+                        # pass 1: rows 0,8,16…; 2: 4,12…; 3: 2,6,10…; 4: 1,3,5…
+                        order = (
+                            list(range(0, h, 8))
+                            + list(range(4, h, 8))
+                            + list(range(2, h, 4))
+                            + list(range(1, h, 2))
+                        )
+                        deinter = [None] * h
+                        for src_y, dst_y in enumerate(order):
+                            deinter[dst_y] = rows[src_y]
+                        rows = deinter
+                    return {"width": w, "height": h, "rows": rows}
+                elif b == 0x3B:  # trailer
+                    return None
+                else:
+                    return None
+            return None
+        except (IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def encode_gif(rows: list[list[list[int]]]) -> bytes:
+        """Re-encode a top-down [B,G,R] raster as a REAL GIF89a: a palette
+        built from the distinct colors (<= 256 required), pixels LZW-
+        compressed with a real variable-width encoder (dictionary growth +
+        clear-on-full). Decodable by any GIF reader and by the decoder
+        above."""
+        h = len(rows)
+        w = len(rows[0]) if h else 0
+        colors: dict[tuple[int, int, int], int] = {}
+        idx = []
+        for row in rows:
+            for b, g, r in row:
+                key = (r, g, b)
+                if key not in colors:
+                    colors[key] = len(colors)
+                idx.append(colors[key])
+        if len(colors) > 256:
+            raise ValueError("encode_gif: more than 256 distinct colors")
+        # color table holds 2^size_pow entries; LZW min code size >= 2
+        size_pow = 1
+        while (1 << size_pow) < len(colors):
+            size_pow += 1
+        n_table = 1 << size_pow
+        min_code = max(2, size_pow)
+
+        # --- LZW encode ---
+        clear = 1 << min_code
+        eoi = clear + 1
+        codes: list[tuple[int, int]] = []  # (code, width)
+        width = min_code + 1
+        table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        codes.append((clear, width))
+        prev: tuple[int, ...] = ()
+        for v in idx:
+            cur = prev + (v,)
+            if cur in table:
+                prev = cur
+                continue
+            codes.append((table[prev], width))
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                codes.append((clear, width))
+                table = {(i,): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code + 1
+            prev = (v,)
+        if prev:
+            codes.append((table[prev], width))
+        codes.append((eoi, width))
+        # pack LSB-first
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+        for code, cw in codes:
+            acc |= code << nacc
+            nacc += cw
+            while nacc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            bits.append(acc & 0xFF)
+
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0x80 | (size_pow - 1))  # GCT present, 2^size_pow entries
+        out += bytes((0, 0))  # bg color, aspect
+        palette = sorted(colors, key=colors.get)
+        for r, g, b in palette:
+            out += bytes((r, g, b))
+        out += bytes((0, 0, 0)) * (n_table - len(palette))
+        out.append(0x2C)  # image descriptor
+        out += bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)  # no LCT, not interlaced
+        out.append(min_code)
+        for j in range(0, len(bits), 255):
+            block = bits[j : j + 255]
+            out.append(len(block))
+            out += block
+        out += bytes((0, 0x3B))
+        return bytes(out)
+
+
+def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL GIF89a bytes per row with the SAME closed-form raster as
+    synthesize_bmp_payloads (w = 2+id%6, h = 1+id%5, pixel [B,G,R] =
+    [(id+3x+7y)%256, (2id+5x+y)%256, (3id+x+11y)%256]; <= 35 pixels per
+    image keeps the palette under GIF's 256-color limit) — LZW-compressed
+    through the real variable-width encoder, so every decode exercises the
+    full dictionary-growth path."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                rows = [
+                    [
+                        [
+                            (i + 3 * x + 7 * y) % 256,
+                            (2 * i + 5 * x + y) % 256,
+                            (3 * i + x + 11 * y) % 256,
+                        ]
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(GifDecoder.encode_gif(rows))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )

@@ -1644,3 +1644,31 @@ def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("n_chars_clean"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_gif_pixels_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           {_bmp_px_sum_sql(f"k % {_BMP_W}", f"k // {_BMP_W}", f"{_BMP_W} * {_BMP_H}")}
+             AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL LZW decode: synthesize a GIF89a per doc (same closed-form "
+    "raster, palette + real variable-width LZW compression), decode every "
+    "byte back in pure python and checksum the pixels against the "
+    "arithmetic oracle — with this only JPEG pixel data remains stubbed",
+)
+def multimodal_gif_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        GifDecoder,
+        pixel_stats,
+        synthesize_gif_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_gif_payloads(docs), decoder=GifDecoder()).orderBy(
+        "doc_id"
+    )

@@ -434,3 +434,65 @@ def test_png_palette_color_type():
         + chunk(b"IEND", b"")
     )
     assert PixelDecoder().decode_pixels(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel tier (real LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_round_trip_random_rasters():
+    import random
+
+    from gearpump_spark.operators.multimodal import GifDecoder
+
+    rng = random.Random(9)
+    for _ in range(8):
+        w, h = rng.randint(1, 20), rng.randint(1, 20)
+        ncol = rng.randint(1, 30)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(ncol)
+        ]
+        rows = [
+            [list(pal[rng.randrange(ncol)])[::-1] for _ in range(w)] for _ in range(h)
+        ]
+        img = GifDecoder().decode_pixels(GifDecoder.encode_gif(rows))
+        assert img["width"] == w and img["height"] == h
+        assert img["rows"] == rows
+
+
+def test_gif_interlaced_and_extension_blocks():
+    from gearpump_spark.operators.multimodal import GifDecoder
+
+    # 1x8 column image, interlaced: rows stored in pass order 0,8.. 4.. 2,6.. odd
+    h = 8
+    rows = [[[y * 10, y * 10 + 1, y * 10 + 2]] for y in range(h)]
+    base = GifDecoder.encode_gif(rows)
+    # rewrite: set interlace flag and reorder pixel rows per pass order
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    reordered = [rows[y] for y in order]
+    gif = bytearray(GifDecoder.encode_gif(reordered))
+    # find image descriptor and set the interlace bit
+    idesc = gif.index(0x2C, 13)
+    gif[idesc + 9] |= 0x40
+    # inject a graphic-control extension before the descriptor (skip path)
+    ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    gif2 = bytes(gif[:idesc]) + ext + bytes(gif[idesc:])
+    img = GifDecoder().decode_pixels(gif2)
+    assert img is not None and img["rows"] == rows
+    # the non-interlaced original still decodes to its own order
+    assert GifDecoder().decode_pixels(base)["rows"] == rows
+
+
+def test_gif_garbage_and_truncation_never_raise():
+    from gearpump_spark.operators.multimodal import GifDecoder
+
+    d = GifDecoder()
+    good = GifDecoder.encode_gif([[[1, 2, 3], [4, 5, 6]]])
+    assert d.decode_pixels(b"GIF89a\x00") is None
+    for cut in (8, 14, len(good) - 3):
+        assert d.decode_pixels(good[:cut]) is None or cut >= len(good) - 3
+    # BMP/PNG dispatch still intact through the subclass
+    bmp = GifDecoder.encode_bmp([[[9, 8, 7]]])
+    assert d.decode_pixels(bmp)["rows"] == [[[9, 8, 7]]]
