@@ -947,12 +947,14 @@ class GifDecoder(PixelDecoder):
             prev = entry
         return out[:n_pixels] if len(out) >= n_pixels else None
 
-    def decode_gif_pixels(self, payload: bytes):
-        """(height, width, [B,G,R] rows top-down) for the FIRST image in a
-        GIF87a/89a stream, else None. Handles global/local color tables,
-        interlaced row order, and skips extension blocks."""
+    def decode_gif_frames(self, payload: bytes):
+        """List of {width, height, rows} — EVERY image in a GIF87a/89a
+        stream (animated GIFs carry one descriptor per frame), else None.
+        Handles global/local color tables, interlaced row order, and skips
+        extension blocks. Each frame decodes independently (no disposal/
+        compositing — the synthesizers write full-size frames, and frame
+        sampling wants raw frame content, not a composited screen)."""
         try:
-            w_screen = int.from_bytes(payload[6:8], "little")  # noqa: F841
             packed = payload[10]
             i = 13
             gct = None
@@ -964,6 +966,7 @@ class GifDecoder(PixelDecoder):
                 ]
                 i += 3 * gct_len
             n = len(payload)
+            frames = []
             while i < n:
                 b = payload[i]
                 if b == 0x21:  # extension: label + sub-blocks
@@ -997,6 +1000,7 @@ class GifDecoder(PixelDecoder):
                         ln = payload[i]
                         data += payload[i + 1 : i + 1 + ln]
                         i += 1 + ln
+                    i += 1  # block terminator
                     idx = self._lzw_decode(min_code, bytes(data), w * h)
                     if idx is None or any(v >= len(table) for v in idx):
                         return None
@@ -1004,7 +1008,7 @@ class GifDecoder(PixelDecoder):
                         [table[v][2], table[v][1], table[v][0]] for v in idx
                     ]  # [B,G,R]
                     rows = [flat[y * w : (y + 1) * w] for y in range(h)]
-                    if ipacked & 0x40:  # interlaced: pass order 0,4 / 8,4 / 4,8? spec:
+                    if ipacked & 0x40:  # interlaced — spec pass order:
                         # pass 1: rows 0,8,16…; 2: 4,12…; 3: 2,6,10…; 4: 1,3,5…
                         order = (
                             list(range(0, h, 8))
@@ -1016,42 +1020,43 @@ class GifDecoder(PixelDecoder):
                         for src_y, dst_y in enumerate(order):
                             deinter[dst_y] = rows[src_y]
                         rows = deinter
-                    return {"width": w, "height": h, "rows": rows}
+                    frames.append({"width": w, "height": h, "rows": rows})
                 elif b == 0x3B:  # trailer
-                    return None
+                    break
                 else:
                     return None
-            return None
+            return frames or None
         except (IndexError, ValueError):
             return None
 
-    @staticmethod
-    def encode_gif(rows: list[list[list[int]]]) -> bytes:
-        """Re-encode a top-down [B,G,R] raster as a REAL GIF89a: a palette
-        built from the distinct colors (<= 256 required), pixels LZW-
-        compressed with a real variable-width encoder (dictionary growth +
-        clear-on-full). Decodable by any GIF reader and by the decoder
-        above."""
-        h = len(rows)
-        w = len(rows[0]) if h else 0
-        colors: dict[tuple[int, int, int], int] = {}
-        idx = []
-        for row in rows:
-            for b, g, r in row:
-                key = (r, g, b)
-                if key not in colors:
-                    colors[key] = len(colors)
-                idx.append(colors[key])
-        if len(colors) > 256:
-            raise ValueError("encode_gif: more than 256 distinct colors")
-        # color table holds 2^size_pow entries; LZW min code size >= 2
-        size_pow = 1
-        while (1 << size_pow) < len(colors):
-            size_pow += 1
-        n_table = 1 << size_pow
-        min_code = max(2, size_pow)
+    def decode_gif_pixels(self, payload: bytes):
+        """(height, width, [B,G,R] rows top-down) for the FIRST image in a
+        GIF87a/89a stream, else None."""
+        frames = self.decode_gif_frames(payload)
+        return frames[0] if frames else None
 
-        # --- LZW encode ---
+    def sample_frames(self, payload: bytes, n: int):
+        """REAL frame sampling for animated GIFs: decode every frame, take
+        n evenly-spaced ones, return the md5 of each frame's raster bytes
+        (deterministic, byte-level verifiable). Non-GIF payloads keep the
+        fallback behavior."""
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return self.fallback.sample_frames(payload, n)
+        frames = self.decode_gif_frames(payload)
+        if not frames:
+            return self.fallback.sample_frames(payload, n)
+        picks = [frames[(k * len(frames)) // n] for k in range(n)]
+        return [
+            hashlib.md5(
+                bytes(c for row in f["rows"] for px in row for c in px)
+            ).hexdigest()
+            for f in picks
+        ]
+
+    @staticmethod
+    def _lzw_encode(idx: list[int], min_code: int) -> bytearray:
+        """GIF LZW encode a color-index stream: variable code width,
+        dictionary growth to 4096 with clear-on-full, LSB-first packing."""
         clear = 1 << min_code
         eoi = clear + 1
         codes: list[tuple[int, int]] = []  # (code, width)
@@ -1079,7 +1084,6 @@ class GifDecoder(PixelDecoder):
         if prev:
             codes.append((table[prev], width))
         codes.append((eoi, width))
-        # pack LSB-first
         bits = bytearray()
         acc = 0
         nacc = 0
@@ -1092,6 +1096,80 @@ class GifDecoder(PixelDecoder):
                 nacc -= 8
         if nacc:
             bits.append(acc & 0xFF)
+        return bits
+
+    @staticmethod
+    def encode_gif_animated(frames: list[list[list[list[int]]]]) -> bytes:
+        """REAL animated GIF89a: one image descriptor per frame, each with
+        its own LOCAL color table and LZW stream (no global table, no
+        disposal metadata — frames are full-size replacements)."""
+        if not frames:
+            raise ValueError("encode_gif_animated: need at least one frame")
+        h = len(frames[0])
+        w = len(frames[0][0]) if h else 0
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes((0, 0, 0))  # no GCT, bg, aspect
+        for rows in frames:
+            colors: dict[tuple[int, int, int], int] = {}
+            idx = []
+            for row in rows:
+                for b, g, r in row:
+                    key = (r, g, b)
+                    if key not in colors:
+                        colors[key] = len(colors)
+                    idx.append(colors[key])
+            if len(colors) > 256:
+                raise ValueError("encode_gif_animated: > 256 colors in a frame")
+            size_pow = 1
+            while (1 << size_pow) < len(colors):
+                size_pow += 1
+            n_table = 1 << size_pow
+            min_code = max(2, size_pow)
+            out.append(0x2C)
+            out += bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            out.append(0x80 | (size_pow - 1))  # LCT present
+            palette = sorted(colors, key=colors.get)
+            for r, g, b in palette:
+                out += bytes((r, g, b))
+            out += bytes((0, 0, 0)) * (n_table - len(palette))
+            out.append(min_code)
+            bits = GifDecoder._lzw_encode(idx, min_code)
+            for j in range(0, len(bits), 255):
+                block = bits[j : j + 255]
+                out.append(len(block))
+                out += block
+            out.append(0)  # block terminator
+        out.append(0x3B)
+        return bytes(out)
+
+    @staticmethod
+    def encode_gif(rows: list[list[list[int]]]) -> bytes:
+        """Re-encode a top-down [B,G,R] raster as a REAL GIF89a: a palette
+        built from the distinct colors (<= 256 required), pixels LZW-
+        compressed with a real variable-width encoder (dictionary growth +
+        clear-on-full). Decodable by any GIF reader and by the decoder
+        above."""
+        h = len(rows)
+        w = len(rows[0]) if h else 0
+        colors: dict[tuple[int, int, int], int] = {}
+        idx = []
+        for row in rows:
+            for b, g, r in row:
+                key = (r, g, b)
+                if key not in colors:
+                    colors[key] = len(colors)
+                idx.append(colors[key])
+        if len(colors) > 256:
+            raise ValueError("encode_gif: more than 256 distinct colors")
+        # color table holds 2^size_pow entries; LZW min code size >= 2
+        size_pow = 1
+        while (1 << size_pow) < len(colors):
+            size_pow += 1
+        n_table = 1 << size_pow
+        min_code = max(2, size_pow)
+
+        bits = GifDecoder._lzw_encode(idx, min_code)
 
         out = bytearray(b"GIF89a")
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
@@ -1143,4 +1221,70 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_animated_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL animated GIF89a per row: n_frames = 2 + id%3 full-size frames,
+    w = 2+id%6, h = 1+id%5, frame f pixel [B,G,R] =
+    [(id+3x+7y+13f)%256, (2id+5x+y+17f)%256, (3id+x+11y+19f)%256] — the
+    BMP/PNG closed-form family extended by a frame term, so per-frame
+    checksums have pure-arithmetic oracles."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, nf = 2 + i % 6, 1 + i % 5, 2 + i % 3
+                frames = [
+                    [
+                        [
+                            [
+                                (i + 3 * x + 7 * y + 13 * f) % 256,
+                                (2 * i + 5 * x + y + 17 * f) % 256,
+                                (3 * i + x + 11 * y + 19 * f) % 256,
+                            ]
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    for f in range(nf)
+                ]
+                payloads.append(GifDecoder.encode_gif_animated(frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def gif_frame_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode EVERY frame of each animated GIF (real LZW) and emit one row
+    per frame: (doc_id, frame_idx, width, height, px_sum). Undecodable
+    payloads emit nothing. Narrow Arrow-batched map — frame fan-out stays
+    in the worker."""
+    decoder = GifDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = decoder.decode_gif_frames(bytes(p))
+                if not frames:
+                    continue
+                for fi, fr in enumerate(frames):
+                    out["doc_id"].append(int(i))
+                    out["frame_idx"].append(fi)
+                    out["width"].append(fr["width"])
+                    out["height"].append(fr["height"])
+                    out["px_sum"].append(
+                        sum(c for row in fr["rows"] for px in row for c in px)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, "doc_id bigint, frame_idx int, width int, height int, px_sum bigint"
     )

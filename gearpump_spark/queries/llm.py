@@ -1672,3 +1672,35 @@ def multimodal_gif_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(synthesize_gif_payloads(docs), decoder=GifDecoder()).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "multimodal_gif_frames_real",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id, UNNEST(RANGE(0, 2 + doc_id % 3)) AS f FROM documents)
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {_BMP_W} * {_BMP_H}), k ->
+                 (doc_id + 3 * (k % {_BMP_W}) + 7 * (k // {_BMP_W}) + 13 * f) % 256
+               + (2 * doc_id + 5 * (k % {_BMP_W}) + (k // {_BMP_W}) + 17 * f) % 256
+               + (3 * doc_id + (k % {_BMP_W}) + 11 * (k // {_BMP_W}) + 19 * f) % 256))
+             AS BIGINT) AS px_sum
+    FROM fr ORDER BY doc_id, frame_idx
+    """,
+    desc="REAL video-style frame decode: animated GIF89a per doc (one LZW "
+    "stream + local palette per frame), every frame decoded and "
+    "checksummed against a closed-form per-frame arithmetic oracle",
+)
+def multimodal_gif_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        gif_frame_stats,
+        synthesize_animated_gif_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return gif_frame_stats(synthesize_animated_gif_payloads(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )

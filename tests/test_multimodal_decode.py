@@ -496,3 +496,30 @@ def test_gif_garbage_and_truncation_never_raise():
     # BMP/PNG dispatch still intact through the subclass
     bmp = GifDecoder.encode_bmp([[[9, 8, 7]]])
     assert d.decode_pixels(bmp)["rows"] == [[[9, 8, 7]]]
+
+
+def test_gif_animated_roundtrip_and_real_frame_sampling():
+    import hashlib
+
+    from gearpump_spark.operators.multimodal import GifDecoder
+
+    frames = [
+        [[[(f * 40 + x + y) % 256, (f * 11 + 2 * x) % 256, (f * 7 + 3 * y) % 256]
+          for x in range(4)] for y in range(3)]
+        for f in range(5)
+    ]
+    gif = GifDecoder.encode_gif_animated(frames)
+    dec = GifDecoder().decode_gif_frames(gif)
+    assert [d["rows"] for d in dec] == frames
+
+    def hsh(rows):
+        return hashlib.md5(
+            bytes(c for row in rows for px in row for c in px)
+        ).hexdigest()
+
+    # evenly-spaced picks over 5 frames at n=3: frames 0, 1, 3
+    assert GifDecoder().sample_frames(gif, 3) == [
+        hsh(frames[0]), hsh(frames[1]), hsh(frames[3])
+    ]
+    # non-GIF payloads keep the deterministic fallback (no exception)
+    assert len(GifDecoder().sample_frames(b"not a gif", 2)) == 2
