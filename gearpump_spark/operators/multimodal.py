@@ -10,9 +10,12 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
   (re-encoding BMP/PNG bytes) and real pixel features;
 - `GifDecoder` adds REAL GIF pixel decoding: full LZW decompression
   (variable code width, dictionary growth, clear/EOI), global/local
-  palettes, deinterlacing — plus a real LZW encoder for round-trips;
-- only JPEG pixel data and exotic PNG variants (16-bit, interlaced) fall
-  through to `FakeDecoder`, which derives
+  palettes, deinterlacing, animated frames — plus real LZW encoders;
+- `JpegDecoder` adds REAL baseline JPEG (grayscale): Huffman entropy
+  decode with byte unstuffing, dequant, IDCT with the libjpeg DC-only
+  integer fast path, and a full FDCT/Huffman encoder;
+- only color/progressive JPEG and exotic PNG variants (16-bit,
+  interlaced) fall through to `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
   seam (raises with the dependency it would need).
@@ -1287,4 +1290,401 @@ def gif_frame_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         op, "doc_id bigint, frame_idx int, width int, height int, px_sum bigint"
+    )
+
+
+# JPEG zigzag scan order (spec Figure 5 / Annex K): zigzag[k] = (row, col).
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.3 standard luminance Huffman tables (bits counts + values).
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """(value -> (code, length)) per JPEG canonical code assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class JpegDecoder(GifDecoder):
+    """Adds REAL baseline JPEG decoding for single-component (grayscale)
+    images: marker parse (DQT/SOF0/DHT/SOS), Huffman entropy decode with
+    0xFF00 byte unstuffing, DC difference decoding, dequantization,
+    dezigzag, and IDCT — including libjpeg's DC-only fast path (a block
+    with no AC coefficients reconstructs as the flat value
+    ((dc*q + 4) >> 3) + 128, exact integer arithmetic). Multi-component
+    (color) JPEGs and progressive scans delegate to the fallback — the
+    last remaining seam.
+    """
+
+    def decode_pixels(self, payload: bytes):
+        if payload.startswith(b"\xff\xd8"):
+            return self.decode_jpeg_pixels(payload)
+        return super().decode_pixels(payload)
+
+    @staticmethod
+    def _idct_block(coef):
+        """8x8 inverse DCT (float) with the DC-only integer fast path."""
+        import math
+
+        if all(c == 0 for c in coef[1:]):
+            flat = ((coef[0] + 4) >> 3) + 128
+            flat = 0 if flat < 0 else 255 if flat > 255 else flat
+            return [[flat] * 8 for _ in range(8)]
+        c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+        m = [[coef[_ZIGZAG.index((r, col))] for col in range(8)] for r in range(8)]
+        out = []
+        for y in range(8):
+            row = []
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            c[u] * c[v] * m[u][v]
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                        )
+                val = int(round(s / 4.0)) + 128
+                row.append(0 if val < 0 else 255 if val > 255 else val)
+            out.append(row)
+        return out
+
+    def decode_jpeg_pixels(self, payload: bytes):
+        try:
+            i, n = 2, len(payload)
+            qt = {}
+            dc_lut = ac_lut = None
+            w = h = None
+            precision = ncomp = 0
+            q_id = 0
+            scan = None
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if marker == 0xD9:
+                    break
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                body = payload[i + 4 : i + 2 + seg_len]
+                if marker == 0xDB:  # DQT (8-bit tables only)
+                    j = 0
+                    while j < len(body):
+                        pq, tq = body[j] >> 4, body[j] & 0x0F
+                        if pq != 0:
+                            return None
+                        qt[tq] = list(body[j + 1 : j + 65])
+                        j += 65
+                elif marker == 0xC0:  # SOF0 baseline
+                    precision = body[0]
+                    h = int.from_bytes(body[1:3], "big")
+                    w = int.from_bytes(body[3:5], "big")
+                    ncomp = body[5]
+                    if precision != 8 or ncomp != 1:
+                        return None  # color/12-bit: fallback seam
+                    if body[7] != 0x11:
+                        return None  # subsampled
+                    q_id = body[8]
+                elif marker in (0xC1, 0xC2, 0xC3):  # non-baseline SOF
+                    return None
+                elif marker == 0xC4:  # DHT
+                    j = 0
+                    while j < len(body):
+                        tc, th = body[j] >> 4, body[j] & 0x0F
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        lut = {}
+                        code = 0
+                        k = 0
+                        for ln in range(1, 17):
+                            for _ in range(bits[ln - 1]):
+                                lut[(ln, code)] = vals[k]
+                                code += 1
+                                k += 1
+                            code <<= 1
+                        if tc == 0 and th == 0:
+                            dc_lut = lut
+                        elif tc == 1 and th == 0:
+                            ac_lut = lut
+                        j += 17 + nv
+                elif marker == 0xDA:  # SOS: entropy data follows
+                    scan = payload[i + 2 + seg_len :]
+                    break
+                i += 2 + seg_len
+            if scan is None or w is None or dc_lut is None or ac_lut is None:
+                return None
+            quant = qt.get(q_id)
+            if quant is None:
+                return None
+            # unstuff 0xFF00 and stop at any real marker
+            data = bytearray()
+            j = 0
+            while j < len(scan):
+                b = scan[j]
+                if b == 0xFF:
+                    if j + 1 < len(scan) and scan[j + 1] == 0x00:
+                        data.append(0xFF)
+                        j += 2
+                        continue
+                    break
+                data.append(b)
+                j += 1
+            bitpos = 0
+            nbits = len(data) * 8
+
+            def read_bit():
+                nonlocal bitpos
+                if bitpos >= nbits:
+                    return None
+                b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                bitpos += 1
+                return b
+
+            def read_huff(lut):
+                code = 0
+                for ln in range(1, 17):
+                    b = read_bit()
+                    if b is None:
+                        return None
+                    code = (code << 1) | b
+                    if (ln, code) in lut:
+                        return lut[(ln, code)]
+                return None
+
+            def receive_extend(size):
+                if size == 0:
+                    return 0
+                v = 0
+                for _ in range(size):
+                    b = read_bit()
+                    if b is None:
+                        return None
+                    v = (v << 1) | b
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                return v
+
+            bw = (w + 7) // 8
+            bh = (h + 7) // 8
+            pixels = [[0] * (bw * 8) for _ in range(bh * 8)]
+            pred = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    t = read_huff(dc_lut)
+                    if t is None:
+                        return None
+                    diff = receive_extend(t)
+                    if diff is None:
+                        return None
+                    pred += diff
+                    coef = [0] * 64
+                    coef[0] = pred * quant[0]
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(ac_lut)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        v = receive_extend(s)
+                        if v is None:
+                            return None
+                        coef[k] = v * quant[k]
+                        k += 1
+                    block = self._idct_block(coef)
+                    for y in range(8):
+                        for x in range(8):
+                            pixels[by * 8 + y][bx * 8 + x] = block[y][x]
+            rows = [[[pixels[y][x]] * 3 for x in range(w)] for y in range(h)]
+            return {"width": w, "height": h, "rows": rows}
+        except (IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def encode_jpeg_gray(gray: list[list[int]], dc_quant: int = 8) -> bytes:
+        """REAL baseline grayscale JPEG: float FDCT per 8x8 block (edge
+        replication padding), quantization (flat table, DC step
+        ``dc_quant``), zigzag, Annex-K Huffman entropy coding with byte
+        stuffing. Decodable by any JPEG reader and by the decoder above."""
+        import math
+
+        h = len(gray)
+        w = len(gray[0]) if h else 0
+        quant = [dc_quant] + [16] * 63
+        dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+        ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+        c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+
+        def put(code, ln):
+            nonlocal acc, nacc
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    bits.append(acc)
+                    if acc == 0xFF:
+                        bits.append(0x00)  # byte stuffing
+                    acc = 0
+                    nacc = 0
+
+        def put_val(v):
+            """size category + value bits (one's-complement for negatives)."""
+            size = 0
+            a = abs(v)
+            while a:
+                size += 1
+                a >>= 1
+            if v < 0:
+                v += (1 << size) - 1
+            return size, v
+
+        bw = (w + 7) // 8
+        bh = (h + 7) // 8
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                block = [
+                    [
+                        gray[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - 128
+                        for x in range(8)
+                    ]
+                    for y in range(8)
+                ]
+                coef = [0] * 64
+                for k, (u, v) in enumerate(_ZIGZAG):
+                    s = 0.0
+                    for y in range(8):
+                        for x in range(8):
+                            s += (
+                                block[y][x]
+                                * math.cos((2 * x + 1) * v * math.pi / 16)
+                                * math.cos((2 * y + 1) * u * math.pi / 16)
+                            )
+                    coef[k] = int(round(c[u] * c[v] * s / 4.0 / quant[k]))
+                diff = coef[0] - pred
+                pred = coef[0]
+                size, vb = put_val(diff)
+                code, ln = dc_codes[size]
+                put(code, ln)
+                if size:
+                    put(vb, size)
+                k = 1
+                run = 0
+                for k in range(1, 64):
+                    if coef[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        put(code, ln)
+                        run -= 16
+                    size, vb = put_val(coef[k])
+                    code, ln = ac_codes[(run << 4) | size]
+                    put(code, ln)
+                    put(vb, size)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]  # EOB
+                    put(code, ln)
+        if nacc:
+            acc <<= 8 - nacc
+            acc |= (1 << (8 - nacc)) - 1  # pad with 1s per spec
+            bits.append(acc)
+            if acc == 0xFF:
+                bits.append(0x00)
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
+        out += (
+            b"\xff\xc0"
+            + (11).to_bytes(2, "big")
+            + bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0])
+        )
+        out += (
+            b"\xff\xc4"
+            + (2 + 17 + len(_DC_VALS)).to_bytes(2, "big")
+            + bytes([0x00] + _DC_BITS + _DC_VALS)
+        )
+        out += (
+            b"\xff\xc4"
+            + (2 + 17 + len(_AC_VALS)).to_bytes(2, "big")
+            + bytes([0x10] + _AC_BITS + _AC_VALS)
+        )
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+        out += bits
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+
+def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline grayscale JPEG per row: w = 2+id%6, h = 1+id%5,
+    constant gray value (37*id + 11) % 256, DC quant step 8. The constant
+    raster makes the lossy pipeline exactly verifiable: the quantized DC
+    is integral at step 8 and the decoder's DC-only IDCT fast path
+    reconstructs the flat value with pure integer arithmetic, so
+    decode(encode(img)) == img bit-for-bit — while the encoder/decoder
+    still run the full FDCT/Huffman machinery."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                val = (37 * i + 11) % 256
+                payloads.append(JpegDecoder.encode_jpeg_gray([[val] * w for _ in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
     )

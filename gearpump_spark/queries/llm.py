@@ -1704,3 +1704,144 @@ def multimodal_gif_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_stats(synthesize_animated_gif_payloads(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    samp AS (SELECT doc_id FROM documents
+             WHERE CAST(CONCAT('0x', SUBSTR(MD5('9' || '|' || doc_id), 1, 15)) AS BIGINT) % 10000 < 2000),
+    sh AS (SELECT DISTINCT s.doc_id, s.shingle FROM shingled s
+           JOIN samp USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+    sig AS (
+        SELECT doc_id,
+               MIN(MD5('0|' || shingle)) AS h0, MIN(MD5('1|' || shingle)) AS h1,
+               MIN(MD5('2|' || shingle)) AS h2, MIN(MD5('3|' || shingle)) AS h3,
+               MIN(MD5('4|' || shingle)) AS h4, MIN(MD5('5|' || shingle)) AS h5
+        FROM shingled GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, bi.band_idx,
+               CASE bi.band_idx
+                    WHEN 0 THEN MD5(h0 || '|' || h1)
+                    WHEN 1 THEN MD5(h2 || '|' || h3)
+                    ELSE MD5(h4 || '|' || h5) END AS band_key
+        FROM sig JOIN samp USING (doc_id)
+        CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS band_idx) bi),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id),
+    hit AS (SELECT a, b FROM truth INTERSECT SELECT a, b FROM cand),
+    m AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                 (SELECT COUNT(*) FROM cand) AS n_candidates,
+                 (SELECT COUNT(*) FROM hit) AS n_hit)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_candidates = 0 THEN 0.0
+                ELSE CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+             AS precision,
+           CASE WHEN n_truth = 0 THEN 0.0
+                ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+    FROM m
+    """,
+    desc="LSH quality evaluation on a 20% hash-stable doc sample: "
+    "banded-LSH candidates scored against exact Jaccard >= 0.5 ground "
+    "truth (inverted shingle index) — precision/recall as exact rationals",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement loop a production dedup pipeline needs: tune
+    bands/rows against measured recall. Exact ground truth is inherently
+    quadratic in shingle-bucket sizes, so it runs on a bounded hash-stable
+    sample (the r2 scaling sweep measured the unsampled variant at 20x
+    superlinear on the sf1 step) — at 100 TB, lower the sample rate to
+    keep the sampled subset roughly constant-size; the estimate's variance
+    depends on subset size, not corpus size. Both sides reuse the
+    inverted shingle index; the three counts collapse to one row."""
+    docs = SP.hash_sample(table(spark, sf_dir, "documents"), "doc_id", 2000, seed=9)
+    sh = (
+        docs.select(
+            "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle")
+        ).distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    truth = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a"))
+        .join(sb, F.col("sb.doc_id") == F.col("b"))
+        .where(
+            F.col("i").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+            >= 0.5
+        )
+        .select("a", "b")
+    )
+    cand = D.lsh_candidate_pairs(D.minhash_signatures(docs, k=6), k=6, rows_per_band=2)
+    hit = truth.intersect(cand.select("a", "b"))
+    m = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    prec = F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_candidates").cast("double")
+    )
+    rec = F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+    )
+    return m.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+
+
+@register(
+    "multimodal_jpeg_pixels_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * 3 * ((37 * doc_id + 11) % 256) AS BIGINT)
+             AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL baseline-JPEG decode: grayscale JPEG per doc (full Huffman "
+    "entropy coding + FDCT on the encode side, Huffman + dequant + IDCT "
+    "with the libjpeg DC-only integer fast path on decode); constant-gray "
+    "rasters at DC quant 8 reconstruct bit-exactly, so the checksum has a "
+    "pure-arithmetic oracle — every image container now decodes for real",
+)
+def multimodal_jpeg_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_jpeg_payloads(docs), decoder=JpegDecoder()).orderBy(
+        "doc_id"
+    )

@@ -523,3 +523,54 @@ def test_gif_animated_roundtrip_and_real_frame_sampling():
     ]
     # non-GIF payloads keep the deterministic fallback (no exception)
     assert len(GifDecoder().sample_frames(b"not a gif", 2)) == 2
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline tier (Huffman + DCT, grayscale)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_gray_exact_roundtrip():
+    from gearpump_spark.operators.multimodal import JpegDecoder
+
+    d = JpegDecoder()
+    for val in (0, 1, 127, 128, 200, 255):
+        for w, h in ((3, 2), (8, 8), (11, 5)):
+            img = d.decode_pixels(JpegDecoder.encode_jpeg_gray([[val] * w for _ in range(h)]))
+            assert img["width"] == w and img["height"] == h
+            assert all(px == [val] * 3 for row in img["rows"] for px in row), (val, w, h)
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    import random
+
+    from gearpump_spark.operators.multimodal import JpegDecoder
+
+    rng = random.Random(4)
+    gray = [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+    img = JpegDecoder().decode_pixels(JpegDecoder.encode_jpeg_gray(gray))
+    errs = [abs(img["rows"][y][x][0] - gray[y][x]) for y in range(16) for x in range(16)]
+    assert max(errs) <= 24  # AC quant step 16: worst case well under 2 steps
+    assert sum(errs) / len(errs) < 8
+
+
+def test_jpeg_header_sniff_of_our_own_bytes():
+    from gearpump_spark.operators.multimodal import HeaderDecoder, JpegDecoder
+
+    jp = JpegDecoder.encode_jpeg_gray([[9] * 5 for _ in range(4)])
+    meta = HeaderDecoder().sniff_image(jp)
+    assert meta == {"format": "jpeg", "width": 5, "height": 4, "n_channels": 1}
+
+
+def test_jpeg_garbage_and_unsupported_variants():
+    from gearpump_spark.operators.multimodal import JpegDecoder
+
+    d = JpegDecoder()
+    good = JpegDecoder.encode_jpeg_gray([[10, 20], [30, 40]])
+    assert d.decode_pixels(b"\xff\xd8garbage") is None
+    assert d.decode_pixels(good[: len(good) // 2]) is None
+    # progressive SOF2 marker -> None (fallback seam), never an exception
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert d.decode_pixels(prog) is None
+    # GIF/PNG/BMP dispatch still intact through the subclass chain
+    assert d.decode_pixels(JpegDecoder.encode_bmp([[[1, 2, 3]]]))["rows"] == [[[1, 2, 3]]]

@@ -29,6 +29,12 @@ EXTRA = [
     "text_rare_bigram_frac",
     "sample_weighted_priority",
     "dedup_clusters_twophase",
+    "text_strip_html",
+    "q_corr_qty_price",
+    "q_user_value_outliers",
+    "q_upsert_merge",
+    "multimodal_gif_frames_real",
+    "dedup_lsh_recall",
 ]
 SWEEP = HEADLINE + EXTRA
 
