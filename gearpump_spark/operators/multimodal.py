@@ -14,8 +14,8 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
 - `JpegDecoder` adds REAL baseline JPEG (grayscale): Huffman entropy
   decode with byte unstuffing, dequant, IDCT with the libjpeg DC-only
   integer fast path, and a full FDCT/Huffman encoder;
-- only color/progressive JPEG and exotic PNG variants (16-bit,
-  interlaced) fall through to `FakeDecoder`, which derives
+- only color/progressive JPEG and 16-bit PNG fall through to
+  `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
   seam (raises with the dependency it would need).
@@ -254,8 +254,9 @@ class PixelDecoder(HeaderDecoder):
         gray/RGB/RGBA non-interlaced PNG: concatenate IDATs, zlib-inflate,
         reconstruct every scanline through the spec's filter types 0-4
         (None/Sub/Up/Average/Paeth). Gray expands to B=G=R; RGBA drops
-        alpha; palette (color 3) indices resolve through PLTE. 16-bit and
-        interlaced PNGs → None."""
+        alpha; palette (color 3) indices resolve through PLTE; Adam7
+        interlaced streams reassemble from the seven passes. 16-bit
+        PNGs → None."""
         import struct
         import zlib
 
@@ -285,54 +286,94 @@ class PixelDecoder(HeaderDecoder):
                 elif tag == b"IEND":
                     break
                 i += 12 + ln
-            if w is None or depth != 8 or color not in (0, 2, 3, 6) or interlace:
+            if w is None or depth != 8 or color not in (0, 2, 3, 6) or interlace not in (0, 1):
                 return None
             if color == 3 and palette is None:
                 return None
             ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
             raw = zlib.decompress(bytes(idat))
-            stride = w * ch
-            if len(raw) < h * (1 + stride):
-                return None
-            rows = []
-            prior = bytearray(stride)
-            for y in range(h):
-                base = y * (1 + stride)
-                ft = raw[base]
-                line = bytearray(raw[base + 1 : base + 1 + stride])
-                if ft == 1:  # Sub
-                    for k in range(ch, stride):
-                        line[k] = (line[k] + line[k - ch]) & 0xFF
-                elif ft == 2:  # Up
-                    for k in range(stride):
-                        line[k] = (line[k] + prior[k]) & 0xFF
-                elif ft == 3:  # Average
-                    for k in range(stride):
-                        a = line[k - ch] if k >= ch else 0
-                        line[k] = (line[k] + ((a + prior[k]) >> 1)) & 0xFF
-                elif ft == 4:  # Paeth
-                    for k in range(stride):
-                        a = line[k - ch] if k >= ch else 0
-                        c = prior[k - ch] if k >= ch else 0
-                        line[k] = (line[k] + self._paeth(a, prior[k], c)) & 0xFF
-                elif ft != 0:
-                    return None
+
+            def unfilter(offset, n_rows, row_px):
+                """Reconstruct n_rows filtered scanlines of row_px pixels
+                starting at raw[offset]; returns (lines, bytes consumed)."""
+                stride = row_px * ch
+                if len(raw) < offset + n_rows * (1 + stride):
+                    return None, 0
+                lines = []
+                prior = bytearray(stride)
+                for r in range(n_rows):
+                    base = offset + r * (1 + stride)
+                    ft = raw[base]
+                    line = bytearray(raw[base + 1 : base + 1 + stride])
+                    if ft == 1:  # Sub
+                        for k in range(ch, stride):
+                            line[k] = (line[k] + line[k - ch]) & 0xFF
+                    elif ft == 2:  # Up
+                        for k in range(stride):
+                            line[k] = (line[k] + prior[k]) & 0xFF
+                    elif ft == 3:  # Average
+                        for k in range(stride):
+                            a = line[k - ch] if k >= ch else 0
+                            line[k] = (line[k] + ((a + prior[k]) >> 1)) & 0xFF
+                    elif ft == 4:  # Paeth
+                        for k in range(stride):
+                            a = line[k - ch] if k >= ch else 0
+                            c = prior[k - ch] if k >= ch else 0
+                            line[k] = (line[k] + self._paeth(a, prior[k], c)) & 0xFF
+                    elif ft != 0:
+                        return None, 0
+                    lines.append(line)
+                    prior = line
+                return lines, n_rows * (1 + stride)
+
+            def to_bgr(line, row_px):
                 if color == 3:  # palette index -> RGB lookup -> [B,G,R]
                     if any(v >= len(palette) for v in line):
                         return None
-                    row = [
-                        [palette[v][2], palette[v][1], palette[v][0]] for v in line
-                    ]
-                elif ch == 1:
-                    row = [[v, v, v] for v in line]
-                else:  # RGB / RGBA byte order -> [B, G, R]
-                    row = [
-                        [line[k * ch + 2], line[k * ch + 1], line[k * ch]]
-                        for k in range(w)
-                    ]
-                rows.append(row)
-                prior = line
-            return {"width": w, "height": h, "rows": rows}
+                    return [[palette[v][2], palette[v][1], palette[v][0]] for v in line]
+                if ch == 1:
+                    return [[v, v, v] for v in line]
+                return [  # RGB / RGBA byte order -> [B, G, R]
+                    [line[k * ch + 2], line[k * ch + 1], line[k * ch]]
+                    for k in range(row_px)
+                ]
+
+            if not interlace:
+                lines, _used = unfilter(0, h, w)
+                if lines is None:
+                    return None
+                rows = []
+                for line in lines:
+                    row = to_bgr(line, w)
+                    if row is None:
+                        return None
+                    rows.append(row)
+                return {"width": w, "height": h, "rows": rows}
+
+            # Adam7: seven sub-images, each independently filtered
+            grid = [[None] * w for _ in range(h)]
+            offset = 0
+            for x0, dx, y0, dy in (
+                (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+                (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+            ):
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                lines, used = unfilter(offset, ph, pw)
+                if lines is None:
+                    return None
+                offset += used
+                for r, line in enumerate(lines):
+                    row = to_bgr(line, pw)
+                    if row is None:
+                        return None
+                    for k, px in enumerate(row):
+                        grid[y0 + r * dy][x0 + k * dx] = px
+            if any(px is None for row in grid for px in row):
+                return None
+            return {"width": w, "height": h, "rows": grid}
         except (IndexError, ValueError, zlib.error):
             return None
 

@@ -574,3 +574,57 @@ def test_jpeg_garbage_and_unsupported_variants():
     assert d.decode_pixels(prog) is None
     # GIF/PNG/BMP dispatch still intact through the subclass chain
     assert d.decode_pixels(JpegDecoder.encode_bmp([[[1, 2, 3]]]))["rows"] == [[[1, 2, 3]]]
+
+
+def test_png_adam7_interlaced_decode():
+    import random
+    import struct
+    import zlib
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = random.Random(7)
+    w, h = 9, 10
+    pixels = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    raw = bytearray()
+    for x0, dx, y0, dy in (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            raw.append(0)
+            for k in range(pw):
+                rr, gg, bb = pixels[y0 + r * dy][x0 + k * dx]
+                raw += bytes((rr, gg, bb))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b""))
+    img = PixelDecoder().decode_pixels(png)
+    for y in range(h):
+        for x in range(w):
+            rr, gg, bb = pixels[y][x]
+            assert img["rows"][y][x] == [bb, gg, rr]
+    # truncated interlaced stream -> None, never raises
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw[: len(raw) // 2])))
+        + chunk(b"IEND", b""))
+    assert PixelDecoder().decode_pixels(short) is None
