@@ -11,10 +11,11 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
 - `GifDecoder` adds REAL GIF pixel decoding: full LZW decompression
   (variable code width, dictionary growth, clear/EOI), global/local
   palettes, deinterlacing, animated frames — plus real LZW encoders;
-- `JpegDecoder` adds REAL baseline JPEG (grayscale): Huffman entropy
-  decode with byte unstuffing, dequant, IDCT with the libjpeg DC-only
-  integer fast path, and a full FDCT/Huffman encoder;
-- only color/progressive JPEG and 16-bit PNG fall through to
+- `JpegDecoder` adds REAL baseline JPEG (grayscale AND 4:4:4 color):
+  Huffman entropy decode with byte unstuffing, per-component dequant,
+  IDCT with the libjpeg DC-only integer fast path, YCbCr->RGB — plus
+  full FDCT/Huffman encoders both gray and color;
+- only progressive/subsampled JPEG and 16-bit PNG fall through to
   `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
@@ -1430,10 +1431,10 @@ class JpegDecoder(GifDecoder):
         try:
             i, n = 2, len(payload)
             qt = {}
-            dc_lut = ac_lut = None
+            luts = {}  # (tc, th) -> huffman lut
             w = h = None
-            precision = ncomp = 0
-            q_id = 0
+            comps = None  # [(comp_id, q_table_id)] in SOF order
+            scan_tables = None  # comp_id -> (dc_th, ac_th) from SOS
             scan = None
             while i + 4 <= n:
                 if payload[i] != 0xFF:
@@ -1452,15 +1453,19 @@ class JpegDecoder(GifDecoder):
                         qt[tq] = list(body[j + 1 : j + 65])
                         j += 65
                 elif marker == 0xC0:  # SOF0 baseline
-                    precision = body[0]
+                    if body[0] != 8:
+                        return None  # 12-bit
                     h = int.from_bytes(body[1:3], "big")
                     w = int.from_bytes(body[3:5], "big")
                     ncomp = body[5]
-                    if precision != 8 or ncomp != 1:
-                        return None  # color/12-bit: fallback seam
-                    if body[7] != 0x11:
-                        return None  # subsampled
-                    q_id = body[8]
+                    if ncomp not in (1, 3):
+                        return None
+                    comps = []
+                    for c in range(ncomp):
+                        cid = body[6 + 3 * c]
+                        if body[7 + 3 * c] != 0x11:
+                            return None  # subsampled: fallback seam
+                        comps.append((cid, body[8 + 3 * c]))
                 elif marker in (0xC1, 0xC2, 0xC3):  # non-baseline SOF
                     return None
                 elif marker == 0xC4:  # DHT
@@ -1479,19 +1484,19 @@ class JpegDecoder(GifDecoder):
                                 code += 1
                                 k += 1
                             code <<= 1
-                        if tc == 0 and th == 0:
-                            dc_lut = lut
-                        elif tc == 1 and th == 0:
-                            ac_lut = lut
+                        luts[(tc, th)] = lut
                         j += 17 + nv
-                elif marker == 0xDA:  # SOS: entropy data follows
+                elif marker == 0xDA:  # SOS: component->table map + data
+                    ns = body[0]
+                    scan_tables = {}
+                    for c in range(ns):
+                        cid = body[1 + 2 * c]
+                        tb = body[2 + 2 * c]
+                        scan_tables[cid] = (tb >> 4, tb & 0x0F)
                     scan = payload[i + 2 + seg_len :]
                     break
                 i += 2 + seg_len
-            if scan is None or w is None or dc_lut is None or ac_lut is None:
-                return None
-            quant = qt.get(q_id)
-            if quant is None:
+            if scan is None or w is None or comps is None or scan_tables is None:
                 return None
             # unstuff 0xFF00 and stop at any real marker
             data = bytearray()
@@ -1543,43 +1548,80 @@ class JpegDecoder(GifDecoder):
 
             bw = (w + 7) // 8
             bh = (h + 7) // 8
-            pixels = [[0] * (bw * 8) for _ in range(bh * 8)]
-            pred = 0
+            planes = []  # one padded pixel grid per component, SOF order
+            tables = []  # (quant, dc_lut, ac_lut) per component
+            for cid, qid in comps:
+                quant = qt.get(qid)
+                if quant is None or cid not in scan_tables:
+                    return None
+                dth, ath = scan_tables[cid]
+                dc_lut = luts.get((0, dth))
+                ac_lut = luts.get((1, ath))
+                if dc_lut is None or ac_lut is None:
+                    return None
+                planes.append([[0] * (bw * 8) for _ in range(bh * 8)])
+                tables.append((quant, dc_lut, ac_lut))
+            preds = [0] * len(comps)
             for by in range(bh):
                 for bx in range(bw):
-                    t = read_huff(dc_lut)
-                    if t is None:
-                        return None
-                    diff = receive_extend(t)
-                    if diff is None:
-                        return None
-                    pred += diff
-                    coef = [0] * 64
-                    coef[0] = pred * quant[0]
-                    k = 1
-                    while k < 64:
-                        rs = read_huff(ac_lut)
-                        if rs is None:
+                    # 1x1 sampling: one block per component per MCU,
+                    # interleaved in SOF component order
+                    for ci, (quant, dc_lut, ac_lut) in enumerate(tables):
+                        t = read_huff(dc_lut)
+                        if t is None:
                             return None
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
+                        diff = receive_extend(t)
+                        if diff is None:
                             return None
-                        v = receive_extend(s)
-                        if v is None:
-                            return None
-                        coef[k] = v * quant[k]
-                        k += 1
-                    block = self._idct_block(coef)
-                    for y in range(8):
-                        for x in range(8):
-                            pixels[by * 8 + y][bx * 8 + x] = block[y][x]
-            rows = [[[pixels[y][x]] * 3 for x in range(w)] for y in range(h)]
+                        preds[ci] += diff
+                        coef = [0] * 64
+                        coef[0] = preds[ci] * quant[0]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(ac_lut)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            v = receive_extend(s)
+                            if v is None:
+                                return None
+                            coef[k] = v * quant[k]
+                            k += 1
+                        block = self._idct_block(coef)
+                        for y in range(8):
+                            for x in range(8):
+                                planes[ci][by * 8 + y][bx * 8 + x] = block[y][x]
+            if len(comps) == 1:
+                rows = [[[planes[0][y][x]] * 3 for x in range(w)] for y in range(h)]
+                return {"width": w, "height": h, "rows": rows}
+            # YCbCr -> [B,G,R]; floor(x+0.5) rounding (see encoder note)
+            import math
+
+            def cl(x):
+                v = math.floor(x + 0.5)
+                return 0 if v < 0 else 255 if v > 255 else v
+
+            rows = []
+            for y in range(h):
+                row = []
+                for x in range(w):
+                    Y, cb, cr = planes[0][y][x], planes[1][y][x], planes[2][y][x]
+                    row.append(
+                        [
+                            cl(Y + 1.772 * (cb - 128)),  # B
+                            cl(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                            cl(Y + 1.402 * (cr - 128)),  # R
+                        ]
+                    )
+                rows.append(row)
             return {"width": w, "height": h, "rows": rows}
         except (IndexError, ValueError):
             return None
@@ -1724,6 +1766,175 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 w, h = 2 + i % 6, 1 + i % 5
                 val = (37 * i + 11) % 256
                 payloads.append(JpegDecoder.encode_jpeg_gray([[val] * w for _ in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def _jpeg_fdct_quant(block, quant):
+    """Float FDCT of one level-shifted 8x8 block, quantized, zigzag order."""
+    import math
+
+    c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    coef = [0] * 64
+    for k, (u, v) in enumerate(_ZIGZAG):
+        s = 0.0
+        for y in range(8):
+            for x in range(8):
+                s += (
+                    block[y][x]
+                    * math.cos((2 * x + 1) * v * math.pi / 16)
+                    * math.cos((2 * y + 1) * u * math.pi / 16)
+                )
+        coef[k] = int(round(c[u] * c[v] * s / 4.0 / quant[k]))
+    return coef
+
+
+def encode_jpeg_color(rows: list[list[list[int]]], dc_quant: int = 8) -> bytes:
+    """REAL baseline 4:4:4 color JPEG from a top-down [B,G,R] raster:
+    RGB -> YCbCr with floor(x+0.5) rounding (NOT python round(), whose
+    banker's ties would diverge from the SQL oracle's half-up), per-plane
+    float FDCT + quantization (flat table, DC step ``dc_quant``), and
+    interleaved Y/Cb/Cr MCUs Huffman-coded with the Annex-K luminance
+    tables (all three components reference table 0 — legal and simpler).
+    Decodable by any JPEG reader and by JpegDecoder."""
+    import math
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    quant = [dc_quant] + [16] * 63
+
+    def fl(x):
+        v = math.floor(x + 0.5)
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    planes = [[[0] * w for _ in range(h)] for _ in range(3)]  # Y, Cb, Cr
+    for y in range(h):
+        for x in range(w):
+            b, g, r = rows[y][x]
+            planes[0][y][x] = fl(0.299 * r + 0.587 * g + 0.114 * b)
+            planes[1][y][x] = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            planes[2][y][x] = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code, ln):
+        nonlocal acc, nacc
+        for i in range(ln - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                bits.append(acc)
+                if acc == 0xFF:
+                    bits.append(0x00)
+                acc = 0
+                nacc = 0
+
+    def put_val(v):
+        size = 0
+        a = abs(v)
+        while a:
+            size += 1
+            a >>= 1
+        if v < 0:
+            v += (1 << size) - 1
+        return size, v
+
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    preds = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                plane = planes[ci]
+                block = [
+                    [
+                        plane[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - 128
+                        for x in range(8)
+                    ]
+                    for y in range(8)
+                ]
+                coef = _jpeg_fdct_quant(block, quant)
+                diff = coef[0] - preds[ci]
+                preds[ci] = coef[0]
+                size, vb = put_val(diff)
+                code, ln = dc_codes[size]
+                put(code, ln)
+                if size:
+                    put(vb, size)
+                run = 0
+                for k in range(1, 64):
+                    if coef[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        put(code, ln)
+                        run -= 16
+                    size, vb = put_val(coef[k])
+                    code, ln = ac_codes[(run << 4) | size]
+                    put(code, ln)
+                    put(vb, size)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]
+                    put(code, ln)
+    if nacc:
+        acc <<= 8 - nacc
+        acc |= (1 << (8 - nacc)) - 1
+        bits.append(acc)
+        if acc == 0xFF:
+            bits.append(0x00)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
+    out += (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + (2 + 17 + len(_DC_VALS)).to_bytes(2, "big")
+        + bytes([0x00] + _DC_BITS + _DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + (2 + 17 + len(_AC_VALS)).to_bytes(2, "big")
+        + bytes([0x10] + _AC_BITS + _AC_VALS)
+    )
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    out += bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline 4:4:4 color JPEG per row: w = 2+id%6, h = 1+id%5,
+    constant color R=(37id+11)%256, G=(91id+53)%256, B=(13id+199)%256.
+    Constant planes make the full color pipeline exactly verifiable: the
+    YCbCr transform uses floor(x+0.5) rounding reproducible in SQL, and
+    constant Y/Cb/Cr blocks hit the integral-DC / DC-only-IDCT path."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(encode_jpeg_color([[[b, g, r]] * w for _ in range(h)]))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

@@ -1845,3 +1845,60 @@ def multimodal_jpeg_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(synthesize_jpeg_payloads(docs), decoder=JpegDecoder()).orderBy(
         "doc_id"
     )
+
+
+def _sql_fl(expr: str) -> str:
+    """floor(x+0.5) with [0,255] clamp — mirrors the python codec's
+    rounding exactly (both sides IEEE doubles, identical op order)."""
+    f = f"CAST(FLOOR(({expr}) + 0.5) AS BIGINT)"
+    return f"LEAST(255, GREATEST(0, {f}))"
+
+
+_SQL_JC = f"""
+    rgb AS (
+        SELECT doc_id,
+               CAST((37 * doc_id + 11) % 256 AS DOUBLE) AS r,
+               CAST((91 * doc_id + 53) % 256 AS DOUBLE) AS g,
+               CAST((13 * doc_id + 199) % 256 AS DOUBLE) AS b
+        FROM documents),
+    ycc AS (
+        SELECT doc_id,
+               {_sql_fl("0.299 * r + 0.587 * g + 0.114 * b")} AS yy,
+               {_sql_fl("128 - 0.168736 * r - 0.331264 * g + 0.5 * b")} AS cb,
+               {_sql_fl("128 + 0.5 * r - 0.418688 * g - 0.081312 * b")} AS cr
+        FROM rgb),
+    dec AS (
+        SELECT doc_id,
+               {_sql_fl("yy + 1.772 * (cb - 128)")} AS eb,
+               {_sql_fl("yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)")} AS eg,
+               {_sql_fl("yy + 1.402 * (cr - 128)")} AS er
+        FROM ycc)
+"""
+
+
+@register(
+    "multimodal_jpeg_color_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL baseline 4:4:4 color JPEG decode: interleaved Y/Cb/Cr MCUs, "
+    "per-component Huffman/dequant/IDCT, YCbCr->RGB with floor(x+0.5) "
+    "rounding — the oracle replays the whole color round-trip in SQL "
+    "doubles, so constant-color rasters are bit-exact end to end",
+)
+def multimodal_jpeg_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_color_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_color_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")

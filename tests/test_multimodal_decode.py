@@ -628,3 +628,37 @@ def test_png_adam7_interlaced_decode():
         + chunk(b"IDAT", zlib.compress(bytes(raw[: len(raw) // 2])))
         + chunk(b"IEND", b""))
     assert PixelDecoder().decode_pixels(short) is None
+
+
+def test_jpeg_color_constant_exact_and_lossy_bounded():
+    import math
+    import random
+
+    from gearpump_spark.operators.multimodal import JpegDecoder, encode_jpeg_color
+
+    d = JpegDecoder()
+
+    def fl(x):
+        v = math.floor(x + 0.5)
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    for r, g, b in ((0, 0, 0), (255, 255, 255), (10, 200, 70), (255, 0, 128)):
+        img = d.decode_pixels(encode_jpeg_color([[[b, g, r]] * 5 for _ in range(3)]))
+        Y = fl(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        expect = [
+            fl(Y + 1.772 * (cb - 128)),
+            fl(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            fl(Y + 1.402 * (cr - 128)),
+        ]
+        assert all(px == expect for row in img["rows"] for px in row), (r, g, b)
+
+    rng = random.Random(6)
+    rows = [[[rng.randrange(256) for _ in range(3)] for _ in range(16)] for _ in range(16)]
+    img = d.decode_pixels(encode_jpeg_color(rows))
+    errs = [
+        abs(img["rows"][y][x][c] - rows[y][x][c])
+        for y in range(16) for x in range(16) for c in range(3)
+    ]
+    assert max(errs) <= 40 and sum(errs) / len(errs) < 10  # chroma quant + transform
