@@ -15,8 +15,8 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
   Huffman entropy decode with byte unstuffing, per-component dequant,
   IDCT with the libjpeg DC-only integer fast path, YCbCr->RGB — plus
   full FDCT/Huffman encoders both gray and color;
-- only progressive/subsampled JPEG and 16-bit PNG fall through to
-  `FakeDecoder`, which derives
+- only progressive JPEG and 16-bit PNG fall through to `FakeDecoder`,
+  which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
   seam (raises with the dependency it would need).
@@ -1463,9 +1463,15 @@ class JpegDecoder(GifDecoder):
                     comps = []
                     for c in range(ncomp):
                         cid = body[6 + 3 * c]
-                        if body[7 + 3 * c] != 0x11:
-                            return None  # subsampled: fallback seam
-                        comps.append((cid, body[8 + 3 * c]))
+                        hv = body[7 + 3 * c]
+                        # supported layouts: 1x1 everywhere (4:4:4 / gray)
+                        # or Y at 2x2 with 1x1 chroma (4:2:0)
+                        comps.append((cid, body[8 + 3 * c], hv >> 4, hv & 0x0F))
+                    factors = [(hh, vv) for _, _, hh, vv in comps]
+                    if factors != [(1, 1)] * ncomp and factors != [
+                        (2, 2), (1, 1), (1, 1),
+                    ]:
+                        return None  # other samplings: fallback seam
                 elif marker in (0xC1, 0xC2, 0xC3):  # non-baseline SOF
                     return None
                 elif marker == 0xC4:  # DHT
@@ -1546,11 +1552,13 @@ class JpegDecoder(GifDecoder):
                     v -= (1 << size) - 1
                 return v
 
-            bw = (w + 7) // 8
-            bh = (h + 7) // 8
+            hmax = max(hh for _, _, hh, _ in comps)
+            vmax = max(vv for _, _, _, vv in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             planes = []  # one padded pixel grid per component, SOF order
-            tables = []  # (quant, dc_lut, ac_lut) per component
-            for cid, qid in comps:
+            tables = []  # (quant, dc_lut, ac_lut, hi, vi) per component
+            for cid, qid, hi, vi in comps:
                 quant = qt.get(qid)
                 if quant is None or cid not in scan_tables:
                     return None
@@ -1559,61 +1567,72 @@ class JpegDecoder(GifDecoder):
                 ac_lut = luts.get((1, ath))
                 if dc_lut is None or ac_lut is None:
                     return None
-                planes.append([[0] * (bw * 8) for _ in range(bh * 8)])
-                tables.append((quant, dc_lut, ac_lut))
+                planes.append(
+                    [[0] * (mcus_x * hi * 8) for _ in range(mcus_y * vi * 8)]
+                )
+                tables.append((quant, dc_lut, ac_lut, hi, vi))
             preds = [0] * len(comps)
-            for by in range(bh):
-                for bx in range(bw):
-                    # 1x1 sampling: one block per component per MCU,
-                    # interleaved in SOF component order
-                    for ci, (quant, dc_lut, ac_lut) in enumerate(tables):
-                        t = read_huff(dc_lut)
-                        if t is None:
-                            return None
-                        diff = receive_extend(t)
-                        if diff is None:
-                            return None
-                        preds[ci] += diff
-                        coef = [0] * 64
-                        coef[0] = preds[ci] * quant[0]
-                        k = 1
-                        while k < 64:
-                            rs = read_huff(ac_lut)
-                            if rs is None:
-                                return None
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            v = receive_extend(s)
-                            if v is None:
-                                return None
-                            coef[k] = v * quant[k]
-                            k += 1
-                        block = self._idct_block(coef)
-                        for y in range(8):
-                            for x in range(8):
-                                planes[ci][by * 8 + y][bx * 8 + x] = block[y][x]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    # interleaved MCU: each component contributes hi*vi
+                    # blocks in raster order (4:2:0 -> 4 Y, 1 Cb, 1 Cr)
+                    for ci, (quant, dc_lut, ac_lut, hi, vi) in enumerate(tables):
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                t = read_huff(dc_lut)
+                                if t is None:
+                                    return None
+                                diff = receive_extend(t)
+                                if diff is None:
+                                    return None
+                                preds[ci] += diff
+                                coef = [0] * 64
+                                coef[0] = preds[ci] * quant[0]
+                                k = 1
+                                while k < 64:
+                                    rs = read_huff(ac_lut)
+                                    if rs is None:
+                                        return None
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        return None
+                                    v = receive_extend(s)
+                                    if v is None:
+                                        return None
+                                    coef[k] = v * quant[k]
+                                    k += 1
+                                block = self._idct_block(coef)
+                                oy = (my * vi + byy) * 8
+                                ox = (mx * hi + bxx) * 8
+                                for y in range(8):
+                                    for x in range(8):
+                                        planes[ci][oy + y][ox + x] = block[y][x]
             if len(comps) == 1:
                 rows = [[[planes[0][y][x]] * 3 for x in range(w)] for y in range(h)]
                 return {"width": w, "height": h, "rows": rows}
-            # YCbCr -> [B,G,R]; floor(x+0.5) rounding (see encoder note)
+            # YCbCr -> [B,G,R]; floor(x+0.5) rounding (see encoder note).
+            # Subsampled chroma upsamples by nearest neighbor (index scale
+            # hi/hmax) — the standard fast path.
             import math
 
             def cl(x):
                 v = math.floor(x + 0.5)
                 return 0 if v < 0 else 255 if v > 255 else v
 
+            (_, _, _, h1, v1), (_, _, _, h2, v2) = tables[1][:5], tables[2][:5]
             rows = []
             for y in range(h):
                 row = []
                 for x in range(w):
-                    Y, cb, cr = planes[0][y][x], planes[1][y][x], planes[2][y][x]
+                    Y = planes[0][y][x]
+                    cb = planes[1][y * v1 // vmax][x * h1 // hmax]
+                    cr = planes[2][y * v2 // vmax][x * h2 // hmax]
                     row.append(
                         [
                             cl(Y + 1.772 * (cb - 128)),  # B
@@ -1792,14 +1811,18 @@ def _jpeg_fdct_quant(block, quant):
     return coef
 
 
-def encode_jpeg_color(rows: list[list[list[int]]], dc_quant: int = 8) -> bytes:
+def encode_jpeg_color(
+    rows: list[list[list[int]]], dc_quant: int = 8, subsample: bool = False
+) -> bytes:
     """REAL baseline 4:4:4 color JPEG from a top-down [B,G,R] raster:
     RGB -> YCbCr with floor(x+0.5) rounding (NOT python round(), whose
     banker's ties would diverge from the SQL oracle's half-up), per-plane
     float FDCT + quantization (flat table, DC step ``dc_quant``), and
     interleaved Y/Cb/Cr MCUs Huffman-coded with the Annex-K luminance
     tables (all three components reference table 0 — legal and simpler).
-    Decodable by any JPEG reader and by JpegDecoder."""
+    With ``subsample=True`` emits 4:2:0: Y at 2x2 sampling, chroma
+    planes 2x2-mean-downsampled (floor(mean+0.5)), 16x16-pixel MCUs of
+    4 Y + Cb + Cr blocks. Decodable by any JPEG reader and JpegDecoder."""
     import math
 
     h = len(rows)
@@ -1846,45 +1869,79 @@ def encode_jpeg_color(rows: list[list[list[int]]], dc_quant: int = 8) -> bytes:
             v += (1 << size) - 1
         return size, v
 
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    if subsample:
+        # 2x2-mean chroma downsample (edge-replicated for odd dims)
+        cw, chh = (w + 1) // 2, (h + 1) // 2
+        for ci in (1, 2):
+            full = planes[ci]
+            small = [[0] * cw for _ in range(chh)]
+            for y in range(chh):
+                for x in range(cw):
+                    vals = [
+                        full[min(2 * y + dy, h - 1)][min(2 * x + dx, w - 1)]
+                        for dy in (0, 1)
+                        for dx in (0, 1)
+                    ]
+                    small[y][x] = fl(sum(vals) / 4.0)
+            planes[ci] = small
+        dims = [(w, h), (cw, chh), (cw, chh)]
+        factors = [(2, 2), (1, 1), (1, 1)]
+        mcus_x = (w + 15) // 16
+        mcus_y = (h + 15) // 16
+    else:
+        dims = [(w, h)] * 3
+        factors = [(1, 1)] * 3
+        mcus_x = (w + 7) // 8
+        mcus_y = (h + 7) // 8
+
     preds = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(3):
                 plane = planes[ci]
-                block = [
-                    [
-                        plane[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - 128
-                        for x in range(8)
-                    ]
-                    for y in range(8)
-                ]
-                coef = _jpeg_fdct_quant(block, quant)
-                diff = coef[0] - preds[ci]
-                preds[ci] = coef[0]
-                size, vb = put_val(diff)
-                code, ln = dc_codes[size]
-                put(code, ln)
-                if size:
-                    put(vb, size)
-                run = 0
-                for k in range(1, 64):
-                    if coef[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        put(code, ln)
-                        run -= 16
-                    size, vb = put_val(coef[k])
-                    code, ln = ac_codes[(run << 4) | size]
+                pw, ph = dims[ci]
+                hi, vi = factors[ci]
+                blocks = []
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        oy = (my * vi + byy) * 8
+                        ox = (mx * hi + bxx) * 8
+                        blocks.append(
+                            [
+                                [
+                                    plane[min(oy + y, ph - 1)][min(ox + x, pw - 1)]
+                                    - 128
+                                    for x in range(8)
+                                ]
+                                for y in range(8)
+                            ]
+                        )
+                for block in blocks:
+                    coef = _jpeg_fdct_quant(block, quant)
+                    diff = coef[0] - preds[ci]
+                    preds[ci] = coef[0]
+                    size, vb = put_val(diff)
+                    code, ln = dc_codes[size]
                     put(code, ln)
-                    put(vb, size)
+                    if size:
+                        put(vb, size)
                     run = 0
-                if run:
-                    code, ln = ac_codes[0x00]
-                    put(code, ln)
+                    for k in range(1, 64):
+                        if coef[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            put(code, ln)
+                            run -= 16
+                        size, vb = put_val(coef[k])
+                        code, ln = ac_codes[(run << 4) | size]
+                        put(code, ln)
+                        put(vb, size)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[0x00]
+                        put(code, ln)
     if nacc:
         acc <<= 8 - nacc
         acc |= (1 << (8 - nacc)) - 1
@@ -1900,7 +1957,9 @@ def encode_jpeg_color(rows: list[list[list[int]]], dc_quant: int = 8) -> bytes:
         + bytes([8])
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
-        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + bytes(
+            [3, 1, 0x22 if subsample else 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
     )
     out += (
         b"\xff\xc4"
@@ -1935,6 +1994,30 @@ def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(encode_jpeg_color([[[b, g, r]] * w for _ in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same closed-form constant-color rasters as
+    synthesize_jpeg_color_payloads but encoded 4:2:0 (2x2-subsampled
+    chroma, 16x16 MCUs of 4 Y + Cb + Cr blocks) — constant chroma
+    survives the 2x2 mean exactly, so the SAME color oracle applies while
+    the decode exercises the interleaved multi-block MCU path."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(
+                    encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample=True)
+                )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

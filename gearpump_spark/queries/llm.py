@@ -1902,3 +1902,31 @@ def multimodal_jpeg_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(
         synthesize_jpeg_color_payloads(docs), decoder=JpegDecoder()
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_420_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL 4:2:0 chroma-subsampled JPEG decode (the wild's most common "
+    "layout): 16x16 MCUs of four Y blocks + subsampled Cb/Cr, nearest "
+    "upsample, YCbCr->RGB — constant chroma survives the 2x2 mean, so the "
+    "4:4:4 color oracle checks this path bit-for-bit too",
+)
+def multimodal_jpeg_420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_420_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_420_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")

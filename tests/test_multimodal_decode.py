@@ -662,3 +662,48 @@ def test_jpeg_color_constant_exact_and_lossy_bounded():
         for y in range(16) for x in range(16) for c in range(3)
     ]
     assert max(errs) <= 40 and sum(errs) / len(errs) < 10  # chroma quant + transform
+
+
+def test_jpeg_420_subsampled():
+    import math
+    import random
+
+    from gearpump_spark.operators.multimodal import JpegDecoder, encode_jpeg_color
+
+    d = JpegDecoder()
+
+    def fl(x):
+        v = math.floor(x + 0.5)
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    # constant color across odd/even/multi-MCU geometries: exact
+    for r, g, b in ((10, 200, 70), (255, 0, 128)):
+        for w, h in ((1, 1), (5, 3), (17, 9), (16, 16)):
+            img = d.decode_pixels(
+                encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample=True)
+            )
+            Y = fl(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+            expect = [
+                fl(Y + 1.772 * (cb - 128)),
+                fl(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                fl(Y + 1.402 * (cr - 128)),
+            ]
+            assert img["width"] == w and img["height"] == h
+            assert all(px == expect for row in img["rows"] for px in row), (r, g, b, w, h)
+
+    # smooth-chroma content (the 4:2:0 design case): tight error bound
+    rows = [[[(x * 6) % 256, (y * 7) % 256, ((x + y) * 3) % 256] for x in range(24)]
+            for y in range(16)]
+    img = d.decode_pixels(encode_jpeg_color(rows, subsample=True))
+    errs = [abs(img["rows"][y][x][c] - rows[y][x][c])
+            for y in range(16) for x in range(24) for c in range(3)]
+    assert max(errs) <= 24 and sum(errs) / len(errs) < 5
+
+    # full-res luma detail survives subsampling: b/w checkerboard
+    rows = [[[255] * 3 if (x + y) % 2 == 0 else [0] * 3 for x in range(16)]
+            for y in range(16)]
+    img = d.decode_pixels(encode_jpeg_color(rows, subsample=True))
+    assert max(abs(img["rows"][y][x][0] - rows[y][x][0])
+               for y in range(16) for x in range(16)) <= 10
