@@ -15,8 +15,7 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
   Huffman entropy decode with byte unstuffing, per-component dequant,
   IDCT with the libjpeg DC-only integer fast path, YCbCr->RGB — plus
   full FDCT/Huffman encoders both gray and color;
-- only progressive JPEG and 16-bit PNG fall through to `FakeDecoder`,
-  which derives
+- only progressive JPEG falls through to `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
   seam (raises with the dependency it would need).
@@ -256,8 +255,9 @@ class PixelDecoder(HeaderDecoder):
         reconstruct every scanline through the spec's filter types 0-4
         (None/Sub/Up/Average/Paeth). Gray expands to B=G=R; RGBA drops
         alpha; palette (color 3) indices resolve through PLTE; Adam7
-        interlaced streams reassemble from the seven passes. 16-bit
-        PNGs → None."""
+        interlaced streams reassemble from the seven passes; 16-bit
+        samples present as their high byte (the spec-sanctioned
+        8-bit scale)."""
         import struct
         import zlib
 
@@ -287,17 +287,21 @@ class PixelDecoder(HeaderDecoder):
                 elif tag == b"IEND":
                     break
                 i += 12 + ln
-            if w is None or depth != 8 or color not in (0, 2, 3, 6) or interlace not in (0, 1):
+            if w is None or depth not in (8, 16) or color not in (0, 2, 3, 6) or interlace not in (0, 1):
                 return None
-            if color == 3 and palette is None:
-                return None
+            if color == 3 and (palette is None or depth == 16):
+                return None  # 16-bit palette is invalid per spec
             ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+            bps = depth // 8  # bytes per sample
+            bpp = ch * bps  # filter offset operates on whole pixels
             raw = zlib.decompress(bytes(idat))
 
             def unfilter(offset, n_rows, row_px):
                 """Reconstruct n_rows filtered scanlines of row_px pixels
-                starting at raw[offset]; returns (lines, bytes consumed)."""
-                stride = row_px * ch
+                starting at raw[offset]; returns (lines, bytes consumed).
+                16-bit samples unfilter at full byte width, then present
+                as 8-bit via the high byte (the spec-sanctioned scale)."""
+                stride = row_px * bpp
                 if len(raw) < offset + n_rows * (1 + stride):
                     return None, 0
                 lines = []
@@ -307,24 +311,26 @@ class PixelDecoder(HeaderDecoder):
                     ft = raw[base]
                     line = bytearray(raw[base + 1 : base + 1 + stride])
                     if ft == 1:  # Sub
-                        for k in range(ch, stride):
-                            line[k] = (line[k] + line[k - ch]) & 0xFF
+                        for k in range(bpp, stride):
+                            line[k] = (line[k] + line[k - bpp]) & 0xFF
                     elif ft == 2:  # Up
                         for k in range(stride):
                             line[k] = (line[k] + prior[k]) & 0xFF
                     elif ft == 3:  # Average
                         for k in range(stride):
-                            a = line[k - ch] if k >= ch else 0
+                            a = line[k - bpp] if k >= bpp else 0
                             line[k] = (line[k] + ((a + prior[k]) >> 1)) & 0xFF
                     elif ft == 4:  # Paeth
                         for k in range(stride):
-                            a = line[k - ch] if k >= ch else 0
-                            c = prior[k - ch] if k >= ch else 0
+                            a = line[k - bpp] if k >= bpp else 0
+                            c = prior[k - bpp] if k >= bpp else 0
                             line[k] = (line[k] + self._paeth(a, prior[k], c)) & 0xFF
                     elif ft != 0:
                         return None, 0
-                    lines.append(line)
                     prior = line
+                    if bps == 2:  # big-endian high byte per sample
+                        line = line[0::2]
+                    lines.append(line)
                 return lines, n_rows * (1 + stride)
 
             def to_bgr(line, row_px):

@@ -707,3 +707,54 @@ def test_jpeg_420_subsampled():
     img = d.decode_pixels(encode_jpeg_color(rows, subsample=True))
     assert max(abs(img["rows"][y][x][0] - rows[y][x][0])
                for y in range(16) for x in range(16)) <= 10
+
+
+def test_png_16bit_high_byte_presentation():
+    import random
+    import struct
+    import zlib
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = random.Random(3)
+    w, h = 5, 4
+    pixels = [
+        [(rng.randrange(65536), rng.randrange(65536), rng.randrange(65536))
+         for _ in range(w)]
+        for y in range(h)
+    ]
+    raw = bytearray()
+    prior = bytearray(w * 6)
+    for y in range(h):
+        line = bytearray()
+        for r16, g16, b16 in pixels[y]:
+            line += struct.pack(">HHH", r16, g16, b16)
+        ft = [0, 1, 2, 4][y % 4]  # filters must offset by the 6-byte pixel
+        out = bytearray(w * 6)
+        for k in range(w * 6):
+            a = line[k - 6] if k >= 6 else 0
+            b = prior[k]
+            c = prior[k - 6] if k >= 6 else 0
+            pred = [0, a, b, None, PixelDecoder._paeth(a, b, c)][ft]
+            out[k] = (line[k] - pred) & 0xFF
+        raw.append(ft)
+        raw += out
+        prior = line
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b""))
+    img = PixelDecoder().decode_pixels(png)
+    for y in range(h):
+        for x in range(w):
+            r16, g16, b16 = pixels[y][x]
+            assert img["rows"][y][x] == [b16 >> 8, g16 >> 8, r16 >> 8]
