@@ -139,9 +139,10 @@ DRIVER_SAMPLE_WINDOW = [
     "text_tfidf_topterms",
     # sol_passthrough / embedding_outliers / image_real / audio_real
     # rotated out for flagship newcomers (all stay locally oracle-checked
-    # in pytest); similarity_topk_ivf / sketch_countmin_words /
-    # sample_temperature_mix queue for the r3 rotation once this round's
-    # artifact lands.
+    # in pytest). Queued for the r3 rotation once this round's artifact
+    # lands: similarity_topk_ivf, sketch_countmin_words,
+    # sample_temperature_mix, text_strip_html, dedup_lsh_recall, plus the
+    # jpeg/gif multimodal tier if slots allow.
 ]
 
 
