@@ -15,7 +15,9 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
   Huffman entropy decode with byte unstuffing, per-component dequant,
   IDCT with the libjpeg DC-only integer fast path, YCbCr->RGB — plus
   full FDCT/Huffman encoders both gray and color;
-- only progressive JPEG falls through to `FakeDecoder`, which derives
+- progressive (SOF2) spectral-selection scans decode too; only
+  successive-approximation REFINEMENT scans (Ah > 0) fall through to
+  `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
   seam (raises with the dependency it would need).
@@ -1478,7 +1480,9 @@ class JpegDecoder(GifDecoder):
                         (2, 2), (1, 1), (1, 1),
                     ]:
                         return None  # other samplings: fallback seam
-                elif marker in (0xC1, 0xC2, 0xC3):  # non-baseline SOF
+                elif marker == 0xC2:  # progressive: dedicated path
+                    return self._decode_progressive(payload)
+                elif marker in (0xC1, 0xC3):  # other non-baseline SOF
                     return None
                 elif marker == 0xC4:  # DHT
                     j = 0
@@ -1650,6 +1654,289 @@ class JpegDecoder(GifDecoder):
             return {"width": w, "height": h, "rows": rows}
         except (IndexError, ValueError):
             return None
+
+    def _decode_progressive(self, payload: bytes):
+        """Progressive JPEG (SOF2), spectral-selection scans: coefficients
+        accumulate across scans (interleaved DC scan, single-component AC
+        band scans with EOB-run coding), IDCT once at the end. First-pass
+        point transforms (Al > 0, Ah == 0) shift in directly; successive-
+        approximation REFINEMENT scans (Ah > 0) are the one remaining
+        fallback."""
+        try:
+            i, n = 2, len(payload)
+            qt = {}
+            luts = {}
+            w = h = None
+            comps = None
+            coefs = None  # per component: list of 64-coef blocks
+            geo = None  # per component: (blocks_x, blocks_y, hi, vi)
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if marker == 0xD9:
+                    break
+                if 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                body = payload[i + 4 : i + 2 + seg_len]
+                if marker == 0xDB:
+                    j = 0
+                    while j < len(body):
+                        pq, tq = body[j] >> 4, body[j] & 0x0F
+                        if pq != 0:
+                            return None
+                        qt[tq] = list(body[j + 1 : j + 65])
+                        j += 65
+                elif marker == 0xC2:
+                    if body[0] != 8:
+                        return None
+                    h = int.from_bytes(body[1:3], "big")
+                    w = int.from_bytes(body[3:5], "big")
+                    ncomp = body[5]
+                    if ncomp not in (1, 3):
+                        return None
+                    comps = []
+                    for c in range(ncomp):
+                        cid = body[6 + 3 * c]
+                        hv = body[7 + 3 * c]
+                        comps.append((cid, body[8 + 3 * c], hv >> 4, hv & 0x0F))
+                    hmax = max(hh for _, _, hh, _ in comps)
+                    vmax = max(vv for _, _, _, vv in comps)
+                    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                    coefs, geo = [], []
+                    for _, _, hi, vi in comps:
+                        bx, by = mcus_x * hi, mcus_y * vi
+                        coefs.append([[0] * 64 for _ in range(bx * by)])
+                        geo.append((bx, by, hi, vi))
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(body):
+                        tc, th = body[j] >> 4, body[j] & 0x0F
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        lut = {}
+                        code = 0
+                        k = 0
+                        for ln in range(1, 17):
+                            for _ in range(bits[ln - 1]):
+                                lut[(ln, code)] = vals[k]
+                                code += 1
+                                k += 1
+                            code <<= 1
+                        luts[(tc, th)] = lut
+                        j += 17 + nv
+                elif marker == 0xDA:
+                    if comps is None:
+                        return None
+                    ns = body[0]
+                    scomps = []  # (comp_index, dc_lut, ac_lut)
+                    for c in range(ns):
+                        cid = body[1 + 2 * c]
+                        tb = body[2 + 2 * c]
+                        ci = next(
+                            (k for k, cc in enumerate(comps) if cc[0] == cid), None
+                        )
+                        if ci is None:
+                            return None
+                        scomps.append(
+                            (ci, luts.get((0, tb >> 4)), luts.get((1, tb & 0x0F)))
+                        )
+                    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                    a = body[3 + 2 * ns]
+                    ah, al = a >> 4, a & 0x0F
+                    if ah != 0:
+                        return None  # refinement scans: fallback seam
+                    scan = payload[i + 2 + seg_len :]
+                    data = bytearray()
+                    j = 0
+                    while j < len(scan):
+                        b = scan[j]
+                        if b == 0xFF:
+                            if j + 1 < len(scan) and scan[j + 1] == 0x00:
+                                data.append(0xFF)
+                                j += 2
+                                continue
+                            break
+                        data.append(b)
+                        j += 1
+                    ok = self._progressive_scan(
+                        data, comps, coefs, geo, scomps, ss, se, al
+                    )
+                    if not ok:
+                        return None
+                    i = i + 2 + seg_len + j
+                    continue
+                i += 2 + seg_len
+            if coefs is None or w is None:
+                return None
+            # dequant + IDCT every block, assemble planes, color-convert
+            hmax = max(hh for _, _, hh, _ in comps)
+            vmax = max(vv for _, _, _, vv in comps)
+            planes = []
+            for ci, (cid, qid, hi, vi) in enumerate(comps):
+                quant = qt.get(qid)
+                if quant is None:
+                    return None
+                bx, by, _, _ = geo[ci]
+                plane = [[0] * (bx * 8) for _ in range(by * 8)]
+                for bidx, raw_coef in enumerate(coefs[ci]):
+                    coef = [raw_coef[k] * quant[k] for k in range(64)]
+                    block = self._idct_block(coef)
+                    oy = (bidx // bx) * 8
+                    ox = (bidx % bx) * 8
+                    for y in range(8):
+                        for x in range(8):
+                            plane[oy + y][ox + x] = block[y][x]
+                planes.append(plane)
+            if len(comps) == 1:
+                rows = [[[planes[0][y][x]] * 3 for x in range(w)] for y in range(h)]
+                return {"width": w, "height": h, "rows": rows}
+            import math
+
+            def cl(x):
+                v = math.floor(x + 0.5)
+                return 0 if v < 0 else 255 if v > 255 else v
+
+            (_, _, h1, v1), (_, _, h2, v2) = (
+                (comps[1][1], 0, comps[1][2], comps[1][3]),
+                (comps[2][1], 0, comps[2][2], comps[2][3]),
+            )
+            rows = []
+            for y in range(h):
+                row = []
+                for x in range(w):
+                    Y = planes[0][y][x]
+                    cb = planes[1][y * v1 // vmax][x * h1 // hmax]
+                    cr = planes[2][y * v2 // vmax][x * h2 // hmax]
+                    row.append(
+                        [
+                            cl(Y + 1.772 * (cb - 128)),
+                            cl(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                            cl(Y + 1.402 * (cr - 128)),
+                        ]
+                    )
+                rows.append(row)
+            return {"width": w, "height": h, "rows": rows}
+        except (IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def _progressive_scan(data, comps, coefs, geo, scomps, ss, se, al):
+        """Decode one spectral-selection scan into the coefficient buffers.
+        DC scans (ss == 0) may be interleaved; AC scans are single-
+        component with EOB-run coding."""
+        bitpos = 0
+        nbits = len(data) * 8
+
+        def read_bit():
+            nonlocal bitpos
+            if bitpos >= nbits:
+                return None
+            b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def read_huff(lut):
+            code = 0
+            for ln in range(1, 17):
+                b = read_bit()
+                if b is None:
+                    return None
+                code = (code << 1) | b
+                if (ln, code) in lut:
+                    return lut[(ln, code)]
+            return None
+
+        def receive(size):
+            v = 0
+            for _ in range(size):
+                b = read_bit()
+                if b is None:
+                    return None
+                v = (v << 1) | b
+            return v
+
+        def extend(v, size):
+            if size and v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        if ss == 0:  # DC scan (interleaved if ns > 1)
+            preds = [0] * len(scomps)
+            if len(scomps) > 1:
+                bx0, by0, h0, v0 = geo[scomps[0][0]]
+                mcus_x = bx0 // h0
+                mcus_y = by0 // v0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for si, (ci, dc_lut, _ac) in enumerate(scomps):
+                            if dc_lut is None:
+                                return False
+                            bx, _, hi, vi = geo[ci]
+                            for byy in range(vi):
+                                for bxx in range(hi):
+                                    t = read_huff(dc_lut)
+                                    if t is None:
+                                        return False
+                                    diff = receive(t)
+                                    if diff is None:
+                                        return False
+                                    preds[si] += extend(diff, t)
+                                    bidx = (my * vi + byy) * bx + mx * hi + bxx
+                                    coefs[ci][bidx][0] = preds[si] << al
+            else:
+                ci, dc_lut, _ac = scomps[0]
+                if dc_lut is None:
+                    return False
+                for bidx in range(len(coefs[ci])):
+                    t = read_huff(dc_lut)
+                    if t is None:
+                        return False
+                    diff = receive(t)
+                    if diff is None:
+                        return False
+                    preds[0] += extend(diff, t)
+                    coefs[ci][bidx][0] = preds[0] << al
+            return True
+        # AC scan: single component, EOB-run coding
+        if len(scomps) != 1:
+            return False
+        ci, _dc, ac_lut = scomps[0]
+        if ac_lut is None:
+            return False
+        eobrun = 0
+        for bidx in range(len(coefs[ci])):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = read_huff(ac_lut)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    extra = receive(r)
+                    if extra is None:
+                        return False
+                    eobrun = (1 << r) + extra - 1
+                    break
+                k += r
+                if k > se:
+                    return False
+                v = receive(s)
+                if v is None:
+                    return False
+                coefs[ci][bidx][k] = extend(v, s) << al
+                k += 1
+        return True
 
     @staticmethod
     def encode_jpeg_gray(gray: list[list[int]], dc_quant: int = 8) -> bytes:
@@ -2023,6 +2310,185 @@ def synthesize_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(
                     encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def encode_jpeg_progressive(rows: list[list[list[int]]], dc_quant: int = 8) -> bytes:
+    """REAL progressive (SOF2) 4:4:4 color JPEG: one interleaved DC scan
+    followed by one spectral-selection AC scan (Ss=1..Se=63, Ah=Al=0) per
+    component — the scan structure every progressive encoder starts from.
+    Entropy coding reuses the Annex-K tables; AC blocks end with EOB
+    (an EOB-run of one). Same closed-form constant-color exactness as the
+    baseline encoders."""
+    import math
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    quant = [dc_quant] + [16] * 63
+
+    def fl(x):
+        v = math.floor(x + 0.5)
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    planes = [[[0] * w for _ in range(h)] for _ in range(3)]
+    for y in range(h):
+        for x in range(w):
+            b, g, r = rows[y][x]
+            planes[0][y][x] = fl(0.299 * r + 0.587 * g + 0.114 * b)
+            planes[1][y][x] = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            planes[2][y][x] = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    all_coefs = [[], [], []]  # per component, blocks in raster order
+    for ci in range(3):
+        plane = planes[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                block = [
+                    [
+                        plane[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - 128
+                        for x in range(8)
+                    ]
+                    for y in range(8)
+                ]
+                all_coefs[ci].append(_jpeg_fdct_quant(block, quant))
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    class _Bits:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, ln):
+            for i in range(ln - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc = 0
+                    self.n = 0
+
+        def flush(self):
+            if self.n:
+                self.acc <<= 8 - self.n
+                self.acc |= (1 << (8 - self.n)) - 1
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+            return bytes(self.out)
+
+    def put_val(bits, v):
+        size = 0
+        a = abs(v)
+        while a:
+            size += 1
+            a >>= 1
+        vb = v + ((1 << size) - 1) if v < 0 else v
+        return size, vb
+
+    # DC scan (interleaved, 1x1 sampling -> one block per comp per MCU)
+    bits = _Bits()
+    preds = [0, 0, 0]
+    for bidx in range(bw * bh):
+        for ci in range(3):
+            dc = all_coefs[ci][bidx][0]
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size, vb = put_val(bits, diff)
+            code, ln = dc_codes[size]
+            bits.put(code, ln)
+            if size:
+                bits.put(vb, size)
+    dc_scan = bits.flush()
+
+    ac_scans = []
+    for ci in range(3):
+        bits = _Bits()
+        for coef in all_coefs[ci]:
+            k = 1
+            run = 0
+            for k in range(1, 64):
+                if coef[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bits.put(code, ln)
+                    run -= 16
+                size, vb = put_val(bits, coef[k])
+                code, ln = ac_codes[(run << 4) | size]
+                bits.put(code, ln)
+                bits.put(vb, size)
+                run = 0
+            if run:  # EOB = EOB-run of one (r=0, no extra bits)
+                code, ln = ac_codes[0x00]
+                bits.put(code, ln)
+        ac_scans.append(bits.flush())
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
+    out += (
+        b"\xff\xc2"
+        + (17).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + (2 + 17 + len(_DC_VALS)).to_bytes(2, "big")
+        + bytes([0x00] + _DC_BITS + _DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + (2 + 17 + len(_AC_VALS)).to_bytes(2, "big")
+        + bytes([0x10] + _AC_BITS + _AC_VALS)
+    )
+    # scan 1: interleaved DC, Ss=0 Se=0 Ah=0 Al=0
+    out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]
+    )
+    out += dc_scan
+    # scans 2-4: per-component AC bands, Ss=1 Se=63
+    for ci, comp_id in enumerate((1, 2, 3)):
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+            [1, comp_id, 0x00, 1, 63, 0]
+        )
+        out += ac_scans[ci]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_progressive_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same constant-color rasters as synthesize_jpeg_color_payloads but
+    encoded PROGRESSIVE (SOF2: interleaved DC scan + per-component
+    spectral-selection AC scans) — the same closed-form color oracle
+    applies while the decode exercises multi-scan coefficient
+    accumulation and EOB-run handling."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(
+                    encode_jpeg_progressive([[[b, g, r]] * w for _ in range(h)])
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 

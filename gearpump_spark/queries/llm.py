@@ -1930,3 +1930,32 @@ def multimodal_jpeg_420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(
         synthesize_jpeg_420_payloads(docs), decoder=JpegDecoder()
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_progressive_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL progressive-JPEG decode (SOF2): interleaved DC scan + "
+    "per-component spectral-selection AC scans accumulate coefficients "
+    "across scans before one IDCT — checked by the same closed-form color "
+    "oracle; with this, every image container and layout the synthesizers "
+    "emit decodes for real",
+)
+def multimodal_jpeg_progressive_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_progressive_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_progressive_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")

@@ -569,9 +569,10 @@ def test_jpeg_garbage_and_unsupported_variants():
     good = JpegDecoder.encode_jpeg_gray([[10, 20], [30, 40]])
     assert d.decode_pixels(b"\xff\xd8garbage") is None
     assert d.decode_pixels(good[: len(good) // 2]) is None
-    # progressive SOF2 marker -> None (fallback seam), never an exception
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert d.decode_pixels(prog) is None
+    # extended-sequential SOF1 -> None (fallback seam), never an exception
+    # (SOF2 progressive now decodes for real and is tested separately)
+    sof1 = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert d.decode_pixels(sof1) is None
     # GIF/PNG/BMP dispatch still intact through the subclass chain
     assert d.decode_pixels(JpegDecoder.encode_bmp([[[1, 2, 3]]]))["rows"] == [[[1, 2, 3]]]
 
@@ -758,3 +759,32 @@ def test_png_16bit_high_byte_presentation():
         for x in range(w):
             r16, g16, b16 = pixels[y][x]
             assert img["rows"][y][x] == [b16 >> 8, g16 >> 8, r16 >> 8]
+
+
+def test_jpeg_progressive_matches_baseline_and_handles_eobrun():
+    import random
+
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+    )
+
+    d = JpegDecoder()
+    rng = random.Random(12)
+    rows = [[[rng.randrange(256) for _ in range(3)] for _ in range(20)]
+            for _ in range(12)]
+    # same quantized coefficients -> progressive must decode IDENTICALLY
+    assert (
+        d.decode_pixels(encode_jpeg_progressive(rows))["rows"]
+        == d.decode_pixels(encode_jpeg_color(rows))["rows"]
+    )
+    # smooth image: many all-zero AC blocks exercise per-block EOB codes
+    smooth = [[[(x + y) % 256] * 3 for x in range(32)] for y in range(24)]
+    assert (
+        d.decode_pixels(encode_jpeg_progressive(smooth))["rows"]
+        == d.decode_pixels(encode_jpeg_color(smooth))["rows"]
+    )
+    # truncated progressive stream -> None, never raises
+    prog = encode_jpeg_progressive(rows)
+    assert d.decode_pixels(prog[: len(prog) // 2]) is None
