@@ -218,21 +218,68 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
-    w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
-    wedges = w1.join(w2, "s").where(F.col("t1") < F.col("t2"))
+    # Wedge self-join, SALTED on the center: hub centers (power-law
+    # graphs, or AQE coalescing the small edge input into few partitions)
+    # otherwise concentrate a center's full quadratic fan-out in one task
+    # — measured OOM on a default-heap driver at sf0.1. Salt = hash
+    # bucket of t1; the right side replicates across all salts, so each
+    # task emits ~1/n_salts of every hub's wedges and the map-side pair
+    # aggregation below stays bounded. Cluster cost: n_salts× replication
+    # of the (tiny) oriented edge list.
+    n_salts = 16
+    w1 = oriented.select(
+        F.col("s"),
+        F.col("t").alias("t1"),
+        (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
+    )
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
+        F.broadcast(
+            oriented.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    # Explicit width pin: AQE sizes this exchange by its (tiny) edge-list
+    # input and would coalesce to a handful of tasks, each then producing
+    # an exploding join output pipelined into the pair aggregation. A
+    # user repartition with an explicit count is exempt from AQE
+    # coalescing, so the quadratic work spreads over enough tasks for
+    # per-task state to stay small.
+    n_wedge_parts = max(
+        64, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
+    wedges = (
+        w1.repartition(n_wedge_parts, "s", "_salt")
+        .join(w2, ["s", "_salt"])
+        .where(F.col("t1") < F.col("t2"))
+    )
+    # Collapse wedges to canonical-pair COUNTS before touching the edge
+    # set: in clique-heavy graphs (co-purchase orders) many centers s
+    # produce the same (t1, t2), so the aggregate is much smaller than the
+    # raw wedge stream AND partial-aggregates map-side — the previous
+    # left-semi join sorted the full wedge set and OOM'd a default-heap
+    # driver at sf0.1. Triangles = Σ wedge multiplicity over pairs that
+    # close.
+    # The pair aggregation gets the same explicit width: its input is the
+    # full wedge stream, and in sparse graphs the distinct-pair set is
+    # nearly as large — an AQE-coalesced handful of reducers would each
+    # sort tens of millions of rows for the closing join below.
+    wedge_pairs = (
+        wedges.select(
+            F.least("t1", "t2").alias("c1"), F.greatest("t1", "t2").alias("c2")
+        )
+        .repartition(n_wedge_parts, "c1", "c2")
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("n_w"))
+    )
     # closing edge may be oriented either way between t1 and t2 in the
     # (degree, id) order — match the canonical undirected pair instead.
     closing = oriented.select(
         F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
     )
-    tri = wedges.join(
-        closing,
-        (F.least("t1", "t2") == F.col("c1")) & (F.greatest("t1", "t2") == F.col("c2")),
-        "left_semi",
-    )
+    tri = wedge_pairs.join(closing, ["c1", "c2"])
     return (
-        tri.agg(F.count("*").alias("n_triangles"))
+        tri.agg(F.coalesce(F.sum("n_w"), F.lit(0)).alias("n_triangles"))
         .crossJoin(und.agg(F.count("*").alias("n_edges")))
         .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
         .select(

@@ -482,3 +482,29 @@ def test_ivf_persistent_index_query_no_corpus_exchange(spark):
         assert {tuple(r) for r in out.collect()} == {tuple(r) for r in inline.collect()}
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_multimodal_decode_pipelines_are_narrow(spark):
+    """Synthesize->decode multimodal pipelines must be pure narrow maps:
+    payload bytes never enter an exchange. (Raw read — datasets.table's
+    single-split parallelism guard would add its local-rig repartition.)"""
+    from gearpump_spark.operators.multimodal import (
+        GifDecoder,
+        JpegDecoder,
+        gif_frame_stats,
+        pixel_stats,
+        synthesize_animated_gif_payloads,
+        synthesize_jpeg_progressive_payloads,
+        synthesize_png_raster_payloads,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    for df in (
+        pixel_stats(synthesize_png_raster_payloads(docs)),
+        pixel_stats(synthesize_jpeg_progressive_payloads(docs), decoder=JpegDecoder()),
+        gif_frame_stats(synthesize_animated_gif_payloads(docs)),
+    ):
+        p = plan(df)
+        assert "Exchange" not in p
