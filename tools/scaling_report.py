@@ -35,6 +35,7 @@ EXTRA = [
     "q_upsert_merge",
     "multimodal_gif_frames_real",
     "dedup_lsh_recall",
+    "graph_triangle_count",
 ]
 SWEEP = HEADLINE + EXTRA
 
