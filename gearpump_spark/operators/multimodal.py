@@ -15,8 +15,10 @@ Decoding is TIERED, all pure python (no codec libraries in this rig):
   Huffman entropy decode with byte unstuffing, per-component dequant,
   IDCT with the libjpeg DC-only integer fast path, YCbCr->RGB — plus
   full FDCT/Huffman encoders both gray and color;
-- progressive (SOF2) spectral-selection scans decode too; only
-  successive-approximation REFINEMENT scans (Ah > 0) fall through to
+- progressive (SOF2) decodes COMPLETELY: spectral-selection scans AND
+  successive-approximation refinement scans (Ah > 0, spec G.1.2.2/G.1.2.3),
+  with matching first-pass + refining encoders for round-trips. Truly
+  foreign formats fall through to
   `FakeDecoder`, which derives
   deterministic pseudo-values from the payload's md5 so pipelines still
   run end-to-end on any bytes; `LibraryDecoder` documents the real-codec
@@ -1660,8 +1662,9 @@ class JpegDecoder(GifDecoder):
         accumulate across scans (interleaved DC scan, single-component AC
         band scans with EOB-run coding), IDCT once at the end. First-pass
         point transforms (Al > 0, Ah == 0) shift in directly; successive-
-        approximation REFINEMENT scans (Ah > 0) are the one remaining
-        fallback."""
+        approximation REFINEMENT scans (Ah > 0) apply spec G.1.2.2 (DC:
+        one appended bit per block) and G.1.2.3 (AC: correction bits for
+        known-nonzero coefficients, ±1 insertions for newly-nonzero)."""
         try:
             i, n = 2, len(payload)
             qt = {}
@@ -1748,8 +1751,6 @@ class JpegDecoder(GifDecoder):
                     ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                     a = body[3 + 2 * ns]
                     ah, al = a >> 4, a & 0x0F
-                    if ah != 0:
-                        return None  # refinement scans: fallback seam
                     scan = payload[i + 2 + seg_len :]
                     data = bytearray()
                     j = 0
@@ -1764,7 +1765,7 @@ class JpegDecoder(GifDecoder):
                         data.append(b)
                         j += 1
                     ok = self._progressive_scan(
-                        data, comps, coefs, geo, scomps, ss, se, al
+                        data, comps, coefs, geo, scomps, ss, se, al, ah
                     )
                     if not ok:
                         return None
@@ -1825,10 +1826,15 @@ class JpegDecoder(GifDecoder):
             return None
 
     @staticmethod
-    def _progressive_scan(data, comps, coefs, geo, scomps, ss, se, al):
+    def _progressive_scan(data, comps, coefs, geo, scomps, ss, se, al, ah=0):
         """Decode one spectral-selection scan into the coefficient buffers.
         DC scans (ss == 0) may be interleaved; AC scans are single-
-        component with EOB-run coding."""
+        component with EOB-run coding. Ah > 0 marks a successive-
+        approximation refinement scan: DC blocks get one appended bit at
+        position ``al`` (G.1.2.2); AC bands read a correction bit for every
+        already-nonzero coefficient passed and insert newly-nonzero
+        coefficients as ±(1 << al) (G.1.2.3, libjpeg jdphuff ordering:
+        symbol, sign bit, then correction bits in zigzag order)."""
         bitpos = 0
         nbits = len(data) * 8
 
@@ -1864,6 +1870,103 @@ class JpegDecoder(GifDecoder):
             if size and v < (1 << (size - 1)):
                 v -= (1 << size) - 1
             return v
+
+        if ah != 0 and ss == 0:
+            # DC refinement (G.1.2.2): one appended bit per block. Python
+            # ints are two's-complement for |, so c | (1<<al) sets the bit
+            # for negative DC values exactly as the spec's arithmetic does.
+            if len(scomps) > 1:
+                bx0, by0, h0, v0 = geo[scomps[0][0]]
+                for my in range(by0 // v0):
+                    for mx in range(bx0 // h0):
+                        for ci, _dc, _ac in scomps:
+                            bx, _, hi, vi = geo[ci]
+                            for byy in range(vi):
+                                for bxx in range(hi):
+                                    b = read_bit()
+                                    if b is None:
+                                        return False
+                                    if b:
+                                        bidx = (my * vi + byy) * bx + mx * hi + bxx
+                                        coefs[ci][bidx][0] |= 1 << al
+            else:
+                ci = scomps[0][0]
+                for bidx in range(len(coefs[ci])):
+                    b = read_bit()
+                    if b is None:
+                        return False
+                    if b:
+                        coefs[ci][bidx][0] |= 1 << al
+            return True
+
+        if ah != 0:
+            # AC refinement (G.1.2.3): single component. p1/m1 are the
+            # magnitudes a newly-nonzero coefficient takes this pass.
+            if len(scomps) != 1:
+                return False
+            ci, _dc, ac_lut = scomps[0]
+            if ac_lut is None:
+                return False
+            p1, m1 = 1 << al, -(1 << al)
+
+            def refine_coef(block, k):
+                """Read one correction bit for an already-nonzero coef."""
+                b = read_bit()
+                if b is None:
+                    return False
+                if b and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+                return True
+
+            eobrun = 0
+            for block in coefs[ci]:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = read_huff(ac_lut)
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                extra = receive(r)
+                                if extra is None:
+                                    return False
+                                eobrun = (1 << r) + extra
+                                break
+                            # ZRL: skip 16 zero-history coefs, refining
+                            # nonzero-history ones passed on the way
+                            newval = 0
+                        else:
+                            if s != 1:
+                                return False
+                            b = read_bit()
+                            if b is None:
+                                return False
+                            newval = p1 if b else m1
+                        while k <= se:
+                            if block[k] != 0:
+                                if not refine_coef(block, k):
+                                    return False
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if k > se:
+                            return False
+                        if newval:
+                            block[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB run covers the rest of this block's band: every
+                    # already-nonzero coefficient still gets its bit
+                    while k <= se:
+                        if block[k] != 0 and not refine_coef(block, k):
+                            return False
+                        k += 1
+                    eobrun -= 1
+            return True
 
         if ss == 0:  # DC scan (interleaved if ns > 1)
             preds = [0] * len(scomps)
@@ -2318,13 +2421,25 @@ def synthesize_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
-def encode_jpeg_progressive(rows: list[list[list[int]]], dc_quant: int = 8) -> bytes:
+def encode_jpeg_progressive(
+    rows: list[list[list[int]]], dc_quant: int = 8, successive: bool = False
+) -> bytes:
     """REAL progressive (SOF2) 4:4:4 color JPEG: one interleaved DC scan
     followed by one spectral-selection AC scan (Ss=1..Se=63, Ah=Al=0) per
     component — the scan structure every progressive encoder starts from.
     Entropy coding reuses the Annex-K tables; AC blocks end with EOB
     (an EOB-run of one). Same closed-form constant-color exactness as the
-    baseline encoders."""
+    baseline encoders.
+
+    With ``successive=True`` the coefficients are sent over TWO precision
+    passes (successive approximation, the full progressive feature set):
+    DC and per-component AC first scans at Al=1 (point-transformed
+    magnitudes), then a DC refinement scan (Ah=1, one appended bit per
+    block, spec G.1.2.2) and per-component AC refinement scans (Ah=1,
+    spec G.1.2.3 with libjpeg jcphuff bit ordering: symbol, sign bit,
+    then buffered correction bits; ZRL flushes pending correction bits).
+    Both layouts decode bit-exactly to the baseline encoding of the same
+    raster — the quantized coefficients are identical."""
     import math
 
     h = len(rows)
@@ -2399,36 +2514,42 @@ def encode_jpeg_progressive(rows: list[list[list[int]]], dc_quant: int = 8) -> b
         vb = v + ((1 << size) - 1) if v < 0 else v
         return size, vb
 
-    # DC scan (interleaved, 1x1 sampling -> one block per comp per MCU)
-    bits = _Bits()
-    preds = [0, 0, 0]
-    for bidx in range(bw * bh):
-        for ci in range(3):
-            dc = all_coefs[ci][bidx][0]
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            size, vb = put_val(bits, diff)
-            code, ln = dc_codes[size]
-            bits.put(code, ln)
-            if size:
-                bits.put(vb, size)
-    dc_scan = bits.flush()
+    def dc_scan_bytes(al):
+        """Interleaved DC scan: diffs of the Al-point-transformed values
+        (arithmetic shift — Python's >> on signed ints is exactly that)."""
+        bits = _Bits()
+        preds = [0, 0, 0]
+        for bidx in range(bw * bh):
+            for ci in range(3):
+                dc = all_coefs[ci][bidx][0] >> al
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                size, vb = put_val(bits, diff)
+                code, ln = dc_codes[size]
+                bits.put(code, ln)
+                if size:
+                    bits.put(vb, size)
+        return bits.flush()
 
-    ac_scans = []
-    for ci in range(3):
+    def ac_scan_bytes(ci, al):
+        """Single-component AC band scan (Ss=1..Se=63) at point transform
+        Al: magnitudes shifted down, sign kept; EOB-run of one per block."""
         bits = _Bits()
         for coef in all_coefs[ci]:
-            k = 1
             run = 0
             for k in range(1, 64):
-                if coef[k] == 0:
+                v = coef[k]
+                hv = abs(v) >> al
+                if v < 0:
+                    hv = -hv
+                if hv == 0:
                     run += 1
                     continue
                 while run > 15:
                     code, ln = ac_codes[0xF0]
                     bits.put(code, ln)
                     run -= 16
-                size, vb = put_val(bits, coef[k])
+                size, vb = put_val(bits, hv)
                 code, ln = ac_codes[(run << 4) | size]
                 bits.put(code, ln)
                 bits.put(vb, size)
@@ -2436,7 +2557,68 @@ def encode_jpeg_progressive(rows: list[list[list[int]]], dc_quant: int = 8) -> b
             if run:  # EOB = EOB-run of one (r=0, no extra bits)
                 code, ln = ac_codes[0x00]
                 bits.put(code, ln)
-        ac_scans.append(bits.flush())
+        return bits.flush()
+
+    def dc_refine_bytes():
+        """DC refinement (Ah=1 → Al=0): one appended bit per block in MCU
+        order (G.1.2.2)."""
+        bits = _Bits()
+        for bidx in range(bw * bh):
+            for ci in range(3):
+                bits.put(all_coefs[ci][bidx][0] & 1, 1)
+        return bits.flush()
+
+    def ac_refine_bytes(ci):
+        """AC refinement (Ah=1 → Al=0), spec G.1.2.3 with libjpeg's
+        jcphuff bit discipline: correction bits for already-nonzero
+        coefficients buffer until the next emitted symbol (new-nonzero,
+        ZRL, or the block's EOB) and follow it; the ZRL flush check runs
+        at EVERY nonzero position so the decoder's 16-zero-history skip
+        consumes exactly the bits buffered before it."""
+        bits = _Bits()
+        for coef in all_coefs[ci]:
+            run = 0
+            br: list[int] = []
+
+            def flush_br():
+                for b in br:
+                    bits.put(b, 1)
+                br.clear()
+
+            for k in range(1, 64):
+                t = abs(coef[k])
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bits.put(code, ln)
+                    flush_br()
+                    run -= 16
+                if t > 1:  # nonzero history: one correction bit
+                    br.append(t & 1)
+                    continue
+                # newly nonzero this pass: (run, 1) symbol + sign bit
+                code, ln = ac_codes[(run << 4) | 1]
+                bits.put(code, ln)
+                bits.put(1 if coef[k] > 0 else 0, 1)
+                flush_br()
+                run = 0
+            if run or br:  # trailing zero-history coefs → EOB-run of one
+                code, ln = ac_codes[0x00]
+                bits.put(code, ln)
+                flush_br()
+        return bits.flush()
+
+    if successive:
+        # (sos header tail: Ss, Se, AhAl) → entropy bytes, in scan order
+        scan_list = [((0, 0, 0x01), dc_scan_bytes(1), None)]
+        scan_list += [((1, 63, 0x01), ac_scan_bytes(ci, 1), ci) for ci in range(3)]
+        scan_list.append(((0, 0, 0x10), dc_refine_bytes(), None))
+        scan_list += [((1, 63, 0x10), ac_refine_bytes(ci), ci) for ci in range(3)]
+    else:
+        scan_list = [((0, 0, 0x00), dc_scan_bytes(0), None)]
+        scan_list += [((1, 63, 0x00), ac_scan_bytes(ci, 0), ci) for ci in range(3)]
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
@@ -2458,19 +2640,44 @@ def encode_jpeg_progressive(rows: list[list[list[int]]], dc_quant: int = 8) -> b
         + (2 + 17 + len(_AC_VALS)).to_bytes(2, "big")
         + bytes([0x10] + _AC_BITS + _AC_VALS)
     )
-    # scan 1: interleaved DC, Ss=0 Se=0 Ah=0 Al=0
-    out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes(
-        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]
-    )
-    out += dc_scan
-    # scans 2-4: per-component AC bands, Ss=1 Se=63
-    for ci, comp_id in enumerate((1, 2, 3)):
-        out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
-            [1, comp_id, 0x00, 1, 63, 0]
-        )
-        out += ac_scans[ci]
+    for (s_lo, s_hi, ahal), entropy, ci in scan_list:
+        if ci is None:  # interleaved DC scan (first pass or refinement)
+            out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes(
+                [3, 1, 0x00, 2, 0x00, 3, 0x00, s_lo, s_hi, ahal]
+            )
+        else:  # single-component AC band scan
+            out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+                [1, ci + 1, 0x00, s_lo, s_hi, ahal]
+            )
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def synthesize_jpeg_refined_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same constant-color rasters as synthesize_jpeg_color_payloads but
+    encoded progressive WITH successive approximation (two precision
+    passes: Al=1 first scans, then Ah=1 DC/AC refinement scans) — the
+    same closed-form color oracle applies while the decode exercises the
+    full G.1.2.2/G.1.2.3 refinement machinery."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(
+                    encode_jpeg_progressive(
+                        [[[b, g, r]] * w for _ in range(h)], successive=True
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
 
 
 def synthesize_jpeg_progressive_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1959,3 +1959,32 @@ def multimodal_jpeg_progressive_real(spark: SparkSession, sf_dir: str) -> DataFr
     return pixel_stats(
         synthesize_jpeg_progressive_payloads(docs), decoder=JpegDecoder()
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_refined_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL successive-approximation progressive-JPEG decode: Al=1 "
+    "first scans then Ah=1 DC/AC refinement scans (spec G.1.2.2/G.1.2.3) "
+    "rebuild full-precision coefficients across FOUR passes per component "
+    "— same closed-form color oracle; the codec matrix is now complete "
+    "(no JPEG layout the synthesizers emit falls back to FakeDecoder)",
+)
+def multimodal_jpeg_refined_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_refined_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_refined_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")

@@ -788,3 +788,43 @@ def test_jpeg_progressive_matches_baseline_and_handles_eobrun():
     # truncated progressive stream -> None, never raises
     prog = encode_jpeg_progressive(rows)
     assert d.decode_pixels(prog[: len(prog) // 2]) is None
+
+
+def test_jpeg_successive_approximation_matches_baseline():
+    """Refinement scans (Ah > 0) reconstruct the EXACT baseline
+    coefficients: Al=1 first passes + Ah=1 DC/AC refinement must decode
+    bit-identically to the baseline encoding of the same raster."""
+    import random
+
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+    )
+
+    d = JpegDecoder()
+    rng = random.Random(77)
+    # noisy raster: dense AC coefficients exercise correction-bit buffering
+    rows = [[[rng.randrange(256) for _ in range(3)] for _ in range(20)]
+            for _ in range(12)]
+    assert (
+        d.decode_pixels(encode_jpeg_progressive(rows, successive=True))["rows"]
+        == d.decode_pixels(encode_jpeg_color(rows))["rows"]
+    )
+    # smooth gradient: all-zero AC blocks exercise EOB-run refinement
+    smooth = [[[(x + y) % 256] * 3 for x in range(32)] for y in range(24)]
+    assert (
+        d.decode_pixels(encode_jpeg_progressive(smooth, successive=True))["rows"]
+        == d.decode_pixels(encode_jpeg_color(smooth))["rows"]
+    )
+    # sparse dots: long zero runs with isolated +-1 coefs exercise the
+    # ZRL-with-buffered-correction-bits path (G.1.2.3's trickiest case)
+    sparse = [[[255 if (x % 13 == 0 and y % 11 == 0) else 0] * 3
+               for x in range(40)] for y in range(40)]
+    assert (
+        d.decode_pixels(encode_jpeg_progressive(sparse, successive=True))["rows"]
+        == d.decode_pixels(encode_jpeg_color(sparse))["rows"]
+    )
+    # truncated refined stream -> None, never raises
+    ref = encode_jpeg_progressive(rows, successive=True)
+    assert d.decode_pixels(ref[: len(ref) // 2]) is None
