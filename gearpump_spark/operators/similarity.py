@@ -403,3 +403,76 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then prune near-duplicate pairs WITHIN each
+    cluster only — pairwise cost drops from O(n^2) to sum of per-cluster
+    squares. Returns the surviving (id, cluster) rows.
+
+    Deterministic variant: the centroids are the embeddings with the
+    ``n_clusters`` lowest ids (a fixed, engine-reproducible choice — the
+    paper's k-means step is an iterative fixpoint and therefore not
+    oracle-checkable); assignment is argmax cosine with ties to the
+    lowest centroid id; a row is dropped when some lower-id row in the
+    SAME cluster has round(cosine, 4) >= threshold.
+
+    Scale: centroids broadcast (the cross join is a narrow pass over the
+    corpus); the argmax is a map-side max of a (cos, -cid) struct — no
+    per-vector window; the intra-cluster self-join shuffles on cluster
+    id, so n_clusters must grow with the corpus (the paper uses 50k for
+    LAION-scale) to keep per-cluster pair counts bounded; AQE splits any
+    skewed cluster."""
+    cent = F.broadcast(
+        emb.where(F.col(id_col) < n_clusters).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    )
+    cs = F.round(cosine(F.col(vec_col), F.col("cvec")), 4)
+    scored = emb.crossJoin(cent).select(
+        F.col(id_col), F.col(vec_col), F.col("cid"), cs.alias("cs")
+    )
+    # argmax cosine, ties -> lowest cid: lexicographic max of (cs, -cid);
+    # the embedding rides along in the struct (never reached by the
+    # comparison — cid is unique within a group)
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cs"), (-F.col("cid")).alias("ncid"), F.col(vec_col).alias("v")
+            )
+        ).alias("best")
+    )
+    assigned = best.select(
+        F.col(id_col),
+        (-F.col("best.ncid")).alias("cluster"),
+        F.col("best.v").alias(vec_col),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ka"), F.col("cluster"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_kb"),
+        F.col("cluster").alias("_cb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pair_cs = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+    drops = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("_cb")) & (F.col("_ka") < F.col("_kb")),
+        )
+        .where(pair_cs >= threshold)
+        .select(F.col("_kb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(drops, id_col, "left_anti")
+        .select(id_col, "cluster")
+    )

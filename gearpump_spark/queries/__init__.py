@@ -81,7 +81,10 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_contamination",
     "dedup_incremental",
     "dedup_chunk_exact",
-    "dedup_clusters_twophase",
+    # dedup_clusters_twophase yields its slot to the SemDeDup newcomer: its
+    # oracle is IDENTICAL to dedup_clusters (in the window) and it keeps
+    # path-graph/random-graph pytest goldens; queued for the next rotation
+    "dedup_semantic",
     # similarity search (brute-force + LSH-bucketed; IVF rotates out — it
     # is rows-only-checkable and pytest-golden'd, an oracle-backed query
     # earns more from a hash-checked slot)
@@ -132,17 +135,20 @@ DRIVER_SAMPLE_WINDOW = [
     "wordcount",
     "q_gbk_combine",
     "q_window_tumbling",
-    "q_window_sliding",
+    # q_window_sliding yields its slot to the BM25 newcomer (windows family
+    # stays sampled via q_window_tumbling; sliding is locally oracle-checked)
+    "text_bm25_topk",
     "q_keyed_route",
     # q_flatten_union rotates out (union is exhaustively pytest-covered and
     # locally oracle-checked) for the oracle-backed tf-idf flagship
     "text_tfidf_topterms",
-    # sol_passthrough / embedding_outliers / image_real / audio_real
-    # rotated out for flagship newcomers (all stay locally oracle-checked
-    # in pytest). Queued for the r3 rotation once this round's artifact
-    # lands: similarity_topk_ivf, sketch_countmin_words,
-    # sample_temperature_mix, text_strip_html, dedup_lsh_recall, plus the
-    # jpeg/gif multimodal tier if slots allow.
+    # sol_passthrough / embedding_outliers / image_real / audio_real /
+    # q_window_sliding / dedup_clusters_twophase rotated out for flagship
+    # newcomers (all stay locally oracle-checked in pytest). Queued for the
+    # r3 rotation once this round's artifact lands: similarity_topk_ivf,
+    # sketch_countmin_words, sample_temperature_mix, text_strip_html,
+    # dedup_lsh_recall, dedup_clusters_twophase, plus the jpeg/gif
+    # multimodal tier if slots allow.
 ]
 
 

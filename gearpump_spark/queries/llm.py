@@ -685,6 +685,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos_pair_sql(x: str, y: str) -> str:
+    """DuckDB cosine between two named list columns, rounded to 4 — the
+    same fold the Spark side computes via operators/similarity.cosine."""
+    return f"""ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({x}) + 1),
+                   i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM({x}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM({y}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4)"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos_pair_sql('e.embedding', 'c.cvec')} AS cs
+        FROM embeddings e, cent c),
+    assigned AS (
+        SELECT vec_id, embedding, cid AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_cos_pair_sql('a.embedding', 'b.embedding')} >= 0.30)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    ORDER BY vec_id
+    """,
+    desc="SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the "
+    "embedding space (deterministic fixed centroids = 8 lowest-id vectors; "
+    "the paper's k-means is an unverifiable fixpoint), then drop any "
+    "vector whose cluster holds a lower-id vector with cosine >= 0.30 — "
+    "pairwise cost bounded by per-cluster squares, never corpus-quadratic",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of intra-cluster semantic pruning. Scale: centroids
+    broadcast; argmax assignment is a map-side struct max (no per-vector
+    window shuffle); only the intra-cluster pair join shuffles, keyed on
+    cluster id — grow n_clusters with the corpus (the paper uses 50k) so
+    per-cluster pair counts stay bounded; AQE splits skewed clusters."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_clusters=8, threshold=0.30).orderBy("vec_id")
+
+
 @register(
     "text_token_count",
     oracle=r"""
@@ -1323,6 +1371,96 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= 3)
         .drop("_rn")
         .orderBy("doc_id", F.desc("score"), "word")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dl FROM toks),
+    words AS (SELECT doc_id, UNNEST(tk) AS word FROM toks),
+    qw AS (SELECT doc_id, word FROM words
+           WHERE word IN ('vector', 'merge', 'stream')),
+    tfc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM qw GROUP BY doc_id, word),
+    dfc AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qw GROUP BY word),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+                   CAST((SELECT SUM(LEN(tk)) FROM toks) AS BIGINT) AS t),
+    terms AS (
+        SELECT f.doc_id, f.word,
+               (22.0 * f.tf * t * (2 * n - 2 * d.df + 1)) /
+               ((10.0 * f.tf * t + 3.0 * t + 9.0 * l.dl * n) * (2 * d.df + 1)) AS s
+        FROM tfc f JOIN dfc d USING (word) JOIN dl l USING (doc_id), tot),
+    pivoted AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN word = 'vector' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN word = 'merge' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN word = 'stream' THEN s END), 0.0) AS score
+        FROM terms GROUP BY doc_id)
+    SELECT doc_id, score FROM pivoted
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    desc="BM25 retrieval top-10 for the query 'vector merge stream' "
+    "(k1=1.2, b=0.75; rational Robertson idf (N-df+0.5)/(df+0.5) — no ln, "
+    "so the integer-scaled score (22·tf·T·(2N-2df+1)) / "
+    "((10·tf·T+3T+9·dl·N)·(2df+1)) is IEEE-identical across engines; "
+    "per-term scores summed in fixed pivot order)",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 retrieval. Scale design: tokens are filtered to the
+    query terms BEFORE any shuffle (the tf aggregate carries only matching
+    (doc_id, word) rows); df for a few terms is a broadcast; doc lengths
+    join on doc_id (narrow 2-column shuffle); corpus totals are a 1-row
+    broadcast; top-10 compiles to TakeOrderedAndProject. The per-term
+    score sum pivots to a fixed syntactic order because IEEE addition is
+    not associative — a SUM() over an unordered group would be
+    partition-order-dependent."""
+    TERMS = ("vector", "merge", "stream")
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.transform(TX.tokens(F.col("text")), F.lower).alias("tk")
+    )
+    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    qw = toks.select("doc_id", F.explode("tk").alias("word")).where(
+        F.col("word").isin(*TERMS)
+    )
+    tfc = qw.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    dfc = qw.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tot = toks.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size("tk")).cast("long").alias("t"),
+    )
+    tf, df, t, n, dlc = (F.col(c) for c in ("tf", "df", "t", "n", "dl"))
+    s = (F.lit(22.0) * tf * t * (2 * n - 2 * df + 1)) / (
+        (F.lit(10.0) * tf * t + F.lit(3.0) * t + F.lit(9.0) * dlc * n)
+        * (2 * df + 1)
+    )
+    terms = (
+        tfc.join(F.broadcast(dfc), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "word", s.alias("s"))
+    )
+
+    def term_score(w: str):
+        return F.coalesce(F.max(F.when(F.col("word") == w, F.col("s"))), F.lit(0.0))
+
+    pivoted = terms.groupBy("doc_id").agg(
+        (term_score("vector") + term_score("merge") + term_score("stream")).alias(
+            "score"
+        )
+    )
+    return (
+        pivoted.orderBy(F.desc("score"), "doc_id").limit(10).select("doc_id", "score")
     )
 
 

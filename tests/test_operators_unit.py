@@ -1090,3 +1090,76 @@ class TestStripHtml:
     def test_malformed_markup_degrades_gracefully(self, spark):
         assert self._clean(spark, "a <b unclosed attr='3' b > c") == "a c"
         assert self._clean(spark, "plain text, no markup") == "plain text, no markup"
+
+
+class TestSemanticDedup:
+    """SemDeDup-style pruning: fixed-centroid assignment + intra-cluster
+    cosine drops (operators/similarity.semantic_dedup)."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_duplicate_in_same_cluster_drops_higher_id(self, spark):
+        from gearpump_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]),   # centroid 0
+            (1, [0.0, 1.0]),   # centroid 1
+            (10, [1.0, 0.8]),  # cluster 0 (cos to its centroid ~0.78)
+            (11, [2.0, 1.6]),  # same direction as 10 -> dropped (cos = 1)
+            (20, [0.8, 1.0]),  # cluster 1, no near-dup partner
+        ]
+        out = semantic_dedup(
+            self._emb(spark, rows), n_clusters=2, threshold=0.95
+        ).orderBy("vec_id").collect()
+        assert [(r.vec_id, r.cluster) for r in out] == [
+            (0, 0), (1, 1), (10, 0), (20, 1)
+        ]
+
+    def test_cross_cluster_duplicates_survive(self, spark):
+        """Identical vectors in DIFFERENT clusters are never compared —
+        blocking is by cluster, exactly the paper's cost model."""
+        from gearpump_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            # 10 -> cluster 0, 11 -> cluster 1; cosine(10,11) ~ 0.9945 is
+            # far above the threshold but they are never compared; neither
+            # is near its own centroid (cos ~ 0.743), so all survive
+            (10, [1.0, 0.9]),
+            (11, [0.9, 1.0]),
+        ]
+        out = semantic_dedup(
+            self._emb(spark, rows), n_clusters=2, threshold=0.95
+        ).orderBy("vec_id").collect()
+        assert [r.vec_id for r in out] == [0, 1, 10, 11]
+
+    def test_assignment_tie_breaks_to_lowest_centroid(self, spark):
+        from gearpump_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),  # centroid identical to 0 -> every tie -> cid 0
+            (10, [3.0, 0.0]),
+        ]
+        # threshold > 1: no drops, isolating the assignment tie-break
+        out = {r.vec_id: r.cluster for r in semantic_dedup(
+            self._emb(spark, rows), n_clusters=2, threshold=1.1
+        ).collect()}
+        assert out == {0: 0, 1: 0, 10: 0}
+
+    def test_plan_broadcasts_centroids_no_window(self, spark):
+        """Assignment must be a broadcast + map-side struct max: no
+        row_number window over every (vector, centroid) pair."""
+        import contextlib, io
+
+        from gearpump_spark.operators.similarity import semantic_dedup
+
+        df = semantic_dedup(self._emb(spark, [(0, [1.0, 0.0]), (9, [0.0, 2.0])]))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastExchange" in p
+        assert "Window" not in p

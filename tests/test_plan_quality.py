@@ -508,3 +508,12 @@ def test_multimodal_decode_pipelines_are_narrow(spark):
     ):
         p = plan(df)
         assert "Exchange" not in p
+
+
+def test_bm25_topk_broadcasts_and_takeordered(spark, sf_dir):
+    """BM25: the 3-term df table and the 1-row corpus totals broadcast
+    (never shuffle the corpus against them), and the top-10 compiles to
+    TakeOrderedAndProject — no global sort of all scored docs."""
+    p = plan(QS["text_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastExchange") >= 2  # dfc + totals

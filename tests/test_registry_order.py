@@ -102,8 +102,8 @@ def test_llm_suite_covered_by_window_or_past_rounds(first_50):
     outside = [n for n in flagship if n not in first_50 and n not in verified]
     # Queries added mid-round register behind the full window and get their
     # slot at the next rotation; bound how many may be in flight at once.
-    # (r2 runs at the bound: five r2 additions queue for the r3 rotation,
-    # which frees ~46 slots once CORRECTNESS_r02 records this window green.)
+    # (r2 runs at the bound: six entries queue for the r3 rotation, which
+    # frees ~46 slots once CORRECTNESS_r02 records this window green.)
     assert len(outside) <= 6, (
         f"flagship queries neither sampled nor ever driver-verified: {outside}. "
         "Rotate them into DRIVER_SAMPLE_WINDOW (evicting already-verified "
