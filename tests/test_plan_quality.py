@@ -517,3 +517,44 @@ def test_bm25_topk_broadcasts_and_takeordered(spark, sf_dir):
     p = plan(QS["text_bm25_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert p.count("BroadcastExchange") >= 2  # dfc + totals
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Spark-native runtime Bloom filtering (SPARK-32268): on a shuffle
+    join whose build side is selectively filtered, Catalyst injects a
+    bloom_filter_agg on the build side and a might_contain probe on the
+    fact scan — the engine-native counterpart of the portable
+    operators/sketches.bloom_filtered_join (which stays for cross-engine
+    reproducibility and pre-shuffle drop control). Default-on in Spark 4;
+    the size thresholds (10 GB application-side scan) gate it to
+    genuinely large scans, so at 100 TB it fires with NO tuning — the
+    test lowers the thresholds to trigger at fixture scale."""
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need a runtime filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan(j)
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
