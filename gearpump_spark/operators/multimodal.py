@@ -1474,14 +1474,16 @@ class JpegDecoder(GifDecoder):
                     for c in range(ncomp):
                         cid = body[6 + 3 * c]
                         hv = body[7 + 3 * c]
-                        # supported layouts: 1x1 everywhere (4:4:4 / gray)
-                        # or Y at 2x2 with 1x1 chroma (4:2:0)
+                        # the MCU walk and nearest-neighbor chroma upsample
+                        # below are generic over (hi, vi); accept any
+                        # spec-legal factor 1..4 (covers 4:4:4, 4:2:2,
+                        # 4:2:0, 4:1:1, 4:4:0 and grayscale)
                         comps.append((cid, body[8 + 3 * c], hv >> 4, hv & 0x0F))
-                    factors = [(hh, vv) for _, _, hh, vv in comps]
-                    if factors != [(1, 1)] * ncomp and factors != [
-                        (2, 2), (1, 1), (1, 1),
-                    ]:
-                        return None  # other samplings: fallback seam
+                    if any(
+                        not (1 <= hh <= 4 and 1 <= vv <= 4)
+                        for _, _, hh, vv in comps
+                    ):
+                        return None  # out-of-spec sampling factor
                 elif marker == 0xC2:  # progressive: dedicated path
                     return self._decode_progressive(payload)
                 elif marker in (0xC1, 0xC3):  # other non-baseline SOF
@@ -2208,7 +2210,9 @@ def _jpeg_fdct_quant(block, quant):
 
 
 def encode_jpeg_color(
-    rows: list[list[list[int]]], dc_quant: int = 8, subsample: bool = False
+    rows: list[list[list[int]]],
+    dc_quant: int = 8,
+    subsample: bool | str = False,
 ) -> bytes:
     """REAL baseline 4:4:4 color JPEG from a top-down [B,G,R] raster:
     RGB -> YCbCr with floor(x+0.5) rounding (NOT python round(), whose
@@ -2216,9 +2220,12 @@ def encode_jpeg_color(
     float FDCT + quantization (flat table, DC step ``dc_quant``), and
     interleaved Y/Cb/Cr MCUs Huffman-coded with the Annex-K luminance
     tables (all three components reference table 0 — legal and simpler).
-    With ``subsample=True`` emits 4:2:0: Y at 2x2 sampling, chroma
-    planes 2x2-mean-downsampled (floor(mean+0.5)), 16x16-pixel MCUs of
-    4 Y + Cb + Cr blocks. Decodable by any JPEG reader and JpegDecoder."""
+    With ``subsample=True`` (or ``"420"``) emits 4:2:0: Y at 2x2 sampling,
+    chroma planes 2x2-mean-downsampled (floor(mean+0.5)), 16x16-pixel MCUs
+    of 4 Y + Cb + Cr blocks. With ``subsample="422"`` emits 4:2:2
+    (broadcast/DV chroma layout): Y at 2x1, chroma halved horizontally
+    only, 16x8-pixel MCUs of 2 Y + Cb + Cr blocks. Decodable by any JPEG
+    reader and JpegDecoder (whose MCU walk is generic over (hi, vi))."""
     import math
 
     h = len(rows)
@@ -2265,7 +2272,8 @@ def encode_jpeg_color(
             v += (1 << size) - 1
         return size, v
 
-    if subsample:
+    mode = ("420" if subsample is True else str(subsample)) if subsample else "444"
+    if mode == "420":
         # 2x2-mean chroma downsample (edge-replicated for odd dims)
         cw, chh = (w + 1) // 2, (h + 1) // 2
         for ci in (1, 2):
@@ -2284,6 +2292,21 @@ def encode_jpeg_color(
         factors = [(2, 2), (1, 1), (1, 1)]
         mcus_x = (w + 15) // 16
         mcus_y = (h + 15) // 16
+    elif mode == "422":
+        # horizontal-only 2-pixel-mean chroma downsample
+        cw = (w + 1) // 2
+        for ci in (1, 2):
+            full = planes[ci]
+            small = [[0] * cw for _ in range(h)]
+            for y in range(h):
+                for x in range(cw):
+                    vals = [full[y][min(2 * x + dx, w - 1)] for dx in (0, 1)]
+                    small[y][x] = fl(sum(vals) / 2.0)
+            planes[ci] = small
+        dims = [(w, h), (cw, h), (cw, h)]
+        factors = [(2, 1), (1, 1), (1, 1)]
+        mcus_x = (w + 15) // 16
+        mcus_y = (h + 7) // 8
     else:
         dims = [(w, h)] * 3
         factors = [(1, 1)] * 3
@@ -2354,7 +2377,7 @@ def encode_jpeg_color(
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
         + bytes(
-            [3, 1, 0x22 if subsample else 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+            [3, 1, (factors[0][0] << 4) | factors[0][1], 0, 2, 0x11, 0, 3, 0x11, 0]
         )
     )
     out += (
@@ -2413,6 +2436,32 @@ def synthesize_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(
                     encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg_422_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same closed-form constant-color rasters as
+    synthesize_jpeg_color_payloads but encoded 4:2:2 (horizontal-only
+    chroma subsampling, 16x8 MCUs of 2 Y + Cb + Cr blocks) — constant
+    chroma survives the 2-pixel mean exactly, so the SAME color oracle
+    applies while the decode exercises the (2,1) sampling-factor walk."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(
+                    encode_jpeg_color(
+                        [[[b, g, r]] * w for _ in range(h)], subsample="422"
+                    )
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 

@@ -2071,6 +2071,34 @@ def multimodal_jpeg_420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_422_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL 4:2:2 JPEG decode (horizontal-only chroma subsampling, "
+    "16x8 MCUs of 2 Y + Cb + Cr blocks) — the broadcast/DV chroma layout; "
+    "same closed-form color oracle as 4:4:4/4:2:0 since constant chroma "
+    "survives the 2-pixel mean exactly",
+)
+def multimodal_jpeg_422_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_422_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_422_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")
+
+
+@register(
     "multimodal_jpeg_progressive_real",
     oracle=f"""
     WITH {_SQL_JC}

@@ -828,3 +828,45 @@ def test_jpeg_successive_approximation_matches_baseline():
     # truncated refined stream -> None, never raises
     ref = encode_jpeg_progressive(rows, successive=True)
     assert d.decode_pixels(ref[: len(ref) // 2]) is None
+
+
+def test_jpeg_422_subsampled():
+    """4:2:2 (horizontal-only chroma): constant color decodes exactly
+    across odd/even/multi-MCU geometries; smooth-chroma content stays
+    within a tighter error bound than 4:2:0 (half the chroma loss)."""
+    import math
+
+    from gearpump_spark.operators.multimodal import JpegDecoder, encode_jpeg_color
+
+    d = JpegDecoder()
+
+    def fl(x):
+        v = math.floor(x + 0.5)
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    for r, g, b in ((10, 200, 70), (255, 0, 128)):
+        for w, h in ((1, 1), (5, 3), (17, 9), (16, 16), (33, 7)):
+            img = d.decode_pixels(
+                encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample="422")
+            )
+            Y = fl(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+            expect = [
+                fl(Y + 1.772 * (cb - 128)),
+                fl(Y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                fl(Y + 1.402 * (cr - 128)),
+            ]
+            assert img["width"] == w and img["height"] == h
+            assert all(px == expect for row in img["rows"] for px in row), (r, g, b, w, h)
+
+    rows = [[[(x * 6) % 256, (y * 7) % 256, ((x + y) * 3) % 256] for x in range(24)]
+            for y in range(16)]
+    base = d.decode_pixels(encode_jpeg_color(rows))["rows"]
+    sub = d.decode_pixels(encode_jpeg_color(rows, subsample="422"))["rows"]
+    worst = max(abs(a - b) for rb, rs in zip(base, sub)
+                for pb, ps in zip(rb, rs) for a, b in zip(pb, ps))
+    sub420 = d.decode_pixels(encode_jpeg_color(rows, subsample=True))["rows"]
+    worst420 = max(abs(a - b) for rb, rs in zip(base, sub420)
+                   for pb, ps in zip(rb, rs) for a, b in zip(pb, ps))
+    assert worst <= worst420  # horizontal-only subsampling loses less

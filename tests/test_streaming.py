@@ -481,3 +481,30 @@ def test_streaming_trending_topk_foreachbatch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert seen["last"] == {(0, "b", 3, 1), (0, "a", 2, 2)}
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """Token-window chunking is a stateless narrow map, so it lifts to
+    Structured Streaming UNCHANGED — same operator, append mode, no state
+    store, no watermark. The streamed chunks must equal the batch chunking
+    of the same documents (the batch≡stream discipline used for
+    wordcount). At scale this is the ingest shape of a curation pipeline:
+    chunk documents as they land, no global barrier."""
+    from gearpump_spark.operators.chunking import chunk_by_tokens
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, ""),
+        (3, " ".join(f"t{i}" for i in range(40))),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "chdocs")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = run_to_completion(
+        chunk_by_tokens(stream, size=8, stride=6), "chunk_stream_out"
+    ).collect()
+    expect = chunk_by_tokens(df, size=8, stride=6).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, expect))
+    assert len(out) > 4  # doc 3 fans out into multiple windows
