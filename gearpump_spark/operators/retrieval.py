@@ -1,0 +1,151 @@
+"""Full-text retrieval: BM25 scoring and a persistent inverted index.
+
+The scoring uses the rational-Robertson-idf BM25 variant (k1=1.2, b=0.75,
+idf = (N-df+0.5)/(df+0.5) — no ln/pow, so the integer-scaled score
+(22·tf·T·(2N-2df+1)) / ((10·tf·T+3T+9·dl·N)·(2df+1)) is one IEEE division
+per term and therefore bit-identical across engines). Per-term scores sum
+in FIXED syntactic order (IEEE addition is not associative; an unordered
+SUM() would be partition-order-dependent).
+
+Scale design mirrors the persistent IVF index (similarity.ivf_write_index):
+the tokenize+postings scan is paid ONCE at ingest, written hash-bucketed by
+term — every subsequent query filters the postings scan to its few terms
+(predicate pushdown), broadcasts the tiny per-term document frequencies,
+joins document lengths on their bucketed key, and top-k compiles to
+TakeOrderedAndProject. The corpus text is never read at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gearpump_spark.functions import text as TX
+
+
+def bm25_score(tf: Column, df: Column, t: Column, n: Column, dl: Column) -> Column:
+    """One query term's BM25 contribution (k1=1.2, b=0.75, rational idf).
+
+    All inputs are BIGINT columns; the expression is a fixed tree of
+    correctly-rounded IEEE ops, reproducible verbatim in ANSI SQL:
+    (22.0*tf*T*(2N-2df+1)) / ((10.0*tf*T + 3.0*T + 9.0*dl*N)*(2df+1)).
+    """
+    return (F.lit(22.0) * tf * t * (2 * n - 2 * df + 1)) / (
+        (F.lit(10.0) * tf * t + F.lit(3.0) * t + F.lit(9.0) * dl * n) * (2 * df + 1)
+    )
+
+
+def bm25_pivot_score(terms: tuple[str, ...] | list[str], s: Column = None) -> Column:
+    """Sum per-term scores in the FIXED order of `terms` via conditional
+    aggregation: COALESCE(MAX(CASE word=t THEN s END), 0) + ... — the
+    only associativity-safe way to total float contributions in a group.
+    Use inside groupBy(doc).agg(...)."""
+    s = F.col("s") if s is None else s
+
+    def one(w: str) -> Column:
+        return F.coalesce(F.max(F.when(F.col("word") == w, s)), F.lit(0.0))
+
+    total = one(terms[0])
+    for w in terms[1:]:
+        total = total + one(w)
+    return total
+
+
+def tokenize_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doc_lengths, stats): per-(word, doc) term frequencies,
+    per-doc token counts, and the 1-row (n_docs, total_tokens) table —
+    the three relations every lexical scorer needs."""
+    toks = docs.select(
+        F.col(id_col), F.transform(TX.tokens(F.col(text_col)), F.lower).alias("tk")
+    )
+    dl = toks.select(id_col, F.size("tk").cast("long").alias("dl"))
+    postings = (
+        toks.select(id_col, F.explode("tk").alias("word"))
+        .groupBy("word", id_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = toks.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size("tk")).cast("long").alias("t"),
+    )
+    return postings, dl, stats
+
+
+def text_index_write(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> None:
+    """Materialize a persistent inverted index: postings hash-bucketed by
+    term (`table_name`), document lengths bucketed by doc id
+    (`table_name`_docs), corpus totals (`table_name`_stats). The
+    tokenize scan is paid once; queries never touch the raw text again.
+    At 100 TB the postings table is itself huge, but a query reads only
+    its terms' slice of it (bucket + min/max pruning via the sorted
+    bucketed layout)."""
+    from gearpump_spark.operators.physical import write_bucketed
+
+    postings, dl, stats = tokenize_postings(docs, text_col, id_col)
+    write_bucketed(postings, table_name, "word", n_buckets=n_buckets, sort_by="word")
+    write_bucketed(dl, f"{table_name}_docs", id_col, n_buckets=n_buckets, sort_by=id_col)
+    stats.write.mode("overwrite").format("parquet").saveAsTable(f"{table_name}_stats")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inline BM25 top-k (no index): one pass to build the three
+    relations, then the same scoring join as the indexed path. The
+    query-term filter lands BEFORE the tf aggregate, so the only
+    per-token shuffle carries matching rows."""
+    postings, dl, stats = tokenize_postings(docs, text_col, id_col)
+    return _score_topk(
+        postings.where(F.col("word").isin(*terms)), dl, stats, terms, k, id_col
+    )
+
+
+def bm25_topk_from_index(
+    spark, table_name: str, terms: tuple[str, ...] | list[str], k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query a persistent inverted index written by text_index_write:
+    identical results to bm25_topk over the source docs, but the scan
+    reads only the query terms' postings (pushed filter on the bucketed
+    sort key) — the corpus text is never touched."""
+    postings = spark.table(table_name).where(F.col("word").isin(*terms))
+    dl = spark.table(f"{table_name}_docs")
+    stats = spark.table(f"{table_name}_stats")
+    return _score_topk(postings, dl, stats, terms, k, id_col)
+
+
+def _score_topk(
+    postings: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    dfc = postings.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfc), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "word",
+            bm25_score(
+                F.col("tf"), F.col("df"), F.col("t"), F.col("n"), F.col("dl")
+            ).alias("s"),
+        )
+    )
+    pivoted = scored.groupBy(id_col).agg(bm25_pivot_score(terms).alias("score"))
+    return pivoted.orderBy(F.desc("score"), id_col).limit(k).select(id_col, "score")

@@ -1421,47 +1421,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; top-10 compiles to TakeOrderedAndProject. The per-term
     score sum pivots to a fixed syntactic order because IEEE addition is
     not associative — a SUM() over an unordered group would be
-    partition-order-dependent."""
-    TERMS = ("vector", "merge", "stream")
+    partition-order-dependent. The same scorer also runs against a
+    persistent inverted index (operators/retrieval.text_index_write /
+    bm25_topk_from_index) with identical results — pinned in
+    tests/test_plan_quality.py."""
+    from gearpump_spark.operators.retrieval import bm25_topk
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.transform(TX.tokens(F.col("text")), F.lower).alias("tk")
-    )
-    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dl"))
-    qw = toks.select("doc_id", F.explode("tk").alias("word")).where(
-        F.col("word").isin(*TERMS)
-    )
-    tfc = qw.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
-    dfc = qw.groupBy("word").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    tot = toks.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.size("tk")).cast("long").alias("t"),
-    )
-    tf, df, t, n, dlc = (F.col(c) for c in ("tf", "df", "t", "n", "dl"))
-    s = (F.lit(22.0) * tf * t * (2 * n - 2 * df + 1)) / (
-        (F.lit(10.0) * tf * t + F.lit(3.0) * t + F.lit(9.0) * dlc * n)
-        * (2 * df + 1)
-    )
-    terms = (
-        tfc.join(F.broadcast(dfc), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", "word", s.alias("s"))
-    )
-
-    def term_score(w: str):
-        return F.coalesce(F.max(F.when(F.col("word") == w, F.col("s"))), F.lit(0.0))
-
-    pivoted = terms.groupBy("doc_id").agg(
-        (term_score("vector") + term_score("merge") + term_score("stream")).alias(
-            "score"
-        )
-    )
-    return (
-        pivoted.orderBy(F.desc("score"), "doc_id").limit(10).select("doc_id", "score")
-    )
+    return bm25_topk(docs, ("vector", "merge", "stream"), k=10)
 
 
 @register(

@@ -558,3 +558,35 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_text_inverted_index_query_matches_inline_and_prunes(spark):
+    """Persistent inverted index (the text twin of the IVF index): build
+    pays the tokenize + bucketed write once; the query path must read
+    ONLY the query terms' postings (pushed filter on the bucketed sort
+    key), never re-tokenize the corpus, and return exactly the inline
+    bm25_topk result."""
+    from gearpump_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        text_index_write,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ("vector", "merge", "stream")
+    try:
+        text_index_write(docs, "txt_idx_test", n_buckets=4)
+        out = bm25_topk_from_index(spark, "txt_idx_test", terms, k=10)
+        p = plan(out)
+        # term filter reaches the postings scan
+        assert "PushedFilters" in p
+        pushed = p.split("PushedFilters")[1][:300]
+        assert "word" in pushed and "In(" in pushed
+        # no tokenizer in the query plan: the corpus text is never read
+        assert "text" not in p.split("ReadSchema")[1][:200]
+        assert "TakeOrderedAndProject" in p
+        inline = bm25_topk(docs, terms, k=10)
+        assert [tuple(r) for r in out.collect()] == [tuple(r) for r in inline.collect()]
+    finally:
+        for t in ("txt_idx_test", "txt_idx_test_docs", "txt_idx_test_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
