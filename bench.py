@@ -32,6 +32,8 @@ HEADLINE = [
     "similarity_topk",
     "text_doc_stats",
     "q_topk_per_group",
+    "text_bm25_topk",
+    "dedup_semantic",
 ]
 
 

@@ -426,10 +426,16 @@ def semantic_dedup(
 
     Scale: centroids broadcast (the cross join is a narrow pass over the
     corpus); the argmax is a map-side max of a (cos, -cid) struct — no
-    per-vector window; the intra-cluster self-join shuffles on cluster
-    id, so n_clusters must grow with the corpus (the paper uses 50k for
-    LAION-scale) to keep per-cluster pair counts bounded; AQE splits any
-    skewed cluster."""
+    per-vector window; the intra-cluster self-join is SALTED (hash bucket
+    of the left id, right side replicated across salts) with an
+    explicitly pinned exchange width — cluster ids are few by
+    construction, so without the salt AQE sizes the exchange by its tiny
+    input and coalesces the quadratic pair fan-out into a handful of
+    tasks (the triangle-count lesson, operators/graph.py). Norms are
+    computed once per vector BEFORE the pair join, so each pair costs one
+    dot product, not two extra norm folds. n_clusters must still grow
+    with the corpus (the paper uses 50k for LAION-scale) to keep
+    per-cluster pair counts bounded."""
     cent = F.broadcast(
         emb.where(F.col(id_col) < n_clusters).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
@@ -454,21 +460,50 @@ def semantic_dedup(
         (-F.col("best.ncid")).alias("cluster"),
         F.col("best.v").alias(vec_col),
     )
-    a = assigned.select(
-        F.col(id_col).alias("_ka"), F.col("cluster"), F.col(vec_col).alias("_va")
+    # one-time per-vector double cast + norm (oracle-identical tree:
+    # round(dot/(norm_a*norm_b), 4) == round(dot/(sqrt(f_a)*sqrt(f_b)), 4))
+    normed = assigned.select(
+        F.col(id_col),
+        "cluster",
+        _to_double(F.col(vec_col)).alias("_v"),
+        l2_norm(_to_double(F.col(vec_col))).alias("_nm"),
     )
-    b = assigned.select(
+    n_salts = 16
+    a = normed.select(
+        F.col(id_col).alias("_ka"),
+        "cluster",
+        F.col("_v").alias("_va"),
+        F.col("_nm").alias("_na"),
+        F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt"),
+    )
+    b = normed.select(
         F.col(id_col).alias("_kb"),
-        F.col("cluster").alias("_cb"),
-        F.col(vec_col).alias("_vb"),
-    )
-    pair_cs = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
-    drops = (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("_cb")) & (F.col("_ka") < F.col("_kb")),
+        "cluster",
+        F.col("_v").alias("_vb"),
+        F.col("_nm").alias("_nb"),
+    ).crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt")
+            )
         )
-        .where(pair_cs >= threshold)
+    )
+    n_pair_parts = max(
+        64, int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
+    pair_cs = F.round(
+        F.aggregate(
+            F.zip_with("_va", "_vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("_na") * F.col("_nb")),
+        4,
+    )
+    drops = (
+        a.repartition(n_pair_parts, "cluster", "_salt")
+        .join(b, ["cluster", "_salt"])
+        .where((F.col("_ka") < F.col("_kb")) & (pair_cs >= threshold))
         .select(F.col("_kb").alias(id_col))
         .distinct()
     )
