@@ -1,0 +1,169 @@
+"""Byte-pair encoding: a REAL BPE trainer and tokenizer, distributed.
+
+Upgrades the regex "BPE-ish" pre-segmentation (functions/text.py token
+counting) to the actual algorithm (Sennrich et al. 2016): learn a ranked
+merge table from corpus statistics, then greedily apply merges in rank
+order to tokenize.
+
+Distribution shape (the part that matters at 100 TB):
+- Training runs over WORD TYPES, not corpus tokens: one corpus-level
+  shuffle builds (word, count) — every subsequent iteration aggregates
+  adjacent-symbol pairs over the (much smaller, but still distributed)
+  vocabulary, weighted by count. The driver sees exactly ONE row per
+  iteration (the argmax pair); the symbol rewrite is a narrow map.
+- Like pagerank/k-means, each iteration cuts lineage (localCheckpoint;
+  checkpoint dir on a real cluster) so the plan stays O(1) per round.
+- Tie-breaks are total (freq DESC, then pair lexicographic), so training
+  is deterministic — pinned against a pure-python golden in pytest.
+- Application is an Arrow-batched mapInPandas (the sanctioned custom-op
+  path: per-word greedy merge loops are inherently sequential), with a
+  per-batch word cache — natural-language word frequency follows Zipf, so
+  the cache hit rate is high and per-row cost amortizes away.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gearpump_spark.functions import text as TX
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over lowercased whitespace tokens — the single
+    corpus-level aggregation training pays."""
+    return (
+        docs.select(
+            F.explode(F.transform(TX.tokens(F.col(text_col)), F.lower)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_pair(syms, a: str, b: str):
+    """Replace adjacent (a, b) symbols with a+b, left-to-right
+    non-overlapping — the classic BPE rewrite, as a pure fold expression
+    (no UDF): append x unless the accumulator ends with `a` and x == b,
+    in which case the tail element becomes the merged symbol."""
+    merged = a + b
+
+    def step(acc, x):
+        can = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (
+            x == F.lit(b)
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a ranked merge table from the corpus. Returns [(left, right)]
+    in rank order. Stops early when the best pair's weighted frequency
+    falls below min_freq."""
+    vocab = (
+        _word_counts(docs, text_col)
+        .select(
+            "cnt",
+            F.filter(F.split("word", "(?!^)"), lambda x: x != "").alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        best = pairs.orderBy(F.desc("freq"), "p").limit(1).collect()
+        if not best or best[0]["freq"] < min_freq:
+            break
+        a, b = best[0]["p"]["l"], best[0]["p"]["r"]
+        merges.append((a, b))
+        # narrow rewrite + lineage cut: plan stays O(1) per iteration
+        vocab = vocab.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference greedy encoder: repeatedly merge the best-ranked adjacent
+    pair. Used by the tokenizer UDF and by the pytest golden."""
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, bpe_tokens): tokenize each document
+    with the learned merge table. Narrow Arrow-batched map — payload text
+    never shuffles; per-batch word cache exploits Zipfian reuse."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            out = cache.get(w)
+            if out is None:
+                out = bpe_encode_word(w, ranks)
+                cache[w] = out
+            return out
+
+        for pdf in batches:
+            ids, n_ws, n_bpe, toks = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text or "").lower().split() if w]
+                pieces: list[str] = []
+                for w in words:
+                    pieces.extend(enc(w))
+                ids.append(i)
+                n_ws.append(len(words))
+                n_bpe.append(len(pieces))
+                toks.append(pieces)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_ws_tokens": n_ws,
+                    "n_bpe_tokens": n_bpe,
+                    "bpe_tokens": toks,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        op,
+        f"{id_col} bigint, n_ws_tokens bigint, n_bpe_tokens bigint, "
+        "bpe_tokens array<string>",
+    )

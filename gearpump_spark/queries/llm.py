@@ -1432,6 +1432,31 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_tokens",
+    oracle=None,  # iterative trainer (argmax per round) — golden-tested
+    desc="REAL BPE (Sennrich 2016): train a 16-merge table over word-type "
+    "counts (one corpus shuffle; per-iteration pair aggregation over the "
+    "distributed vocabulary, driver sees 1 row/round), then tokenize via "
+    "an Arrow-batched greedy encoder with a Zipf-friendly word cache — "
+    "upgrades the regex BPE-ish pre-segmentation to the actual algorithm; "
+    "pinned against a pure-python trainer golden in tests/test_bpe.py",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus BPE compression stats per document. Deterministic:
+    tie-breaks are total (freq DESC, pair lexicographic), so the merge
+    table — and therefore every count — is engine-reproducible."""
+    from gearpump_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=16)
+    return (
+        bpe_tokenize(docs, merges)
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "pipeline_chunk_pack",
     oracle="""
     WITH toks AS (

@@ -1,0 +1,126 @@
+"""BPE trainer/tokenizer goldens: the distributed trainer must reproduce a
+pure-python reference exactly (deterministic tie-breaks), and the tokenizer
+must round-trip (concatenating a word's pieces restores the word)."""
+
+from __future__ import annotations
+
+import collections
+
+from gearpump_spark.operators.bpe import (
+    bpe_encode_word,
+    bpe_tokenize,
+    bpe_train,
+)
+
+
+def _py_train(texts: list[str], n_merges: int, min_freq: int = 2):
+    """Reference trainer: word-type counts, weighted adjacent-pair
+    frequencies, argmax with (freq DESC, pair lexicographic) tie-break."""
+    wc = collections.Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pf: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pf[(syms[i], syms[i + 1])] += wc[w]
+        if not pf:
+            break
+        best = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest new low",
+    "the quick brown fox the the",
+]
+
+
+def test_trainer_matches_pure_python_golden(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+    got = bpe_train(docs, n_merges=12)
+    want = _py_train(TEXTS, 12)
+    assert got == want
+    assert len(got) == 12  # corpus is rich enough to yield all 12
+
+
+def test_trainer_left_to_right_nonoverlapping_runs(spark):
+    """'aaaa' with merge (a,a): left-to-right pairing gives [aa, aa] — the
+    fold rewrite must not re-merge the freshly created symbol."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(docs, n_merges=2)
+    assert merges == _py_train(["aaaa aaaa aaaa"], 2)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("aa", "aa")
+
+
+def test_encode_word_greedy_rank_order():
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert bpe_encode_word("lower", ranks) == ["low", "er"]
+    assert bpe_encode_word("low", ranks) == ["low"]
+    assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert bpe_encode_word("a", ranks) == ["a"]
+
+
+def test_tokenize_round_trips_and_compresses(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+    merges = bpe_train(docs, n_merges=12)
+    out = {r.doc_id: r for r in bpe_tokenize(docs, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        words = t.lower().split()
+        r = out[i]
+        assert r.n_ws_tokens == len(words)
+        # pieces concatenate back to the original words, in order
+        assert "".join(r.bpe_tokens) == "".join(words)
+        # merges learned on this corpus must compress it
+        assert r.n_bpe_tokens < sum(len(w) for w in words)
+        assert r.n_bpe_tokens >= r.n_ws_tokens
+
+
+def test_tokenize_applies_training_segmentation(spark):
+    """Applying the learned table to the training corpus must reproduce
+    the trainer's final vocabulary segmentation (greedy-by-rank ==
+    iterative-merge-by-rank on words seen in training)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+    merges = bpe_train(docs, n_merges=12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # rebuild the reference trainer's final segmentation
+    wc = collections.Counter(w for t in TEXTS for w in t.lower().split())
+    vocab = {w: list(w) for w in wc}
+    for a, b in merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    for w, syms in vocab.items():
+        assert bpe_encode_word(w, ranks) == syms, w

@@ -93,10 +93,17 @@ def test_llm_suite_covered_by_window_or_past_rounds(first_50):
     the current sample window or already driver-verified in a past round —
     i.e., the rotation never leaves a flagship permanently unverified."""
     all_names = list(all_queries())
+    oracles = all_oracles()
+    # Rows-only queries (iterative/approximate: IVF, BPE, ...) can never be
+    # HASH-verified by the driver, so a window slot earns strictly less for
+    # them than for an oracle-backed query (the curation comments in
+    # queries/__init__.py codify that preference); they are pinned by
+    # pytest goldens instead and stay out of this rotation bound.
     flagship = [
         n
         for n in all_names
         if n.split("_")[0] in {"dedup", "similarity", "text", "sample", "sketch"}
+        and n in oracles
     ]
     verified = _driver_verified_queries()
     outside = [n for n in flagship if n not in first_50 and n not in verified]

@@ -36,6 +36,9 @@ EXTRA = [
     "multimodal_gif_frames_real",
     "dedup_lsh_recall",
     "graph_triangle_count",
+    # r2 late additions (bm25/semantic arrive via HEADLINE); the refined
+    # JPEG decode is the deepest multi-scan decoder path
+    "multimodal_jpeg_refined_real",
 ]
 SWEEP = HEADLINE + EXTRA
 
