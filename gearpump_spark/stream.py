@@ -281,8 +281,18 @@ class Stream:
     def to_df(self) -> DataFrame:
         return self.df
 
-    def sink_parquet(self, path: str, mode: str = "overwrite") -> None:
-        self.df.write.mode(mode).parquet(path)
+    def sink_parquet(
+        self, path: str, mode: str = "overwrite", compression: str | None = None
+    ) -> None:
+        """Parquet sink. ``compression`` passes through to the writer:
+        snappy (Spark's default — fastest decode), zstd (~30-40% smaller
+        at comparable scan speed; the at-scale archival default since the
+        codec went mainstream in Parquet), gzip, lz4, none. Per-write
+        override; cluster-wide default via spark.sql.parquet.compression.codec."""
+        w = self.df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(path)
 
     def sink_parquet_partitioned(
         self, path: str, partition_cols: list[str], mode: str = "overwrite"

@@ -242,3 +242,24 @@ def test_avro_gated_without_module(spark, tmp_path):
         s.sink_avro(str(tmp_path / "t.avro"))
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         ctx.from_avro(str(tmp_path / "t.avro"))
+
+
+def test_sink_parquet_zstd_compression_roundtrip(spark, tmp_path):
+    """zstd-in-parquet knob: the codec is recorded in the files (readable
+    by any parquet reader) and the round-trip is lossless."""
+    import pyarrow.parquet as pq
+
+    from gearpump_spark.stream import GearContext
+
+    ctx = GearContext(spark)
+    s = ctx.from_collection([(i, f"v{i}") for i in range(100)], "id long, v string")
+    path = str(tmp_path / "zstd_out")
+    s.sink_parquet(path, compression="zstd")
+    files = [f for f in __import__("os").listdir(path) if f.endswith(".parquet")]
+    assert files
+    meta = pq.ParquetFile(f"{path}/{files[0]}").metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+    back = spark.read.parquet(path)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, f"v{i}") for i in range(100)
+    ]
