@@ -124,3 +124,26 @@ def test_tokenize_applies_training_segmentation(spark):
             vocab[w] = out
     for w, syms in vocab.items():
         assert bpe_encode_word(w, ranks) == syms, w
+
+
+# Property test: the distributed trainer must agree with the pure-python
+# reference on arbitrary small corpora (random words over a tiny alphabet
+# maximize pair-frequency ties, stressing the deterministic tie-break).
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(WORD, min_size=1, max_size=8), min_size=1, max_size=5))
+def test_trainer_property_matches_reference(spark, corpora):
+    texts = [" ".join(ws) for ws in corpora]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    assert bpe_train(docs, n_merges=6) == _py_train(texts, 6)
