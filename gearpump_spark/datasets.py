@@ -91,7 +91,12 @@ def _few_splits(path: str, target: int) -> bool:
             n_files = 1
         else:
             return False  # unreadable/unknown: trust the source's splits
-        return n_files < max(2, target // 4)
+        # under one file per core: fixture files are single-row-group
+        # (unsplittable), so anything short of `target` files leaves cores
+        # idle in scan-side stages — CPU-bound Arrow UDF stages feel this
+        # hardest. Real warehouses have thousands of splits and never hit
+        # this branch (and any scheme:// path returns False above).
+        return n_files < max(2, target)
     except OSError:
         return False
 

@@ -71,9 +71,16 @@ def main() -> None:
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
-        # ~8 files per table: enough scan splits that datasets.table's
-        # few-splits repartition guard never fires at this size
-        df.repartition(8).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        # one file per core: a real 10x table has thousands of splits, so
+        # the fixture should saturate the rig's scan parallelism too. (8
+        # files sat exactly AT datasets._few_splits' no-repartition
+        # threshold and left 3/4 of the cores idle in CPU-bound
+        # mapInPandas stages — measured 16x instead of ~8x on the
+        # refined-JPEG decode at the sf0.1→sf1 step.)
+        n_files = max(32, spark.sparkContext.defaultParallelism)
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
         n = spark.read.parquet(f"{out}/{name}.parquet").count()
         print(f"{name}: {n} rows")
 
