@@ -126,6 +126,94 @@ def bm25_topk_from_index(
     return _score_topk(postings, dl, stats, terms, k, id_col)
 
 
+def phrase_match(
+    docs: DataFrame,
+    phrase: tuple[str, ...] | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search: (id, n_occurrences) for documents containing
+    the consecutive token sequence `phrase` (lowercased whitespace
+    tokens). The classic positional-index algorithm: filter each term's
+    (doc, position) postings, then equi-join on doc with the position
+    offset folded into the join — term k must sit at pos0 + k.
+
+    Scale: the per-token explode is narrow; only the PHRASE TERMS'
+    positions ever shuffle (filter before the join); each join keys on
+    (doc, aligned position) so it's a plain hash join with no fan-out —
+    a phrase occurrence meets exactly once."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.transform(TX.tokens(F.col(text_col)), F.lower)).alias(
+            "pos", "word"
+        ),
+    )
+    return _phrase_from_positions(toks, phrase, id_col)
+
+
+def _phrase_from_positions(
+    toks: DataFrame, phrase: tuple[str, ...] | list[str], id_col: str
+) -> DataFrame:
+    """toks: (id, pos, word) rows. Join the k-th term at anchor+k."""
+    anchor = (
+        toks.where(F.col("word") == phrase[0])
+        .select(F.col(id_col), F.col("pos").alias("_p0"))
+    )
+    cur = anchor
+    for k, term in enumerate(phrase[1:], start=1):
+        nxt = toks.where(F.col("word") == term).select(
+            F.col(id_col), (F.col("pos") - k).alias("_p0")
+        )
+        cur = cur.join(nxt, [id_col, "_p0"])
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(id_col)
+    )
+
+
+def positional_index_write(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> None:
+    """Materialize a POSITIONAL inverted index: (word, doc, positions[])
+    hash-bucketed by term. Phrase queries then read only their terms'
+    postings — the corpus text is never re-tokenized."""
+    from gearpump_spark.operators.physical import write_bucketed
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.transform(TX.tokens(F.col(text_col)), F.lower)).alias(
+            "pos", "word"
+        ),
+    )
+    postings = toks.groupBy("word", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    write_bucketed(postings, table_name, "word", n_buckets=n_buckets, sort_by="word")
+
+
+def phrase_match_from_index(
+    spark, table_name: str, phrase: tuple[str, ...] | list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase search over a positional index written by
+    positional_index_write: identical results to phrase_match over the
+    source docs; the scan reads only the phrase terms' postings."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    postings = spark.table(table_name).where(F.col("word").isin(*set(phrase)))
+    toks = postings.select(
+        id_col, "word", F.explode("positions").alias("pos")
+    )
+    return _phrase_from_positions(toks, phrase, id_col)
+
+
 def _score_topk(
     postings: DataFrame,
     dl: DataFrame,

@@ -1432,6 +1432,37 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_phrase_match",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    pos AS (
+        SELECT doc_id, tk[i + 1] AS word, i AS pos
+        FROM toks, UNNEST(RANGE(0, LEN(tk))) AS u(i)),
+    a AS (SELECT doc_id, pos AS p0 FROM pos WHERE word = 'merge'),
+    b AS (SELECT doc_id, pos - 1 AS p0 FROM pos WHERE word = 'stream'),
+    m AS (SELECT a.doc_id, a.p0 FROM a JOIN b USING (doc_id, p0))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="exact phrase search 'merge stream' via positional postings: "
+    "term k joins at anchor position + k (the classic positional-index "
+    "algorithm) — only the phrase terms' positions ever shuffle; also "
+    "runs against a persistent positional inverted index with identical "
+    "results (operators/retrieval.positional_index_write)",
+)
+def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.retrieval import phrase_match
+
+    docs = table(spark, sf_dir, "documents")
+    return phrase_match(docs, ("merge", "stream"))
+
+
+@register(
     "text_bpe_tokens",
     oracle=None,  # iterative trainer (argmax per round) — golden-tested
     desc="REAL BPE (Sennrich 2016): train a 16-merge table over word-type "

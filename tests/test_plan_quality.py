@@ -590,3 +590,34 @@ def test_text_inverted_index_query_matches_inline_and_prunes(spark):
     finally:
         for t in ("txt_idx_test", "txt_idx_test_docs", "txt_idx_test_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_positional_index_phrase_matches_inline_and_prunes(spark):
+    """Positional inverted index: phrase queries read only the phrase
+    terms' postings (pushed In-filter), never re-tokenize the corpus,
+    and agree exactly with the inline positional join — including a
+    3-term phrase and a repeated-term phrase."""
+    from gearpump_spark.operators.retrieval import (
+        phrase_match,
+        phrase_match_from_index,
+        positional_index_write,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try:
+        positional_index_write(docs, "pos_idx_test", n_buckets=4)
+        for phrase in (
+            ("merge", "stream"),
+            ("table", "table"),          # repeated term: overlapping anchors
+            ("data", "query", "small"),  # 3-term: two offset joins
+        ):
+            out = phrase_match_from_index(spark, "pos_idx_test", phrase)
+            inline = phrase_match(docs, phrase)
+            assert [tuple(r) for r in out.collect()] == [
+                tuple(r) for r in inline.collect()
+            ], phrase
+        p = plan(phrase_match_from_index(spark, "pos_idx_test", ("merge", "stream")))
+        assert "PushedFilters" in p
+        assert "text" not in p.split("ReadSchema")[1][:200]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pos_idx_test")
