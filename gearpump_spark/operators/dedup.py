@@ -348,9 +348,25 @@ def incremental_dedup(
     inline from the snapshot rows.
     """
     snap_fp = snapshot.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return incremental_dedup_against_index(batch, snap_fp, id_col, text_col)
+
+
+def incremental_dedup_against_index(
+    batch: DataFrame,
+    fp_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The materialized-index form of incremental_dedup: the snapshot side
+    is already a fingerprint table (an `fp` column) — the steady-state
+    crawl loop appends each batch's accepted fingerprints back to this
+    index and never re-hashes history. Composes directly with
+    foreachBatch for streaming ingest (tests/test_streaming.py)."""
     survivors = (
         batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return survivors.join(snap_fp, "fp", "left_anti").select(id_col, "fp")
+    return survivors.join(
+        fp_index.select("fp").distinct(), "fp", "left_anti"
+    ).select(id_col, "fp")

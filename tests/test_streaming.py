@@ -508,3 +508,71 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     expect = chunk_by_tokens(df, size=8, stride=6).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, expect))
     assert len(out) > 4  # doc 3 fans out into multiple windows
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Steady-state crawl ingest as a stream: each micro-batch dedups
+    against the materialized fingerprint index (within-batch min-id +
+    anti-join), then appends its ACCEPTED fingerprints back to the index
+    — so later batches reject duplicates of earlier accepted docs, not
+    just of the original snapshot. foreachBatch runs batches strictly in
+    sequence, which is exactly the ordering this loop needs."""
+    from gearpump_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup_against_index,
+    )
+
+    idx_path = str(tmp_path / "fp_index")
+    snap = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text")], "doc_id bigint, text string"
+    )
+    snap.select(fingerprint(F.col("text")).alias("fp")).distinct().write.parquet(
+        idx_path
+    )
+
+    batches = [
+        # dup-of-snapshot, new, dup-within-batch (higher id loses)
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        # dup of batch-1's accepted doc, and a genuinely new doc
+        [(13, "gamma text"), (14, "delta text")],
+    ]
+    src = str(tmp_path / "crawl")
+    schema = "doc_id bigint, text string"
+    written = []
+    for chunk in batches:
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        new = [f"{src}/{f}" for f in set(os.listdir(src)) - before
+               if f.endswith(".parquet")]
+        written.append(new)
+    _bump_mtimes(src, written)
+
+    accepted: list[int] = []
+
+    def handle(batch_df, _epoch):
+        idx = spark.read.parquet(idx_path)
+        fresh = incremental_dedup_against_index(batch_df, idx).collect()
+        if not fresh:
+            return
+        accepted.extend(sorted(r.doc_id for r in fresh))
+        spark.createDataFrame(
+            [(r.fp,) for r in fresh], "fp string"
+        ).write.mode("append").parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "crawl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert accepted == [11, 14]
+    # the index now holds snapshot + accepted fingerprints, all distinct
+    assert spark.read.parquet(idx_path).distinct().count() == 4
