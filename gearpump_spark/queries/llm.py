@@ -698,7 +698,9 @@ def _cos_pair_sql(x: str, y: str) -> str:
     "dedup_semantic",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-                  FROM embeddings WHERE vec_id < 8),
+                  FROM embeddings
+                  WHERE vec_id < GREATEST(8, (SELECT COUNT(*) // 250
+                                              FROM embeddings))),
     scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
                {_cos_pair_sql('e.embedding', 'c.cvec')} AS cs
@@ -718,19 +720,24 @@ def _cos_pair_sql(x: str, y: str) -> str:
     ORDER BY vec_id
     """,
     desc="SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the "
-    "embedding space (deterministic fixed centroids = 8 lowest-id vectors; "
-    "the paper's k-means is an unverifiable fixpoint), then drop any "
-    "vector whose cluster holds a lower-id vector with cosine >= 0.30 — "
-    "pairwise cost bounded by per-cluster squares, never corpus-quadratic",
+    "embedding space (deterministic fixed centroids = the k lowest-id "
+    "vectors, k = max(8, n/250) so k GROWS with the corpus — the paper's "
+    "k-means is an unverifiable fixpoint), then drop any vector whose "
+    "cluster holds a lower-id vector with cosine >= 0.30 — with k ∝ n "
+    "the intra-cluster pair cost n²/k stays LINEAR in the corpus",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors of intra-cluster semantic pruning. Scale: centroids
     broadcast; argmax assignment is a map-side struct max (no per-vector
-    window shuffle); only the intra-cluster pair join shuffles, keyed on
-    cluster id — grow n_clusters with the corpus (the paper uses 50k) so
-    per-cluster pair counts stay bounded; AQE splits skewed clusters."""
+    window shuffle); only the salted intra-cluster pair join shuffles.
+    k = max(8, n // 250) mirrors the paper's corpus-proportional cluster
+    count (they use 50k at LAION scale): fixing k would make the pair
+    join quadratic in the corpus — measured 36x on a 10x data step before
+    k became data-derived. The count() action to size k is one cheap
+    metadata-ish job, same pattern as IVF's trained-centroid literals."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, n_clusters=8, threshold=0.30).orderBy("vec_id")
+    k = max(8, emb.count() // 250)
+    return S.semantic_dedup(emb, n_clusters=k, threshold=0.30).orderBy("vec_id")
 
 
 @register(
