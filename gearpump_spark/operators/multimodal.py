@@ -1446,6 +1446,7 @@ class JpegDecoder(GifDecoder):
             comps = None  # [(comp_id, q_table_id)] in SOF order
             scan_tables = None  # comp_id -> (dc_th, ac_th) from SOS
             scan = None
+            dri = 0  # restart interval in MCUs (DRI segment), 0 = none
             while i + 4 <= n:
                 if payload[i] != 0xFF:
                     return None
@@ -1506,6 +1507,8 @@ class JpegDecoder(GifDecoder):
                             code <<= 1
                         luts[(tc, th)] = lut
                         j += 17 + nv
+                elif marker == 0xDD:  # DRI: restart interval
+                    dri = int.from_bytes(body[0:2], "big")
                 elif marker == 0xDA:  # SOS: component->table map + data
                     ns = body[0]
                     scan_tables = {}
@@ -1518,14 +1521,22 @@ class JpegDecoder(GifDecoder):
                 i += 2 + seg_len
             if scan is None or w is None or comps is None or scan_tables is None:
                 return None
-            # unstuff 0xFF00 and stop at any real marker
+            # unstuff 0xFF00; RSTn markers (FFD0-FFD7) live INSIDE the
+            # entropy stream when DRI is set — record each segment
+            # boundary's bit position and strip the marker; stop at any
+            # other real marker
             data = bytearray()
+            restart_marks: list[int] = []
             j = 0
             while j < len(scan):
                 b = scan[j]
                 if b == 0xFF:
                     if j + 1 < len(scan) and scan[j + 1] == 0x00:
                         data.append(0xFF)
+                        j += 2
+                        continue
+                    if j + 1 < len(scan) and 0xD0 <= scan[j + 1] <= 0xD7:
+                        restart_marks.append(len(data) * 8)
                         j += 2
                         continue
                     break
@@ -1586,8 +1597,20 @@ class JpegDecoder(GifDecoder):
                 )
                 tables.append((quant, dc_lut, ac_lut, hi, vi))
             preds = [0] * len(comps)
+            mcus_done = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    # restart boundary: realign to the recorded segment
+                    # start (byte boundary) and reset the DC predictors
+                    if dri and mcus_done and mcus_done % dri == 0:
+                        if not restart_marks:
+                            return None  # stream promised a RST, none left
+                        mark = restart_marks.pop(0)
+                        if mark < bitpos:
+                            return None  # segments out of order: corrupt
+                        bitpos = mark
+                        preds = [0] * len(comps)
+                    mcus_done += 1
                     # interleaved MCU: each component contributes hi*vi
                     # blocks in raster order (4:2:0 -> 4 Y, 1 Cb, 1 Cr)
                     for ci, (quant, dc_lut, ac_lut, hi, vi) in enumerate(tables):
@@ -2213,6 +2236,7 @@ def encode_jpeg_color(
     rows: list[list[list[int]]],
     dc_quant: int = 8,
     subsample: bool | str = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL baseline 4:4:4 color JPEG from a top-down [B,G,R] raster:
     RGB -> YCbCr with floor(x+0.5) rounding (NOT python round(), whose
@@ -2225,7 +2249,11 @@ def encode_jpeg_color(
     of 4 Y + Cb + Cr blocks. With ``subsample="422"`` emits 4:2:2
     (broadcast/DV chroma layout): Y at 2x1, chroma halved horizontally
     only, 16x8-pixel MCUs of 2 Y + Cb + Cr blocks. Decodable by any JPEG
-    reader and JpegDecoder (whose MCU walk is generic over (hi, vi))."""
+    reader and JpegDecoder (whose MCU walk is generic over (hi, vi)).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (byte-aligned, DC predictors reset) — the real-world
+    error-resilience/parallel-decode feature most camera JPEGs carry."""
     import math
 
     h = len(rows)
@@ -2313,9 +2341,29 @@ def encode_jpeg_color(
         mcus_x = (w + 7) // 8
         mcus_y = (h + 7) // 8
 
+    def restart_flush(idx: int) -> None:
+        """Byte-align (pad with 1s, stuffing a padded 0xFF) and emit
+        RST(idx % 8) — segment boundaries are always byte boundaries."""
+        nonlocal acc, nacc
+        if nacc:
+            acc <<= 8 - nacc
+            acc |= (1 << (8 - nacc)) - 1
+            bits.append(acc)
+            if acc == 0xFF:
+                bits.append(0x00)
+            acc = 0
+            nacc = 0
+        bits.append(0xFF)
+        bits.append(0xD0 + idx % 8)
+
     preds = [0, 0, 0]
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                restart_flush(mcu_idx // restart_interval - 1)
+                preds = [0, 0, 0]
+            mcu_idx += 1
             for ci in range(3):
                 plane = planes[ci]
                 pw, ph = dims[ci]
@@ -2370,6 +2418,10 @@ def encode_jpeg_color(
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(
+            2, "big"
+        )
     out += (
         b"\xff\xc0"
         + (17).to_bytes(2, "big")
@@ -2436,6 +2488,31 @@ def synthesize_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(
                     encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg_dri_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same closed-form constant-color rasters but encoded with a
+    restart interval of 1 (an RSTn marker after EVERY MCU — the maximum
+    restart density): exercises byte realignment, marker stripping, and
+    DC-predictor resets at every boundary, under the same color oracle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(
+                    encode_jpeg_color(
+                        [[[b, g, r]] * w for _ in range(h)], restart_interval=1
+                    )
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
 

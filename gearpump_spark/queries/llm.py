@@ -2101,6 +2101,34 @@ def multimodal_jpeg_420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_dri_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL restart-marker JPEG decode (DRI interval 1: an RSTn after "
+    "every MCU — byte realignment, marker stripping, DC-predictor reset "
+    "at every boundary); the error-resilience feature most camera JPEGs "
+    "carry, same closed-form color oracle",
+)
+def multimodal_jpeg_dri_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_dri_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_dri_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")
+
+
+@register(
     "multimodal_jpeg_422_real",
     oracle=f"""
     WITH {_SQL_JC}

@@ -870,3 +870,33 @@ def test_jpeg_422_subsampled():
     worst420 = max(abs(a - b) for rb, rs in zip(base, sub420)
                    for pb, ps in zip(rb, rs) for a, b in zip(pb, ps))
     assert worst <= worst420  # horizontal-only subsampling loses less
+
+
+def test_jpeg_restart_intervals_match_unrestarted():
+    """DRI/RSTn: byte-aligned restart markers inside the entropy stream
+    with DC-predictor resets must decode bit-identically to the same
+    raster encoded without restarts — across intervals, geometries, and
+    subsampling modes (incl. a padded-0xFF byte right before a marker,
+    which must be stuffed)."""
+    import random
+
+    from gearpump_spark.operators.multimodal import JpegDecoder, encode_jpeg_color
+
+    d = JpegDecoder()
+    rng = random.Random(5)
+    for (w, h), mode, dri in [
+        ((20, 12), False, 1), ((20, 12), False, 3), ((33, 17), False, 2),
+        ((33, 17), "422", 2), ((33, 17), True, 1), ((40, 40), False, 4),
+    ]:
+        rows = [[[rng.randrange(256) for _ in range(3)] for _ in range(w)]
+                for _ in range(h)]
+        base = d.decode_pixels(encode_jpeg_color(rows, subsample=mode))
+        rst = d.decode_pixels(
+            encode_jpeg_color(rows, subsample=mode, restart_interval=dri)
+        )
+        assert rst is not None and rst["rows"] == base["rows"], (w, h, mode, dri)
+    # truncated restart stream -> None, never raises
+    rows = [[[rng.randrange(256) for _ in range(3)] for _ in range(24)]
+            for _ in range(16)]
+    enc = encode_jpeg_color(rows, restart_interval=1)
+    assert d.decode_pixels(enc[: len(enc) // 2]) is None
