@@ -101,20 +101,25 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    require_all: bool = False,
 ) -> DataFrame:
     """Inline BM25 top-k (no index): one pass to build the three
     relations, then the same scoring join as the indexed path. The
     query-term filter lands BEFORE the tf aggregate, so the only
-    per-token shuffle carries matching rows."""
+    per-token shuffle carries matching rows. ``require_all=True`` gives
+    conjunctive (boolean AND) semantics: only documents containing EVERY
+    query term rank — the matched-term count rides the same pivot
+    aggregate, no extra join."""
     postings, dl, stats = tokenize_postings(docs, text_col, id_col)
     return _score_topk(
-        postings.where(F.col("word").isin(*terms)), dl, stats, terms, k, id_col
+        postings.where(F.col("word").isin(*terms)), dl, stats, terms, k, id_col,
+        require_all,
     )
 
 
 def bm25_topk_from_index(
     spark, table_name: str, terms: tuple[str, ...] | list[str], k: int = 10,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", require_all: bool = False,
 ) -> DataFrame:
     """Query a persistent inverted index written by text_index_write:
     identical results to bm25_topk over the source docs, but the scan
@@ -123,7 +128,7 @@ def bm25_topk_from_index(
     postings = spark.table(table_name).where(F.col("word").isin(*terms))
     dl = spark.table(f"{table_name}_docs")
     stats = spark.table(f"{table_name}_stats")
-    return _score_topk(postings, dl, stats, terms, k, id_col)
+    return _score_topk(postings, dl, stats, terms, k, id_col, require_all)
 
 
 def phrase_match(
@@ -221,6 +226,7 @@ def _score_topk(
     terms: tuple[str, ...] | list[str],
     k: int,
     id_col: str,
+    require_all: bool = False,
 ) -> DataFrame:
     dfc = postings.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     scored = (
@@ -235,5 +241,12 @@ def _score_topk(
             ).alias("s"),
         )
     )
-    pivoted = scored.groupBy(id_col).agg(bm25_pivot_score(terms).alias("score"))
+    if require_all:
+        pivoted = scored.groupBy(id_col).agg(
+            bm25_pivot_score(terms).alias("score"),
+            F.count("*").alias("_nm"),  # one row per matched term
+        )
+        pivoted = pivoted.where(F.col("_nm") == len(set(terms))).drop("_nm")
+    else:
+        pivoted = scored.groupBy(id_col).agg(bm25_pivot_score(terms).alias("score"))
     return pivoted.orderBy(F.desc("score"), id_col).limit(k).select(id_col, "score")

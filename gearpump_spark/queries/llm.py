@@ -1439,6 +1439,51 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_topk_and",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dl FROM toks),
+    words AS (SELECT doc_id, UNNEST(tk) AS word FROM toks),
+    qw AS (SELECT doc_id, word FROM words
+           WHERE word IN ('vector', 'merge', 'stream')),
+    tfc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM qw GROUP BY doc_id, word),
+    dfc AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qw GROUP BY word),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+                   CAST((SELECT SUM(LEN(tk)) FROM toks) AS BIGINT) AS t),
+    terms AS (
+        SELECT f.doc_id, f.word,
+               (22.0 * f.tf * t * (2 * n - 2 * d.df + 1)) /
+               ((10.0 * f.tf * t + 3.0 * t + 9.0 * l.dl * n) * (2 * d.df + 1)) AS s
+        FROM tfc f JOIN dfc d USING (word) JOIN dl l USING (doc_id), tot),
+    pivoted AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN word = 'vector' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN word = 'merge' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN word = 'stream' THEN s END), 0.0) AS score
+        FROM terms GROUP BY doc_id
+        HAVING COUNT(*) = 3)
+    SELECT doc_id, score FROM pivoted
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    desc="conjunctive (boolean AND) BM25: only documents containing EVERY "
+    "query term rank — the matched-term count rides the same pivot "
+    "aggregate (no extra join); same engine-exact scorer as text_bm25_topk",
+)
+def text_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ("vector", "merge", "stream"), k=10, require_all=True)
+
+
+@register(
     "text_phrase_match",
     oracle=r"""
     WITH toks AS (
