@@ -70,16 +70,22 @@ def bpe_train(
     n_merges: int = 30,
     text_col: str = "text",
     min_freq: int = 2,
+    end_of_word: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn a ranked merge table from the corpus. Returns [(left, right)]
     in rank order. Stops early when the best pair's weighted frequency
-    falls below min_freq."""
+    falls below min_freq.
+
+    ``end_of_word`` (e.g. "</w>", the Sennrich 2016 setup) appends a
+    boundary symbol to every word so merges can learn whole-word units
+    ("low</w>") distinct from prefixes ("low" inside "lower") — the
+    variant real subword vocabularies train with."""
+    chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
+    if end_of_word:
+        chars = F.concat(chars, F.array(F.lit(end_of_word)))
     vocab = (
         _word_counts(docs, text_col)
-        .select(
-            "cnt",
-            F.filter(F.split("word", "(?!^)"), lambda x: x != "").alias("syms"),
-        )
+        .select("cnt", chars.alias("syms"))
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
@@ -107,10 +113,14 @@ def bpe_train(
     return merges
 
 
-def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def bpe_encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    end_of_word: str | None = None,
+) -> list[str]:
     """Reference greedy encoder: repeatedly merge the best-ranked adjacent
     pair. Used by the tokenizer UDF and by the pytest golden."""
-    syms = list(word)
+    syms = list(word) + ([end_of_word] if end_of_word else [])
     while len(syms) > 1:
         pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
         ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
@@ -126,10 +136,12 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    end_of_word: str | None = None,
 ) -> DataFrame:
     """(id, n_ws_tokens, n_bpe_tokens, bpe_tokens): tokenize each document
     with the learned merge table. Narrow Arrow-batched map — payload text
-    never shuffles; per-batch word cache exploits Zipfian reuse."""
+    never shuffles; per-batch word cache exploits Zipfian reuse.
+    ``end_of_word`` must match what the table was trained with."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -138,7 +150,7 @@ def bpe_tokenize(
         def enc(w: str) -> list[str]:
             out = cache.get(w)
             if out is None:
-                out = bpe_encode_word(w, ranks)
+                out = bpe_encode_word(w, ranks, end_of_word)
                 cache[w] = out
             return out
 

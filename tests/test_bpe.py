@@ -147,3 +147,57 @@ def test_trainer_property_matches_reference(spark, corpora):
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
     )
     assert bpe_train(docs, n_merges=6) == _py_train(texts, 6)
+
+
+def _py_train_eow(texts, n_merges, mark="</w>", min_freq=2):
+    """Reference trainer with the Sennrich end-of-word boundary symbol."""
+    wc = collections.Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = {w: list(w) + [mark] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pf = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pf[(syms[i], syms[i + 1])] += wc[w]
+        if not pf:
+            break
+        best = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_end_of_word_variant_matches_reference_and_learns_word_units(spark):
+    """The </w> variant: trainer matches the reference, learned merges can
+    produce whole-word units distinct from prefixes, and the tokenizer
+    round-trips with the boundary marker appended per word."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+    merges = bpe_train(docs, n_merges=16, end_of_word="</w>")
+    assert merges == _py_train_eow(TEXTS, 16)
+    # boundary symbol participates in merges (word-final units learnable)
+    assert any("</w>" in a or "</w>" in b for a, b in merges)
+    out = {r.doc_id: r for r in bpe_tokenize(
+        docs, merges, end_of_word="</w>").collect()}
+    for i, t in enumerate(TEXTS):
+        words = t.lower().split()
+        assert "".join(out[i].bpe_tokens) == "".join(w + "</w>" for w in words)
+    # "low" as a full word can end in low</w> while "lower" keeps "low"
+    ranks = {p: r for r, p in enumerate(merges)}
+    full = bpe_encode_word("low", ranks, end_of_word="</w>")
+    prefix = bpe_encode_word("lower", ranks, end_of_word="</w>")
+    assert full[-1].endswith("</w>") and prefix[-1].endswith("</w>")
+    assert full != prefix[: len(full)]
