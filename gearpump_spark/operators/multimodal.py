@@ -683,6 +683,77 @@ def pixel_stats(
     )
 
 
+def pixel_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Container-invariant image fingerprint: md5 of the DECODED raster's
+    hex string (per-pixel B,G,R bytes, row-major top-down) — the same
+    image stored as BMP, PNG, or GIF hashes identically, so image dedup
+    keys on content, not encoding. Arrow-batched narrow map; undecodable
+    payloads yield null fingerprints."""
+    import hashlib
+
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].values,
+                "width": [],
+                "height": [],
+                "pixel_fp": [],
+            }
+            for p in pdf[payload_col]:
+                img = decoder.decode_pixels(bytes(p))
+                if img is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["pixel_fp"].append(None)
+                else:
+                    hexes = "".join(
+                        f"{c:02x}" for row in img["rows"] for px in row for c in px
+                    )
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["pixel_fp"].append(hashlib.md5(hexes.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, "doc_id bigint, width int, height int, pixel_fp string"
+    )
+
+
+def synthesize_multiformat_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Every 3 consecutive doc_ids share ONE raster (group = doc_id // 3:
+    w = 2 + group % 5, h = 1 + group % 4, color r=(41g+7)%256,
+    g=(83g+29)%256, b=(29g+171)%256) but store it in a DIFFERENT lossless
+    container — BMP, PNG, or GIF by doc_id % 3. The canonical fixture for
+    container-invariant dedup: byte-level hashing sees three distinct
+    payloads, pixel-level hashing sees one image."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                grp = i // 3
+                w, h = 2 + grp % 5, 1 + grp % 4
+                r, g, b = (41 * grp + 7) % 256, (83 * grp + 29) % 256, (29 * grp + 171) % 256
+                rows = [[[b, g, r]] * w for _ in range(h)]
+                fmt = i % 3
+                if fmt == 0:
+                    payloads.append(PixelDecoder.encode_bmp(rows))
+                elif fmt == 1:
+                    payloads.append(PixelDecoder.encode_png(rows))
+                else:
+                    payloads.append(GifDecoder.encode_gif(rows))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
 def audio_sample_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
 ) -> DataFrame:

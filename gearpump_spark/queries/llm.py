@@ -2146,6 +2146,64 @@ def multimodal_jpeg_420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_dedup",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, doc_id // 3 AS grp FROM documents),
+    px AS (
+        SELECT doc_id,
+               2 + grp % 5 AS w, 1 + grp % 4 AS h,
+               (41 * grp + 7) % 256 AS cr,
+               (83 * grp + 29) % 256 AS cg,
+               (29 * grp + 171) % 256 AS cb
+        FROM dims),
+    fp AS (
+        SELECT doc_id, w, h,
+               MD5(REPEAT(LOWER(LPAD(TO_HEX(cb), 2, '0')
+                          || LPAD(TO_HEX(cg), 2, '0')
+                          || LPAD(TO_HEX(cr), 2, '0')), w * h)) AS pixel_fp
+        FROM px)
+    SELECT pixel_fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height
+    FROM fp GROUP BY pixel_fp ORDER BY keep_id
+    """,
+    desc="container-invariant image dedup: every 3 consecutive docs hold "
+    "the SAME raster stored as BMP vs PNG vs GIF — byte hashing sees 3 "
+    "payloads, the decoded-pixel md5 sees one image; groups key on "
+    "content, min-id winner. The oracle derives each fingerprint in "
+    "closed form from the synthesizer arithmetic, so the REAL decode of "
+    "all three containers is what's being hash-checked",
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup on decoded pixels, not payload bytes. Scale: decode +
+    fingerprint is a narrow Arrow map (payloads never shuffle); only the
+    16-byte fingerprints reach the groupBy exchange — the exact-dedup
+    cost model, applied to images."""
+    from gearpump_spark.operators.multimodal import (
+        GifDecoder,
+        pixel_fingerprints,
+        synthesize_multiformat_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    fps = pixel_fingerprints(
+        synthesize_multiformat_payloads(docs), decoder=GifDecoder()
+    )
+    return (
+        fps.groupBy("pixel_fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("width").cast("int").alias("width"),
+            F.min("height").cast("int").alias("height"),
+        )
+        .orderBy("keep_id")
+        .select("pixel_fp", "keep_id", "n_copies", "width", "height")
+    )
+
+
+@register(
     "multimodal_jpeg_dri_real",
     oracle=f"""
     WITH {_SQL_JC}
