@@ -723,6 +723,106 @@ def pixel_fingerprints(
     )
 
 
+def phash64(rows: list[list[list[int]]]) -> int:
+    """64-bit perceptual hash (pHash): luminance → 32x32 nearest-neighbor
+    resample → separable 2D DCT-II → the 8x8 low-frequency block minus DC
+    (63 coefficients) thresholded at their median. Robust to uniform
+    brightness shifts (only DC moves — and DC is excluded) and to
+    re-encoding; Hamming distance measures visual similarity. Numpy does
+    the DCT (O(N^3) separable, not O(N^4) direct)."""
+    import numpy as np
+
+    h, w = len(rows), len(rows[0])
+    gray = np.empty((32, 32))
+    for y in range(32):
+        sy = y * h // 32
+        row = rows[sy]
+        for x in range(32):
+            b, g, r = row[x * w // 32]
+            gray[y, x] = 0.299 * r + 0.587 * g + 0.114 * b
+    n = 32
+    k = np.arange(n)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    dct = basis @ gray @ basis.T  # separable 2D DCT-II (unscaled)
+    low = dct[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(low)
+    bits = 0
+    for i, c in enumerate(low):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, width, height, phash): perceptual hashes of decoded payloads —
+    near-duplicate images (re-encoded, brightness-shifted) collide where
+    byte and exact-pixel hashes differ. Narrow Arrow map; downstream
+    grouping (exact) or band-bucketing (Hamming, as in SimHash) keys on
+    the 8-byte hash only."""
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].values,
+                "width": [],
+                "height": [],
+                "phash": [],
+            }
+            for p in pdf[payload_col]:
+                img = decoder.decode_pixels(bytes(p))
+                if img is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["phash"].append(None)
+                else:
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    # store as signed 64-bit (Spark long)
+                    bits = phash64(img["rows"])
+                    out["phash"].append(bits - (1 << 64) if bits >= 1 << 63 else bits)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, "doc_id bigint, width int, height int, phash bigint"
+    )
+
+
+def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup fixture for pHash: every 2 consecutive doc_ids share one
+    deterministic LCG-noise pattern (group = doc_id // 2 seeds the
+    generator; gray values 40..199) but the odd doc adds a uniform +8
+    brightness shift (clip-safe). Exact pixel hashes differ within the
+    pair; pHash is identical — the shift lives in the excluded DC
+    coefficient, and a noise spectrum has no coefficient ties at the
+    median for float wobble to flip (a LINEAR-GRADIENT fixture fails
+    exactly that way: sawtooth DCTs put half the coefficients in an
+    exact tie at the median; measured in-pair Hamming up to 30/64)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                s = (i // 2) * 2654435761 % (2**32)
+                off = 8 * (i % 2)
+                rows = []
+                for _y in range(16):
+                    row = []
+                    for _x in range(24):
+                        s = (s * 1103515245 + 12345) % (2**31)
+                        row.append([40 + (s >> 16) % 160 + off] * 3)
+                    rows.append(row)
+                payloads.append(PixelDecoder.encode_png(rows))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
 def synthesize_multiformat_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Every 3 consecutive doc_ids share ONE raster (group = doc_id // 3:
     w = 2 + group % 5, h = 1 + group % 4, color r=(41g+7)%256,

@@ -2204,6 +2204,38 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_neardup",
+    oracle=None,  # DCT-based hash: no SQL form — numpy-golden + pair tests
+    desc="perceptual-hash (pHash) image NEAR-dup: luminance -> 32x32 -> "
+    "2D DCT -> 8x8 low band minus DC, median-thresholded to 64 bits; "
+    "brightness-shifted re-encodes collide (the shift lives in the "
+    "excluded DC), unrelated images sit >= 18 bits apart; fixture pairs "
+    "(same noise pattern, +-8 brightness) group exactly 2-by-2",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup groups on perceptual hashes. Scale: decode+hash is
+    a narrow Arrow map; only 8-byte hashes reach the groupBy. For
+    Hamming-tolerant matching at scale, band the 64 bits into 4x16-bit
+    keys and bucket-join (the SimHash pipeline), never all-pairs."""
+    from gearpump_spark.operators.multimodal import (
+        phash_fingerprints,
+        synthesize_noise_pair_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    fps = phash_fingerprints(synthesize_noise_pair_payloads(docs))
+    return (
+        fps.groupBy("phash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_near_dups"),
+        )
+        .orderBy("keep_id")
+        .select("keep_id", "n_near_dups", "phash")
+    )
+
+
+@register(
     "multimodal_jpeg_dri_real",
     oracle=f"""
     WITH {_SQL_JC}

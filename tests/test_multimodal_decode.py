@@ -900,3 +900,54 @@ def test_jpeg_restart_intervals_match_unrestarted():
             for _ in range(16)]
     enc = encode_jpeg_color(rows, restart_interval=1)
     assert d.decode_pixels(enc[: len(enc) // 2]) is None
+
+
+def test_phash_brightness_invariance_and_separation(spark):
+    """pHash: the +8-brightness twin of every noise image hashes
+    IDENTICALLY (shift lives in the excluded DC coefficient); unrelated
+    images stay many bits apart; and the separable DCT matches a direct
+    O(N^4) reference."""
+    import numpy as np
+
+    from gearpump_spark.operators.multimodal import (
+        phash64,
+        phash_fingerprints,
+        synthesize_noise_pair_payloads,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    fps = {r.doc_id: r.phash for r in phash_fingerprints(
+        synthesize_noise_pair_payloads(ids)).collect()}
+    for g in range(20):
+        assert fps[2 * g] == fps[2 * g + 1], g  # near-dup pair collides
+    cross = [
+        bin((fps[2 * i] ^ fps[2 * j]) & (2**64 - 1)).count("1")
+        for i in range(20) for j in range(i + 1, 20)
+    ]
+    assert min(cross) >= 10  # unrelated patterns far apart
+
+    # separable DCT == direct double-sum DCT on one image
+    rows = [[[(x * 37 + y * 91 + (x * y) % 13) % 256] * 3 for x in range(24)]
+            for y in range(16)]
+    n = 32
+    gray = np.empty((n, n))
+    for y in range(n):
+        for x in range(n):
+            b, g2, r = rows[y * 16 // n][x * 24 // n]
+            gray[y, x] = 0.299 * r + 0.587 * g2 + 0.114 * b
+    d = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            d[u, v] = sum(
+                gray[yy, xx]
+                * np.cos((2 * yy + 1) * u * np.pi / (2 * n))
+                * np.cos((2 * xx + 1) * v * np.pi / (2 * n))
+                for yy in range(n) for xx in range(n)
+            )
+    low = d.flatten()[1:]
+    med = np.median(low)
+    want = 0
+    for i, c in enumerate(low):
+        if c > med:
+            want |= 1 << i
+    assert phash64(rows) == want
