@@ -823,6 +823,82 @@ def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     )
 
 
+def audio_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Bit-depth-invariant audio fingerprint: decode the REAL PCM samples,
+    normalize each to 8-bit significance (integer shift by bits-8 — exact,
+    no float), and md5 the comma-joined values. The same waveform stored
+    at 8/16/24-bit depths hashes identically, so audio dedup keys on the
+    signal, not the container encoding. Narrow Arrow map."""
+    import hashlib
+
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col].values, "n_samples": [], "audio_fp": []}
+            for p in pdf[payload_col]:
+                payload = bytes(p)
+                meta = decoder.sniff_audio(payload)
+                samples = decoder.decode_audio_samples(payload)
+                if meta is None or samples is None:
+                    out["n_samples"].append(None)
+                    out["audio_fp"].append(None)
+                else:
+                    shift = meta["bits_per_sample"] - 8
+                    norm = [v >> shift if shift else v for v in samples]
+                    key = ",".join(str(v) for v in norm)
+                    out["n_samples"].append(len(samples))
+                    out["audio_fp"].append(hashlib.md5(key.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, "doc_id bigint, n_samples int, audio_fp string"
+    )
+
+
+def synthesize_multidepth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Every 3 consecutive doc_ids carry ONE waveform (group = doc_id // 3:
+    16 mono samples s_k = (11·group + 17·k) % 200 - 100) stored at a
+    DIFFERENT bit depth — 8-bit unsigned (128+s), 16-bit signed (s·256),
+    24-bit signed (s·65536) by doc_id % 3. Byte hashing sees three
+    payloads; depth-normalized sample hashing sees one signal."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                grp = i // 3
+                bits = 8 * (1 + i % 3)
+                vals = [(11 * grp + 17 * k) % 200 - 100 for k in range(16)]
+                if bits == 8:
+                    data = bytes(128 + v for v in vals)
+                elif bits == 16:
+                    data = b"".join(
+                        (v * 256).to_bytes(2, "little", signed=True) for v in vals
+                    )
+                else:
+                    data = b"".join(
+                        (v * 65536).to_bytes(3, "little", signed=True) for v in vals
+                    )
+                block = bits // 8
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * block, block, bits)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
 def synthesize_multiformat_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Every 3 consecutive doc_ids share ONE raster (group = doc_id // 3:
     w = 2 + group % 5, h = 1 + group % 4, color r=(41g+7)%256,

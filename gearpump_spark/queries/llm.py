@@ -2204,6 +2204,49 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_dedup",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id // 3 AS grp FROM documents),
+    fp AS (
+        SELECT doc_id,
+               MD5(ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 16),
+                    k -> CAST((11 * grp + 17 * k) % 200 - 100 AS VARCHAR)),
+                    ',')) AS audio_fp
+        FROM g)
+    SELECT audio_fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY audio_fp ORDER BY keep_id
+    """,
+    desc="bit-depth-invariant audio dedup: every 3 consecutive docs hold "
+    "ONE waveform stored at 8/16/24-bit PCM — byte hashing sees 3 "
+    "payloads, the depth-normalized (integer shift, exact) sample md5 "
+    "sees one signal; the oracle derives each fingerprint in closed form "
+    "from the synthesizer arithmetic, so the REAL decode of all three "
+    "depths is hash-checked",
+)
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup on decoded, depth-normalized samples. Scale: decode +
+    fingerprint is a narrow Arrow map; only 16-byte fingerprints reach
+    the groupBy — the exact-dedup cost model, applied to audio."""
+    from gearpump_spark.operators.multimodal import (
+        audio_fingerprints,
+        synthesize_multidepth_wav_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    fps = audio_fingerprints(synthesize_multidepth_wav_payloads(docs))
+    return (
+        fps.groupBy("audio_fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .orderBy("keep_id")
+        .select("audio_fp", "keep_id", "n_copies")
+    )
+
+
+@register(
     "multimodal_phash_neardup",
     oracle=None,  # DCT-based hash: no SQL form — numpy-golden + pair tests
     desc="perceptual-hash (pHash) image NEAR-dup: luminance -> 32x32 -> "
