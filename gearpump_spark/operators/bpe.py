@@ -142,7 +142,14 @@ def bpe_tokenize(
     with the learned merge table. Narrow Arrow-batched map — payload text
     never shuffles; per-batch word cache exploits Zipfian reuse.
     ``end_of_word`` must match what the table was trained with."""
+    import re
+
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # EXACTLY the trainer's word boundary (functions/text.py WS_RE), not
+    # python str.split(): str.split breaks on every Unicode whitespace
+    # (NBSP, vertical tab, ...) and would tokenize words the trainer
+    # never saw as word types
+    ws = re.compile(TX.WS_RE)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
@@ -157,7 +164,7 @@ def bpe_tokenize(
         for pdf in batches:
             ids, n_ws, n_bpe, toks = [], [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text or "").lower().split() if w]
+                words = [w for w in ws.split(str(text or "").lower()) if w]
                 pieces: list[str] = []
                 for w in words:
                     pieces.extend(enc(w))

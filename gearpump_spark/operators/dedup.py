@@ -347,7 +347,7 @@ def incremental_dedup(
     anti-join co-locates without re-shuffling history); here we derive it
     inline from the snapshot rows.
     """
-    snap_fp = snapshot.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    snap_fp = snapshot.select(fingerprint(F.col(text_col)).alias("fp"))
     return incremental_dedup_against_index(batch, snap_fp, id_col, text_col)
 
 
@@ -367,6 +367,8 @@ def incremental_dedup_against_index(
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
+    # no distinct() on the index: LEFT ANTI never multiplies left rows,
+    # so deduplicating the (ever-growing) index per batch is pure waste
     return survivors.join(
-        fp_index.select("fp").distinct(), "fp", "left_anti"
+        fp_index.select("fp"), "fp", "left_anti"
     ).select(id_col, "fp")

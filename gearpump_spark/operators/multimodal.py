@@ -780,9 +780,9 @@ def phash_fingerprints(
                 else:
                     out["width"].append(img["width"])
                     out["height"].append(img["height"])
-                    # store as signed 64-bit (Spark long)
-                    bits = phash64(img["rows"])
-                    out["phash"].append(bits - (1 << 64) if bits >= 1 << 63 else bits)
+                    # 63 coefficient bits (8x8 low band minus DC) — always
+                    # fits a signed Spark long as-is
+                    out["phash"].append(phash64(img["rows"]))
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(

@@ -40,6 +40,8 @@ def bm25_pivot_score(terms: tuple[str, ...] | list[str], s: Column = None) -> Co
     aggregation: COALESCE(MAX(CASE word=t THEN s END), 0) + ... — the
     only associativity-safe way to total float contributions in a group.
     Use inside groupBy(doc).agg(...)."""
+    if not terms:
+        raise ValueError("need at least one query term")
     s = F.col("s") if s is None else s
 
     def one(w: str) -> Column:
@@ -56,19 +58,26 @@ def tokenize_postings(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, doc_lengths, stats): per-(word, doc) term frequencies,
     per-doc token counts, and the 1-row (n_docs, total_tokens) table —
-    the three relations every lexical scorer needs."""
+    the three relations every lexical scorer needs.
+
+    Single-tokenize discipline: doc lengths and total tokens DERIVE from
+    the postings aggregate (dl = Σ tf per doc, t = Σ dl), so the
+    expensive tokenize+explode subtree appears once and Spark's
+    ReusedExchange shares its shuffle across all three relations; only
+    n_docs touches the source again, as a column-pruned count. Docs with
+    zero tokens get no dl row — they can't match any term, and n/t are
+    unaffected."""
     toks = docs.select(
         F.col(id_col), F.transform(TX.tokens(F.col(text_col)), F.lower).alias("tk")
     )
-    dl = toks.select(id_col, F.size("tk").cast("long").alias("dl"))
     postings = (
         toks.select(id_col, F.explode("tk").alias("word"))
         .groupBy("word", id_col)
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    stats = toks.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.size("tk")).cast("long").alias("t"),
+    dl = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats = docs.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("t"))
     )
     return postings, dl, stats
 
@@ -83,15 +92,24 @@ def text_index_write(
     """Materialize a persistent inverted index: postings hash-bucketed by
     term (`table_name`), document lengths bucketed by doc id
     (`table_name`_docs), corpus totals (`table_name`_stats). The
-    tokenize scan is paid once; queries never touch the raw text again.
+    tokenize scan is paid ONCE — the doc-length and stats tables derive
+    from the ALREADY-WRITTEN postings table (each write is its own
+    action, so deriving them from the in-memory plan would re-tokenize
+    the corpus per write). Queries never touch the raw text again.
     At 100 TB the postings table is itself huge, but a query reads only
     its terms' slice of it (bucket + min/max pruning via the sorted
     bucketed layout)."""
     from gearpump_spark.operators.physical import write_bucketed
 
-    postings, dl, stats = tokenize_postings(docs, text_col, id_col)
+    spark = docs.sparkSession
+    postings, _dl, _stats = tokenize_postings(docs, text_col, id_col)
     write_bucketed(postings, table_name, "word", n_buckets=n_buckets, sort_by="word")
+    stored = spark.table(table_name)
+    dl = stored.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     write_bucketed(dl, f"{table_name}_docs", id_col, n_buckets=n_buckets, sort_by=id_col)
+    stats = docs.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        spark.table(f"{table_name}_docs").agg(F.sum("dl").cast("long").alias("t"))
+    )
     stats.write.mode("overwrite").format("parquet").saveAsTable(f"{table_name}_stats")
 
 
@@ -110,11 +128,22 @@ def bm25_topk(
     conjunctive (boolean AND) semantics: only documents containing EVERY
     query term rank — the matched-term count rides the same pivot
     aggregate, no extra join."""
+    terms = _clean_terms(terms)
     postings, dl, stats = tokenize_postings(docs, text_col, id_col)
     return _score_topk(
         postings.where(F.col("word").isin(*terms)), dl, stats, terms, k, id_col,
         require_all,
     )
+
+
+def _clean_terms(terms: tuple[str, ...] | list[str]) -> tuple[str, ...]:
+    """Order-preserving dedup: a repeated query term must not be scored
+    twice (the pivot would add its branch twice while the AND gate counts
+    it once)."""
+    out = tuple(dict.fromkeys(terms))
+    if not out:
+        raise ValueError("need at least one query term")
+    return out
 
 
 def bm25_topk_from_index(
@@ -125,6 +154,7 @@ def bm25_topk_from_index(
     identical results to bm25_topk over the source docs, but the scan
     reads only the query terms' postings (pushed filter on the bucketed
     sort key) — the corpus text is never touched."""
+    terms = _clean_terms(terms)
     postings = spark.table(table_name).where(F.col("word").isin(*terms))
     dl = spark.table(f"{table_name}_docs")
     stats = spark.table(f"{table_name}_stats")

@@ -436,10 +436,13 @@ def semantic_dedup(
     dot product, not two extra norm folds. n_clusters must still grow
     with the corpus (the paper uses 50k for LAION-scale) to keep
     per-cluster pair counts bounded."""
+    # the n_clusters LOWEST ids — not `id < n_clusters`, which silently
+    # yields zero centroids (and an empty result) when ids aren't dense
+    # from 0 (filtered/sampled corpora); TakeOrdered keeps this cheap
     cent = F.broadcast(
-        emb.where(F.col(id_col) < n_clusters).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-        )
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_clusters)
     )
     cs = F.round(cosine(F.col(vec_col), F.col("cvec")), 4)
     scored = emb.crossJoin(cent).select(

@@ -698,9 +698,9 @@ def _cos_pair_sql(x: str, y: str) -> str:
     "dedup_semantic",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-                  FROM embeddings
-                  WHERE vec_id < GREATEST(8, (SELECT COUNT(*) // 250
-                                              FROM embeddings))),
+                  FROM embeddings ORDER BY vec_id
+                  LIMIT (SELECT GREATEST(8, COUNT(*) // 250)
+                         FROM embeddings)),
     scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
                {_cos_pair_sql('e.embedding', 'c.cvec')} AS cs

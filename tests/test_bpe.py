@@ -13,11 +13,12 @@ from gearpump_spark.operators.bpe import (
 )
 
 
-def _py_train(texts: list[str], n_merges: int, min_freq: int = 2):
+def _py_train(texts: list[str], n_merges: int, min_freq: int = 2, mark=None):
     """Reference trainer: word-type counts, weighted adjacent-pair
-    frequencies, argmax with (freq DESC, pair lexicographic) tie-break."""
+    frequencies, argmax with (freq DESC, pair lexicographic) tie-break.
+    ``mark`` appends the Sennrich end-of-word boundary symbol."""
     wc = collections.Counter(w for t in texts for w in t.lower().split() if w)
-    vocab = {w: list(w) for w in wc}
+    vocab = {w: list(w) + ([mark] if mark else []) for w in wc}
     merges = []
     for _ in range(n_merges):
         pf: collections.Counter = collections.Counter()
@@ -149,36 +150,6 @@ def test_trainer_property_matches_reference(spark, corpora):
     assert bpe_train(docs, n_merges=6) == _py_train(texts, 6)
 
 
-def _py_train_eow(texts, n_merges, mark="</w>", min_freq=2):
-    """Reference trainer with the Sennrich end-of-word boundary symbol."""
-    wc = collections.Counter(w for t in texts for w in t.lower().split() if w)
-    vocab = {w: list(w) + [mark] for w in wc}
-    merges = []
-    for _ in range(n_merges):
-        pf = collections.Counter()
-        for w, syms in vocab.items():
-            for i in range(len(syms) - 1):
-                pf[(syms[i], syms[i + 1])] += wc[w]
-        if not pf:
-            break
-        best = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_freq:
-            break
-        (a, b), _ = best
-        merges.append((a, b))
-        for w, syms in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            vocab[w] = out
-    return merges
-
-
 def test_end_of_word_variant_matches_reference_and_learns_word_units(spark):
     """The </w> variant: trainer matches the reference, learned merges can
     produce whole-word units distinct from prefixes, and the tokenizer
@@ -187,7 +158,7 @@ def test_end_of_word_variant_matches_reference_and_learns_word_units(spark):
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
     )
     merges = bpe_train(docs, n_merges=16, end_of_word="</w>")
-    assert merges == _py_train_eow(TEXTS, 16)
+    assert merges == _py_train(TEXTS, 16, mark="</w>")
     # boundary symbol participates in merges (word-final units learnable)
     assert any("</w>" in a or "</w>" in b for a, b in merges)
     out = {r.doc_id: r for r in bpe_tokenize(
@@ -201,3 +172,18 @@ def test_end_of_word_variant_matches_reference_and_learns_word_units(spark):
     prefix = bpe_encode_word("lower", ranks, end_of_word="</w>")
     assert full[-1].endswith("</w>") and prefix[-1].endswith("</w>")
     assert full != prefix[: len(full)]
+
+
+def test_tokenizer_word_boundary_matches_trainer(spark):
+    """The tokenizer must split EXACTLY like the trainer (WS_RE), not
+    python str.split(): NBSP and vertical tab are word characters to the
+    trainer, so they must be to the tokenizer too."""
+    docs = spark.createDataFrame(
+        [(0, "ab cd ab cd ef\x0bgh ef\x0bgh")],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_train(docs, n_merges=4, min_freq=2)
+    out = bpe_tokenize(docs, merges).collect()[0]
+    # NBSP/VT do not split: exactly 4 whitespace tokens, reconstructable
+    assert out.n_ws_tokens == 4
+    assert "".join(out.bpe_tokens) == "ab cdab cdef\x0bghef\x0bgh"

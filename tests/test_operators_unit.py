@@ -1163,3 +1163,21 @@ class TestSemanticDedup:
         p = buf.getvalue()
         assert "BroadcastExchange" in p
         assert "Window" not in p
+
+
+def test_semantic_dedup_non_dense_ids(spark):
+    """Centroids are the n_clusters LOWEST ids, not `id < n_clusters`:
+    a filtered corpus whose ids start at 5000 must still cluster and
+    dedup (the old predicate silently returned zero rows)."""
+    from gearpump_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (5000, [1.0, 0.0]),
+        (5001, [0.0, 1.0]),
+        (5010, [1.0, 0.8]),
+        (5011, [2.0, 1.6]),  # same direction as 5010 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = semantic_dedup(df, n_clusters=2, threshold=0.95).orderBy("vec_id").collect()
+    assert [r.vec_id for r in out] == [5000, 5001, 5010]
+    assert {r.cluster for r in out} <= {5000, 5001}
