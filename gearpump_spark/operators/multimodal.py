@@ -180,6 +180,57 @@ class HeaderDecoder:
             return None
         return None
 
+    def sniff_video(self, payload: bytes) -> dict | None:
+        """Return {format,width,height,duration_ms,timescale,n_tracks}
+        for an ISO-BMFF (MP4/MOV) payload, else None. Walks the box tree:
+        top-level to moov, then mvhd (movie timescale/duration, version-0
+        layout) and each trak's tkhd (presentation size, 16.16 fixed
+        point). Never raises on truncated/garbage bytes."""
+        try:
+            if len(payload) < 12 or payload[4:8] != b"ftyp":
+                return None
+
+            def boxes(i: int, end: int):
+                while i + 8 <= end:
+                    size = int.from_bytes(payload[i : i + 4], "big")
+                    if size < 8 or i + size > end:
+                        return
+                    yield payload[i + 4 : i + 8], i + 8, i + size
+                    i += size
+
+            moov = next(
+                ((s, e) for t, s, e in boxes(0, len(payload)) if t == b"moov"),
+                None,
+            )
+            if moov is None:
+                return None
+            timescale = duration = None
+            n_tracks = 0
+            width = height = None
+            for t, s, e in boxes(*moov):
+                if t == b"mvhd" and e - s >= 20 and payload[s] == 0:
+                    timescale = int.from_bytes(payload[s + 12 : s + 16], "big")
+                    duration = int.from_bytes(payload[s + 16 : s + 20], "big")
+                elif t == b"trak":
+                    n_tracks += 1
+                    for tt, ts_, te in boxes(s, e):
+                        if tt == b"tkhd" and te - ts_ >= 84 and payload[ts_] == 0:
+                            # v0 tkhd ends with width/height, 16.16 fixed
+                            width = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
+                            height = int.from_bytes(payload[te - 4 : te], "big") >> 16
+            if timescale is None or not timescale:
+                return None
+            return {
+                "format": "mp4",
+                "width": width,
+                "height": height,
+                "duration_ms": duration * 1000 // timescale,
+                "timescale": timescale,
+                "n_tracks": n_tracks,
+            }
+        except (IndexError, ValueError):
+            return None
+
     # -- decoder seam -------------------------------------------------------
     def decode_image(self, payload: bytes):
         meta = self.sniff_image(payload)
@@ -820,6 +871,116 @@ def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
+    )
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    timescale: int,
+    duration: int,
+    n_tracks: int = 1,
+) -> bytes:
+    """Minimal REAL ISO-BMFF container: ftyp + moov(mvhd + n_tracks ×
+    trak(tkhd)), version-0 boxes, spec-exact field layout (mvhd body 100
+    bytes, tkhd body 84, dims as 16.16 fixed point). Parsable by any MP4
+    demuxer's box walker and by HeaderDecoder.sniff_video. Media data
+    (mdat/codec boxes) is out of scope — frame decode stays behind the
+    LibraryDecoder seam."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mvhd_body = (
+        bytes(4)                       # version 0 + flags
+        + bytes(8)                     # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")      # volume 1.0
+        + bytes(2) + bytes(8)              # reserved
+        + _MP4_UNITY_MATRIX
+        + bytes(24)                        # pre_defined
+        + (n_tracks + 1).to_bytes(4, "big")  # next_track_ID
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd_body = (
+            bytes(4)                   # version 0 + flags
+            + bytes(8)                 # ctime, mtime
+            + tid.to_bytes(4, "big")
+            + bytes(4)                 # reserved
+            + duration.to_bytes(4, "big")
+            + bytes(8)                 # reserved
+            + bytes(2) + bytes(2)      # layer, alternate_group
+            + bytes(2) + bytes(2)      # volume, reserved
+            + _MP4_UNITY_MATRIX
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big")
+        )
+        traks += box(b"trak", box(b"tkhd", tkhd_body))
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_body) + traks)
+
+
+_MP4_UNITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + bytes(4) * 2
+    + bytes(4) + (0x00010000).to_bytes(4, "big") + bytes(4)
+    + bytes(4) * 2 + (0x40000000).to_bytes(4, "big")
+)
+
+
+def synthesize_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL minimal MP4 per row with closed-form parameters: timescale =
+    1000·(1 + id%3), duration = timescale·(1 + id%9) (so duration_ms =
+    1000·(1 + id%9) exactly), width = 16·(1 + id%5), height =
+    16·(1 + id%4), tracks = 1 + id%2 — a driver oracle verifies the box
+    walk against pure arithmetic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ts = 1000 * (1 + i % 3)
+                payloads.append(
+                    encode_mp4(
+                        width=16 * (1 + i % 5),
+                        height=16 * (1 + i % 4),
+                        timescale=ts,
+                        duration=ts * (1 + i % 9),
+                        n_tracks=1 + i % 2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def decode_video_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, format, width, height, duration_ms, timescale, n_tracks) via
+    the REAL ISO-BMFF box walker; unrecognized payloads yield nulls.
+    Narrow Arrow map — payload bytes never shuffle."""
+    decoder = decoder or HeaderDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("format", "width", "height", "duration_ms", "timescale", "n_tracks")
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col].values, **{c: [] for c in cols}}
+            for p in pdf[payload_col]:
+                meta = decoder.sniff_video(bytes(p))
+                for c in cols:
+                    out[c].append(None if meta is None else meta[c])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op,
+        "doc_id bigint, format string, width int, height int, "
+        "duration_ms bigint, timescale int, n_tracks int",
     )
 
 

@@ -2204,6 +2204,36 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_real",
+    oracle="""
+    SELECT doc_id,
+           'mp4' AS format,
+           CAST(16 * (1 + doc_id % 5) AS INT) AS width,
+           CAST(16 * (1 + doc_id % 4) AS INT) AS height,
+           CAST(1000 * (1 + doc_id % 9) AS BIGINT) AS duration_ms,
+           CAST(1000 * (1 + doc_id % 3) AS INT) AS timescale,
+           CAST(1 + doc_id % 2 AS INT) AS n_tracks
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL video container bytes: synthesize a minimal ISO-BMFF (MP4) "
+    "per document — ftyp + moov(mvhd + trak(tkhd)xN), spec-exact v0 box "
+    "layout — and parse it back with the real box walker (movie "
+    "timescale/duration, 16.16 fixed-point track dims, track count); "
+    "completes the modality set: image, audio, AND video metadata all "
+    "decode from real container bytes (frame decode stays behind the "
+    "LibraryDecoder codec seam)",
+)
+def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        decode_video_metadata,
+        synthesize_mp4_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_metadata(synthesize_mp4_payloads(docs)).orderBy("doc_id")
+
+
+@register(
     "multimodal_audio_dedup",
     oracle="""
     WITH g AS (SELECT doc_id, doc_id // 3 AS grp FROM documents),

@@ -951,3 +951,24 @@ def test_phash_brightness_invariance_and_separation(spark):
         if c > med:
             want |= 1 << i
     assert phash64(rows) == want
+
+
+def test_mp4_box_walker_golden_and_truncation_safe():
+    """ISO-BMFF: handcrafted boxes with known parameters parse exactly;
+    any truncation returns None without raising; non-MP4 bytes -> None."""
+    from gearpump_spark.operators.multimodal import HeaderDecoder, encode_mp4
+
+    d = HeaderDecoder()
+    for w, h, ts, mult, nt in [(320, 240, 3000, 3, 2), (16, 64, 1000, 1, 1)]:
+        p = encode_mp4(width=w, height=h, timescale=ts, duration=ts * mult,
+                       n_tracks=nt)
+        assert d.sniff_video(p) == {
+            "format": "mp4", "width": w, "height": h,
+            "duration_ms": 1000 * mult, "timescale": ts, "n_tracks": nt,
+        }
+    p = encode_mp4(width=32, height=32, timescale=600, duration=1500)
+    assert d.sniff_video(p)["duration_ms"] == 2500  # floor division path
+    for cut in range(len(p)):
+        d.sniff_video(p[:cut])  # never raises
+    assert d.sniff_video(b"not a video") is None
+    assert d.sniff_video(b"") is None
