@@ -841,6 +841,62 @@ def phash_fingerprints(
     )
 
 
+def phash_candidate_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Hamming-tolerant near-dup pairs over perceptual hashes WITHOUT the
+    all-pairs cross product: split the 64-bit hash into ``n_bands``
+    16-bit bands and bucket-join on (band index, band value) — by
+    pigeonhole, any pair within ``max_hamming`` <= n_bands - 1 bits
+    shares at least one intact band, so banding has perfect recall at
+    that radius; the exact popcount filter then drops false candidates.
+    The SimHash/LSH cost model applied to images: candidates are
+    near-linear, the join keys on 18-byte band tuples, never hashes the
+    corpus against itself."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only to {n_bands - 1} bits; "
+            f"got max_hamming={max_hamming}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = fps.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(hash_col, b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "key"
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()  # a close pair can share several bands
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup fixture for pHash: every 2 consecutive doc_ids share one
     deterministic LCG-noise pattern (group = doc_id // 2 seeds the

@@ -972,3 +972,34 @@ def test_mp4_box_walker_golden_and_truncation_safe():
         d.sniff_video(p[:cut])  # never raises
     assert d.sniff_video(b"not a video") is None
     assert d.sniff_video(b"") is None
+
+
+def test_phash_banded_pairs_perfect_recall_within_radius(spark):
+    """Banded Hamming join: pairs within max_hamming bits are ALWAYS
+    found (pigeonhole over 4x16-bit bands), distant pairs never pass the
+    popcount filter, and the plan is a bucketed equi-join (SortMergeJoin/
+    HashJoin on band+key), not a nested-loop cross product."""
+    import contextlib, io
+
+    from gearpump_spark.operators.multimodal import phash_candidate_pairs
+
+    rows = [
+        (1, 0b1010_1100),           # base
+        (2, 0b1010_1101),           # 1 bit away  -> pair
+        (3, 0b1010_1100 ^ 0b111),   # 3 bits away -> pair (at the radius)
+        (4, (1 << 50) | 0b1010_1100),  # 1 bit in a HIGH band -> pair
+        (5, 0x0F0F0F0F0F0F0F0F),    # far away -> no pair with 1..4
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, phash bigint")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_candidate_pairs(df, max_hamming=3).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(1, 4)] == 1
+    assert all(5 not in pair for pair in got)
+    # radius beyond the banding guarantee is rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phash_candidate_pairs(df, max_hamming=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        phash_candidate_pairs(df, max_hamming=3).explain("formatted")
+    assert "NestedLoop" not in buf.getvalue()
