@@ -193,9 +193,18 @@ class HeaderDecoder:
             def boxes(i: int, end: int):
                 while i + 8 <= end:
                     size = int.from_bytes(payload[i : i + 4], "big")
-                    if size < 8 or i + size > end:
+                    typ = payload[i + 4 : i + 8]
+                    body = i + 8
+                    if size == 0:  # spec: box extends to end of file
+                        size = end - i
+                    elif size == 1:  # spec: 64-bit largesize follows
+                        if i + 16 > end:
+                            return
+                        size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                        body = i + 16
+                    if size < body - i or i + size > end:
                         return
-                    yield payload[i + 4 : i + 8], i + 8, i + size
+                    yield typ, body, i + size
                     i += size
 
             moov = next(
@@ -215,16 +224,27 @@ class HeaderDecoder:
                     n_tracks += 1
                     for tt, ts_, te in boxes(s, e):
                         if tt == b"tkhd" and te - ts_ >= 84 and payload[ts_] == 0:
-                            # v0 tkhd ends with width/height, 16.16 fixed
-                            width = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
-                            height = int.from_bytes(payload[te - 4 : te], "big") >> 16
+                            # v0 tkhd ends with width/height, 16.16 fixed.
+                            # FIRST track with nonzero dims wins: audio
+                            # tracks carry 0x0 per spec and typically
+                            # follow the video track — last-wins would
+                            # report 0x0 for every real multi-track MP4
+                            tw = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
+                            th = int.from_bytes(payload[te - 4 : te], "big") >> 16
+                            if width is None and tw and th:
+                                width, height = tw, th
             if timescale is None or not timescale:
                 return None
             return {
                 "format": "mp4",
                 "width": width,
                 "height": height,
-                "duration_ms": duration * 1000 // timescale,
+                # all-ones duration is the spec's "unknown" sentinel
+                "duration_ms": (
+                    None
+                    if duration == 0xFFFFFFFF
+                    else duration * 1000 // timescale
+                ),
                 "timescale": timescale,
                 "n_tracks": n_tracks,
             }
@@ -638,7 +658,7 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 ch, rate, bits = 1 + i % 2, 8000 + (i % 5) * 1000, 8 * (1 + i % 3)
                 block = ch * bits // 8
@@ -663,7 +683,7 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 body += b"data" + struct.pack("<I", len(data)) + data
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -682,7 +702,7 @@ def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 rows = [
@@ -697,7 +717,7 @@ def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for y in range(h)
                 ]
                 payloads.append(PixelDecoder.encode_bmp(rows))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -755,7 +775,7 @@ def pixel_fingerprints(
                 "pixel_fp": [],
             }
             for p in pdf[payload_col]:
-                img = decoder.decode_pixels(bytes(p))
+                img = None if p is None else decoder.decode_pixels(bytes(p))
                 if img is None:
                     out["width"].append(None)
                     out["height"].append(None)
@@ -823,7 +843,7 @@ def phash_fingerprints(
                 "phash": [],
             }
             for p in pdf[payload_col]:
-                img = decoder.decode_pixels(bytes(p))
+                img = None if p is None else decoder.decode_pixels(bytes(p))
                 if img is None:
                     out["width"].append(None)
                     out["height"].append(None)
@@ -911,7 +931,7 @@ def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 s = (i // 2) * 2654435761 % (2**32)
                 off = 8 * (i % 2)
@@ -923,7 +943,7 @@ def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
                         row.append([40 + (s >> 16) % 160 + off] * 3)
                     rows.append(row)
                 payloads.append(PixelDecoder.encode_png(rows))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -943,6 +963,15 @@ def encode_mp4(
     demuxer's box walker and by HeaderDecoder.sniff_video. Media data
     (mdat/codec boxes) is out of scope — frame decode stays behind the
     LibraryDecoder seam."""
+    if not (0 <= width < 1 << 16 and 0 <= height < 1 << 16):
+        raise ValueError(
+            f"tkhd dims are 16.16 fixed point: need 0 <= w,h < 65536, "
+            f"got {width}x{height}"
+        )
+    if not (0 < timescale < 1 << 32 and 0 <= duration < 1 << 32):
+        raise ValueError("v0 mvhd timescale/duration are 32-bit unsigned")
+    if not 1 <= n_tracks < 1 << 16:
+        raise ValueError("n_tracks must be in [1, 65535]")
 
     def box(typ: bytes, body: bytes) -> bytes:
         return (8 + len(body)).to_bytes(4, "big") + typ + body
@@ -996,7 +1025,7 @@ def synthesize_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 ts = 1000 * (1 + i % 3)
                 payloads.append(
@@ -1008,7 +1037,7 @@ def synthesize_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         n_tracks=1 + i % 2,
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -1028,7 +1057,7 @@ def decode_video_metadata(
         for pdf in batches:
             out = {"doc_id": pdf[id_col].values, **{c: [] for c in cols}}
             for p in pdf[payload_col]:
-                meta = decoder.sniff_video(bytes(p))
+                meta = None if p is None else decoder.sniff_video(bytes(p))
                 for c in cols:
                     out[c].append(None if meta is None else meta[c])
             yield pd.DataFrame(out)
@@ -1056,7 +1085,7 @@ def audio_fingerprints(
         for pdf in batches:
             out = {"doc_id": pdf[id_col].values, "n_samples": [], "audio_fp": []}
             for p in pdf[payload_col]:
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 meta = decoder.sniff_audio(payload)
                 samples = decoder.decode_audio_samples(payload)
                 if meta is None or samples is None:
@@ -1086,7 +1115,7 @@ def synthesize_multidepth_wav_payloads(df: DataFrame, id_col: str = "doc_id") ->
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 grp = i // 3
                 bits = 8 * (1 + i % 3)
@@ -1109,7 +1138,7 @@ def synthesize_multidepth_wav_payloads(df: DataFrame, id_col: str = "doc_id") ->
                     + b"data" + struct.pack("<I", len(data)) + data
                 )
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -1127,7 +1156,7 @@ def synthesize_multiformat_payloads(df: DataFrame, id_col: str = "doc_id") -> Da
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 grp = i // 3
                 w, h = 2 + grp % 5, 1 + grp % 4
@@ -1140,7 +1169,7 @@ def synthesize_multiformat_payloads(df: DataFrame, id_col: str = "doc_id") -> Da
                     payloads.append(PixelDecoder.encode_png(rows))
                 else:
                     payloads.append(GifDecoder.encode_gif(rows))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -1200,7 +1229,7 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 16 + i % 64, 16 + (7 * i) % 64
                 color_type = (0, 2, 4, 6)[i % 4]
@@ -1211,7 +1240,7 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     + chunk(b"IDAT", zlib.compress(b""))
                     + chunk(b"IEND", b"")
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -1240,7 +1269,7 @@ def synthesize_png_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 stride = w * 3
@@ -1284,7 +1313,7 @@ def synthesize_png_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
                     + chunk(b"IDAT", zlib.compress(bytes(raw)))
                     + chunk(b"IEND", b"")
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -1721,7 +1750,7 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 rows = [
@@ -1736,7 +1765,7 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for y in range(h)
                 ]
                 payloads.append(GifDecoder.encode_gif(rows))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -1753,7 +1782,7 @@ def synthesize_animated_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> D
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h, nf = 2 + i % 6, 1 + i % 5, 2 + i % 3
                 frames = [
@@ -1771,7 +1800,7 @@ def synthesize_animated_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> D
                     for f in range(nf)
                 ]
                 payloads.append(GifDecoder.encode_gif_animated(frames))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -2665,12 +2694,12 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 val = (37 * i + 11) % 256
                 payloads.append(JpegDecoder.encode_jpeg_gray([[val] * w for _ in range(h)]))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -2924,12 +2953,12 @@ def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(encode_jpeg_color([[[b, g, r]] * w for _ in range(h)]))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -2946,14 +2975,14 @@ def synthesize_jpeg_420_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(
                     encode_jpeg_color([[[b, g, r]] * w for _ in range(h)], subsample=True)
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -2969,7 +2998,7 @@ def synthesize_jpeg_dri_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
@@ -2978,7 +3007,7 @@ def synthesize_jpeg_dri_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
                         [[[b, g, r]] * w for _ in range(h)], restart_interval=1
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -2995,7 +3024,7 @@ def synthesize_jpeg_422_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
@@ -3004,7 +3033,7 @@ def synthesize_jpeg_422_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
                         [[[b, g, r]] * w for _ in range(h)], subsample="422"
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -3254,7 +3283,7 @@ def synthesize_jpeg_refined_payloads(df: DataFrame, id_col: str = "doc_id") -> D
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
@@ -3263,7 +3292,7 @@ def synthesize_jpeg_refined_payloads(df: DataFrame, id_col: str = "doc_id") -> D
                         [[[b, g, r]] * w for _ in range(h)], successive=True
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
@@ -3280,14 +3309,14 @@ def synthesize_jpeg_progressive_payloads(df: DataFrame, id_col: str = "doc_id") 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
+            for i in pdf["doc_id"]:
                 i = int(i)
                 w, h = 2 + i % 6, 1 + i % 5
                 r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
                 payloads.append(
                     encode_jpeg_progressive([[[b, g, r]] * w for _ in range(h)])
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"

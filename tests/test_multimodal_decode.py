@@ -1003,3 +1003,61 @@ def test_phash_banded_pairs_perfect_recall_within_radius(spark):
     with contextlib.redirect_stdout(buf):
         phash_candidate_pairs(df, max_hamming=3).explain("formatted")
     assert "NestedLoop" not in buf.getvalue()
+
+
+def test_mp4_real_world_layouts_and_null_payloads(spark):
+    """Review regressions: (a) video dims come from the FIRST track with
+    nonzero size (audio tkhds carry 0x0 and usually follow); (b) size==1
+    largesize and size==0 to-EOF boxes are legal and must not stop the
+    walk; (c) mvhd duration 0xFFFFFFFF means 'unknown' -> null; (d) NULL
+    payloads yield null metadata rows, never a task crash; (e) encode_mp4
+    rejects out-of-range fields with a clear error."""
+    import struct
+
+    import pytest as _pytest
+
+    from gearpump_spark.operators.multimodal import (
+        HeaderDecoder,
+        decode_video_metadata,
+        encode_mp4,
+    )
+
+    d = HeaderDecoder()
+
+    def box(typ, body):
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    # (a) video trak then audio trak with 0x0 dims
+    base = encode_mp4(width=640, height=480, timescale=600, duration=1200,
+                      n_tracks=2)
+    # zero out the SECOND trak's dims (audio layout)
+    second_tkhd_dims = base.rfind((480 << 16).to_bytes(4, "big"))
+    patched = base[: second_tkhd_dims - 4] + bytes(8) + base[second_tkhd_dims + 4:]
+    m = d.sniff_video(patched)
+    assert (m["width"], m["height"]) == (640, 480)
+
+    # (b) ftyp + largesize mdat + to-EOF-moov still finds metadata
+    simple = encode_mp4(width=32, height=16, timescale=1000, duration=2000)
+    ftyp_end = 8 + int.from_bytes(simple[0:4], "big") - 8
+    ftyp, moov = simple[:ftyp_end], simple[ftyp_end:]
+    mdat = (1).to_bytes(4, "big") + b"mdat" + (16 + 4).to_bytes(8, "big") + b"DATA"
+    moov_eof = (0).to_bytes(4, "big") + moov[4:]
+    m = d.sniff_video(ftyp + mdat + moov_eof)
+    assert m and (m["width"], m["duration_ms"]) == (32, 2000)
+
+    # (c) duration-unknown sentinel
+    unk = encode_mp4(width=32, height=16, timescale=600, duration=0xFFFFFFFF)
+    assert d.sniff_video(unk)["duration_ms"] is None
+
+    # (d) NULL payload row survives end-to-end
+    df = spark.createDataFrame(
+        [(1, bytearray(simple)), (2, None)], "doc_id bigint, payload binary"
+    )
+    out = {r.doc_id: r for r in decode_video_metadata(df).collect()}
+    assert out[1].width == 32 and out[2].format is None
+
+    # (e) field validation
+    for kw in (dict(width=70000), dict(duration=1 << 32), dict(n_tracks=0)):
+        with _pytest.raises(ValueError):
+            encode_mp4(**{"width": 32, "height": 16, "timescale": 600,
+                          "duration": 600, **kw})
