@@ -79,7 +79,15 @@ def bpe_train(
     ``end_of_word`` (e.g. "</w>", the Sennrich 2016 setup) appends a
     boundary symbol to every word so merges can learn whole-word units
     ("low</w>") distinct from prefixes ("low" inside "lower") — the
-    variant real subword vocabularies train with."""
+    variant real subword vocabularies train with.
+
+    Cost model: BPE merges are inherently sequential (each depends on the
+    last), so training runs ONE Spark job per merge with a 1-row argmax
+    collect — vocab_size merges = vocab_size jobs over the word-TYPE
+    table (already aggregated: |types| << |tokens|). At 100 TB, train on
+    a sampled/aggregated word-type table (counts converge fast), then
+    apply the learned table with bpe_tokenize — application is a narrow
+    Arrow map and scales linearly."""
     chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
     if end_of_word:
         chars = F.concat(chars, F.array(F.lit(end_of_word)))
@@ -181,8 +189,11 @@ def bpe_tokenize(
                 }
             )
 
+    # derive the id field's type from the input schema so non-long doc
+    # ids (string UUIDs, ...) pass through (r2 advisor finding)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         op,
-        f"{id_col} bigint, n_ws_tokens bigint, n_bpe_tokens bigint, "
+        f"{id_col} {id_type}, n_ws_tokens bigint, n_bpe_tokens bigint, "
         "bpe_tokens array<string>",
     )

@@ -98,16 +98,25 @@ def text_index_write(
     the corpus per write). Queries never touch the raw text again.
     At 100 TB the postings table is itself huge, but a query reads only
     its terms' slice of it (bucket + min/max pruning via the sorted
-    bucketed layout)."""
+    bucketed layout).
+
+    Consistency (r2 advisor finding): n_docs snapshots BEFORE any write
+    (one driver-side count), so a source whose underlying files change
+    between the three write actions cannot leave n inconsistent with the
+    postings it was counted against. The three writes are still separate
+    non-atomic actions — if the job dies midway, partial tables may
+    exist; re-run the build (every write is mode=overwrite, so a re-run
+    converges)."""
     from gearpump_spark.operators.physical import write_bucketed
 
     spark = docs.sparkSession
+    n_docs = docs.count()  # snapshot once, before any write
     postings, _dl, _stats = tokenize_postings(docs, text_col, id_col)
     write_bucketed(postings, table_name, "word", n_buckets=n_buckets, sort_by="word")
     stored = spark.table(table_name)
     dl = stored.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     write_bucketed(dl, f"{table_name}_docs", id_col, n_buckets=n_buckets, sort_by=id_col)
-    stats = docs.agg(F.count("*").cast("long").alias("n")).crossJoin(
+    stats = spark.createDataFrame([(n_docs,)], "n long").crossJoin(
         spark.table(f"{table_name}_docs").agg(F.sum("dl").cast("long").alias("t"))
     )
     stats.write.mode("overwrite").format("parquet").saveAsTable(f"{table_name}_stats")

@@ -2282,7 +2282,8 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="perceptual-hash (pHash) image NEAR-dup: luminance -> 32x32 -> "
     "2D DCT -> 8x8 low band minus DC, median-thresholded to 64 bits; "
     "brightness-shifted re-encodes collide (the shift lives in the "
-    "excluded DC), unrelated images sit >= 18 bits apart; fixture pairs "
+    "excluded DC), unrelated images sit >= 10 bits apart (tested bound); "
+    "fixture pairs "
     "(same noise pattern, +-8 brightness) group exactly 2-by-2",
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

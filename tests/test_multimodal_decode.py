@@ -902,6 +902,37 @@ def test_jpeg_restart_intervals_match_unrestarted():
     assert d.decode_pixels(enc[: len(enc) // 2]) is None
 
 
+def test_jpeg_progressive_restart_intervals_match_unrestarted():
+    """DRI inside PROGRESSIVE scans (r2 advisor finding): every scan type
+    — interleaved DC, AC band, DC refinement, AC refinement — realigns at
+    RSTn boundaries with DC-predictor and EOB-run resets, decoding
+    bit-identically to the unrestarted layout in both the plain and the
+    successive-approximation pass structures."""
+    import random
+
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        encode_jpeg_progressive,
+    )
+
+    d = JpegDecoder()
+    rng = random.Random(6)
+    rows = [[[rng.randrange(256) for _ in range(3)] for _ in range(20)]
+            for _ in range(18)]
+    for successive in (False, True):
+        ref = d.decode_pixels(encode_jpeg_progressive(rows, successive=successive))
+        for ri in (1, 2, 3):
+            got = d.decode_pixels(
+                encode_jpeg_progressive(
+                    rows, successive=successive, restart_interval=ri
+                )
+            )
+            assert got is not None and got["rows"] == ref["rows"], (successive, ri)
+    # truncated restart stream -> None, never raises
+    enc = encode_jpeg_progressive(rows, successive=True, restart_interval=1)
+    assert d.decode_pixels(enc[: len(enc) // 2]) is None
+
+
 def test_phash_brightness_invariance_and_separation(spark):
     """pHash: the +8-brightness twin of every noise image hashes
     IDENTICALLY (shift lives in the excluded DC coefficient); unrelated
