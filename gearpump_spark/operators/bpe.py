@@ -96,6 +96,13 @@ def bpe_train(
         .select("cnt", chars.alias("syms"))
         .localCheckpoint()
     )
+    return _train_merges(vocab, n_merges, min_freq)
+
+
+def _train_merges(vocab: DataFrame, n_merges: int, min_freq: int) -> list[tuple[str, str]]:
+    """The shared merge loop: (cnt, syms array) vocab → ranked merges.
+    One Spark job + 1-row argmax collect per merge (sequential by
+    nature); narrow rewrite + lineage cut keeps the plan O(1)/round."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -116,9 +123,47 @@ def bpe_train(
             break
         a, b = best[0]["p"]["l"], best[0]["p"]["r"]
         merges.append((a, b))
-        # narrow rewrite + lineage cut: plan stays O(1) per iteration
         vocab = vocab.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
     return merges
+
+
+def bpe_train_bytes(
+    docs: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Byte-level BPE trainer (the GPT-2 family setup, Radford et al.
+    2019): the base alphabet is the 256 BYTE values of each word's UTF-8
+    encoding, so ANY string tokenizes with zero out-of-vocabulary risk —
+    no unicode normalization, no unknown-character fallback. Symbols are
+    uppercase hex byte pairs ("C3", "A9", ...) and merges concatenate
+    them, so every token spells the exact byte sequence it covers
+    (reversible by construction; see bpe_encode_word_bytes round-trip).
+
+    Case is preserved (byte-level vocabularies are trained on raw text)
+    and the word boundary is the same whitespace rule as the char-level
+    trainer. Cost model identical to bpe_train: one job per merge over
+    the word-TYPE table."""
+    syms = F.regexp_extract_all(
+        F.hex(F.encode(F.col("word"), "UTF-8")), F.lit("(..)"), 1
+    )
+    vocab = (
+        _word_counts_raw(docs, text_col)
+        .select("cnt", syms.alias("syms"))
+        .localCheckpoint()
+    )
+    return _train_merges(vocab, n_merges, min_freq)
+
+
+def _word_counts_raw(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over whitespace tokens, case PRESERVED — the
+    byte-level trainer's input (raw bytes, no normalization)."""
+    return (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def bpe_encode_word(
@@ -129,6 +174,10 @@ def bpe_encode_word(
     """Reference greedy encoder: repeatedly merge the best-ranked adjacent
     pair. Used by the tokenizer UDF and by the pytest golden."""
     syms = list(word) + ([end_of_word] if end_of_word else [])
+    return _apply_merges(syms, ranks)
+
+
+def _apply_merges(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
     while len(syms) > 1:
         pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
         ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
@@ -137,6 +186,15 @@ def bpe_encode_word(
         _, i = min(ranked)
         syms[i : i + 2] = [syms[i] + syms[i + 1]]
     return syms
+
+
+def bpe_encode_word_bytes(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Byte-level reference encoder: UTF-8 bytes as uppercase hex-pair
+    symbols, then the same greedy best-rank merge loop. The token
+    sequence is lossless: bytes.fromhex("".join(tokens)).decode("utf-8")
+    reconstructs the word exactly."""
+    hx = word.encode("utf-8").hex().upper()
+    return _apply_merges([hx[i : i + 2] for i in range(0, len(hx), 2)], ranks)
 
 
 def bpe_tokenize(
@@ -191,6 +249,60 @@ def bpe_tokenize(
 
     # derive the id field's type from the input schema so non-long doc
     # ids (string UUIDs, ...) pass through (r2 advisor finding)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, n_ws_tokens bigint, n_bpe_tokens bigint, "
+        "bpe_tokens array<string>",
+    )
+
+
+def bpe_tokenize_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, bpe_tokens) under a BYTE-LEVEL
+    merge table (bpe_train_bytes): tokens are hex byte-run symbols, case
+    is preserved, and any input — emoji, CJK, malformed-looking text —
+    tokenizes without an unknown-symbol path. Same narrow Arrow map and
+    Zipf word cache as the char-level tokenizer."""
+    import re
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    ws = re.compile(TX.WS_RE)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            out = cache.get(w)
+            if out is None:
+                out = bpe_encode_word_bytes(w, ranks)
+                cache[w] = out
+            return out
+
+        for pdf in batches:
+            ids, n_ws, n_bpe, toks = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws.split(str(text or "")) if w]
+                pieces: list[str] = []
+                for w in words:
+                    pieces.extend(enc(w))
+                ids.append(i)
+                n_ws.append(len(words))
+                n_bpe.append(len(pieces))
+                toks.append(pieces)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_ws_tokens": n_ws,
+                    "n_bpe_tokens": n_bpe,
+                    "bpe_tokens": toks,
+                }
+            )
+
     id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         op,

@@ -178,6 +178,68 @@ def connected_components(
     return labels.select("node_id", "comp")
 
 
+def triangle_count_estimate(
+    edges: DataFrame,
+    p_bp: int = 2000,
+    seed: int = 7,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DOULION sampled triangle estimate (Tsourakakis, Kang, Miller,
+    Faloutsos, KDD 2009): keep each undirected edge independently with
+    probability p, exact-count triangles on the sparsified graph, and
+    unbias by 1/p^3 — E[count/p^3] equals the true triangle count because
+    each triangle survives with probability p^3.
+
+    This is the 100 TB variant of ``triangle_count``: the exact
+    degree-ordered path is Θ(m^1.5) wedge checks, intrinsically
+    superlinear; sampling at p cuts wedge work by ~p^2 (and the closing
+    join by p^3) while the estimator concentrates for any graph with
+    Ω(1/p^3) triangles. p is expressed in basis points (p_bp / 10000)
+    and membership is decided by the engine's seeded-md5 family on the
+    canonical edge pair — deterministic across runs AND engines, so the
+    sampled subcount is exactly oracle-checkable.
+
+    Returns 1 row: (n_nodes, n_edges, n_sampled_edges,
+    n_sampled_triangles, est_triangles), where n_nodes/n_edges describe
+    the FULL graph and est_triangles = n_sampled_triangles / p^3.
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    kept = und.where(
+        seeded_hash15(F.concat_ws(",", F.col("u"), F.col("v")), seed) % 10000
+        < p_bp
+    )
+    sampled = triangle_count(kept, src="u", dst="v").select(
+        F.col("n_edges").alias("n_sampled_edges"),
+        F.col("n_triangles").alias("n_sampled_triangles"),
+    )
+    full_nodes = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    scale = (10000.0 / p_bp) ** 3
+    return (
+        full_nodes.crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .crossJoin(sampled)
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_sampled_edges").cast("long"),
+            F.col("n_sampled_triangles").cast("long"),
+            (F.col("n_sampled_triangles") * F.lit(scale)).alias("est_triangles"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count over an undirected edge list → 1 row
     (n_nodes, n_edges, n_triangles).

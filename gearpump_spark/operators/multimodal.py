@@ -180,6 +180,27 @@ class HeaderDecoder:
             return None
         return None
 
+    @staticmethod
+    def _boxes(payload: bytes, i: int, end: int):
+        """Iterate ISO-BMFF boxes in payload[i:end] as (type, body_start,
+        box_end) — handles size==0 (to EOF) and size==1 (64-bit
+        largesize); stops silently on malformed sizes."""
+        while i + 8 <= end:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 0:  # spec: box extends to end of file
+                size = end - i
+            elif size == 1:  # spec: 64-bit largesize follows
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            if size < body - i or i + size > end:
+                return
+            yield typ, body, i + size
+            i += size
+
     def sniff_video(self, payload: bytes) -> dict | None:
         """Return {format,width,height,duration_ms,timescale,n_tracks}
         for an ISO-BMFF (MP4/MOV) payload, else None. Walks the box tree:
@@ -191,21 +212,7 @@ class HeaderDecoder:
                 return None
 
             def boxes(i: int, end: int):
-                while i + 8 <= end:
-                    size = int.from_bytes(payload[i : i + 4], "big")
-                    typ = payload[i + 4 : i + 8]
-                    body = i + 8
-                    if size == 0:  # spec: box extends to end of file
-                        size = end - i
-                    elif size == 1:  # spec: 64-bit largesize follows
-                        if i + 16 > end:
-                            return
-                        size = int.from_bytes(payload[i + 8 : i + 16], "big")
-                        body = i + 16
-                    if size < body - i or i + size > end:
-                        return
-                    yield typ, body, i + size
-                    i += size
+                yield from self._boxes(payload, i, end)
 
             moov = next(
                 ((s, e) for t, s, e in boxes(0, len(payload)) if t == b"moov"),
@@ -248,6 +255,79 @@ class HeaderDecoder:
                 "timescale": timescale,
                 "n_tracks": n_tracks,
             }
+        except (IndexError, ValueError):
+            return None
+
+    def sniff_video_tracks(self, payload: bytes) -> dict | None:
+        """Sample-table (stbl) metadata for an ISO-BMFF payload: walk each
+        trak's mdia → (mdhd media timescale, hdlr handler type, minf →
+        stbl → stsd first-entry codec fourcc + stsz sample count) and
+        aggregate to {video_codec, audio_codec, n_video_frames,
+        video_timescale} — the fields a data pipeline filters on (codec
+        allowlists, frame budgets) without touching media data. Tracks
+        missing an stbl contribute nulls; None if not ISO-BMFF.
+
+        Reference parity: completes the dev-connectors video-source
+        metadata story (gearpump docs/dev-connectors) at the container
+        level; frame decode stays behind the LibraryDecoder seam."""
+        try:
+            if len(payload) < 12 or payload[4:8] != b"ftyp":
+                return None
+            moov = next(
+                (
+                    (s, e)
+                    for t, s, e in self._boxes(payload, 0, len(payload))
+                    if t == b"moov"
+                ),
+                None,
+            )
+            if moov is None:
+                return None
+            out = {
+                "video_codec": None,
+                "audio_codec": None,
+                "n_video_frames": None,
+                "video_timescale": None,
+            }
+            for t, s, e in self._boxes(payload, *moov):
+                if t != b"trak":
+                    continue
+                handler = codec = n_samples = media_ts = None
+                for tt, ts_, te in self._boxes(payload, s, e):
+                    if tt != b"mdia":
+                        continue
+                    for mt, ms, me in self._boxes(payload, ts_, te):
+                        if mt == b"mdhd" and me - ms >= 20 and payload[ms] == 0:
+                            media_ts = int.from_bytes(
+                                payload[ms + 12 : ms + 16], "big"
+                            )
+                        elif mt == b"hdlr" and me - ms >= 12:
+                            handler = payload[ms + 8 : ms + 12]
+                        elif mt == b"minf":
+                            for it, is_, ie in self._boxes(payload, ms, me):
+                                if it != b"stbl":
+                                    continue
+                                for bt, bs, be in self._boxes(payload, is_, ie):
+                                    if bt == b"stsd" and be - bs >= 16:
+                                        # entry_count at +4; first sample
+                                        # entry: size(4) + fourcc(4)
+                                        if int.from_bytes(
+                                            payload[bs + 4 : bs + 8], "big"
+                                        ):
+                                            codec = payload[
+                                                bs + 12 : bs + 16
+                                            ].decode("latin-1")
+                                    elif bt == b"stsz" and be - bs >= 12:
+                                        n_samples = int.from_bytes(
+                                            payload[bs + 8 : bs + 12], "big"
+                                        )
+                if handler == b"vide":
+                    out["video_codec"] = codec
+                    out["n_video_frames"] = n_samples
+                    out["video_timescale"] = media_ts
+                elif handler == b"soun":
+                    out["audio_codec"] = codec
+            return out
         except (IndexError, ValueError):
             return None
 
@@ -1021,13 +1101,23 @@ def encode_mp4(
     timescale: int,
     duration: int,
     n_tracks: int = 1,
+    sample_tables: list[dict] | None = None,
 ) -> bytes:
     """Minimal REAL ISO-BMFF container: ftyp + moov(mvhd + n_tracks ×
     trak(tkhd)), version-0 boxes, spec-exact field layout (mvhd body 100
     bytes, tkhd body 84, dims as 16.16 fixed point). Parsable by any MP4
-    demuxer's box walker and by HeaderDecoder.sniff_video. Media data
-    (mdat/codec boxes) is out of scope — frame decode stays behind the
-    LibraryDecoder seam."""
+    demuxer's box walker and by HeaderDecoder.sniff_video.
+
+    ``sample_tables`` (overrides n_tracks with its length) adds a full
+    mdia chain per track — mdhd (media timescale) + hdlr (handler) +
+    minf(stbl(stsd + stts + stsz)) — from per-track dicts
+    {handler: 'vide'|'soun', codec: 4-char fourcc, n_frames: int,
+    media_timescale: int}: stsd carries one sample entry with the codec
+    fourcc, stsz a uniform-size sample count, stts one run covering all
+    samples. Media data (mdat/codec payload) is out of scope — frame
+    decode stays behind the LibraryDecoder seam."""
+    if sample_tables is not None:
+        n_tracks = len(sample_tables)
     if not (0 <= width < 1 << 16 and 0 <= height < 1 << 16):
         raise ValueError(
             f"tkhd dims are 16.16 fixed point: need 0 <= w,h < 65536, "
@@ -1040,6 +1130,38 @@ def encode_mp4(
 
     def box(typ: bytes, body: bytes) -> bytes:
         return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    def mdia_chain(spec: dict) -> bytes:
+        codec = spec["codec"].encode("latin-1")
+        if len(codec) != 4:
+            raise ValueError(f"codec fourcc must be 4 chars, got {spec['codec']!r}")
+        handler = spec["handler"].encode("latin-1")
+        if handler not in (b"vide", b"soun"):
+            raise ValueError("handler must be 'vide' or 'soun'")
+        n_frames = int(spec["n_frames"])
+        media_ts = int(spec["media_timescale"])
+        mdhd = box(
+            b"mdhd",
+            bytes(4) + bytes(8)
+            + media_ts.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + (0x55C4).to_bytes(2, "big")  # language 'und'
+            + bytes(2),
+        )
+        hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00")
+        # sample entry: size + fourcc + 6 reserved + data_ref_index
+        entry = (16).to_bytes(4, "big") + codec + bytes(6) + (1).to_bytes(2, "big")
+        stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+        stts = box(
+            b"stts",
+            bytes(4) + (1).to_bytes(4, "big")
+            + n_frames.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        )
+        stsz = box(
+            b"stsz",
+            bytes(4) + (1024).to_bytes(4, "big") + n_frames.to_bytes(4, "big"),
+        )
+        return box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd + stts + stsz)))
 
     ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
     mvhd_body = (
@@ -1056,6 +1178,9 @@ def encode_mp4(
     )
     traks = b""
     for tid in range(1, n_tracks + 1):
+        spec = sample_tables[tid - 1] if sample_tables else None
+        # audio tracks carry 0x0 presentation dims per spec
+        tw, th = (0, 0) if spec and spec["handler"] == "soun" else (width, height)
         tkhd_body = (
             bytes(4)                   # version 0 + flags
             + bytes(8)                 # ctime, mtime
@@ -1066,10 +1191,13 @@ def encode_mp4(
             + bytes(2) + bytes(2)      # layer, alternate_group
             + bytes(2) + bytes(2)      # volume, reserved
             + _MP4_UNITY_MATRIX
-            + (width << 16).to_bytes(4, "big")
-            + (height << 16).to_bytes(4, "big")
+            + (tw << 16).to_bytes(4, "big")
+            + (th << 16).to_bytes(4, "big")
         )
-        traks += box(b"trak", box(b"tkhd", tkhd_body))
+        body = box(b"tkhd", tkhd_body)
+        if spec:
+            body += mdia_chain(spec)
+        traks += box(b"trak", body)
     return ftyp + box(b"moov", box(b"mvhd", mvhd_body) + traks)
 
 
@@ -1106,6 +1234,78 @@ def synthesize_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_mp4_stsd_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL MP4s WITH sample tables, closed-form: video track (codec
+    'avc1' for even ids, 'hev1' for odd; n_frames = 12·(1 + id%4); media
+    timescale 600·(1 + id%3)) plus an audio track ('mp4a') iff id%3 == 0
+    — a driver oracle verifies the stbl walk by pure arithmetic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                tables = [
+                    {
+                        "handler": "vide",
+                        "codec": "avc1" if i % 2 == 0 else "hev1",
+                        "n_frames": 12 * (1 + i % 4),
+                        "media_timescale": 600 * (1 + i % 3),
+                    }
+                ]
+                if i % 3 == 0:
+                    tables.append(
+                        {
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "n_frames": 48 * (1 + i % 4),
+                            "media_timescale": 44100,
+                        }
+                    )
+                payloads.append(
+                    encode_mp4(
+                        width=16 * (1 + i % 5),
+                        height=16 * (1 + i % 4),
+                        timescale=1000,
+                        duration=1000 * (1 + i % 9),
+                        sample_tables=tables,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def decode_video_sample_tables(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, video_codec, audio_codec, n_video_frames, video_timescale)
+    via the REAL stbl walk (trak → mdia → mdhd/hdlr/minf → stbl →
+    stsd/stsz) — the codec-allowlist / frame-budget filter columns a
+    100 TB video pipeline prunes on before ever touching media bytes.
+    Narrow Arrow map; payloads never shuffle."""
+    decoder = decoder or HeaderDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("video_codec", "audio_codec", "n_video_frames", "video_timescale")
+        for pdf in batches:
+            out = {id_col: pdf[id_col].values, **{c: [] for c in cols}}
+            for p in pdf[payload_col]:
+                meta = None if p is None else decoder.sniff_video_tracks(bytes(p))
+                for c in cols:
+                    out[c].append(None if meta is None else meta[c])
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, video_codec string, audio_codec string, "
+        "n_video_frames int, video_timescale int",
     )
 
 

@@ -1216,6 +1216,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@register(
+    "graph_triangle_estimate",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    kept AS (
+        SELECT u, v FROM edges
+        WHERE {_SQL_H15.format(seed="'7'", key="(u || ',' || v)")} % 10000 < 2000),
+    st AS (
+        SELECT COUNT(*) AS n_sampled_triangles FROM kept e1
+        JOIN kept e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN kept e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT (SELECT COUNT(*) FROM (SELECT u AS n FROM edges
+                                  UNION SELECT v FROM edges)) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM kept) AS n_sampled_edges,
+           (SELECT n_sampled_triangles FROM st) AS n_sampled_triangles,
+           (SELECT CAST(n_sampled_triangles * 125.0 AS DOUBLE) FROM st)
+             AS est_triangles
+    """,
+    desc="DOULION sampled triangle estimate (KDD 2009): seeded-md5 edge "
+    "sampling at p=0.2, exact count on the sparsified graph, 1/p^3 "
+    "unbiasing — the near-linear 100 TB variant of the exact "
+    "degree-ordered count; deterministic sampling makes even the "
+    "sampled subcount hash-checkable against DuckDB",
+)
+def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: wedge work drops by ~p^2 (closing join by p^3) vs the exact
+    path while the estimator concentrates for triangle counts >> 1/p^3
+    (operators/graph.py triangle_count_estimate)."""
+    from gearpump_spark.operators.graph import triangle_count_estimate
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_count_estimate(edges, p_bp=2000, seed=7)
+
+
 # ---------------------------------------------------------------------------
 # Chunking / incremental dedup / document frequency (r2 additions)
 # ---------------------------------------------------------------------------
@@ -1534,6 +1584,29 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(docs, n_merges=16)
     return (
         bpe_tokenize(docs, merges)
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bpe_bytes",
+    oracle=None,  # iterative trainer (argmax per round) — golden-tested
+    desc="BYTE-level BPE (the GPT-2 family setup): 256-byte UTF-8 "
+    "alphabet as hex-pair symbols, so any string — accents, CJK, emoji — "
+    "tokenizes with zero OOV and tokens spell their exact byte runs "
+    "(lossless round-trip pinned in tests/test_bpe.py against a "
+    "pure-python golden); same one-job-per-merge trainer cost model",
+)
+def text_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE compression stats per document (case-preserving;
+    merge table deterministic via total tie-breaks)."""
+    from gearpump_spark.operators.bpe import bpe_tokenize_bytes, bpe_train_bytes
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train_bytes(docs, n_merges=16)
+    return (
+        bpe_tokenize_bytes(docs, merges)
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")
     )
@@ -2231,6 +2304,38 @@ def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return decode_video_metadata(synthesize_mp4_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_stsd",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec,
+           CAST(12 * (1 + doc_id % 4) AS INT) AS n_video_frames,
+           CAST(600 * (1 + doc_id % 3) AS INT) AS video_timescale
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL MP4 sample-table (stbl) walk: trak → mdia → mdhd/hdlr → "
+    "minf → stbl → stsd codec fourcc + stsz frame count, per handler "
+    "type — the codec-allowlist and frame-budget columns a video "
+    "pipeline filters on before touching media bytes; synthesized "
+    "containers carry real stsd/stts/stsz boxes (audio track present "
+    "for every third doc)",
+)
+def multimodal_video_stsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes video metadata to the sample-table level (r2 verdict
+    item #6): codec ids and per-track frame counts from real ISO-BMFF
+    boxes (operators/multimodal.py sniff_video_tracks)."""
+    from gearpump_spark.operators.multimodal import (
+        decode_video_sample_tables,
+        synthesize_mp4_stsd_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_sample_tables(synthesize_mp4_stsd_payloads(docs)).orderBy(
+        "doc_id"
+    )
 
 
 @register(

@@ -187,3 +187,88 @@ def test_tokenizer_word_boundary_matches_trainer(spark):
     # NBSP/VT do not split: exactly 4 whitespace tokens, reconstructable
     assert out.n_ws_tokens == 4
     assert "".join(out.bpe_tokens) == "ab cdab cdef\x0bghef\x0bgh"
+
+
+# --- byte-level (UTF-8 alphabet) variant -----------------------------------
+
+
+def _py_train_bytes(texts: list[str], n_merges: int, min_freq: int = 2):
+    """Reference byte-level trainer: case-preserving whitespace words,
+    uppercase hex byte-pair symbols, same (freq DESC, pair lex)
+    tie-break."""
+    wc = collections.Counter(w for t in texts for w in t.split() if w)
+    vocab = {}
+    for w in wc:
+        hx = w.encode("utf-8").hex().upper()
+        vocab[w] = [hx[i : i + 2] for i in range(0, len(hx), 2)]
+    merges = []
+    for _ in range(n_merges):
+        pf: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pf[(syms[i], syms[i + 1])] += wc[w]
+        if not pf:
+            break
+        best = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+BYTE_TEXTS = [
+    "naïve café naïve café déjà vu",
+    "日本語 テスト 日本語 naïve",
+    "emoji 🚀 rocket 🚀 emoji 🚀",
+    "Mixed CASE Mixed CASE plain plain",
+]
+
+
+def test_byte_level_trainer_matches_pure_python_golden(spark):
+    from gearpump_spark.operators.bpe import bpe_train_bytes
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BYTE_TEXTS)], "doc_id bigint, text string"
+    )
+    got = bpe_train_bytes(docs, n_merges=15)
+    want = _py_train_bytes(BYTE_TEXTS, 15)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_byte_level_round_trips_non_ascii(spark):
+    """Every token spells the exact bytes it covers: concatenating a
+    word's token hex and decoding reconstructs the word — for accents,
+    CJK, and emoji alike; and case survives (no lowercase folding)."""
+    from gearpump_spark.operators.bpe import (
+        bpe_encode_word_bytes,
+        bpe_tokenize_bytes,
+        bpe_train_bytes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BYTE_TEXTS)], "doc_id bigint, text string"
+    )
+    merges = bpe_train_bytes(docs, n_merges=15)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for word in ["naïve", "日本語", "🚀", "CASE", "unseen-wörd"]:
+        toks = bpe_encode_word_bytes(word, ranks)
+        assert bytes.fromhex("".join(toks)).decode("utf-8") == word
+    out = {r.doc_id: r for r in bpe_tokenize_bytes(docs, merges).collect()}
+    # per-doc piece stream reconstructs the case-preserved word stream
+    for i, t in enumerate(BYTE_TEXTS):
+        joined = bytes.fromhex("".join(out[i].bpe_tokens)).decode("utf-8")
+        assert joined == "".join(t.split())
+        assert out[i].n_ws_tokens == len(t.split())
+        assert out[i].n_bpe_tokens >= out[i].n_ws_tokens  # hex runs split finer

@@ -1092,3 +1092,43 @@ def test_mp4_real_world_layouts_and_null_payloads(spark):
         with _pytest.raises(ValueError):
             encode_mp4(**{"width": 32, "height": 16, "timescale": 600,
                           "duration": 600, **kw})
+
+
+def test_mp4_stsd_sample_table_walk_and_truncation_safe():
+    """stbl tier: stsd codec fourcc + stsz frame count per handler type
+    round-trip through real boxes; legacy containers (no mdia chain)
+    yield all-null fields; truncation/garbage never raise."""
+    from gearpump_spark.operators.multimodal import HeaderDecoder, encode_mp4
+
+    d = HeaderDecoder()
+    enc = encode_mp4(
+        width=320, height=240, timescale=1000, duration=5000,
+        sample_tables=[
+            {"handler": "vide", "codec": "avc1", "n_frames": 150,
+             "media_timescale": 600},
+            {"handler": "soun", "codec": "mp4a", "n_frames": 430,
+             "media_timescale": 44100},
+        ],
+    )
+    assert d.sniff_video_tracks(enc) == {
+        "video_codec": "avc1",
+        "audio_codec": "mp4a",
+        "n_video_frames": 150,
+        "video_timescale": 600,
+    }
+    # presentation-level sniff still works: audio track carries 0x0 dims,
+    # so width/height come from the video track; both tracks counted
+    base = d.sniff_video(enc)
+    assert (base["width"], base["height"], base["n_tracks"]) == (320, 240, 2)
+    # legacy layout without sample tables -> nulls, not an error
+    legacy = encode_mp4(width=64, height=48, timescale=1000, duration=1000, n_tracks=2)
+    assert d.sniff_video_tracks(legacy) == {
+        "video_codec": None,
+        "audio_codec": None,
+        "n_video_frames": None,
+        "video_timescale": None,
+    }
+    # truncation / garbage never raise
+    for cut in range(0, len(enc), 11):
+        d.sniff_video_tracks(enc[:cut])
+    assert d.sniff_video_tracks(b"not an mp4 at all") is None

@@ -800,6 +800,32 @@ def test_triangle_count_counts_each_once_on_clique(spark):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 10, 10)
 
 
+def test_triangle_estimate_doulion_within_epsilon(spark):
+    """DOULION estimate on a triangle-dense fixture lands within 25% of
+    the exact count (deterministic seeded sampling → stable assertion),
+    the full-graph node/edge stats are exact, and the unbiasing identity
+    est = sampled / p^3 holds exactly."""
+    import itertools
+    import random
+
+    from gearpump_spark.operators.graph import triangle_count, triangle_count_estimate
+
+    # union of overlapping cliques → thousands of triangles, so the
+    # p=0.2 estimator concentrates (variance ~ 1/sqrt(T) at fixed p)
+    rng = random.Random(3)
+    edges = set()
+    for _ in range(40):
+        clique = rng.sample(range(60), 6)
+        edges |= {tuple(sorted(p)) for p in itertools.combinations(clique, 2)}
+    df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+    exact = triangle_count(df).collect()[0]
+    est = triangle_count_estimate(df, p_bp=2000, seed=7).collect()[0]
+    assert est.n_nodes == exact.n_nodes and est.n_edges == exact.n_edges
+    assert est.est_triangles == est.n_sampled_triangles * 125.0
+    assert exact.n_triangles > 500  # fixture is genuinely triangle-dense
+    assert abs(est.est_triangles - exact.n_triangles) <= 0.25 * exact.n_triangles
+
+
 # ---------------------------------------------------------------------------
 # r2 additions: chunking, incremental dedup, priority sampling
 # ---------------------------------------------------------------------------
