@@ -39,8 +39,13 @@ EXTRA = [
     # r2 late additions (bm25/semantic arrive via HEADLINE); the refined
     # JPEG decode is the deepest multi-scan decoder path
     "multimodal_jpeg_refined_real",
+    # r3 additions: the DOULION estimator must beat the exact path's sf1
+    # wall-time; the stsd walk is a new Arrow-map tier
+    "graph_triangle_estimate",
+    "multimodal_video_stsd",
 ]
-SWEEP = HEADLINE + EXTRA
+# HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
+SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
 
 BASE = "/root/testdata"
 SF1_DIR = os.environ.get(
