@@ -2386,34 +2386,39 @@ class JpegDecoder(GifDecoder):
             bitpos = 0
             nbits = len(data) * 8
 
-            def read_bit():
-                nonlocal bitpos
-                if bitpos >= nbits:
-                    return None
-                b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-                bitpos += 1
-                return b
-
             def read_huff(lut):
-                code = 0
-                for ln in range(1, 17):
-                    b = read_bit()
-                    if b is None:
-                        return None
-                    code = (code << 1) | b
-                    if (ln, code) in lut:
-                        return lut[(ln, code)]
+                # 16-bit peek + per-length prefix probe: one bytes fetch
+                # instead of up to 16 read_bit() calls (validated
+                # bit-exact against the per-bit reference)
+                nonlocal bitpos
+                avail = nbits - bitpos
+                if avail <= 0:
+                    return None
+                b0 = bitpos >> 3
+                chunk = bytes(data[b0 : b0 + 3])
+                if len(chunk) < 3:
+                    chunk = chunk + b"\x00" * (3 - len(chunk))
+                peek = (int.from_bytes(chunk, "big") >> (8 - (bitpos & 7))) & 0xFFFF
+                maxlen = 16 if avail >= 16 else avail
+                for ln in range(1, maxlen + 1):
+                    v = lut.get((ln, peek >> (16 - ln)))
+                    if v is not None:
+                        bitpos += ln
+                        return v
                 return None
 
             def receive_extend(size):
+                nonlocal bitpos
                 if size == 0:
                     return 0
-                v = 0
-                for _ in range(size):
-                    b = read_bit()
-                    if b is None:
-                        return None
-                    v = (v << 1) | b
+                end = bitpos + size
+                if end > nbits:
+                    return None
+                b0, b1 = bitpos >> 3, (end + 7) >> 3
+                v = int.from_bytes(bytes(data[b0:b1]), "big")
+                v >>= (b1 << 3) - end
+                bitpos = end
+                v &= (1 << size) - 1
                 if v < (1 << (size - 1)):
                     v -= (1 << size) - 1
                 return v
@@ -2710,24 +2715,36 @@ class JpegDecoder(GifDecoder):
             return b
 
         def read_huff(lut):
-            code = 0
-            for ln in range(1, 17):
-                b = read_bit()
-                if b is None:
-                    return None
-                code = (code << 1) | b
-                if (ln, code) in lut:
-                    return lut[(ln, code)]
+            # 16-bit peek + per-length prefix probe (see decode_jpeg_arr)
+            nonlocal bitpos
+            avail = nbits - bitpos
+            if avail <= 0:
+                return None
+            b0 = bitpos >> 3
+            chunk = bytes(data[b0 : b0 + 3])
+            if len(chunk) < 3:
+                chunk = chunk + b"\x00" * (3 - len(chunk))
+            peek = (int.from_bytes(chunk, "big") >> (8 - (bitpos & 7))) & 0xFFFF
+            maxlen = 16 if avail >= 16 else avail
+            for ln in range(1, maxlen + 1):
+                v = lut.get((ln, peek >> (16 - ln)))
+                if v is not None:
+                    bitpos += ln
+                    return v
             return None
 
         def receive(size):
-            v = 0
-            for _ in range(size):
-                b = read_bit()
-                if b is None:
-                    return None
-                v = (v << 1) | b
-            return v
+            nonlocal bitpos
+            if size == 0:
+                return 0
+            end = bitpos + size
+            if end > nbits:
+                return None
+            b0, b1 = bitpos >> 3, (end + 7) >> 3
+            v = int.from_bytes(bytes(data[b0:b1]), "big")
+            v >>= (b1 << 3) - end
+            bitpos = end
+            return v & ((1 << size) - 1)
 
         def extend(v, size):
             if size and v < (1 << (size - 1)):
