@@ -39,15 +39,23 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Column tails of the operator output schemas; the id field is prepended
+# per call with the INPUT's id column name/type via _id_field (r2 advisor
+# finding: a hardcoded `doc_id bigint` broke string-keyed tables).
 IMAGE_META_SCHEMA = (
-    "doc_id bigint, byte_len bigint, format string, width int, height int, n_channels int"
+    "byte_len bigint, format string, width int, height int, n_channels int"
 )
 
-FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+FRAME_SCHEMA = "frame_idx int, frame_hash string"
 
-RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int, byte_len bigint"
+RESIZE_SCHEMA = "payload binary, width int, height int, byte_len bigint"
 
-FEATURE_SCHEMA = "doc_id bigint, features array<float>"
+FEATURE_SCHEMA = "features array<float>"
+
+
+def _id_field(df: DataFrame, id_col: str) -> str:
+    """`"<name> <type>"` for the input's id column, for output schemas."""
+    return f"{id_col} {df.schema[id_col].dataType.simpleString()}"
 
 
 def attach_fake_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
@@ -201,6 +209,21 @@ class HeaderDecoder:
             yield typ, body, i + size
             i += size
 
+    @classmethod
+    def _find_moov(cls, payload: bytes):
+        """(body_start, end) of the top-level moov box of an ISO-BMFF
+        payload, else None — the shared prologue of both video sniffers."""
+        if len(payload) < 12 or payload[4:8] != b"ftyp":
+            return None
+        return next(
+            (
+                (s, e)
+                for t, s, e in cls._boxes(payload, 0, len(payload))
+                if t == b"moov"
+            ),
+            None,
+        )
+
     def sniff_video(self, payload: bytes) -> dict | None:
         """Return {format,width,height,duration_ms,timescale,n_tracks}
         for an ISO-BMFF (MP4/MOV) payload, else None. Walks the box tree:
@@ -208,16 +231,10 @@ class HeaderDecoder:
         layout) and each trak's tkhd (presentation size, 16.16 fixed
         point). Never raises on truncated/garbage bytes."""
         try:
-            if len(payload) < 12 or payload[4:8] != b"ftyp":
-                return None
-
             def boxes(i: int, end: int):
                 yield from self._boxes(payload, i, end)
 
-            moov = next(
-                ((s, e) for t, s, e in boxes(0, len(payload)) if t == b"moov"),
-                None,
-            )
+            moov = self._find_moov(payload)
             if moov is None:
                 return None
             timescale = duration = None
@@ -271,16 +288,7 @@ class HeaderDecoder:
         metadata story (gearpump docs/dev-connectors) at the container
         level; frame decode stays behind the LibraryDecoder seam."""
         try:
-            if len(payload) < 12 or payload[4:8] != b"ftyp":
-                return None
-            moov = next(
-                (
-                    (s, e)
-                    for t, s, e in self._boxes(payload, 0, len(payload))
-                    if t == b"moov"
-                ),
-                None,
-            )
+            moov = self._find_moov(payload)
             if moov is None:
                 return None
             out = {
@@ -784,7 +792,7 @@ def decode_image_metadata(
             metas = [decoder.decode_image(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
                     "format": [m["format"] for m in metas],
                     "width": [m["width"] for m in metas],
@@ -793,7 +801,9 @@ def decode_image_metadata(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(op, IMAGE_META_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", " + IMAGE_META_SCHEMA
+    )
 
 
 def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -884,7 +894,7 @@ def pixel_stats(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": pdf[id_col].values, "width": [], "height": [], "px_sum": []}
+            out = {id_col: pdf[id_col].values, "width": [], "height": [], "px_sum": []}
             for p in pdf[payload_col]:
                 img = decoder.decode_pixels_arr(bytes(p))
                 if img is None:
@@ -898,7 +908,7 @@ def pixel_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
-        op, "doc_id bigint, width int, height int, px_sum bigint"
+        op, _id_field(df, id_col) + ", width int, height int, px_sum bigint"
     )
 
 
@@ -936,9 +946,8 @@ def pixel_fingerprints(
             yield pd.DataFrame(out)
 
     # id field name/type follow the input schema (r2 advisor finding)
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        op, f"{id_col} {id_type}, width int, height int, pixel_fp string"
+        op, _id_field(df, id_col) + ", width int, height int, pixel_fp string"
     )
 
 
@@ -1000,9 +1009,8 @@ def phash_fingerprints(
                     out["phash"].append(phash64(img["arr"]))
             yield pd.DataFrame(out)
 
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        op, f"{id_col} {id_type}, width int, height int, phash bigint"
+        op, _id_field(df, id_col) + ", width int, height int, phash bigint"
     )
 
 
@@ -1140,11 +1148,17 @@ def encode_mp4(
             raise ValueError("handler must be 'vide' or 'soun'")
         n_frames = int(spec["n_frames"])
         media_ts = int(spec["media_timescale"])
+        # mdhd duration is expressed in the TRACK's media timescale, not
+        # the movie's (r3 review finding): rescale the presentation
+        # duration so demuxers see consistent per-track timing
+        media_dur = duration * media_ts // timescale
+        if media_dur >= 1 << 32:
+            raise ValueError("v0 mdhd duration is 32-bit unsigned")
         mdhd = box(
             b"mdhd",
             bytes(4) + bytes(8)
             + media_ts.to_bytes(4, "big")
-            + duration.to_bytes(4, "big")
+            + media_dur.to_bytes(4, "big")
             + (0x55C4).to_bytes(2, "big")  # language 'und'
             + bytes(2),
         )
@@ -1301,10 +1315,9 @@ def decode_video_sample_tables(
                     out[c].append(None if meta is None else meta[c])
             yield pd.DataFrame(out)
 
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
         op,
-        f"{id_col} {id_type}, video_codec string, audio_codec string, "
+        _id_field(df, id_col) + ", video_codec string, audio_codec string, "
         "n_video_frames int, video_timescale int",
     )
 
@@ -1320,7 +1333,7 @@ def decode_video_metadata(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("format", "width", "height", "duration_ms", "timescale", "n_tracks")
         for pdf in batches:
-            out = {"doc_id": pdf[id_col].values, **{c: [] for c in cols}}
+            out = {id_col: pdf[id_col].values, **{c: [] for c in cols}}
             for p in pdf[payload_col]:
                 meta = None if p is None else decoder.sniff_video(bytes(p))
                 for c in cols:
@@ -1329,7 +1342,7 @@ def decode_video_metadata(
 
     return df.select(id_col, payload_col).mapInPandas(
         op,
-        "doc_id bigint, format string, width int, height int, "
+        _id_field(df, id_col) + ", format string, width int, height int, "
         "duration_ms bigint, timescale int, n_tracks int",
     )
 
@@ -1364,9 +1377,8 @@ def audio_fingerprints(
                     out["audio_fp"].append(hashlib.md5(key.encode()).hexdigest())
             yield pd.DataFrame(out)
 
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        op, f"{id_col} {id_type}, n_samples int, audio_fp string"
+        op, _id_field(df, id_col) + ", n_samples int, audio_fp string"
     )
 
 
@@ -1452,7 +1464,7 @@ def audio_sample_stats(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
-                "doc_id": pdf[id_col].values,
+                id_col: pdf[id_col].values,
                 "n_samples": [],
                 "sample_sum": [],
                 "sample_min": [],
@@ -1471,7 +1483,9 @@ def audio_sample_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
-        op, "doc_id bigint, n_samples bigint, sample_sum bigint, sample_min bigint, sample_max bigint"
+        op,
+        _id_field(df, id_col)
+        + ", n_samples bigint, sample_sum bigint, sample_min bigint, sample_max bigint",
     )
 
 
@@ -1587,7 +1601,7 @@ def synthesize_png_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
 
 
 AUDIO_META_SCHEMA = (
-    "doc_id bigint, byte_len bigint, format string, n_channels int, "
+    "byte_len bigint, format string, n_channels int, "
     "sample_rate int, bits_per_sample int"
 )
 
@@ -1605,7 +1619,7 @@ def decode_audio_metadata(
             metas = [decoder.sniff_audio(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
                     "format": [m["format"] if m else None for m in metas],
                     "n_channels": [m["n_channels"] if m else None for m in metas],
@@ -1614,7 +1628,9 @@ def decode_audio_metadata(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(op, AUDIO_META_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", " + AUDIO_META_SCHEMA
+    )
 
 
 def resize_images(
@@ -1635,7 +1651,7 @@ def resize_images(
             out = [decoder.resize(bytes(p), width, height) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "payload": out,
                     "width": width,
                     "height": height,
@@ -1643,7 +1659,9 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(op, RESIZE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", " + RESIZE_SCHEMA
+    )
 
 
 def extract_features(
@@ -1663,14 +1681,16 @@ def extract_features(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "features": [
                         decoder.features(bytes(p), dim) for p in pdf[payload_col]
                     ],
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(op, FEATURE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", " + FEATURE_SCHEMA
+    )
 
 
 def sample_frames(
@@ -1691,9 +1711,11 @@ def sample_frames(
                     ids.append(i)
                     idxs.append(j)
                     hashes.append(fh)
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_hash": hashes})
 
-    return df.select(id_col, payload_col).mapInPandas(op, FRAME_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", " + FRAME_SCHEMA
+    )
 
 
 class GifDecoder(PixelDecoder):
@@ -1724,16 +1746,16 @@ class GifDecoder(PixelDecoder):
         nbits = len(data) * 8
 
         def read(width):
+            # GIF packs codes LSB-first: one little-endian fetch replaces
+            # the per-bit assembly loop
             nonlocal bitpos
             if bitpos + width > nbits:
                 return None
-            v = 0
-            for i in range(width):
-                byte = data[(bitpos + i) >> 3]
-                if (byte >> ((bitpos + i) & 7)) & 1:
-                    v |= 1 << i
+            b0 = bitpos >> 3
+            b1 = (bitpos + width + 7) >> 3
+            v = int.from_bytes(data[b0:b1], "little") >> (bitpos & 7)
             bitpos += width
-            return v
+            return v & ((1 << width) - 1)
 
         out: list[int] = []
         width = min_code_size + 1
@@ -2096,13 +2118,13 @@ def gif_frame_stats(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
+            out = {id_col: [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 frames = decoder.decode_gif_frames_arr(bytes(p))
                 if not frames:
                     continue
                 for fi, fr in enumerate(frames):
-                    out["doc_id"].append(int(i))
+                    out[id_col].append(i)
                     out["frame_idx"].append(fi)
                     out["width"].append(fr["width"])
                     out["height"].append(fr["height"])
@@ -2110,7 +2132,8 @@ def gif_frame_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
-        op, "doc_id bigint, frame_idx int, width int, height int, px_sum bigint"
+        op,
+        _id_field(df, id_col) + ", frame_idx int, width int, height int, px_sum bigint",
     )
 
 
@@ -2160,6 +2183,69 @@ def _huff_codes(bits, vals):
             k += 1
         code <<= 1
     return out
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed JPEG entropy stream — ONE
+    implementation shared by the baseline and progressive decoders (r3
+    review finding: the subtle 16-bit-peek / multi-byte-fetch logic was
+    previously duplicated per path). ``pos`` is public: restart-marker
+    handling realigns it to a recorded mark. Validated bit-exact against
+    a per-bit reference on randomized streams and canonical tables."""
+
+    __slots__ = ("data", "nbits", "pos")
+
+    def __init__(self, data):
+        self.data = data
+        self.nbits = len(data) * 8
+        self.pos = 0
+
+    def read_bit(self):
+        if self.pos >= self.nbits:
+            return None
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read_huff(self, lut):
+        """Decode one Huffman symbol from a {(length, code): value} table:
+        16-bit peek + per-length prefix probe — one bytes fetch instead of
+        up to 16 read_bit() calls."""
+        avail = self.nbits - self.pos
+        if avail <= 0:
+            return None
+        b0 = self.pos >> 3
+        chunk = bytes(self.data[b0 : b0 + 3])
+        if len(chunk) < 3:
+            chunk = chunk + b"\x00" * (3 - len(chunk))
+        peek = (int.from_bytes(chunk, "big") >> (8 - (self.pos & 7))) & 0xFFFF
+        maxlen = 16 if avail >= 16 else avail
+        for ln in range(1, maxlen + 1):
+            v = lut.get((ln, peek >> (16 - ln)))
+            if v is not None:
+                self.pos += ln
+                return v
+        return None
+
+    def receive(self, size):
+        """``size`` raw bits as an unsigned int, in one fetch."""
+        if size == 0:
+            return 0
+        end = self.pos + size
+        if end > self.nbits:
+            return None
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        v = int.from_bytes(bytes(self.data[b0:b1]), "big")
+        v >>= (b1 << 3) - end
+        self.pos = end
+        return v & ((1 << size) - 1)
+
+    def receive_extend(self, size):
+        """receive + JPEG sign extension (spec F.2.2.1 EXTEND)."""
+        v = self.receive(size)
+        if v is not None and size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
 
 
 _IDCT_CACHE: dict[str, object] = {}
@@ -2383,45 +2469,9 @@ class JpegDecoder(GifDecoder):
                     break
                 data.append(b)
                 j += 1
-            bitpos = 0
-            nbits = len(data) * 8
-
-            def read_huff(lut):
-                # 16-bit peek + per-length prefix probe: one bytes fetch
-                # instead of up to 16 read_bit() calls (validated
-                # bit-exact against the per-bit reference)
-                nonlocal bitpos
-                avail = nbits - bitpos
-                if avail <= 0:
-                    return None
-                b0 = bitpos >> 3
-                chunk = bytes(data[b0 : b0 + 3])
-                if len(chunk) < 3:
-                    chunk = chunk + b"\x00" * (3 - len(chunk))
-                peek = (int.from_bytes(chunk, "big") >> (8 - (bitpos & 7))) & 0xFFFF
-                maxlen = 16 if avail >= 16 else avail
-                for ln in range(1, maxlen + 1):
-                    v = lut.get((ln, peek >> (16 - ln)))
-                    if v is not None:
-                        bitpos += ln
-                        return v
-                return None
-
-            def receive_extend(size):
-                nonlocal bitpos
-                if size == 0:
-                    return 0
-                end = bitpos + size
-                if end > nbits:
-                    return None
-                b0, b1 = bitpos >> 3, (end + 7) >> 3
-                v = int.from_bytes(bytes(data[b0:b1]), "big")
-                v >>= (b1 << 3) - end
-                bitpos = end
-                v &= (1 << size) - 1
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                return v
+            rdr = _BitReader(data)
+            read_huff = rdr.read_huff
+            receive_extend = rdr.receive_extend
 
             hmax = max(hh for _, _, hh, _ in comps)
             vmax = max(vv for _, _, _, vv in comps)
@@ -2454,9 +2504,9 @@ class JpegDecoder(GifDecoder):
                         if not restart_marks:
                             return None  # stream promised a RST, none left
                         mark = restart_marks.pop(0)
-                        if mark < bitpos:
+                        if mark < rdr.pos:
                             return None  # segments out of order: corrupt
-                        bitpos = mark
+                        rdr.pos = mark
                         preds = [0] * len(comps)
                     mcus_done += 1
                     # interleaved MCU: each component contributes hi*vi
@@ -2688,63 +2738,24 @@ class JpegDecoder(GifDecoder):
         recorded bit positions of each stripped marker; at a boundary the
         reader realigns there and the caller loop resets its DC
         predictors / EOB run, mirroring the baseline DRI path."""
-        bitpos = 0
-        nbits = len(data) * 8
+        rdr = _BitReader(data)
+        read_bit = rdr.read_bit
+        read_huff = rdr.read_huff
+        receive = rdr.receive
         marks = list(restart_marks or [])
 
         def at_restart(units_done):
             """None = no boundary here; True = realigned (reset local
             state); False = stream corrupt."""
-            nonlocal bitpos
             if not dri or units_done == 0 or units_done % dri:
                 return None
             if not marks:
                 return False  # stream promised a RST, none left
             mark = marks.pop(0)
-            if mark < bitpos:
+            if mark < rdr.pos:
                 return False  # segments out of order: corrupt
-            bitpos = mark
+            rdr.pos = mark
             return True
-
-        def read_bit():
-            nonlocal bitpos
-            if bitpos >= nbits:
-                return None
-            b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            return b
-
-        def read_huff(lut):
-            # 16-bit peek + per-length prefix probe (see decode_jpeg_arr)
-            nonlocal bitpos
-            avail = nbits - bitpos
-            if avail <= 0:
-                return None
-            b0 = bitpos >> 3
-            chunk = bytes(data[b0 : b0 + 3])
-            if len(chunk) < 3:
-                chunk = chunk + b"\x00" * (3 - len(chunk))
-            peek = (int.from_bytes(chunk, "big") >> (8 - (bitpos & 7))) & 0xFFFF
-            maxlen = 16 if avail >= 16 else avail
-            for ln in range(1, maxlen + 1):
-                v = lut.get((ln, peek >> (16 - ln)))
-                if v is not None:
-                    bitpos += ln
-                    return v
-            return None
-
-        def receive(size):
-            nonlocal bitpos
-            if size == 0:
-                return 0
-            end = bitpos + size
-            if end > nbits:
-                return None
-            b0, b1 = bitpos >> 3, (end + 7) >> 3
-            v = int.from_bytes(bytes(data[b0:b1]), "big")
-            v >>= (b1 << 3) - end
-            bitpos = end
-            return v & ((1 << size) - 1)
 
         def extend(v, size):
             if size and v < (1 << (size - 1)):

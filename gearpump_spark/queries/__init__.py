@@ -92,8 +92,9 @@ DRIVER_SAMPLE_WINDOW = [
     "embedding_outliers",
     "embedding_quantize_int8",
     "pipeline_chunk_pack",
-    # multimodal real-byte tier (all 17: containers are synthesized real
-    # ISO-spec bytes; decode verified against closed-form DuckDB oracles)
+    # multimodal real-byte tier (19 queries, incl. the image/audio dedup
+    # pair: containers are synthesized real ISO-spec bytes; decode
+    # verified against closed-form DuckDB oracles)
     "multimodal_image_real",
     "multimodal_audio_real",
     "multimodal_audio_samples_real",

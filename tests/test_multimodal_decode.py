@@ -1132,3 +1132,31 @@ def test_mp4_stsd_sample_table_walk_and_truncation_safe():
     for cut in range(0, len(enc), 11):
         d.sniff_video_tracks(enc[:cut])
     assert d.sniff_video_tracks(b"not an mp4 at all") is None
+
+
+def test_operators_respect_string_id_columns(spark):
+    """r3 review finding: every Arrow-map operator derives its output id
+    field's name AND type from the input schema — a string-keyed corpus
+    (UUID doc ids) must work across the whole family, not just the
+    fingerprint ops."""
+    from gearpump_spark.operators.multimodal import (
+        PixelDecoder,
+        decode_image_metadata,
+        gif_frame_stats,
+        GifDecoder,
+        pixel_stats,
+    )
+
+    bmp = PixelDecoder.encode_bmp([[[1, 2, 3], [4, 5, 6]]])
+    gif = GifDecoder.encode_gif([[[9, 8, 7]]])
+    df = spark.createDataFrame(
+        [("a-1", bytearray(bmp)), ("b-2", bytearray(gif))],
+        "uuid string, payload binary",
+    )
+    out = {r.uuid: r for r in pixel_stats(df, id_col="uuid").collect()}
+    assert out["a-1"].px_sum == 1 + 2 + 3 + 4 + 5 + 6
+    meta = {r.uuid: r for r in decode_image_metadata(df, id_col="uuid").collect()}
+    assert meta["a-1"].format == "bmp" and meta["b-2"].format == "gif"
+    frames = gif_frame_stats(df, id_col="uuid").collect()
+    assert [r.uuid for r in frames] == ["b-2"]
+    assert frames[0].px_sum == 9 + 8 + 7
