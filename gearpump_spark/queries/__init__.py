@@ -132,15 +132,19 @@ DRIVER_SAMPLE_WINDOW = [
     "q_upsert_merge",
     "q_corr_qty_price",
     "q_user_value_outliers",
+    # r3 newcomers, oracle-backed (registered this round, immediately
+    # windowed: a hash-checked slot beats a rows-only one, so they take
+    # the slots phash_neardup/features would have spent on weak checks)
+    "graph_triangle_estimate",
+    "multimodal_video_stsd",
     # rows-only flagships (no SQL oracle — approximate/iterative; the
     # driver records a rows-only check, pytest holds the goldens)
     "similarity_topk_ivf",
     "text_bpe_tokens",
-    "multimodal_phash_neardup",
-    "multimodal_features",
     # Still never-sampled after this round (rows-only, golden-tested):
-    # multimodal_frames, multimodal_resize — queued for r4 alongside any
-    # queries newly registered this round.
+    # multimodal_phash_neardup, multimodal_features, multimodal_frames,
+    # multimodal_resize, text_bpe_bytes — queued for the r4 rotation,
+    # where ~46 freed slots will absorb them all.
 ]
 
 

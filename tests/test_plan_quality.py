@@ -621,3 +621,44 @@ def test_positional_index_phrase_matches_inline_and_prunes(spark):
         assert "text" not in p.split("ReadSchema")[1][:200]
     finally:
         spark.sql("DROP TABLE IF EXISTS pos_idx_test")
+
+
+def test_triangle_estimate_samples_before_wedge_join(spark):
+    """DOULION: the seeded-hash edge filter must run BEFORE the wedge
+    self-join (sampling cuts the quadratic stage, not just the output),
+    and the estimator keeps the exact path's pinned exchange widths +
+    salting (AQE join-explosion defense)."""
+    from gearpump_spark.operators.graph import triangle_count_estimate
+
+    edges = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("l_orderkey", "l_partkey")
+        .distinct()
+        .limit(500)
+        .selectExpr("l_orderkey as src", "l_partkey as dst")
+    )
+    p = plan(triangle_estimate_df := triangle_count_estimate(edges, p_bp=2000, seed=7))
+    # the md5 sampling predicate must appear in a Filter (pre-join), and
+    # the wedge join keys must include the salt column
+    assert "md5" in p and "Filter" in p
+    assert "_salt" in p
+    # closing + wedge joins stay equi-joins (hash/merge), never a
+    # nested-loop over the corpus
+    assert "CartesianProduct" not in p
+    # smoke: the plan executes
+    assert triangle_estimate_df.count() == 1
+
+
+def test_video_stsd_walk_is_narrow(spark):
+    """The stbl metadata walk is a pure narrow Arrow map: payload bytes
+    never enter an exchange."""
+    from gearpump_spark.operators.multimodal import (
+        decode_video_sample_tables,
+        synthesize_mp4_stsd_payloads,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    p = plan(decode_video_sample_tables(synthesize_mp4_stsd_payloads(docs)))
+    assert "Exchange" not in p
