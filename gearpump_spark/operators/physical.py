@@ -14,7 +14,7 @@ repeated joins on the same key (bucketing amortizes the shuffle to zero).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -139,3 +139,57 @@ def upsert_split(snapshot: DataFrame, updates: DataFrame, key: str) -> DataFrame
     """
     untouched = snapshot.join(F.broadcast(updates.select(key)), key, "left_anti")
     return untouched.unionByName(updates)
+
+
+def merge_into(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_set: dict[str, Column] | None = None,
+    delete_condition: Column | None = None,
+    insert_not_matched: bool = True,
+) -> DataFrame:
+    """Full Delta-style MERGE INTO semantics as ONE full-outer join plus a
+    CASE projection — the three-clause form the lakehouse engines expose:
+
+      WHEN MATCHED AND <delete_condition> THEN DELETE
+      WHEN MATCHED THEN UPDATE SET <update_set>
+      WHEN NOT MATCHED THEN INSERT *        (if insert_not_matched)
+
+    ``update_set`` maps snapshot column -> expression over the aliased
+    sides ``s`` (snapshot) and ``u`` (updates); unmapped columns keep the
+    snapshot value. ``delete_condition`` is likewise an s/u expression; a
+    NULL condition value never deletes (SQL three-valued logic folded to
+    false, matching the lakehouse engines). ``updates`` must carry every
+    snapshot column (INSERT * semantics).
+
+    Scale: one shuffle of each side on the merge key (full-outer can't
+    broadcast); output schema == snapshot schema, so the result writes
+    back over the snapshot partitionwise. For small whole-row batches
+    prefer upsert_split (zero snapshot shuffle).
+    """
+    s = snapshot.alias("s")
+    u = updates.alias("u")
+    joined = s.join(u, F.col(f"s.{key}") == F.col(f"u.{key}"), "full_outer")
+    matched = F.col(f"s.{key}").isNotNull() & F.col(f"u.{key}").isNotNull()
+    only_u = F.col(f"s.{key}").isNull()
+    delete = (
+        matched & F.coalesce(delete_condition, F.lit(False))
+        if delete_condition is not None
+        else F.lit(False)
+    )
+    keep = (
+        F.when(only_u, F.lit(insert_not_matched))
+        .when(delete, F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    sets = update_set or {}
+    return joined.where(keep).select(
+        *[
+            F.when(only_u, F.col(f"u.{c}"))
+            .when(matched, sets.get(c, F.col(f"s.{c}")))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in snapshot.columns
+        ]
+    )

@@ -579,6 +579,80 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_into",
+    oracle="""
+    WITH ups AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+               'U' AS op
+        FROM customer WHERE c_custkey % 10 < 3
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, 'D' AS op
+        FROM customer WHERE c_custkey % 10 = 5
+        UNION ALL
+        SELECT c_custkey + 10000000 AS c_custkey, 0.0 AS c_acctbal,
+               'BUILDING' AS c_mktsegment, 'N' AS op
+        FROM customer WHERE c_custkey % 10 = 7)
+    SELECT COALESCE(s.c_custkey, u.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NULL THEN u.c_acctbal
+                WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE s.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NULL THEN u.c_mktsegment
+                ELSE s.c_mktsegment END AS c_mktsegment
+    FROM customer s FULL OUTER JOIN ups u ON s.c_custkey = u.c_custkey
+    WHERE NOT (s.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+               AND u.op = 'D')
+    ORDER BY c_custkey
+    """,
+    desc="full Delta-style MERGE INTO (three clauses): WHEN MATCHED AND "
+    "op='D' THEN DELETE, WHEN MATCHED THEN UPDATE SET acctbal, WHEN NOT "
+    "MATCHED THEN INSERT * — one full-outer join + CASE projection, "
+    "output schema == snapshot schema so the result writes back "
+    "partitionwise; extends q_upsert_merge (update/insert only) with "
+    "the delete clause",
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general lakehouse merge shape (operators/physical.py
+    merge_into). Scale: one shuffle per side on the merge key; deletes
+    and updates never rewrite untouched partitions' rows."""
+    from gearpump_spark.operators.physical import merge_into
+
+    snap = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    base = table(spark, sf_dir, "customer")
+    ups = (
+        base.where(F.col("c_custkey") % 10 < 3)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("U").alias("op"),
+        )
+        .unionAll(
+            base.where(F.col("c_custkey") % 10 == 5).select(
+                "c_custkey", "c_acctbal", "c_mktsegment", F.lit("D").alias("op")
+            )
+        )
+        .unionAll(
+            base.where(F.col("c_custkey") % 10 == 7).select(
+                (F.col("c_custkey") + F.lit(10000000)).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("BUILDING").alias("c_mktsegment"),
+                F.lit("N").alias("op"),
+            )
+        )
+    )
+    merged = merge_into(
+        snap,
+        ups,
+        "c_custkey",
+        update_set={"c_acctbal": F.col("u.c_acctbal")},
+        delete_condition=F.col("u.op") == "D",
+    )
+    return merged.orderBy("c_custkey")
+
+
+@register(
     "q_corr_qty_price",
     oracle="""
     WITH s AS (

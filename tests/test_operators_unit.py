@@ -1207,3 +1207,51 @@ def test_semantic_dedup_non_dense_ids(spark):
     out = semantic_dedup(df, n_clusters=2, threshold=0.95).orderBy("vec_id").collect()
     assert [r.vec_id for r in out] == [5000, 5001, 5010]
     assert {r.cluster for r in out} <= {5000, 5001}
+
+
+def test_merge_into_three_clause_semantics(spark):
+    """Delta-style MERGE: matched+condition deletes, matched updates via
+    the SET map, unmatched inserts; a NULL delete-condition value folds
+    to false (never deletes); insert_not_matched=False drops unmatched
+    update rows."""
+    from pyspark.sql import functions as F
+
+    from gearpump_spark.operators.physical import merge_into
+
+    snap = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "k bigint, v double, tag string",
+    )
+    ups = spark.createDataFrame(
+        [
+            (2, 99.0, "b2", "U"),       # matched update
+            (3, 0.0, "c", "D"),         # matched delete
+            (4, 44.0, "d", None),       # matched, NULL op -> update, not delete
+            (9, 90.0, "z", "N"),        # not matched -> insert
+        ],
+        "k bigint, v double, tag string, op string",
+    )
+    out = merge_into(
+        snap,
+        ups,
+        "k",
+        update_set={"v": F.col("u.v")},
+        delete_condition=F.col("u.op") == "D",
+    )
+    got = {r.k: (r.v, r.tag) for r in out.collect()}
+    assert got == {
+        1: (10.0, "a"),   # untouched
+        2: (99.0, "b"),   # v updated, tag kept (not in update_set)
+        4: (44.0, "d"),   # NULL condition -> updated, not deleted
+        9: (90.0, "z"),   # inserted with the update row's columns
+    }
+    # no insert clause: row 9 disappears, everything else unchanged
+    no_ins = merge_into(
+        snap,
+        ups,
+        "k",
+        update_set={"v": F.col("u.v")},
+        delete_condition=F.col("u.op") == "D",
+        insert_not_matched=False,
+    )
+    assert {r.k for r in no_ins.collect()} == {1, 2, 4}
