@@ -1722,8 +1722,9 @@ class GifDecoder(PixelDecoder):
     """Adds REAL GIF pixel decoding to the PixelDecoder tier: logical
     screen / image descriptors, global+local color tables, full LZW
     decompression (variable code width, dictionary growth, clear/EOI
-    codes), deinterlacing. Pure python — with this, JPEG is the only
-    container whose pixel data still needs an external codec.
+    codes), deinterlacing. The LZW dictionary walk is inherently
+    sequential Python (codes depend on prior codes); the code reader and
+    palette application are vectorized.
 
     Kept as a subclass (not folded into PixelDecoder) so the cost of the
     python LZW loop is opt-in; header-only pipelines keep using the
