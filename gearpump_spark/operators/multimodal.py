@@ -2153,6 +2153,13 @@ _ZIGZAG = [
 # Annex K.3 standard luminance Huffman tables (bits counts + values).
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
+
+# 12-bit DC table: Annex K defines tables for 8-bit only; 12-bit DC
+# diffs span size categories 0..15, so the extended-sequential encoder
+# emits this canonical extension (K.3 prefix + one value per deeper
+# level) in its DHT — decoders read whatever table the stream carries.
+_DC12_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0]
+_DC12_VALS = list(range(16))
 _AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
 _AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
@@ -2275,21 +2282,25 @@ def _idct_tables():
     return _IDCT_CACHE["basis"], _IDCT_CACHE["dezig"]
 
 
-def _idct_batch(coefs):
+def _idct_batch(coefs, precision: int = 8):
     """Batched 8x8 inverse DCT: (nb, 64) dequantized zigzag-order int
-    coefficients -> (nb, 8, 8) clipped [0, 255] int64 spatial blocks.
+    coefficients -> (nb, 8, 8) clipped [0, 2^precision - 1] int64
+    spatial blocks (level shift 2^(precision-1): 128 for 8-bit, 2048
+    for 12-bit extended-sequential).
 
     One numpy matmul pair covers every block of a component at once (the
     r2 verdict's scale fix for the O(64^2) per-block Python loop this
     replaces). DC-only blocks keep libjpeg's exact integer fast path
-    (((dc + 4) >> 3) + 128); general blocks round with rint — half-even,
-    matching Python round() in the loop implementation."""
+    (((dc + 4) >> 3) + center); general blocks round with rint —
+    half-even, matching Python round() in the loop implementation."""
     import numpy as np
 
+    center = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
     coefs = np.asarray(coefs, dtype=np.int64).reshape(-1, 64)
     dc_only = (coefs[:, 1:] == 0).all(axis=1)
     out = np.empty((coefs.shape[0], 8, 8), dtype=np.int64)
-    out[dc_only] = np.clip(((coefs[dc_only, 0] + 4) >> 3) + 128, 0, 255)[
+    out[dc_only] = np.clip(((coefs[dc_only, 0] + 4) >> 3) + center, 0, maxv)[
         :, None, None
     ]
     ac = ~dc_only
@@ -2297,8 +2308,8 @@ def _idct_batch(coefs):
         basis, dezig = _idct_tables()
         nat = coefs[np.ix_(ac, dezig)].reshape(-1, 8, 8).astype(np.float64)
         spat = basis @ nat @ basis.T  # out[n] = A @ M[n] @ A.T
-        vals = np.rint(spat / 4.0).astype(np.int64) + 128
-        out[ac] = np.clip(vals, 0, 255)
+        vals = np.rint(spat / 4.0).astype(np.int64) + center
+        out[ac] = np.clip(vals, 0, maxv)
     return out
 
 
@@ -2371,6 +2382,7 @@ class JpegDecoder(GifDecoder):
             qt = {}
             luts = {}  # (tc, th) -> huffman lut
             w = h = None
+            precision = 8  # sample bits: 8 (SOF0/SOF1) or 12 (SOF1)
             comps = None  # [(comp_id, q_table_id)] in SOF order
             scan_tables = None  # comp_id -> (dc_th, ac_th) from SOS
             scan = None
@@ -2383,17 +2395,28 @@ class JpegDecoder(GifDecoder):
                     break
                 seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
                 body = payload[i + 4 : i + 2 + seg_len]
-                if marker == 0xDB:  # DQT (8-bit tables only)
+                if marker == 0xDB:  # DQT: pq=0 8-bit / pq=1 16-bit entries
                     j = 0
                     while j < len(body):
                         pq, tq = body[j] >> 4, body[j] & 0x0F
-                        if pq != 0:
+                        if pq == 0:
+                            qt[tq] = list(body[j + 1 : j + 65])
+                            j += 65
+                        elif pq == 1:
+                            qt[tq] = [
+                                int.from_bytes(body[j + 1 + 2 * k : j + 3 + 2 * k], "big")
+                                for k in range(64)
+                            ]
+                            j += 129
+                        else:
                             return None
-                        qt[tq] = list(body[j + 1 : j + 65])
-                        j += 65
-                elif marker == 0xC0:  # SOF0 baseline
-                    if body[0] != 8:
-                        return None  # 12-bit
+                elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
+                    # sequential: same Huffman decoding; SOF1 additionally
+                    # allows 12-bit samples (level shift 2048, presented
+                    # as the high 8 bits, the PNG-16 convention)
+                    precision = body[0]
+                    if precision not in (8, 12) or (marker == 0xC0 and precision != 8):
+                        return None
                     h = int.from_bytes(body[1:3], "big")
                     w = int.from_bytes(body[3:5], "big")
                     ncomp = body[5]
@@ -2415,7 +2438,7 @@ class JpegDecoder(GifDecoder):
                         return None  # out-of-spec sampling factor
                 elif marker == 0xC2:  # progressive: dedicated path
                     return self._decode_progressive(payload)
-                elif marker in (0xC1, 0xC3):  # other non-baseline SOF
+                elif marker == 0xC3:  # lossless SOF: out of scope
                     return None
                 elif marker == 0xC4:  # DHT
                     j = 0
@@ -2548,13 +2571,18 @@ class JpegDecoder(GifDecoder):
             import numpy as np
 
             planes = []
+            shift = precision - 8  # 12-bit presents as the high 8 bits
             for ci, (_, _, _, hi, vi) in enumerate(tables):
                 bx, by = mcus_x * hi, mcus_y * vi
-                blocks = _idct_batch(comp_coefs[ci])  # (nb, 8, 8)
+                blocks = _idct_batch(comp_coefs[ci], precision)  # (nb, 8, 8)
                 pos = np.asarray(comp_pos[ci], dtype=np.int64)
                 grid = np.zeros((by, bx, 8, 8), dtype=np.int64)
                 grid[pos[:, 0], pos[:, 1]] = blocks
-                planes.append(grid.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+                planes.append(
+                    (grid >> shift if shift else grid)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(by * 8, bx * 8)
+                )
             return self._assemble_bgr(
                 planes, [(hi, vi) for _, _, _, hi, vi in tables], w, h
             )
@@ -2962,17 +2990,35 @@ class JpegDecoder(GifDecoder):
         return True
 
     @staticmethod
-    def encode_jpeg_gray(gray: list[list[int]], dc_quant: int = 8) -> bytes:
-        """REAL baseline grayscale JPEG: float FDCT per 8x8 block (edge
+    def encode_jpeg_gray(
+        gray: list[list[int]], dc_quant: int = 8, precision: int = 8
+    ) -> bytes:
+        """REAL grayscale JPEG: float FDCT per 8x8 block (edge
         replication padding), quantization (flat table, DC step
         ``dc_quant``), zigzag, Annex-K Huffman entropy coding with byte
-        stuffing. Decodable by any JPEG reader and by the decoder above."""
+        stuffing. Decodable by any JPEG reader and by the decoder above.
+
+        ``precision=12`` emits the extended-sequential (SOF1) 12-bit
+        layout: samples in [0, 4095], level shift 2048, 16-bit DQT
+        entries (Pq=1), and the extended DC table (_DC12_*: Annex K only
+        defines 8-bit tables; ours is carried in the DHT like any
+        custom table) — the medical/scientific-imaging variant. AC
+        magnitudes keep the Annex-K AC table (sizes <= 10), ample at
+        AC quant 16 for 12-bit content."""
         import math
 
+        if precision not in (8, 12):
+            raise ValueError("precision must be 8 or 12")
+        center = 1 << (precision - 1)
+        if any(not (0 <= px < (1 << precision)) for row in gray for px in row):
+            raise ValueError(f"samples must be in [0, {(1 << precision) - 1}]")
         h = len(gray)
         w = len(gray[0]) if h else 0
         quant = [dc_quant] + [16] * 63
-        dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+        dc_bits, dc_vals = (
+            (_DC_BITS, _DC_VALS) if precision == 8 else (_DC12_BITS, _DC12_VALS)
+        )
+        dc_codes = _huff_codes(dc_bits, dc_vals)
         ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
         c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
@@ -3010,7 +3056,7 @@ class JpegDecoder(GifDecoder):
             for bx in range(bw):
                 block = [
                     [
-                        gray[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - 128
+                        gray[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - center
                         for x in range(8)
                     ]
                     for y in range(8)
@@ -3049,19 +3095,28 @@ class JpegDecoder(GifDecoder):
                 bits.append(0x00)
 
         out = bytearray(b"\xff\xd8")  # SOI
-        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
+        if precision == 8:  # DQT Pq=0: 8-bit entries
+            out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
+        else:  # DQT Pq=1: 16-bit entries
+            out += (
+                b"\xff\xdb"
+                + (131).to_bytes(2, "big")
+                + bytes([0x10])
+                + b"".join(q.to_bytes(2, "big") for q in quant)
+            )
+        sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"  # SOF0 / SOF1
         out += (
-            b"\xff\xc0"
+            sof
             + (11).to_bytes(2, "big")
-            + bytes([8])
+            + bytes([precision])
             + h.to_bytes(2, "big")
             + w.to_bytes(2, "big")
             + bytes([1, 1, 0x11, 0])
         )
         out += (
             b"\xff\xc4"
-            + (2 + 17 + len(_DC_VALS)).to_bytes(2, "big")
-            + bytes([0x00] + _DC_BITS + _DC_VALS)
+            + (2 + 17 + len(dc_vals)).to_bytes(2, "big")
+            + bytes([0x00] + dc_bits + dc_vals)
         )
         out += (
             b"\xff\xc4"
@@ -3091,6 +3146,32 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 w, h = 2 + i % 6, 1 + i % 5
                 val = (37 * i + 11) % 256
                 payloads.append(JpegDecoder.encode_jpeg_gray([[val] * w for _ in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg12_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL 12-bit extended-sequential (SOF1) grayscale JPEG per row:
+    w = 2+id%6, h = 1+id%5, constant sample (37·id + 991) % 4096 at DC
+    quant 8. The flat raster reconstructs bit-exactly through the
+    DC-only integer path and presents as the high 8 bits, so px_sum has
+    a pure-arithmetic oracle: w·h·3·(v12 >> 4)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                v12 = (37 * i + 991) % 4096
+                payloads.append(
+                    JpegDecoder.encode_jpeg_gray(
+                        [[v12] * w for _ in range(h)], precision=12
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

@@ -2133,6 +2133,35 @@ def multimodal_jpeg_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg12_real",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * 3 * (((37 * doc_id + 991) % 4096) // 16)
+             AS BIGINT) AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL 12-bit extended-sequential (SOF1) JPEG decode: 16-bit DQT "
+    "entries (Pq=1), level shift 2048, extended DC Huffman table carried "
+    "in the DHT, samples presented as the high 8 bits — the medical/"
+    "scientific-imaging precision variant; constant rasters reconstruct "
+    "exactly through the DC-only integer path (closed-form oracle)",
+)
+def multimodal_jpeg12_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg12_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_jpeg12_payloads(docs), decoder=JpegDecoder()).orderBy(
+        "doc_id"
+    )
+
+
 def _sql_fl(expr: str) -> str:
     """floor(x+0.5) with [0,255] clamp — mirrors the python codec's
     rounding exactly (both sides IEEE doubles, identical op order)."""

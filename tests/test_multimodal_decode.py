@@ -569,10 +569,14 @@ def test_jpeg_garbage_and_unsupported_variants():
     good = JpegDecoder.encode_jpeg_gray([[10, 20], [30, 40]])
     assert d.decode_pixels(b"\xff\xd8garbage") is None
     assert d.decode_pixels(good[: len(good) // 2]) is None
-    # extended-sequential SOF1 -> None (fallback seam), never an exception
-    # (SOF2 progressive now decodes for real and is tested separately)
+    # lossless SOF3 -> None (fallback seam), never an exception (SOF1
+    # extended-sequential and SOF2 progressive now decode for real and
+    # are tested separately; SOF1 with 8-bit samples decodes identically
+    # to the SOF0 form)
+    sof3 = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    assert d.decode_pixels(sof3) is None
     sof1 = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
-    assert d.decode_pixels(sof1) is None
+    assert d.decode_pixels(sof1)["rows"] == d.decode_pixels(good)["rows"]
     # GIF/PNG/BMP dispatch still intact through the subclass chain
     assert d.decode_pixels(JpegDecoder.encode_bmp([[[1, 2, 3]]]))["rows"] == [[[1, 2, 3]]]
 
@@ -1160,3 +1164,42 @@ def test_operators_respect_string_id_columns(spark):
     frames = gif_frame_stats(df, id_col="uuid").collect()
     assert [r.uuid for r in frames] == ["b-2"]
     assert frames[0].px_sum == 9 + 8 + 7
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """SOF1 12-bit layout: 16-bit DQT entries (Pq=1), level shift 2048,
+    extended DC table in the DHT; constant rasters reconstruct exactly
+    (presented as the high 8 bits), noisy content stays within 1 8-bit
+    step, 8-bit encode is byte-identical in behavior, truncation never
+    raises."""
+    import random
+
+    from gearpump_spark.operators.multimodal import JpegDecoder
+
+    d = JpegDecoder()
+    for v12 in (0, 17, 2048, 3000, 4095):
+        for w, h in ((3, 2), (8, 8), (11, 5)):
+            enc = JpegDecoder.encode_jpeg_gray([[v12] * w for _ in range(h)], precision=12)
+            img = d.decode_pixels(enc)
+            assert img is not None
+            assert all(
+                px == [v12 >> 4] * 3 for row in img["rows"] for px in row
+            ), (v12, w, h)
+    rng = random.Random(5)
+    g = [[2048 + rng.randrange(-200, 200) for _ in range(16)] for _ in range(16)]
+    img = d.decode_pixels(JpegDecoder.encode_jpeg_gray(g, precision=12))
+    errs = [abs(img["rows"][y][x][0] - (g[y][x] >> 4)) for y in range(16) for x in range(16)]
+    assert max(errs) <= 1
+    # 8-bit path unchanged; out-of-range samples and bad precision rejected
+    assert d.decode_pixels(JpegDecoder.encode_jpeg_gray([[77] * 4 for _ in range(3)]))[
+        "rows"
+    ][0][0] == [77, 77, 77]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        JpegDecoder.encode_jpeg_gray([[4096]], precision=12)
+    with _pytest.raises(ValueError):
+        JpegDecoder.encode_jpeg_gray([[1]], precision=10)
+    enc = JpegDecoder.encode_jpeg_gray([[1234] * 8 for _ in range(8)], precision=12)
+    for cut in range(0, len(enc), 13):
+        d.decode_pixels(enc[:cut])
