@@ -789,11 +789,17 @@ def decode_image_metadata(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decoder.decode_image(bytes(p)) for p in pdf[payload_col]]
+            metas = [
+                decoder.decode_image(b"" if p is None else bytes(p))
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
+                    "byte_len": [
+                        0 if p is None else len(bytes(p))
+                        for p in pdf[payload_col]
+                    ],
                     "format": [m["format"] for m in metas],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],
@@ -896,7 +902,7 @@ def pixel_stats(
         for pdf in batches:
             out = {id_col: pdf[id_col].values, "width": [], "height": [], "px_sum": []}
             for p in pdf[payload_col]:
-                img = decoder.decode_pixels_arr(bytes(p))
+                img = None if p is None else decoder.decode_pixels_arr(bytes(p))
                 if img is None:
                     out["width"].append(None)
                     out["height"].append(None)
@@ -1151,9 +1157,15 @@ def encode_mp4(
         # mdhd duration is expressed in the TRACK's media timescale, not
         # the movie's (r3 review finding): rescale the presentation
         # duration so demuxers see consistent per-track timing
-        media_dur = duration * media_ts // timescale
-        if media_dur >= 1 << 32:
-            raise ValueError("v0 mdhd duration is 32-bit unsigned")
+        if duration == 0xFFFFFFFF:
+            # all-ones is the spec's "unknown duration" sentinel — it
+            # passes through unrescaled (r3 review finding; rescaling
+            # turned it into a bogus concrete duration)
+            media_dur = 0xFFFFFFFF
+        else:
+            media_dur = duration * media_ts // timescale
+            if media_dur >= 1 << 32:
+                raise ValueError("v0 mdhd duration is 32-bit unsigned")
         mdhd = box(
             b"mdhd",
             bytes(4) + bytes(8)
@@ -1471,7 +1483,7 @@ def audio_sample_stats(
                 "sample_max": [],
             }
             for p in pdf[payload_col]:
-                vals = decoder.decode_audio_samples(bytes(p))
+                vals = None if p is None else decoder.decode_audio_samples(bytes(p))
                 if not vals:
                     for k in ("n_samples", "sample_sum", "sample_min", "sample_max"):
                         out[k].append(None)
@@ -1616,11 +1628,17 @@ def decode_audio_metadata(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decoder.sniff_audio(bytes(p)) for p in pdf[payload_col]]
+            metas = [
+                decoder.sniff_audio(b"" if p is None else bytes(p))
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
+                    "byte_len": [
+                        0 if p is None else len(bytes(p))
+                        for p in pdf[payload_col]
+                    ],
                     "format": [m["format"] if m else None for m in metas],
                     "n_channels": [m["n_channels"] if m else None for m in metas],
                     "sample_rate": [m["sample_rate"] if m else None for m in metas],
@@ -1648,7 +1666,10 @@ def resize_images(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [decoder.resize(bytes(p), width, height) for p in pdf[payload_col]]
+            out = [
+                decoder.resize(b"" if p is None else bytes(p), width, height)
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -1683,7 +1704,8 @@ def extract_features(
                 {
                     id_col: pdf[id_col].values,
                     "features": [
-                        decoder.features(bytes(p), dim) for p in pdf[payload_col]
+                        decoder.features(b"" if p is None else bytes(p), dim)
+                        for p in pdf[payload_col]
                     ],
                 }
             )
@@ -1707,7 +1729,9 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                for j, fh in enumerate(decoder.sample_frames(bytes(p), n_frames)):
+                for j, fh in enumerate(
+                    decoder.sample_frames(b"" if p is None else bytes(p), n_frames)
+                ):
                     ids.append(i)
                     idxs.append(j)
                     hashes.append(fh)
@@ -2121,7 +2145,9 @@ def gif_frame_stats(
         for pdf in batches:
             out = {id_col: [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                frames = decoder.decode_gif_frames_arr(bytes(p))
+                frames = (
+                    None if p is None else decoder.decode_gif_frames_arr(bytes(p))
+                )
                 if not frames:
                     continue
                 for fi, fr in enumerate(frames):
@@ -3080,6 +3106,15 @@ class JpegDecoder(GifDecoder):
                         put(code, ln)
                         run -= 16
                     size, vb = put_val(coef[k])
+                    if size > 10:
+                        # Annex-K AC table stops at size 10; reachable
+                        # only by 12-bit basis-aligned extremes (r3
+                        # review finding) — fail loudly, not KeyError
+                        raise ValueError(
+                            "AC magnitude needs size category "
+                            f"{size} > 10; 12-bit high-frequency "
+                            "extremes require an extended AC table"
+                        )
                     code, ln = ac_codes[(run << 4) | size]
                     put(code, ln)
                     put(vb, size)

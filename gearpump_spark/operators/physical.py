@@ -168,11 +168,19 @@ def merge_into(
     back over the snapshot partitionwise. For small whole-row batches
     prefer upsert_split (zero snapshot shuffle).
     """
-    s = snapshot.alias("s")
-    u = updates.alias("u")
+    sets = update_set or {}
+    unknown = set(sets) - set(snapshot.columns)
+    if unknown:
+        raise ValueError(f"update_set targets not in snapshot schema: {sorted(unknown)}")
+    # presence markers, NOT key-null tests: a NULL-key snapshot row never
+    # joins (SQL equality) and must pass through UNTOUCHED — Delta MERGE
+    # semantics (r3 review finding: s.key IS NULL misclassified it as an
+    # insert row and emitted the all-NULL update side)
+    s = snapshot.withColumn("_s_present", F.lit(True)).alias("s")
+    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
     joined = s.join(u, F.col(f"s.{key}") == F.col(f"u.{key}"), "full_outer")
-    matched = F.col(f"s.{key}").isNotNull() & F.col(f"u.{key}").isNotNull()
-    only_u = F.col(f"s.{key}").isNull()
+    matched = F.col("s._s_present").isNotNull() & F.col("u._u_present").isNotNull()
+    only_u = F.col("s._s_present").isNull()
     delete = (
         matched & F.coalesce(delete_condition, F.lit(False))
         if delete_condition is not None
@@ -183,7 +191,6 @@ def merge_into(
         .when(delete, F.lit(False))
         .otherwise(F.lit(True))
     )
-    sets = update_set or {}
     return joined.where(keep).select(
         *[
             F.when(only_u, F.col(f"u.{c}"))

@@ -141,10 +141,13 @@ DRIVER_SAMPLE_WINDOW = [
     # driver records a rows-only check, pytest holds the goldens)
     "similarity_topk_ivf",
     "text_bpe_tokens",
-    # Still never-sampled after this round (rows-only, golden-tested):
-    # multimodal_phash_neardup, multimodal_features, multimodal_frames,
-    # multimodal_resize, text_bpe_bytes — queued for the r4 rotation,
-    # where ~46 freed slots will absorb them all.
+    # Still never-sampled after this round — queued for the r4 rotation,
+    # where ~46 freed slots will absorb them all:
+    #   oracle-backed (registered late in r3, after this window closed):
+    #     q_merge_into, multimodal_jpeg12_real
+    #   rows-only (golden-tested): multimodal_phash_neardup,
+    #     multimodal_features, multimodal_frames, multimodal_resize,
+    #     text_bpe_bytes
 ]
 
 

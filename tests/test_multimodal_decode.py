@@ -1203,3 +1203,38 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
     enc = JpegDecoder.encode_jpeg_gray([[1234] * 8 for _ in range(8)], precision=12)
     for cut in range(0, len(enc), 13):
         d.decode_pixels(enc[:cut])
+
+
+def test_null_payloads_yield_null_rows_across_operator_family(spark):
+    """r3 review finding: a NULL payload anywhere in the corpus must
+    yield a null/fallback row, never a mid-batch TypeError — uniformly
+    across the Arrow-map family, not just the video ops."""
+    from gearpump_spark.operators.multimodal import (
+        audio_sample_stats,
+        decode_audio_metadata,
+        decode_image_metadata,
+        extract_features,
+        gif_frame_stats,
+        pixel_stats,
+        PixelDecoder,
+        resize_images,
+        sample_frames,
+    )
+
+    bmp = PixelDecoder.encode_bmp([[[1, 2, 3]]])
+    df = spark.createDataFrame(
+        [(0, bytearray(bmp)), (1, None)], "doc_id bigint, payload binary"
+    )
+    ps = {r.doc_id: r.px_sum for r in pixel_stats(df).collect()}
+    assert ps == {0: 6, 1: None}
+    im = {r.doc_id: r.byte_len for r in decode_image_metadata(df).collect()}
+    assert im[0] == len(bmp) and im[1] == 0
+    au = {r.doc_id: r.format for r in decode_audio_metadata(df).collect()}
+    assert au[1] is None
+    ss = {r.doc_id: r.n_samples for r in audio_sample_stats(df).collect()}
+    assert ss[1] is None
+    assert gif_frame_stats(df).count() == 0  # neither payload is a GIF
+    # fallback-backed ops stay total functions on empty bytes
+    assert resize_images(df, 4, 4).count() == 2
+    assert extract_features(df, dim=4).count() == 2
+    assert sample_frames(df, n_frames=2).count() == 4

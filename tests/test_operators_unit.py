@@ -1255,3 +1255,36 @@ def test_merge_into_three_clause_semantics(spark):
         insert_not_matched=False,
     )
     assert {r.k for r in no_ins.collect()} == {1, 2, 4}
+
+
+def test_merge_into_null_key_snapshot_rows_pass_through(spark):
+    """r3 review finding: a snapshot row with a NULL merge key never
+    joins (SQL equality) and must pass through UNTOUCHED — it is not an
+    insert row and must never be replaced by the all-NULL update side
+    or dropped by insert_not_matched=False."""
+    from pyspark.sql import functions as F
+
+    from gearpump_spark.operators.physical import merge_into
+
+    snap = spark.createDataFrame(
+        [(None, 7.0, "nullkey"), (1, 10.0, "a")], "k bigint, v double, tag string"
+    )
+    ups = spark.createDataFrame([(1, 11.0, "U")], "k bigint, v double, op string")
+    for insert in (True, False):
+        out = merge_into(
+            snap,
+            ups.withColumn("tag", F.lit("z")).select("k", "v", "tag", "op"),
+            "k",
+            update_set={"v": F.col("u.v")},
+            delete_condition=F.col("u.op") == "D",
+            insert_not_matched=insert,
+        )
+        got = {r.tag: (r.k, r.v) for r in out.collect()}
+        assert got["nullkey"] == (None, 7.0), insert
+        assert got["a"] == (1, 11.0), insert
+    # typoed SET target fails loudly instead of silently no-opping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_into(snap, ups.select("k", "v", F.lit("t").alias("tag"), "op"), "k",
+                   update_set={"acctbal": F.col("u.v")})
