@@ -574,7 +574,12 @@ class PixelDecoder(HeaderDecoder):
                 return {"width": w, "height": h, "arr": bgr}
 
             # Adam7: seven sub-images, each independently filtered;
-            # vectorized scatter per pass + a fill mask for coverage
+            # vectorized scatter per pass + a fill mask for coverage.
+            # Corrupt-dimension guard (r3 fuzz): a flipped IHDR byte can
+            # claim gigapixel dims — every pixel needs >= 1 raw byte, so
+            # reject before allocating the grid
+            if w * h > len(raw):
+                return None
             grid = np.zeros((h, w, 3), dtype=np.int64)
             filled = np.zeros((h, w), dtype=bool)
             offset = 0
@@ -599,7 +604,10 @@ class PixelDecoder(HeaderDecoder):
             if not filled.all():
                 return None
             return {"width": w, "height": h, "arr": grid}
-        except (IndexError, ValueError, zlib.error):
+        except (IndexError, ValueError, zlib.error, struct.error):
+            # struct.error: a corrupted chunk length can hand IHDR a
+            # short buffer (found by the r3 hypothesis fuzz) — corrupt
+            # containers yield None, never an exception
             return None
 
     @staticmethod
@@ -2668,6 +2676,14 @@ class JpegDecoder(GifDecoder):
                     vmax = max(vv for _, _, _, vv in comps)
                     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
                     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                    # corrupt-dimension guard (r3 fuzz): every block
+                    # costs >= 1 entropy bit, so a dims claim whose block
+                    # count exceeds the whole payload's bit count cannot
+                    # be valid — reject before the O(blocks) allocation
+                    if mcus_x * mcus_y * sum(
+                        hi * vi for _, _, hi, vi in comps
+                    ) > 8 * n:
+                        return None
                     coefs, geo = [], []
                     for _, _, hi, vi in comps:
                         bx, by = mcus_x * hi, mcus_y * vi

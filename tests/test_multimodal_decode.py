@@ -1238,3 +1238,81 @@ def test_null_payloads_yield_null_rows_across_operator_family(spark):
     assert resize_images(df, 4, 4).count() == 2
     assert extract_features(df, dim=4).count() == 2
     assert sample_frames(df, n_frames=2).count() == 4
+
+
+# --- hypothesis fuzz: decoders are TOTAL functions over bytes --------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_decoders_never_raise_on_arbitrary_bytes(data):
+    """Every sniffer/decoder returns a value or None for ANY byte string
+    — no exception may escape (the mixed-corpus contract: one corrupt
+    payload must never fail a 100 TB batch)."""
+    from gearpump_spark.operators.multimodal import HeaderDecoder, JpegDecoder
+
+    d = JpegDecoder()
+    hd = HeaderDecoder()
+    d.decode_pixels_arr(data)
+    d.decode_audio_samples(data)
+    d.decode_gif_frames_arr(data)
+    hd.sniff_image(data)
+    hd.sniff_audio(data)
+    hd.sniff_video(data)
+    hd.sniff_video_tracks(data)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from(["bmp", "png", "gif", "jpeg", "jpeg12", "prog", "wav", "mp4"]),
+    st.integers(0, 3_000),
+    st.integers(0, 255),
+)
+def test_decoders_never_raise_on_mutated_valid_containers(kind, pos, val):
+    """Flip one byte anywhere in a VALID container: decode must still
+    return a value or None, never raise — corrupt-but-plausible headers
+    are the dangerous fuzz surface, not pure noise."""
+    from gearpump_spark.operators import multimodal as M
+
+    d = M.JpegDecoder()
+    hd = M.HeaderDecoder()
+    rows = [[[7, 8, 9]] * 6 for _ in range(5)]
+    fixtures = {
+        "bmp": M.PixelDecoder.encode_bmp(rows),
+        "png": M.PixelDecoder.encode_png(rows),
+        "gif": M.GifDecoder.encode_gif(rows),
+        "jpeg": M.encode_jpeg_color(rows, subsample=True, restart_interval=1),
+        "jpeg12": M.JpegDecoder.encode_jpeg_gray(
+            [[3111] * 6 for _ in range(5)], precision=12
+        ),
+        "prog": M.encode_jpeg_progressive(rows, successive=True, restart_interval=1),
+        "wav": None,
+        "mp4": M.encode_mp4(
+            width=32, height=16, timescale=1000, duration=2000,
+            sample_tables=[
+                {"handler": "vide", "codec": "avc1", "n_frames": 10,
+                 "media_timescale": 600}
+            ],
+        ),
+    }
+    if kind == "wav":
+        import struct
+
+        data = bytes(8)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        fixtures["wav"] = b"RIFF" + struct.pack("<I", len(body)) + body
+    payload = bytearray(fixtures[kind])
+    payload[pos % len(payload)] ^= val or 0xFF
+    payload = bytes(payload)
+    d.decode_pixels_arr(payload)
+    d.decode_audio_samples(payload)
+    d.decode_gif_frames_arr(payload)
+    hd.sniff_image(payload)
+    hd.sniff_audio(payload)
+    hd.sniff_video(payload)
+    hd.sniff_video_tracks(payload)
