@@ -662,3 +662,32 @@ def test_video_stsd_walk_is_narrow(spark):
     )
     p = plan(decode_video_sample_tables(synthesize_mp4_stsd_payloads(docs)))
     assert "Exchange" not in p
+
+
+def test_merge_into_single_shuffle_no_cartesian(spark):
+    """MERGE INTO compiles to one keyed full-outer sort-merge join — one
+    exchange per side, no nested-loop/cartesian, and the CASE projection
+    adds no extra shuffle."""
+    from pyspark.sql import functions as F
+
+    from gearpump_spark.operators.physical import merge_into
+
+    snap = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    ups = snap.limit(100).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    p = plan(
+        merge_into(
+            snap,
+            ups,
+            "c_custkey",
+            update_set={"c_acctbal": F.col("u.c_acctbal")},
+            delete_condition=F.col("u.op") == "D",
+        )
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "FullOuter" in p or "full_outer" in p.lower()
