@@ -514,3 +514,45 @@ def semantic_dedup(
         assigned.join(drops, id_col, "left_anti")
         .select(id_col, "cluster")
     )
+
+
+def quantize_embeddings_int4(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, scale, packed): symmetric int4 quantization with nibble
+    packing — per-vector scale 7/max|x|, codes in [-7, 7] stored
+    offset-binary (code+8) two per byte: an 8x storage cut vs float32
+    (the FAISS SQ4 trade). Odd dimensions pad the trailing LOW nibble
+    with code 0 (offset value 8), so packed always holds ceil(dim/2)
+    bytes and no component is dropped; empty vectors pack to an empty
+    array (r3 review findings: the unguarded sequence(1, 0) crashed on
+    dim < 2 and odd dims silently lost their last component).
+
+    Narrow map, no shuffle; round-to-integer is the only rounding, so
+    the DuckDB oracle is exact."""
+    mx = F.coalesce(  # empty vector: array_max is NULL -> treat as 0
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))).cast("double"),
+        F.lit(0.0),
+    )
+    base = df.select(id_col, vec_col).withColumn("_mx", mx)
+    scale = F.when(F.col("_mx") == 0, F.lit(0.0)).otherwise(
+        F.lit(7.0) / F.col("_mx")
+    )
+    base = base.withColumn("scale", scale)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.col("scale")).cast("int"),
+    )
+    base = base.withColumn("_qv", qv)
+    n_pairs = F.floor((F.size("_qv") + 1) / 2).cast("int")
+    pack_one = lambda i: (  # noqa: E731 — inline lambda mirrors the SQL
+        (F.element_at("_qv", (i * 2 - 1).cast("int")) + 8) * 16
+        + F.when(
+            i * 2 <= F.size("_qv"),
+            F.element_at("_qv", (i * 2).cast("int")) + 8,
+        ).otherwise(F.lit(8))
+    ).cast("int")
+    packed = F.when(
+        F.size("_qv") == 0, F.array().cast("array<int>")
+    ).otherwise(F.transform(F.sequence(F.lit(1), n_pairs), pack_one))
+    return base.select(id_col, "scale", packed.alias("packed"))

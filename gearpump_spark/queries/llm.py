@@ -1772,39 +1772,27 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS qv
         FROM s)
     SELECT vec_id, scale,
-           LIST_TRANSFORM(RANGE(1, LEN(qv) // 2 + 1),
-               i -> CAST((qv[2 * i - 1] + 8) * 16 + (qv[2 * i] + 8) AS INT))
+           LIST_TRANSFORM(RANGE(1, (LEN(qv) + 1) // 2 + 1),
+               i -> CAST((qv[2 * i - 1] + 8) * 16
+                    + CASE WHEN 2 * i <= LEN(qv) THEN qv[2 * i] + 8 ELSE 8 END
+                 AS INT))
              AS packed
     FROM q ORDER BY vec_id
     """,
     desc="symmetric int4 embedding quantization with nibble packing "
-    "(per-vector scale 7/max|x|, offset-binary codes, two per byte) — an "
-    "8x storage cut for the 100 TB vector estate, all pure JVM array "
-    "expressions; round-to-integer is the only rounding",
+    "(per-vector scale 7/max|x|, offset-binary codes, two per byte; odd "
+    "dims pad the trailing low nibble with code 0, the FAISS-SQ4 "
+    "convention) — an 8x storage cut for the 100 TB vector estate, all "
+    "pure JVM array expressions; round-to-integer is the only rounding",
 )
 def embedding_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Narrow map, no shuffle: quantize to [-7, 7], add the +8 offset,
-    and pack adjacent code pairs into one byte value — halves int8's
-    footprint again, the trade real vector stores (FAISS SQ4) make."""
+    """Narrow map, no shuffle (operators/similarity.py
+    quantize_embeddings_int4) — halves int8's footprint again, the trade
+    real vector stores (FAISS SQ4) make."""
+    from gearpump_spark.operators.similarity import quantize_embeddings_int4
+
     emb = table(spark, sf_dir, "embeddings")
-    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast("double")
-    base = emb.select("vec_id", "embedding", mx.alias("mx"))
-    scale = F.when(F.col("mx") == 0, F.lit(0.0)).otherwise(F.lit(7.0) / F.col("mx"))
-    base = base.withColumn("scale", scale)
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * F.col("scale")).cast("int"),
-    )
-    base = base.withColumn("qv", qv)
-    packed = F.transform(
-        F.sequence(F.lit(1), (F.size("qv") / F.lit(2)).cast("int")),
-        lambda i: (
-            (F.element_at("qv", (i * 2 - 1).cast("int")) + 8) * 16
-            + F.element_at("qv", (i * 2).cast("int"))
-            + 8
-        ).cast("int"),
-    )
-    return base.select("vec_id", "scale", packed.alias("packed")).orderBy("vec_id")
+    return quantize_embeddings_int4(emb).orderBy("vec_id")
 
 
 @register(

@@ -1265,6 +1265,44 @@ def test_decoders_never_raise_on_arbitrary_bytes(data):
     hd.sniff_video_tracks(data)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _fuzz_fixture(kind: str) -> bytes:
+    """Deterministic valid container per format, built once per run."""
+    from gearpump_spark.operators import multimodal as M
+
+    rows = [[[7, 8, 9]] * 6 for _ in range(5)]
+    if kind == "bmp":
+        return M.PixelDecoder.encode_bmp(rows)
+    if kind == "png":
+        return M.PixelDecoder.encode_png(rows)
+    if kind == "gif":
+        return M.GifDecoder.encode_gif(rows)
+    if kind == "jpeg":
+        return M.encode_jpeg_color(rows, subsample=True, restart_interval=1)
+    if kind == "jpeg12":
+        return M.JpegDecoder.encode_jpeg_gray(
+            [[3111] * 6 for _ in range(5)], precision=12
+        )
+    if kind == "prog":
+        return M.encode_jpeg_progressive(rows, successive=True, restart_interval=1)
+    if kind == "mp4":
+        return M.encode_mp4(
+            width=32, height=16, timescale=1000, duration=2000,
+            sample_tables=[
+                {"handler": "vide", "codec": "avc1", "n_frames": 10,
+                 "media_timescale": 600}
+            ],
+        )
+    data = bytes(8)  # wav
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @settings(max_examples=120, deadline=None)
 @given(
     st.sampled_from(["bmp", "png", "gif", "jpeg", "jpeg12", "prog", "wav", "mp4"]),
@@ -1279,34 +1317,7 @@ def test_decoders_never_raise_on_mutated_valid_containers(kind, pos, val):
 
     d = M.JpegDecoder()
     hd = M.HeaderDecoder()
-    rows = [[[7, 8, 9]] * 6 for _ in range(5)]
-    fixtures = {
-        "bmp": M.PixelDecoder.encode_bmp(rows),
-        "png": M.PixelDecoder.encode_png(rows),
-        "gif": M.GifDecoder.encode_gif(rows),
-        "jpeg": M.encode_jpeg_color(rows, subsample=True, restart_interval=1),
-        "jpeg12": M.JpegDecoder.encode_jpeg_gray(
-            [[3111] * 6 for _ in range(5)], precision=12
-        ),
-        "prog": M.encode_jpeg_progressive(rows, successive=True, restart_interval=1),
-        "wav": None,
-        "mp4": M.encode_mp4(
-            width=32, height=16, timescale=1000, duration=2000,
-            sample_tables=[
-                {"handler": "vide", "codec": "avc1", "n_frames": 10,
-                 "media_timescale": 600}
-            ],
-        ),
-    }
-    if kind == "wav":
-        import struct
-
-        data = bytes(8)
-        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
-        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        body += b"data" + struct.pack("<I", len(data)) + data
-        fixtures["wav"] = b"RIFF" + struct.pack("<I", len(body)) + body
-    payload = bytearray(fixtures[kind])
+    payload = bytearray(_fuzz_fixture(kind))
     payload[pos % len(payload)] ^= val or 0xFF
     payload = bytes(payload)
     d.decode_pixels_arr(payload)

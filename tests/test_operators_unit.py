@@ -1288,3 +1288,33 @@ def test_merge_into_null_key_snapshot_rows_pass_through(spark):
     with _pytest.raises(ValueError):
         merge_into(snap, ups.select("k", "v", F.lit("t").alias("tag"), "op"), "k",
                    update_set={"acctbal": F.col("u.v")})
+
+
+def test_int4_quantize_edge_dims_and_padding(spark):
+    """r3 review findings: dim-0 and dim-1 vectors must not crash
+    (sequence(1, 0) is DESCENDING in Spark), and odd dims pad the
+    trailing low nibble with code 0 instead of dropping the component."""
+    df = spark.createDataFrame(
+        [
+            (0, []),                       # empty -> empty packed
+            (1, [0.5]),                    # dim 1 -> one padded byte
+            (2, [1.0, -1.0, 0.5]),         # odd dim -> last padded
+            (3, [0.0, 0.0]),               # all-zero -> scale 0
+            (4, [7.0, -7.0, 3.5, -3.5]),   # even dim
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: (r.scale, r.packed) for r in S.quantize_embeddings_int4(df).collect()}
+    assert got[0] == (0.0, [])
+    # dim 1: code round(0.5 * 7/0.5)=7 -> (7+8)*16 + 8 (pad)
+    assert got[1] == (14.0, [(7 + 8) * 16 + 8])
+    # dim 3: codes 7, -7, round(0.5*7)=4 -> bytes [(15,1)], [(12, pad 8)]
+    assert got[2] == (7.0, [(7 + 8) * 16 + (-7 + 8), (4 + 8) * 16 + 8])
+    assert got[3] == (0.0, [(0 + 8) * 16 + (0 + 8)])
+    assert got[4][1] == [(7 + 8) * 16 + (-7 + 8), (4 + 8) * 16 + (-4 + 8)]
+    # every nibble round-trips: unpack == quantized codes (plus padding)
+    for vid, (scale, packed) in got.items():
+        codes = []
+        for b in packed:
+            codes += [(b >> 4) - 8, (b & 15) - 8]
+        assert all(-7 <= c <= 8 - 8 + 7 for c in codes)
