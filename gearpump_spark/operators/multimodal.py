@@ -3274,8 +3274,11 @@ def encode_jpeg_color(
     With ``subsample=True`` (or ``"420"``) emits 4:2:0: Y at 2x2 sampling,
     chroma planes 2x2-mean-downsampled (floor(mean+0.5)), 16x16-pixel MCUs
     of 4 Y + Cb + Cr blocks. With ``subsample="422"`` emits 4:2:2
-    (broadcast/DV chroma layout): Y at 2x1, chroma halved horizontally
-    only, 16x8-pixel MCUs of 2 Y + Cb + Cr blocks. Decodable by any JPEG
+    (broadcast chroma layout): Y at 2x1, chroma halved horizontally
+    only, 16x8-pixel MCUs of 2 Y + Cb + Cr blocks; ``"411"`` emits
+    4:1:1 (DV/NTSC: chroma quartered horizontally, 32x8 MCUs of 4 Y);
+    ``"440"`` emits 4:4:0 (chroma halved vertically, 8x16 MCUs) — the
+    full set of spec-legal one-axis layouts. Decodable by any JPEG
     reader and JpegDecoder (whose MCU walk is generic over (hi, vi)).
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
@@ -3362,6 +3365,37 @@ def encode_jpeg_color(
         factors = [(2, 1), (1, 1), (1, 1)]
         mcus_x = (w + 15) // 16
         mcus_y = (h + 7) // 8
+    elif mode == "411":
+        # horizontal-only 4-pixel-mean chroma downsample (DV/NTSC layout)
+        cw = (w + 3) // 4
+        for ci in (1, 2):
+            full = planes[ci]
+            small = [[0] * cw for _ in range(h)]
+            for y in range(h):
+                for x in range(cw):
+                    vals = [full[y][min(4 * x + dx, w - 1)] for dx in range(4)]
+                    small[y][x] = fl(sum(vals) / 4.0)
+            planes[ci] = small
+        dims = [(w, h), (cw, h), (cw, h)]
+        factors = [(4, 1), (1, 1), (1, 1)]
+        mcus_x = (w + 31) // 32
+        mcus_y = (h + 7) // 8
+    elif mode == "440":
+        # vertical-only 2-pixel-mean chroma downsample (the transpose of
+        # 4:2:2; rare but spec-legal, 8x16 MCUs of 2 Y + Cb + Cr)
+        chh = (h + 1) // 2
+        for ci in (1, 2):
+            full = planes[ci]
+            small = [[0] * w for _ in range(chh)]
+            for y in range(chh):
+                for x in range(w):
+                    vals = [full[min(2 * y + dy, h - 1)][x] for dy in (0, 1)]
+                    small[y][x] = fl(sum(vals) / 2.0)
+            planes[ci] = small
+        dims = [(w, h), (w, chh), (w, chh)]
+        factors = [(1, 2), (1, 1), (1, 1)]
+        mcus_x = (w + 7) // 8
+        mcus_y = (h + 15) // 16
     else:
         dims = [(w, h)] * 3
         factors = [(1, 1)] * 3
@@ -3565,6 +3599,32 @@ def synthesize_jpeg_422_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
                 payloads.append(
                     encode_jpeg_color(
                         [[[b, g, r]] * w for _ in range(h)], subsample="422"
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg_411_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same closed-form constant-color rasters as the other JPEG color
+    synthesizers but encoded 4:1:1 (DV/NTSC: chroma quartered
+    horizontally, 32x8 MCUs of 4 Y + Cb + Cr) — constant chroma survives
+    the 4-pixel mean exactly, so the SAME color oracle applies while the
+    decode exercises the (4,1) sampling-factor walk."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+                payloads.append(
+                    encode_jpeg_color(
+                        [[[b, g, r]] * w for _ in range(h)], subsample="411"
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})

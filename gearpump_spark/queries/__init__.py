@@ -144,7 +144,8 @@ DRIVER_SAMPLE_WINDOW = [
     # Still never-sampled after this round — queued for the r4 rotation,
     # where ~46 freed slots will absorb them all:
     #   oracle-backed (registered late in r3, after this window closed):
-    #     q_merge_into, multimodal_jpeg12_real, embedding_quantize_int4
+    #     q_merge_into, multimodal_jpeg12_real, embedding_quantize_int4,
+    #     multimodal_jpeg_411_real
     #   rows-only (golden-tested): multimodal_phash_neardup,
     #     multimodal_features, multimodal_frames, multimodal_resize,
     #     text_bpe_bytes

@@ -2539,6 +2539,35 @@ def multimodal_jpeg_422_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_411_real",
+    oracle=f"""
+    WITH {_SQL_JC}
+    SELECT d.doc_id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           CAST({_BMP_W} * {_BMP_H} * (eb + eg + er) AS BIGINT) AS px_sum
+    FROM dec d JOIN documents USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="REAL 4:1:1 JPEG decode (DV/NTSC chroma layout: horizontal-only "
+    "quarter subsampling, 32x8 MCUs of 4 Y + Cb + Cr) — with 4:4:0 "
+    "round-trip-tested alongside, every spec-legal one-axis sampling "
+    "layout now has real encoded streams; same closed-form color oracle "
+    "since constant chroma survives the 4-pixel mean exactly",
+)
+def multimodal_jpeg_411_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_411_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_411_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")
+
+
+@register(
     "multimodal_jpeg_progressive_real",
     oracle=f"""
     WITH {_SQL_JC}

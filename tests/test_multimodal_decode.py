@@ -1327,3 +1327,27 @@ def test_decoders_never_raise_on_mutated_valid_containers(kind, pos, val):
     hd.sniff_audio(payload)
     hd.sniff_video(payload)
     hd.sniff_video_tracks(payload)
+
+
+def test_jpeg_411_and_440_one_axis_subsampling():
+    """4:1:1 (chroma quartered horizontally, 32x8 MCUs) and 4:4:0
+    (chroma halved vertically, 8x16 MCUs) complete the spec-legal
+    one-axis layouts: constant color round-trips exactly (means preserve
+    constants), restart intervals compose, truncation never raises."""
+    from gearpump_spark.operators.multimodal import JpegDecoder, encode_jpeg_color
+
+    d = JpegDecoder()
+    for mode in ("411", "440"):
+        for w, h in ((5, 3), (33, 17), (8, 16)):
+            rows = [[[77, 140, 201]] * w for _ in range(h)]
+            ref = d.decode_pixels(encode_jpeg_color(rows))
+            got = d.decode_pixels(encode_jpeg_color(rows, subsample=mode))
+            assert got is not None and got["rows"] == ref["rows"], (mode, w, h)
+        rows = [[[10 * ((x + y) % 9)] * 3 for x in range(33)] for y in range(17)]
+        base = d.decode_pixels(encode_jpeg_color(rows, subsample=mode))
+        rst = d.decode_pixels(
+            encode_jpeg_color(rows, subsample=mode, restart_interval=2)
+        )
+        assert rst is not None and rst["rows"] == base["rows"], mode
+        enc = encode_jpeg_color(rows, subsample=mode)
+        assert d.decode_pixels(enc[: len(enc) // 2]) is None
