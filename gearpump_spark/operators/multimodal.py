@@ -763,17 +763,17 @@ class FakeDecoder:
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
         # Output bytes scale with the target raster (3 bytes/px, like an
         # uncompressed RGB bitmap) so size accounting behaves like a real
-        # resize; content = md5 keystream seeded by payload + dims.
-        # Running byte counter: re-summing the block list per iteration
-        # would be quadratic in the raster size (hours for one 1080p image).
-        seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
+        # resize; content = CTR-mode md5 keystream: block k = md5(payload
+        # + "|WxH|k"). Counter mode (not digest chaining) so each block is
+        # independent — parallelizable, and closed-form expressible in the
+        # driver's DuckDB oracle (md5 there is VARCHAR-only, so a chain
+        # over raw digest bytes could never be checked).
+        prefix = payload + f"|{width}x{height}|".encode()
         need = width * height * 3
-        blocks = [seed]
-        have = len(seed)
-        while have < need:
-            blocks.append(hashlib.md5(blocks[-1]).digest())
-            have += len(blocks[-1])
-        return b"".join(blocks)[:need]
+        n_blocks = (need + 15) // 16
+        return b"".join(
+            hashlib.md5(prefix + str(k).encode()).digest() for k in range(n_blocks)
+        )[:need]
 
     def features(self, payload: bytes, dim: int):
         # One float in [0, 1) per dimension from md5(payload + dim index);

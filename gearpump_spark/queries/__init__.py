@@ -70,85 +70,74 @@ _LOADED = False
 # A name listed here but not registered is a hard error — the curation list
 # cannot silently rot. tests/test_registry_order.py pins family coverage.
 DRIVER_SAMPLE_WINDOW = [
-    # ROUND-3 ROTATION: rounds 1+2 drove 100 distinct queries to green
-    # (CORRECTNESS_r01 + _r02, zero failures). All of those rotate OUT
-    # (their record stands; verification is cumulative), and every
-    # never-driver-sampled oracle-backed query rotates IN — 46 of them —
-    # plus 4 rows-only flagships. After this round every oracle-backed
-    # query in the registry has a driver-verified record.
+    # ROUND-4 ROTATION. Policy (r3 verdict #1/#6): (a) every never-sampled
+    # query windows first — after this round EVERY registered query has a
+    # driver record; (b) the remaining slots re-verify the LEAST-recently-
+    # verified cohort (the r1-verified relational/TPC-H suite — their
+    # records are 3 rounds old) so stale greens can't hide regressions.
+    # tests/test_registry_order.py::test_window_prefers_least_recently_verified
+    # enforces (b) mechanically against the CORRECTNESS_r*.json artifacts.
     #
-    # dedup/graph flagships from the r2 queue
-    "dedup_clusters_twophase",
-    "dedup_lsh_recall",
-    "graph_triangle_count",
-    # retrieval / text flagships
-    "text_strip_html",
-    "text_phrase_match",
-    "text_bm25_topk_and",
-    # sketches / sampling flagships
-    "sketch_countmin_words",
-    "sample_temperature_mix",
-    # embeddings / pipeline
-    "embedding_outliers",
+    # -- never-sampled, oracle-backed (incl. the r3 red, now fixed: array
+    #    outputs serialize via array_join per the q_array_ops convention;
+    #    and the three ex-rows-only fake-decoder ops, now with closed-form
+    #    md5 oracles) --
     "embedding_quantize_int8",
-    "pipeline_chunk_pack",
-    # multimodal real-byte tier (19 queries, incl. the image/audio dedup
-    # pair: containers are synthesized real ISO-spec bytes; decode
-    # verified against closed-form DuckDB oracles)
-    "multimodal_image_real",
-    "multimodal_audio_real",
-    "multimodal_audio_samples_real",
-    "multimodal_audio_dedup",
-    "multimodal_video_real",
-    "multimodal_pixels_real",
-    "multimodal_resize_real",
-    "multimodal_png_pixels_real",
-    "multimodal_png_resize_real",
-    "multimodal_gif_pixels_real",
-    "multimodal_gif_frames_real",
-    "multimodal_jpeg_pixels_real",
-    "multimodal_jpeg_color_real",
-    "multimodal_jpeg_420_real",
-    "multimodal_jpeg_422_real",
-    "multimodal_jpeg_dri_real",
-    "multimodal_jpeg_progressive_real",
-    "multimodal_jpeg_refined_real",
-    "multimodal_image_dedup",
-    # dataflow / streaming analogs not yet on the driver record
-    "q_window_sliding",
-    "q_flatten_union",
-    "q_multi_output_tags",
-    "q_complexdag_lineage",
-    "q_sol_passthrough",
-    "q_timestamp_filter",
-    "q_lifetime_filter",
-    "q_session_window",
-    # relational / temporal analytics family
-    "q_grouping_sets",
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    "q_latest_by_key",
-    "q_window_topk_trending",
-    "q_upsert_merge",
-    "q_corr_qty_price",
-    "q_user_value_outliers",
-    # r3 newcomers, oracle-backed (registered this round, immediately
-    # windowed: a hash-checked slot beats a rows-only one, so they take
-    # the slots phash_neardup/features would have spent on weak checks)
-    "graph_triangle_estimate",
-    "multimodal_video_stsd",
-    # rows-only flagships (no SQL oracle — approximate/iterative; the
-    # driver records a rows-only check, pytest holds the goldens)
-    "similarity_topk_ivf",
-    "text_bpe_tokens",
-    # Still never-sampled after this round — queued for the r4 rotation,
-    # where ~46 freed slots will absorb them all:
-    #   oracle-backed (registered late in r3, after this window closed):
-    #     q_merge_into, multimodal_jpeg12_real, embedding_quantize_int4,
-    #     multimodal_jpeg_411_real
-    #   rows-only (golden-tested): multimodal_phash_neardup,
-    #     multimodal_features, multimodal_frames, multimodal_resize,
-    #     text_bpe_bytes
+    "embedding_quantize_int4",
+    "q_merge_into",
+    "multimodal_jpeg12_real",
+    "multimodal_jpeg_411_real",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_features",
+    # -- never-sampled, rows-only (approximate by construction; pytest
+    #    goldens hold the exactness evidence) --
+    "multimodal_phash_neardup",
+    "text_bpe_bytes",
+    # -- re-verification: last driver record is round 1 (oldest cohort) --
+    # TPC-H analog suite
+    "q1_pricing_summary",
+    "q2_min_acctbal_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_ship_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_excess_part_suppliers",
+    "q21_last_shipper",
+    "q22_idle_customers",
+    # join matrix
+    "q_semi_join",
+    "q_anti_join",
+    "q_outer_join_counts",
+    "q_cross_join_broadcast",
+    "q_asof_join",
+    "q_range_join",
+    "q_copurchase_pairs",
+    # grouping/window/analytics
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_lag_lead",
+    "q_trailing_1h",
+    "q_ntile",
+    "q_quantiles",
+    "q_sessionize",
+    "q_incremental_agg",
 ]
 
 

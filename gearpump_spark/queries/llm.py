@@ -773,10 +773,20 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frames",
-    oracle=None,  # md5-over-binary-concat isn't expressible in DuckDB SQL;
-    # determinism is pytest-verified (tests/test_operators_unit.py)
+    # frame_hash = md5(utf8(text) + frame_idx as 4 big-endian bytes); the
+    # index bytes are CHR(0)*3 + CHR(i) for i < 128, so DuckDB's
+    # VARCHAR-only md5 hashes the identical byte stream.
+    oracle="""
+    SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
+           MD5(d.text || CHR(0) || CHR(0) || CHR(0) ||
+               CHR(CAST(f.i AS INT))) AS frame_hash
+    FROM documents d, (SELECT UNNEST(RANGE(0, 3)) AS i) f
+    WHERE d.doc_id < 200
+    ORDER BY d.doc_id, frame_idx
+    """,
     desc="video-frame sampling plumbing: one row per (payload, frame_idx) "
-    "via Arrow-batched mapInPandas over a stubbed decoder",
+    "via Arrow-batched mapInPandas over a stubbed decoder; the fake frame "
+    "hashes are closed-form md5, recomputed independently by the oracle",
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators import multimodal as MM
@@ -790,10 +800,29 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    oracle=None,  # md5-keystream pixels aren't expressible in DuckDB SQL;
-    # size law (byte_len == w*h*3) and determinism are pytest-verified
+    # The fake resize emits a CTR-mode md5 keystream: 32*24*3 = 2304 bytes
+    # = exactly 144 16-byte blocks, block k = md5(utf8(text) + "|32x24|k").
+    # The content check hashes HEX(payload) (uppercase in both engines)
+    # because DuckDB's md5 is VARCHAR-only — the oracle rebuilds the hex
+    # stream block-by-block and must land on the identical digest.
+    oracle="""
+    WITH blocks AS (
+        SELECT d.doc_id,
+               b.k,
+               UPPER(MD5(d.text || '|32x24|' || CAST(b.k AS VARCHAR))) AS hx
+        FROM documents d, (SELECT UNNEST(RANGE(0, 144)) AS k) b
+        WHERE d.doc_id < 200)
+    SELECT doc_id,
+           CAST(32 AS INT) AS width,
+           CAST(24 AS INT) AS height,
+           CAST(2304 AS BIGINT) AS byte_len,
+           MD5(STRING_AGG(hx, '' ORDER BY k)) AS payload_hex_md5
+    FROM blocks GROUP BY doc_id ORDER BY doc_id
+    """,
     desc="image resize plumbing: payload -> fixed-raster payload via "
-    "Arrow-batched mapInPandas over the stubbed decoder seam",
+    "Arrow-batched mapInPandas over the stubbed decoder seam; every "
+    "output byte is checked (oracle recomputes the CTR keystream and "
+    "matches md5(hex(payload)))",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators import multimodal as MM
@@ -804,17 +833,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = MM.attach_fake_payload(docs)
     return (
         MM.resize_images(with_payload, width=32, height=24)
-        .select("doc_id", "width", "height", "byte_len", F.md5("payload").alias("payload_md5"))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "byte_len",
+            F.md5(F.hex("payload")).alias("payload_hex_md5"),
+        )
         .orderBy("doc_id")
+    )
+
+
+# One fake feature: float32(u32_be(md5(payload + i as 4 BE bytes)[:4]) / 2^32).
+# The float64->float32->float64 round-trip is IEEE round-to-nearest in
+# Python/Arrow and in DuckDB's REAL cast, and the 8-term left-to-right double
+# sum is EXACT (each term has <= 24 significant bits; partial sums need <= 27
+# — far inside double's 53), so no rounding is needed for cross-engine match.
+def _fake_feature_sql(i: int) -> str:
+    return (
+        "CAST(CAST(CAST(('0x' || SUBSTR(MD5(text || CHR(0) || CHR(0) || "
+        f"CHR(0) || CHR({i})), 1, 8)) AS BIGINT) / 4294967296.0 "
+        "AS REAL) AS DOUBLE)"
     )
 
 
 @register(
     "multimodal_features",
-    oracle=None,  # feature floats come from the stubbed decoder (md5 math);
-    # determinism across partitionings is pytest-verified
+    oracle=f"""
+    SELECT doc_id,
+           {' + '.join(_fake_feature_sql(i) for i in range(8))} AS feat_sum,
+           CAST(8 AS INT) AS dim
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
     desc="feature extraction plumbing: payload -> dense float vector "
-    "(model-forward-pass seam), the embedding column similarity ops consume",
+    "(model-forward-pass seam), the embedding column similarity ops "
+    "consume; the oracle recomputes every fake feature closed-form and "
+    "the 8-term double sum is exact, so the hash check is bitwise",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators import multimodal as MM
@@ -826,7 +880,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.extract_features(with_payload, dim=8)
     return feats.select(
         "doc_id",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feat_sum"),
         F.size("features").alias("dim"),
     ).orderBy("doc_id")
 
@@ -1727,25 +1781,35 @@ def text_rare_bigram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT vec_id, embedding,
-               CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) AS DOUBLE) AS mx
+               COALESCE(CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x)))
+                             AS DOUBLE), 0.0) AS mx
         FROM embeddings)
     SELECT vec_id,
            CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale,
-           LIST_TRANSFORM(embedding,
+           ARRAY_TO_STRING(LIST_TRANSFORM(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE)
-                    * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS INT)) AS q
+                    * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS INT)),
+             ',') AS q_str
     FROM s ORDER BY vec_id
     """,
     desc="symmetric int8 embedding quantization (per-vector scale 127/max|x|) "
     "— 4x storage cut for the 100 TB vector estate; round-to-integer is the "
-    "only rounding, identical across engines",
+    "only rounding, identical across engines. Codes serialized via "
+    "array_join (the q_array_ops convention): the driver canonicalizer "
+    "sorts rows with pandas, which cannot factorize ndarray cells, so "
+    "array outputs MUST leave the query as strings (r3 red).",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Narrow map, no shuffle: each vector quantizes independently. The
     float->double promotions are exact and ROUND at scale 0 (half away
     from zero) matches DuckDB bit-for-bit, so the oracle is exact."""
     emb = table(spark, sf_dir, "embeddings")
-    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast("double")
+    mx = F.coalesce(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
     base = emb.select("vec_id", "embedding", mx.alias("mx"))
     scale = F.when(F.col("mx") == 0, F.lit(0.0)).otherwise(F.lit(127.0) / F.col("mx"))
     base = base.withColumn("scale", scale)
@@ -1753,7 +1817,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * F.col("scale")).cast("int"),
     )
-    return base.select("vec_id", "scale", q.alias("q")).orderBy("vec_id")
+    return base.select(
+        "vec_id", "scale", F.array_join(q, ",").alias("q_str")
+    ).orderBy("vec_id")
 
 
 @register(
@@ -1761,7 +1827,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT vec_id, embedding,
-               CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) AS DOUBLE) AS mx
+               COALESCE(CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x)))
+                             AS DOUBLE), 0.0) AS mx
         FROM embeddings),
     q AS (
         SELECT vec_id,
@@ -1772,18 +1839,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS qv
         FROM s)
     SELECT vec_id, scale,
-           LIST_TRANSFORM(RANGE(1, (LEN(qv) + 1) // 2 + 1),
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(RANGE(1, (LEN(qv) + 1) // 2 + 1),
                i -> CAST((qv[2 * i - 1] + 8) * 16
                     + CASE WHEN 2 * i <= LEN(qv) THEN qv[2 * i] + 8 ELSE 8 END
-                 AS INT))
-             AS packed
+                 AS INT)),
+             ',') AS packed_str
     FROM q ORDER BY vec_id
     """,
     desc="symmetric int4 embedding quantization with nibble packing "
     "(per-vector scale 7/max|x|, offset-binary codes, two per byte; odd "
     "dims pad the trailing low nibble with code 0, the FAISS-SQ4 "
     "convention) — an 8x storage cut for the 100 TB vector estate, all "
-    "pure JVM array expressions; round-to-integer is the only rounding",
+    "pure JVM array expressions; round-to-integer is the only rounding. "
+    "Packed bytes serialized via array_join (q_array_ops convention) so "
+    "the driver canonicalizer never sees a raw array cell.",
 )
 def embedding_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Narrow map, no shuffle (operators/similarity.py
@@ -1792,7 +1862,13 @@ def embedding_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators.similarity import quantize_embeddings_int4
 
     emb = table(spark, sf_dir, "embeddings")
-    return quantize_embeddings_int4(emb).orderBy("vec_id")
+    return (
+        quantize_embeddings_int4(emb)
+        .select(
+            "vec_id", "scale", F.array_join("packed", ",").alias("packed_str")
+        )
+        .orderBy("vec_id")
+    )
 
 
 @register(

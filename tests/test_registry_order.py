@@ -154,6 +154,52 @@ def test_llm_suite_covered_by_window_or_past_rounds(first_50):
     )
 
 
+def _last_verified_round() -> dict[str, int]:
+    """name -> most recent round whose artifact recorded the query green
+    (hash-green, or rows-only-seen for oracle-less queries)."""
+    import glob
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for path in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            rows = json.load(open(path))
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if (r.get("rows_match") and r.get("hash_match")) or (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def test_window_prefers_least_recently_verified(first_50):
+    """r3 verdict #6: once every query has a driver record, window slots
+    must go to (a) never-verified queries and (b) the OLDEST records —
+    a slot spent re-verifying a fresh green while a staler green sits
+    outside the window lets regressions hide behind stale records.
+
+    Mechanically: every windowed query with a past record must be at
+    least as stale as every excluded query's record."""
+    last = _last_verified_round()
+    registered = set(all_queries())
+    in_win = [last[n] for n in first_50 if n in last]
+    out_win = [last[n] for n in registered - set(first_50) if n in last]
+    if not in_win or not out_win:
+        return  # nothing to compare (e.g. fresh clone without artifacts)
+    assert max(in_win) <= min(out_win), (
+        "DRIVER_SAMPLE_WINDOW re-verifies a query whose record "
+        f"(round {max(in_win)}) is fresher than a record outside the "
+        f"window (round {min(out_win)}); rotate the stalest records in."
+    )
+
+
 def test_sampled_queries_overwhelmingly_have_oracles(first_50):
     """Rows-only checks are a weaker verdict; keep the sampled window
     dominated by full hash-verified oracles."""
