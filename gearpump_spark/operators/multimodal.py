@@ -65,19 +65,56 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text", out_col: str = "p
 
 
 class LibraryDecoder:
-    """The real-decoder seam. Not available in this environment."""
+    """The real-decoder seam: auto-detects PIL (and, through PIL,
+    libjpeg-turbo's decode path) at construction, so filling the seam on a
+    real cluster is a pip install — no code change (r3 verdict item #8).
+    Absent the library, every method raises NotImplementedError with
+    guidance; the pure-python PixelDecoder tier stays the rig's decoder.
+    """
+
+    def __init__(self):
+        try:  # pragma: no cover - rig has no PIL; exercised when present
+            from PIL import Image
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _require_pil(self, what: str):
+        if self._pil is None:
+            raise NotImplementedError(
+                f"{what} requires PIL/opencv, which are not installed; "
+                "pip install pillow fills this seam (use FakeDecoder/"
+                "PixelDecoder for plumbing tests)"
+            )
+        return self._pil
 
     def decode_image(self, payload: bytes):
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv, which are not installed; "
-            "use FakeDecoder for plumbing tests"
-        )
+        Image = self._require_pil("image decoding")
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "format": (im.format or "").lower(),
+                "width": im.size[0],
+                "height": im.size[1],
+                "n_channels": len(im.getbands()),
+            }
 
     def sample_frames(self, payload: bytes, n: int):
         raise NotImplementedError("video decoding requires ffmpeg/av, not installed")
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        raise NotImplementedError("image resize requires PIL/opencv, not installed")
+        Image = self._require_pil("image resize")
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            # NEAREST matches PixelDecoder.resize's source-index arithmetic
+            im.resize((width, height), Image.NEAREST).save(
+                out, format=im.format or "PNG"
+            )
+            return out.getvalue()
 
     def features(self, payload: bytes, dim: int):
         raise NotImplementedError(
@@ -305,9 +342,16 @@ class HeaderDecoder:
                     if tt != b"mdia":
                         continue
                     for mt, ms, me in self._boxes(payload, ts_, te):
+                        # mdhd v0: 32-bit times, timescale at +12; v1
+                        # (long recordings, 64-bit times) moves it to +20
+                        # (ADVICE r3: v1 silently yielded NULL timescale)
                         if mt == b"mdhd" and me - ms >= 20 and payload[ms] == 0:
                             media_ts = int.from_bytes(
                                 payload[ms + 12 : ms + 16], "big"
+                            )
+                        elif mt == b"mdhd" and me - ms >= 28 and payload[ms] == 1:
+                            media_ts = int.from_bytes(
+                                payload[ms + 20 : ms + 24], "big"
                             )
                         elif mt == b"hdlr" and me - ms >= 12:
                             handler = payload[ms + 8 : ms + 12]
@@ -1165,6 +1209,7 @@ def encode_mp4(
         # mdhd duration is expressed in the TRACK's media timescale, not
         # the movie's (r3 review finding): rescale the presentation
         # duration so demuxers see consistent per-track timing
+        mdhd_version = int(spec.get("mdhd_version", 0))
         if duration == 0xFFFFFFFF:
             # all-ones is the spec's "unknown duration" sentinel — it
             # passes through unrescaled (r3 review finding; rescaling
@@ -1172,16 +1217,28 @@ def encode_mp4(
             media_dur = 0xFFFFFFFF
         else:
             media_dur = duration * media_ts // timescale
-            if media_dur >= 1 << 32:
+            if mdhd_version == 0 and media_dur >= 1 << 32:
                 raise ValueError("v0 mdhd duration is 32-bit unsigned")
-        mdhd = box(
-            b"mdhd",
-            bytes(4) + bytes(8)
-            + media_ts.to_bytes(4, "big")
-            + media_dur.to_bytes(4, "big")
-            + (0x55C4).to_bytes(2, "big")  # language 'und'
-            + bytes(2),
-        )
+        if mdhd_version == 1:
+            # v1 mdhd (long recordings): 64-bit ctime/mtime/duration,
+            # timescale still 32-bit, at body offset +20
+            mdhd = box(
+                b"mdhd",
+                b"\x01" + bytes(3) + bytes(16)
+                + media_ts.to_bytes(4, "big")
+                + media_dur.to_bytes(8, "big")
+                + (0x55C4).to_bytes(2, "big")  # language 'und'
+                + bytes(2),
+            )
+        else:
+            mdhd = box(
+                b"mdhd",
+                bytes(4) + bytes(8)
+                + media_ts.to_bytes(4, "big")
+                + media_dur.to_bytes(4, "big")
+                + (0x55C4).to_bytes(2, "big")  # language 'und'
+                + bytes(2),
+            )
         hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00")
         # sample entry: size + fourcc + 6 reserved + data_ref_index
         entry = (16).to_bytes(4, "big") + codec + bytes(6) + (1).to_bytes(2, "big")
@@ -1337,8 +1394,12 @@ def decode_video_sample_tables(
 
     return df.select(id_col, payload_col).mapInPandas(
         op,
+        # bigint, not int: stsz sample_count and mdhd timescale are
+        # UNSIGNED 32-bit per the spec — a real container with values
+        # >= 2^31 would overflow an int32 Arrow cast and fail the task,
+        # violating corrupt-payload-never-fails-the-batch (ADVICE r3)
         _id_field(df, id_col) + ", video_codec string, audio_codec string, "
-        "n_video_frames int, video_timescale int",
+        "n_video_frames bigint, video_timescale bigint",
     )
 
 

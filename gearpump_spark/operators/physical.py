@@ -148,6 +148,7 @@ def merge_into(
     update_set: dict[str, Column] | None = None,
     delete_condition: Column | None = None,
     insert_not_matched: bool = True,
+    on_duplicate_update_keys: str = "error",
 ) -> DataFrame:
     """Full Delta-style MERGE INTO semantics as ONE full-outer join plus a
     CASE projection — the three-clause form the lakehouse engines expose:
@@ -167,11 +168,50 @@ def merge_into(
     broadcast); output schema == snapshot schema, so the result writes
     back over the snapshot partitionwise. For small whole-row batches
     prefer upsert_split (zero snapshot shuffle).
+
+    ``on_duplicate_update_keys``: ``"error"`` (default) raises at
+    execution time when two update rows share a non-NULL merge key —
+    the same runtime ambiguity error Delta/the lakehouse engines throw,
+    because a duplicated source key would otherwise silently emit one
+    output row PER update row (duplicating the snapshot row).
+    ``"allow"`` opts into that multiplying behavior explicitly. The
+    guard is a window count partitioned by the merge key, which reuses
+    the exchange the full-outer join needs anyway — no extra shuffle.
     """
     sets = update_set or {}
     unknown = set(sets) - set(snapshot.columns)
     if unknown:
         raise ValueError(f"update_set targets not in snapshot schema: {sorted(unknown)}")
+    if on_duplicate_update_keys not in ("error", "allow"):
+        raise ValueError(
+            "on_duplicate_update_keys must be 'error' or 'allow', got "
+            f"{on_duplicate_update_keys!r}"
+        )
+    if on_duplicate_update_keys == "error":
+        from pyspark.sql import Window
+
+        n_per_key = F.count("*").over(Window.partitionBy(key))
+        # assert_true yields NULL when the predicate holds and raises the
+        # task otherwise; project it (window functions can't live in a
+        # WHERE), then filter on the projected column — the filter
+        # reference keeps Catalyst from pruning the check away. NULL keys
+        # are exempt: they never match anything, so they can't be ambiguous.
+        guard = F.coalesce(
+            F.assert_true(
+                F.col(key).isNull() | (n_per_key == 1),
+                F.lit(
+                    f"merge_into: multiple update rows share merge key {key!r}"
+                    " — MERGE is ambiguous (pass"
+                    " on_duplicate_update_keys='allow' to multiply matches)"
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+        updates = (
+            updates.withColumn("_dup_guard", guard)
+            .where(F.col("_dup_guard"))
+            .drop("_dup_guard")
+        )
     # presence markers, NOT key-null tests: a NULL-key snapshot row never
     # joins (SQL equality) and must pass through UNTOUCHED — Delta MERGE
     # semantics (r3 review finding: s.key IS NULL misclassified it as an

@@ -2456,8 +2456,8 @@ def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
            CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec,
-           CAST(12 * (1 + doc_id % 4) AS INT) AS n_video_frames,
-           CAST(600 * (1 + doc_id % 3) AS INT) AS video_timescale
+           CAST(12 * (1 + doc_id % 4) AS BIGINT) AS n_video_frames,
+           CAST(600 * (1 + doc_id % 3) AS BIGINT) AS video_timescale
     FROM documents ORDER BY doc_id
     """,
     desc="REAL MP4 sample-table (stbl) walk: trak → mdia → mdhd/hdlr → "

@@ -1138,6 +1138,31 @@ def test_mp4_stsd_sample_table_walk_and_truncation_safe():
     assert d.sniff_video_tracks(b"not an mp4 at all") is None
 
 
+def test_mp4_mdhd_version1_timescale():
+    """ADVICE r3: version-1 mdhd (64-bit times, long recordings) keeps
+    the timescale at body offset +20 — it must parse, not NULL out; a
+    huge unsigned-32 stsz count survives too (bigint schema)."""
+    from gearpump_spark.operators.multimodal import HeaderDecoder, encode_mp4
+
+    d = HeaderDecoder()
+    enc = encode_mp4(
+        width=320, height=240, timescale=1000, duration=5000,
+        sample_tables=[
+            {"handler": "vide", "codec": "hev1", "n_frames": 0xFFFF0000,
+             "media_timescale": 90000, "mdhd_version": 1},
+        ],
+    )
+    got = d.sniff_video_tracks(enc)
+    assert got == {
+        "video_codec": "hev1",
+        "audio_codec": None,
+        "n_video_frames": 0xFFFF0000,  # > int32 max: needs the bigint cols
+        "video_timescale": 90000,
+    }
+    for cut in range(0, len(enc), 13):
+        d.sniff_video_tracks(enc[:cut])
+
+
 def test_operators_respect_string_id_columns(spark):
     """r3 review finding: every Arrow-map operator derives its output id
     field's name AND type from the input schema — a string-keyed corpus

@@ -217,6 +217,16 @@ def test_multimodal_features_match_local_decoder(spark):
         assert repart[k] == pytest.approx(got[k], abs=1e-7)
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: the codec seam is live")
 def test_library_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         MM.LibraryDecoder().decode_image(b"\x89PNG")
@@ -224,6 +234,29 @@ def test_library_decoder_is_explicit_stub():
         MM.LibraryDecoder().resize(b"\x89PNG", 8, 8)
     with pytest.raises(NotImplementedError):
         MM.LibraryDecoder().features(b"\x89PNG", 4)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this rig")
+def test_library_decoder_matches_pure_python_tier():
+    """Seam insurance (r3 verdict item #8): when a real codec library IS
+    present, LibraryDecoder must agree with the pure-python PixelDecoder
+    on our own synthesized containers — so swapping the tiers on a real
+    cluster changes throughput, not results."""
+    import pyspark.sql  # noqa: F401 — keep import ordering consistent
+
+    lib = MM.LibraryDecoder()
+    pure = MM.PixelDecoder()
+    # synthesize a real PNG through the operator tier's encoder ([B,G,R])
+    payload = MM.PixelDecoder.encode_png(
+        [[[x * 37 % 256, y * 53 % 256, (x + y) % 256] for x in range(8)] for y in range(6)]
+    )
+    got, want = lib.decode_image(payload), pure.decode_image(payload)
+    assert (got["format"], got["width"], got["height"]) == (
+        want["format"], want["width"], want["height"],
+    )
+    rz = lib.resize(payload, 4, 3)
+    meta = pure.decode_image(rz)
+    assert (meta["width"], meta["height"]) == (4, 3)
 
 
 # --- Text function edge cases ---------------------------------------------
@@ -1288,6 +1321,49 @@ def test_merge_into_null_key_snapshot_rows_pass_through(spark):
     with _pytest.raises(ValueError):
         merge_into(snap, ups.select("k", "v", F.lit("t").alias("tag"), "op"), "k",
                    update_set={"acctbal": F.col("u.v")})
+
+
+def test_merge_into_duplicate_update_keys_guard(spark):
+    """ADVICE r3: duplicate merge keys in the update batch are AMBIGUOUS
+    under Delta MERGE semantics and must raise at execution time by
+    default (silently emitting one snapshot row per update row is data
+    duplication); 'allow' opts into the multiplying behavior, and NULL
+    update keys are exempt (they never match anything)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from gearpump_spark.operators.physical import merge_into
+
+    snap = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double")
+    dup = spark.createDataFrame(
+        [(1, 11.0), (1, 12.0), (2, 22.0)], "k bigint, v double"
+    )
+    ambiguous = merge_into(snap, dup, "k", update_set={"v": F.col("u.v")})
+    with pytest.raises(Exception) as ei:
+        ambiguous.collect()
+    assert "multiple update rows" in str(ei.value)
+
+    allowed = merge_into(
+        snap, dup, "k", update_set={"v": F.col("u.v")},
+        on_duplicate_update_keys="allow",
+    )
+    assert sorted((r.k, r.v) for r in allowed.collect()) == [
+        (1, 11.0), (1, 12.0), (2, 22.0)
+    ]
+
+    # NULL update keys never match -> not ambiguous, default mode passes
+    nulls = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (2, 22.0)], "k bigint, v double"
+    )
+    out = merge_into(snap, nulls, "k", update_set={"v": F.col("u.v")})
+    got = sorted(
+        ((r.k, r.v) for r in out.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    assert got == [(None, 1.0), (None, 2.0), (1, 10.0), (2, 22.0)]
+
+    with pytest.raises(ValueError):
+        merge_into(snap, dup, "k", on_duplicate_update_keys="bogus")
 
 
 def test_int4_quantize_edge_dims_and_padding(spark):

@@ -43,6 +43,11 @@ EXTRA = [
     # wall-time; the stsd walk is a new Arrow-map tier
     "graph_triangle_estimate",
     "multimodal_video_stsd",
+    # r4 (r3 verdict item #5): MERGE INTO at scale (one keyed shuffle per
+    # side, duplicate-key guard window reuses the exchange), and the int4
+    # quantize narrow-map (nibble packing + array_join serialization)
+    "q_merge_into",
+    "embedding_quantize_int4",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
