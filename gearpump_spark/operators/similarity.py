@@ -157,10 +157,19 @@ def _centroid_candidates(v: Column, centroids: list[list[float]]) -> Column:
 
 
 def ivf_train_centroids(
-    corpus: DataFrame, vec_col: str, nlist: int = 16, id_col: str = "vec_id"
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    refine: bool = True,
 ) -> list[list[float]]:
     """Train IVF coarse centroids: deterministic seeds (lowest ids) + one
     distributed Lloyd refinement (assign → per-cluster mean).
+
+    ``refine=False`` returns the raw seeds: slightly worse list balance,
+    but the centroids become CLOSED-FORM (no float mean whose summation
+    order varies across engines) — the variant the DuckDB oracle can
+    recompute exactly (`similarity_topk_ivf_seeded`).
 
     Scale: the assign pass is a narrow map over the corpus (centroids are
     literals in the plan, i.e. broadcast-by-closure); the mean reduces to
@@ -171,6 +180,8 @@ def ivf_train_centroids(
         [float(x) for x in r[0]]
         for r in corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     ]
+    if not refine:
+        return seeds
     v = _to_double(F.col(vec_col))
     cands = _centroid_candidates(v, seeds)
     assigned = corpus.select(F.array_min(cands)["cid"].alias("cid"), v.alias("v"))
@@ -209,6 +220,7 @@ def cosine_topk_ivf(
     c_id: str = "vec_id",
     q_vec: str = "q_vec",
     c_vec: str = "embedding",
+    refine: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus sharded into nlist inverted lists by
     nearest centroid; each query scores only its nprobe nearest lists.
@@ -216,10 +228,11 @@ def cosine_topk_ivf(
     Scale: comparisons drop ~nlist/nprobe vs brute force. The corpus-side
     assignment is a narrow map (re-usable as a written, partitioned-by-cid
     index); the probe join is an equi-join on cid with the small query side
-    broadcast — same shuffle-free shape as cosine_topk."""
+    broadcast — same shuffle-free shape as cosine_topk. ``refine=False``
+    skips the Lloyd pass (closed-form seed centroids → oracle-checkable)."""
     from pyspark.sql import Window as W
 
-    cents = ivf_train_centroids(corpus, c_vec, nlist, c_id)
+    cents = ivf_train_centroids(corpus, c_vec, nlist, c_id, refine=refine)
     lists_ = ivf_assign(corpus, c_vec, cents, "cid", nprobe=1)
     probes = ivf_assign(queries, q_vec, cents, "cid", nprobe=nprobe)
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4).alias("cosine_sim")

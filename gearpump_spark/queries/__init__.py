@@ -94,6 +94,13 @@ DRIVER_SAMPLE_WINDOW = [
     #    goldens hold the exactness evidence) --
     "multimodal_phash_neardup",
     "text_bpe_bytes",
+    # -- converted to oracle-backed in r4 (bit-deterministic: SimHash
+    #    integer votes, seeded-md5 LSH hyperplanes, closed-form seed
+    #    centroids) — their only records are rows-only, so a hash-checked
+    #    slot is a strict upgrade over an r1 re-verification --
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf_seeded",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -134,10 +141,7 @@ DRIVER_SAMPLE_WINDOW = [
     "q_window_running",
     "q_lag_lead",
     "q_trailing_1h",
-    "q_ntile",
-    "q_quantiles",
     "q_sessionize",
-    "q_incremental_agg",
 ]
 
 

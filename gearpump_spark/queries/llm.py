@@ -245,10 +245,41 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cross_split_contamination(docs).orderBy("doc_id")
 
 
+# SimHash is bit-for-bit deterministic (integer votes over md5 token
+# hashes), so it is fully oracle-expressible: DuckDB rebuilds the 32 vote
+# columns with >>/& integer ops and the same '0x'-cast of md5's first 8 hex
+# chars (converted from rows-only in r4 — the 'bit-level' label had
+# conflated bit manipulation with non-determinism).
+_SIMHASH_VOTES = ",\n        ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(32)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-level; verified by pytest golden instead
-    desc="32-bit SimHash fingerprints per document (Charikar 2002)",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(
+            STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+            w -> w <> '')) AS w
+        FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || SUBSTR(MD5(w), 1, 8)) AS BIGINT) AS hv
+          FROM tok),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM votes)
+    SELECT d.doc_id, CAST(COALESCE(f.simhash, 0) AS BIGINT) AS simhash
+    FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN fp f USING (doc_id)
+    ORDER BY doc_id
+    """,
+    desc="32-bit SimHash fingerprints per document (Charikar 2002): "
+    "integer ±1 bit votes over md5 token hashes — exact oracle, every "
+    "fingerprint bit recomputed independently by DuckDB",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(table(spark, sf_dir, "documents")).orderBy("doc_id")
@@ -290,10 +321,56 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def _lsh_plane_component_sql(p: int) -> str:
+    """Hyperplane p component j (= list index i - 1), the exact double
+    operators/similarity.py _hyperplane computes: u32(md5('p|j')[:8])/2^31 - 1."""
+    return (
+        f"(CAST(('0x' || SUBSTR(MD5(CONCAT('{p}', '|', CAST(i - 1 AS VARCHAR))), 1, 8))"
+        " AS BIGINT) / 2147483648.0 - 1.0)"
+    )
+
+
+# bucket bits for dim=64, n_planes=4 — the registered LSH query's shape
+_LSH_BUCKET_SQL = " + ".join(
+    "(CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * {_lsh_plane_component_sql(p)})) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(4)
+)
+
+
 @register(
     "similarity_topk_lsh",
-    oracle=None,  # approximate by construction; recall asserted in pytest
-    desc="LSH-bucketed approximate cosine top-k (random hyperplanes, scale path)",
+    # Approximate vs TRUE top-k, but bit-for-bit DETERMINISTIC: the
+    # hyperplanes are seeded md5 (component = u32/2^31 - 1, exact in
+    # double) and the projection is the same left-fold dot product the
+    # exact-top-k oracle already hash-matches — so the bucket bits, and
+    # hence the full result, are oracle-expressible (converted from
+    # rows-only in r4).
+    oracle=f"""
+    WITH pl AS (
+        SELECT vec_id, embedding,
+               {_LSH_BUCKET_SQL} AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket
+          FROM pl WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c.embedding) + 1),
+                              i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine_sim
+        FROM pl c JOIN q ON c.bucket = q.bucket)
+    SELECT q_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    desc="LSH-bucketed approximate cosine top-k (seeded-md5 random "
+    "hyperplanes, scale path) — deterministic by construction, exact "
+    "oracle recomputes the bucket bits and bucket-local ranking",
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -320,6 +397,75 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     out = S.cosine_topk_ivf(q, emb, nlist=8, nprobe=3, k=5)
+    return out.select(
+        "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("q_id", "rank")
+
+
+# squared L2 between a corpus embedding e and centroid embedding c, as the
+# same left-fold of (e_i - c_i)^2 doubles that _sq_dist computes
+_IVF_SQDIST_SQL = (
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> "
+    "(CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) * "
+    "(CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "similarity_topk_ivf_seeded",
+    # refine=False makes the IVF pipeline end-to-end closed-form: the
+    # centroids ARE the 8 lowest-id embeddings (no Lloyd float mean), so
+    # the oracle rebuilds the inverted lists, the nprobe=3 probe sets, and
+    # the bucket-local ranking exactly. Keeps `similarity_topk_ivf`
+    # (refined) registered alongside as the recall-tuned variant.
+    oracle=f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus_assign AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_IVF_SQDIST_SQL.format(e='e.embedding', c='c.cvec')},
+                       c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+    probes AS (
+        SELECT q_id, q_vec, cid FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_IVF_SQDIST_SQL.format(e='e.embedding', c='c.cvec')},
+                       c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id < 5)
+        WHERE rn <= 3),
+    scored AS (
+        SELECT p.q_id, a.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.q_vec[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(p.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine_sim
+        FROM corpus_assign a JOIN probes p USING (cid))
+    SELECT q_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    desc="IVF approximate cosine top-k with closed-form seed centroids "
+    "(no Lloyd refinement): the whole pipeline — inverted lists, nprobe "
+    "probe sets, bucket-local ranking — is recomputed exactly by the "
+    "DuckDB oracle; the refined variant stays registered as "
+    "similarity_topk_ivf (rows-only: float means are summation-order-"
+    "dependent)",
+)
+def similarity_topk_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.cosine_topk_ivf(q, emb, nlist=8, nprobe=3, k=5, refine=False)
     return out.select(
         "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
     ).orderBy("q_id", "rank")

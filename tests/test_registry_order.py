@@ -155,13 +155,18 @@ def test_llm_suite_covered_by_window_or_past_rounds(first_50):
 
 
 def _last_verified_round() -> dict[str, int]:
-    """name -> most recent round whose artifact recorded the query green
-    (hash-green, or rows-only-seen for oracle-less queries)."""
+    """name -> most recent round whose artifact recorded a check AS STRONG
+    as the query's current registration demands: hash-green for
+    oracle-backed queries, rows-only-seen for oracle-less ones. A query
+    converted from rows-only to oracle-backed therefore counts as
+    never-verified — its old rows-only record is weaker than what a
+    window slot would now buy."""
     import glob
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
+    oracle_backed = set(all_oracles())
     last: dict[str, int] = {}
     for path in glob.glob(str(root / "CORRECTNESS_r*.json")):
         try:
@@ -172,9 +177,11 @@ def _last_verified_round() -> dict[str, int]:
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue
-            if (r.get("rows_match") and r.get("hash_match")) or (
+            hash_green = bool(r.get("rows_match") and r.get("hash_match"))
+            rows_seen = (
                 r.get("err") == "no_oracle" and r.get("spark_rows") is not None
-            ):
+            )
+            if hash_green or (rows_seen and name not in oracle_backed):
                 last[name] = max(last.get(name, 0), rnd)
     return last
 
