@@ -81,6 +81,9 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
             "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
             "org.apache.spark.sql.execution.datasources.v2.WritingSparkTask",
+            "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
+            "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+            "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
             "org.apache.spark.executor.Executor",
             "org.apache.spark.scheduler.TaskSetManager",
         ):

@@ -372,3 +372,74 @@ def incremental_dedup_against_index(
     return survivors.join(
         fp_index.select("fp"), "fp", "left_anti"
     ).select(id_col, "fp")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication screen (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide an n-token window
+    over every document and mark a window DUPLICATED when its exact token
+    sequence occurs >= 2 times anywhere in the corpus (other docs or a
+    repeat in the same doc). Returns one row per doc:
+
+      (id, n_windows, n_dup, max_dup_run)
+
+    where max_dup_run is the longest run of consecutive duplicated
+    windows — the length proxy for the longest duplicated SPAN, which is
+    what substring-dedup pipelines actually cut (a run of r duplicated
+    n-grams ~ a span of r+n-1 duplicated tokens).
+
+    Scale: the real suffix-array construction is replaced by the
+    shuffle-friendly equivalent — position-indexed window fingerprints.
+    Only (fp, id, pos) rows reach the exchanges (window text is md5'd
+    away before any shuffle); corpus frequencies are one fp-keyed
+    aggregate; the run detection is a per-doc sort (gaps-and-islands),
+    all integers, so the DuckDB oracle is exact.
+    """
+    from pyspark.sql import Window as W
+
+    tk = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), tk.alias("tk"))
+    # guard: F.sequence(1, 0) is DESCENDING in Spark (r3 lesson) — docs
+    # shorter than n tokens contribute zero windows, not a crash
+    starts = F.when(
+        F.size("tk") >= n, F.sequence(F.lit(1), F.size("tk") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    win = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(starts, lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, n))))
+        ).alias("pos", "fp"),
+    )
+    freq = win.groupBy("fp").agg(F.count("*").alias("c"))
+    flagged = win.join(freq, "fp").select(
+        id_col, "pos", (F.col("c") >= 2).alias("dup")
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum(F.col("dup").cast("int")).cast("bigint").alias("n_dup"),
+    )
+    # gaps-and-islands over duplicated positions: consecutive positions
+    # share (pos - row_number) — the longest island is the longest run
+    dup_rows = flagged.where("dup")
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy(id_col).orderBy("pos"))
+    ).alias("grp")
+    runs = (
+        dup_rows.select(id_col, "pos", grp)
+        .groupBy(id_col, "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy(id_col)
+        .agg(F.max("run_len").cast("bigint").alias("max_dup_run"))
+    )
+    return per_doc.join(runs, id_col, "left").select(
+        id_col,
+        "n_windows",
+        "n_dup",
+        F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("bigint").alias("max_dup_run"),
+    )

@@ -285,6 +285,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@register(
+    "dedup_duplicate_spans",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents),
+    win AS (
+        SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+               MD5(ARRAY_TO_STRING(tk[i:i+7], ' ')) AS fp
+        FROM tok, UNNEST(RANGE(1, GREATEST(LEN(tk) - 7, 0) + 1)) AS t(i)),
+    freq AS (SELECT fp, COUNT(*) AS c FROM win GROUP BY fp),
+    flagged AS (
+        SELECT w.doc_id, w.pos, (f.c >= 2) AS dup
+        FROM win w JOIN freq f USING (fp)),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM flagged GROUP BY doc_id),
+    runs AS (
+        SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_dup_run FROM (
+            SELECT doc_id, grp, COUNT(*) AS run_len FROM (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM flagged WHERE dup)
+            GROUP BY doc_id, grp)
+        GROUP BY doc_id)
+    SELECT p.doc_id, p.n_windows, p.n_dup,
+           CAST(COALESCE(r.max_dup_run, 0) AS BIGINT) AS max_dup_run
+    FROM per_doc p LEFT JOIN runs r USING (doc_id)
+    ORDER BY doc_id
+    """,
+    desc="substring-level duplication screen (Lee et al. 2022): 8-token "
+    "sliding-window fingerprints, corpus-frequency flagging, longest "
+    "consecutive duplicated run per doc (gaps-and-islands) — the "
+    "shuffle-friendly stand-in for suffix-array substring dedup; all "
+    "integers, exact oracle",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py duplicate_spans: only (fp, id, pos) rows reach
+    any exchange — window text is md5'd away scan-side."""
+    return D.duplicate_spans(table(spark, sf_dir, "documents"), n=8).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

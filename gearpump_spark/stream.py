@@ -97,6 +97,54 @@ class GearContext:
                 ) from e
             raise
 
+    def from_jdbc(
+        self,
+        url: str,
+        table: str,
+        driver: str | None = None,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int | None = None,
+        **options: Any,
+    ) -> "Stream":
+        """JDBC source — pair of ``Stream.sink_jdbc`` (external RDBMS/KV
+        ingest; Phoenix's JDBC driver covers the reference's HBase).
+        Pass partition_column/lower_bound/upper_bound/num_partitions for a
+        PARALLEL scan (one range query per partition) — without them the
+        whole table reads through one connection, which is wrong at any
+        scale. Requires a JDBC driver jar (absent here → gated error)."""
+        reader = self.spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        if driver is not None:
+            reader = reader.option("driver", driver)
+        if partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(num_partitions or 8))
+            )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        try:
+            return Stream(reader.load())
+        except Exception as e:
+            msg = str(e)
+            if (
+                "No suitable driver" in msg
+                or "ClassNotFoundException" in msg
+                or "JDBC_NO_SUITABLE_DRIVER" in msg
+            ):
+                raise NotImplementedError(
+                    "JDBC source needs a JDBC driver jar on the classpath "
+                    "(spark-submit --jars <driver>.jar, e.g. postgresql.jar "
+                    "or phoenix-client.jar for HBase); none is present in "
+                    "this environment"
+                ) from e
+            raise
+
     def from_orc(self, path: str, ts_col: str | None = None) -> "Stream":
         """ORC source (columnar like parquet: predicate pushdown, column
         pruning, and split-ability all apply)."""
@@ -402,6 +450,50 @@ class Stream:
                     "Kafka sink needs the spark-sql-kafka connector jar "
                     "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>, "
                     "e.g. :4.1.2 to match this Spark); not present in this environment"
+                ) from e
+            raise
+
+    def sink_jdbc(
+        self,
+        url: str,
+        table: str,
+        mode: str = "append",
+        driver: str | None = None,
+        **options: Any,
+    ) -> None:
+        """JDBC sink — the honest substitute for the reference's HBaseSink
+        (docs/contents/dev/dev-connectors.md:14-28: an external KV/row
+        store sink): any RDBMS/KV with a JDBC driver (Phoenix covers HBase
+        itself). Writes partition-parallel INSERT batches; a JDBC driver
+        jar must be on the classpath (none ships in this rig — raises
+        with guidance, same contract as the Kafka gate).
+
+        Scale: each task opens its own connection and writes its
+        partition (numPartitions/batchsize are passed through via
+        options); coalesce upstream if the target DB can't take one
+        connection per core.
+        """
+        writer = self.df.write.format("jdbc").mode(mode).option("url", url).option(
+            "dbtable", table
+        )
+        if driver is not None:
+            writer = writer.option("driver", driver)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        try:
+            writer.save()
+        except Exception as e:
+            msg = str(e)
+            if (
+                "No suitable driver" in msg
+                or "ClassNotFoundException" in msg
+                or "JDBC_NO_SUITABLE_DRIVER" in msg
+            ):
+                raise NotImplementedError(
+                    "JDBC sink needs a JDBC driver jar on the classpath "
+                    "(spark-submit --jars <driver>.jar, e.g. postgresql.jar "
+                    "or phoenix-client.jar for HBase); none is present in "
+                    "this environment"
                 ) from e
             raise
 

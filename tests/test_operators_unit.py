@@ -1394,3 +1394,33 @@ def test_int4_quantize_edge_dims_and_padding(spark):
         for b in packed:
             codes += [(b >> 4) - 8, (b & 15) - 8]
         assert all(-7 <= c <= 8 - 8 + 7 for c in codes)
+
+
+def test_duplicate_spans_runs_and_counts(spark):
+    """Handcrafted corpus: doc 0 and doc 1 share a 10-token prefix, so
+    with n=3 their first 8 windows are duplicated (one run of 8); doc 2
+    is unique; doc 3 is too short for any window."""
+    shared = "a b c d e f g h i j"
+    rows = [
+        (0, shared + " x0 y0 z0"),
+        (1, shared + " x1 y1 z1"),
+        (2, "p q r s t u v w"),
+        (3, "t1 t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from gearpump_spark.operators.dedup import duplicate_spans
+
+    out = {r.doc_id: r for r in duplicate_spans(df, n=3).collect()}
+    # doc 0: 13 tokens -> 11 windows; windows starting at pos 0..7 lie
+    # fully inside the shared prefix and repeat in doc 1
+    assert (out[0].n_windows, out[0].n_dup, out[0].max_dup_run) == (11, 8, 8)
+    assert (out[1].n_windows, out[1].n_dup, out[1].max_dup_run) == (11, 8, 8)
+    assert (out[2].n_windows, out[2].n_dup, out[2].max_dup_run) == (6, 0, 0)
+    assert 3 not in out  # 2 tokens < n: no windows, no row
+
+    # within-doc repetition also counts as duplication
+    rep = spark.createDataFrame(
+        [(0, "m n o k1 m n o k2")], "doc_id bigint, text string"
+    )
+    r = duplicate_spans(rep, n=3).collect()[0]
+    assert (r.n_windows, r.n_dup, r.max_dup_run) == (6, 2, 1)
