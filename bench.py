@@ -86,6 +86,9 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
             "org.apache.spark.executor.Executor",
             "org.apache.spark.scheduler.TaskSetManager",
+            # stop() on an in-flight trigger also aborts tasks through
+            # Utils ("Aborting task" + TaskKilledException traces)
+            "org.apache.spark.util.Utils",
         ):
             configurator.setLevel(logger_name, off)
     except Exception:

@@ -318,19 +318,22 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # Collapse wedges to canonical-pair COUNTS before touching the edge
     # set: in clique-heavy graphs (co-purchase orders) many centers s
     # produce the same (t1, t2), so the aggregate is much smaller than the
-    # raw wedge stream AND partial-aggregates map-side — the previous
-    # left-semi join sorted the full wedge set and OOM'd a default-heap
-    # driver at sf0.1. Triangles = Σ wedge multiplicity over pairs that
-    # close.
-    # The pair aggregation gets the same explicit width: its input is the
-    # full wedge stream, and in sparse graphs the distinct-pair set is
-    # nearly as large — an AQE-coalesced handful of reducers would each
-    # sort tens of millions of rows for the closing join below.
+    # raw wedge stream — the previous left-semi join sorted the full wedge
+    # set and OOM'd a default-heap driver at sf0.1. Triangles = Σ wedge
+    # multiplicity over pairs that close.
+    # Plain groupBy, no explicit repartition (r4): an explicit
+    # repartition BEFORE the groupBy defeated map-side combine — the
+    # exchange shipped the RAW quadratic wedge stream instead of the
+    # partial-aggregated pairs (measured ~10% slower at sf0.1; at
+    # cluster scale the network delta is the whole wedge fan-out). The
+    # AQE-blindness defense is NOT needed here: this exchange's input is
+    # the partial-agg output of the already-exploded wedge stage, so AQE
+    # sizes it from REAL post-fan-out bytes (the pin stays on the wedge
+    # join above, whose exchange input is the deceptively tiny edge list).
     wedge_pairs = (
         wedges.select(
             F.least("t1", "t2").alias("c1"), F.greatest("t1", "t2").alias("c2")
         )
-        .repartition(n_wedge_parts, "c1", "c2")
         .groupBy("c1", "c2")
         .agg(F.count("*").alias("n_w"))
     )
