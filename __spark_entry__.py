@@ -4,8 +4,11 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 (+ the
                   LLM-pipeline extensions), as (spark, sf_dir) -> DataFrame.
 ``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for
-                  genuinely non-SQL-expressible ops: SimHash bit math,
-                  approximate LSH top-k, iterative PageRank).
+                  genuinely non-reproducible ops: iterative fixpoints
+                  with order-dependent float math — PageRank, k-means,
+                  Lloyd-refined IVF — plus BPE merge chains and pHash
+                  DCT pairing; SimHash, LSH top-k and seeded IVF are
+                  deterministic and oracle-backed as of r4).
 
 Implementation lives in gearpump_spark/ — see gearpump_spark/queries/.
 """

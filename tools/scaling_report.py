@@ -71,17 +71,23 @@ def main() -> None:
         sfs.append(("sf1*", SF1_DIR))
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Chunked runs: SPARK_GRAFT_SWEEP_ONLY=a,b,c restricts this invocation
+    # to a subset (keeps each run inside a CI/tooling timeout);
+    # SPARK_GRAFT_SWEEP_JSON=path dumps {name: [times...]} so chunked
+    # invocations can be merged into one report afterwards.
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    sweep = [n for n in SWEEP if n in set(only.split(","))] if only else SWEEP
     spark = get_spark("scaling_report", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
     # warm codegen per plan shape at the smallest sf
-    for name in SWEEP:
+    for name in sweep:
         qs[name](spark, sfs[0][1]).write.mode("overwrite").format("noop").save()
 
-    times: dict[str, list[float]] = {name: [] for name in SWEEP}
+    times: dict[str, list[float]] = {name: [] for name in sweep}
     for _label, sf_dir in sfs:
-        for name in SWEEP:
+        for name in sweep:
             best = float("inf")
             for _ in range(2):
                 df = qs[name](spark, sf_dir)
@@ -89,6 +95,13 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             times[name].append(best)
+
+    json_out = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"labels": [l for l, _ in sfs], "times": times}, f)
 
     labels = [label for label, _ in sfs]
     print("# Scaling report (best-of-2, noop sink, local[%d])\n" % cpus)
@@ -102,7 +115,7 @@ def main() -> None:
     print(f"| query | {header} | {ratio_hdr} |")
     print("|---" * (1 + len(labels) + len(labels) - 1) + "|")
     flagged = []
-    for name in SWEEP:
+    for name in sweep:
         ts = times[name]
         ratios = [b / a for a, b in zip(ts, ts[1:])]
         cells = " | ".join(f"{t:.2f}s" for t in ts)
