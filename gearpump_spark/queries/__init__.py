@@ -101,6 +101,10 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_simhash",
     "similarity_topk_lsh",
     "similarity_topk_ivf_seeded",
+    # -- new in r4, oracle-backed: bit-reproducible integer PageRank (the
+    #    first hash-checkable record for the iterative-graph family, whose
+    #    float flagship can only ever be rows-only) --
+    "graph_pagerank_int",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -141,7 +145,8 @@ DRIVER_SAMPLE_WINDOW = [
     "q_window_running",
     "q_lag_lead",
     "q_trailing_1h",
-    "q_sessionize",
+    # (q_sessionize — same r1 cohort — rotated out to hold the window at
+    # exactly 50 when graph_pagerank_int took a never-verified slot)
 ]
 
 

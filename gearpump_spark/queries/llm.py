@@ -1099,6 +1099,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_id")
 
 
+def _pagerank_int_oracle(n_iter: int = 10, scale: int = 10**12) -> str:
+    """Unrolled n_iter-step CTE chain mirroring operators/graph.py
+    pagerank_int exactly — fixed iterations + all-integer arithmetic make
+    the fixpoint loop SQL-expressible (float PageRank is not: its sums
+    are summation-order-dependent).
+
+    Every CTE is MATERIALIZED: pr{{k+1}} references pr{{k}} twice (dangling
+    mass + contributions), so DuckDB's default CTE inlining re-evaluates
+    the chain 2^n_iter times (>5 min at sf0.01); materialization makes it
+    one pass per step (~0.5 s)."""
+    blocks = [
+        f"""
+    edges AS MATERIALIZED (
+        SELECT DISTINCT l_partkey + 1000000 AS src, l_suppkey AS dst
+        FROM lineitem),
+    nodes AS MATERIALIZED (
+        SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    outd AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT node_id, CAST({scale} // nn.n AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(n_iter):
+        blocks.append(
+            f""",
+    d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dm FROM pr{k}
+             WHERE node_id NOT IN (SELECT src FROM outd)),
+    c{k} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(p.r // o.od) AS im
+             FROM edges e JOIN outd o ON e.src = o.src
+             JOIN pr{k} p ON p.node_id = e.src GROUP BY e.dst),
+    pr{k + 1} AS MATERIALIZED (
+        SELECT n.node_id,
+               CAST((15 * {scale}) // (100 * nn.n)
+                    + (85 * (COALESCE(c.im, 0) + d{k}.dm // nn.n)) // 100
+                 AS BIGINT) AS r
+        FROM nodes n CROSS JOIN nn CROSS JOIN d{k}
+        LEFT JOIN c{k} c USING (node_id))"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f"\n    SELECT node_id, r FROM pr{n_iter} ORDER BY node_id"
+    )
+
+
+@register(
+    "graph_pagerank_int",
+    oracle=_pagerank_int_oracle(10),
+    desc="BIT-REPRODUCIBLE integer PageRank (micro-unit ranks, floor-"
+    "division steps): same part->supplier graph and superstep plan as "
+    "graph_pagerank, but every step is integer arithmetic, so the whole "
+    "10-iteration fixpoint hash-matches a DuckDB CTE chain exactly — the "
+    "auditable variant a governance pipeline can re-verify bit-for-bit",
+)
+def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py pagerank_int: one shuffle per superstep,
+    localCheckpoint lineage cuts, all-BIGINT arithmetic."""
+    from gearpump_spark.operators.graph import pagerank_int
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).distinct()
+    return pagerank_int(edges, n_iter=10).orderBy("node_id")
+
+
 @register(
     "kmeans_clusters",
     oracle=None,  # iterative fixpoint (like graph_pagerank): rows-only check

@@ -162,6 +162,37 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_int_matches_pure_python(spark):
+    """Bit-exact golden: the integer PageRank must reproduce a pure-python
+    floor-division power iteration EXACTLY (not approximately) — that is
+    the operator's whole contract."""
+    from gearpump_spark.operators.graph import pagerank_int
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 1)]  # node 4 dangles
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node_id: r.r for r in pagerank_int(edf, n_iter=10).collect()}
+
+    scale = 10**12
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    incoming = {v: [s for s, d in edges if d == v] for v in nodes}
+    r = {v: scale // n for v in nodes}
+    for _ in range(10):
+        dm = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: (15 * scale) // (100 * n)
+            + (85 * (sum(r[s] // out[s] for s in incoming[v]) + dm // n)) // 100
+            for v in nodes
+        }
+    assert got == r
+    # rank ordering agrees with float PageRank on this graph
+    flt = pagerank_numpy_reference(edges, max_iter=30, tol=1e-12)
+    assert sorted(got, key=got.get) == sorted(flt, key=flt.get)
+
+
 # --- Multimodal plumbing ---------------------------------------------------
 
 
