@@ -187,3 +187,60 @@ def latest_by_key(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str
     others = [c for c in df.columns if c not in key_cols]
     packed = F.max_by(F.struct(*[F.col(c) for c in others]), ordering).alias("_row")
     return df.groupBy(*key_cols).agg(packed).select(*key_cols, "_row.*")
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type-2 history from a change
+    stream: one output row per (key, attribute-state) RUN, with
+    `valid_from` = first timestamp of the run, `valid_to` = start of the
+    next run (NULL while current), `is_current` on the open row.
+
+    Classic warehouse operator the reference has no analog for (its state
+    API keeps only the latest value per key — NonWindowState,
+    streaming/.../NonWindowState.scala); lakehouses get it from MERGE +
+    manual close-out, here it is one declarative pipeline:
+
+      1. window lag over (key ORDER BY ts, tiebreak) marks change points
+         (attr differs from previous row, null-safe);
+      2. cumulative sum of the change flag numbers the runs;
+      3. groupBy (key, run) takes min(ts) = valid_from;
+      4. lead(valid_from) over (key ORDER BY run) closes each version.
+
+    Scale shape: ONE shuffle on the key (steps 1-2 and 4 reuse the same
+    hash partitioning; step 3 is a partial-agg groupBy on a superset of
+    the window key). No self-join, no row blow-up; ties broken totally by
+    `tiebreak` so the history is deterministic under re-runs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak)
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w)
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    # first row of each key has lag NULL on every attr -> eqNullSafe False
+    # -> changed True, so run numbering starts at 1
+    runs = updates.withColumn(
+        "__run", F.sum(F.when(changed, 1).otherwise(0)).over(w)
+    )
+    versions = runs.groupBy(*key_cols, "__run").agg(
+        *[F.first(a).alias(a) for a in attr_cols],
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(*key_cols).orderBy("__run")
+    return versions.select(
+        *key_cols,
+        *attr_cols,
+        F.col("__run").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

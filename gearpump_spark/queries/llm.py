@@ -2956,3 +2956,49 @@ def multimodal_jpeg_refined_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(
         synthesize_jpeg_refined_payloads(docs), decoder=JpegDecoder()
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH vocab AS (
+        SELECT s_name AS val, COUNT(*) AS support FROM supplier GROUP BY s_name),
+    variants AS (
+        SELECT val, support,
+               UNNEST(list_distinct(list_append(
+                   list_transform(range(1, LENGTH(val) + 1),
+                       i -> substring(val, 1, CAST(i - 1 AS INT))
+                            || substring(val, CAST(i + 1 AS INT), LENGTH(val))),
+                   val))) AS variant
+        FROM vocab),
+    cand AS (
+        SELECT DISTINCT a.val AS name_a, b.val AS name_b,
+               a.support AS support_a, b.support AS support_b
+        FROM variants a JOIN variants b USING (variant)
+        WHERE a.val < b.val)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+           support_a, support_b
+    FROM cand WHERE levenshtein(name_a, name_b) = 1
+    ORDER BY name_a, name_b
+    """,
+    desc="record-linkage fuzzy matching via SymSpell deletion-neighborhood "
+    "blocking: every distinct name explodes into its |s|+1 single-char "
+    "deletions, candidates = variant equi-join (pigeonhole-complete for "
+    "edit distance 1, NO hot blocks — a shared 'Supplier#' prefix would "
+    "collapse prefix blocking into one block), then exact levenshtein "
+    "verification; corpus frequency rides as a support column",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py fuzzy_pairs_d1 over supplier names: finds every
+    pair of names one edit apart (single-digit typos in the id suffix)."""
+    from gearpump_spark.operators.dedup import fuzzy_pairs_d1
+
+    s = table(spark, sf_dir, "supplier")
+    return fuzzy_pairs_d1(s, "s_name").select(
+        "name_a",
+        "name_b",
+        F.col("dist").cast("bigint").alias("dist"),
+        "support_a",
+        "support_b",
+    ).orderBy("name_a", "name_b")

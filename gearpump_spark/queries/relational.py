@@ -733,3 +733,87 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.array_contains(toks, "BRUSHED").alias("has_brushed"),
     ).orderBy("p_partkey")
+
+
+def _zorder_oracle() -> str:
+    """Mirror of operators/physical.py zorder_key at bits=16 over
+    (o_custkey, days-since-1992) — the interleave unrolls to 32 shift/mask
+    terms, generated here so the formula can't drift from the Spark side."""
+    terms = " + ".join(
+        f"(((xn >> {i}) & 1) << {2 * i + 1}) + (((yn >> {i}) & 1) << {2 * i})"
+        for i in range(16)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(o_custkey AS BIGINT) AS x,
+             CAST(DATEDIFF('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+      FROM orders),
+    b AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                 MIN(y) AS miny, MAX(y) AS maxy FROM base),
+    norm AS (
+      SELECT ((x - minx) * 65535) // GREATEST(maxx - minx, 1) AS xn,
+             ((y - miny) * 65535) // GREATEST(maxy - miny, 1) AS yn
+      FROM base CROSS JOIN b),
+    z AS (SELECT xn, yn, {terms} AS zkey FROM norm)
+    SELECT zkey >> 28 AS bucket, COUNT(*) AS n,
+           MIN(xn) AS min_x, MAX(xn) AS max_x,
+           MIN(yn) AS min_y, MAX(yn) AS max_y
+    FROM z GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register(
+    "q_zorder_layout",
+    oracle=_zorder_oracle(),
+    desc="Z-order (Morton) multi-dimensional layout: interleave "
+    "(o_custkey, order-day) into one BIGINT sort key and report per-bucket "
+    "min/max spans of BOTH dims — each of the 16 buckets covers ~1/4 of "
+    "each dimension's range (a 1-D sort leaves the other dim at 100%), "
+    "which is what makes file-level min/max skipping selective on every "
+    "z-ordered column at 100 TB (Delta/Iceberg OPTIMIZE ZORDER analog; "
+    "the reference's partitioners route but never order)",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/physical.py zorder_key/zorder_normalize: one O(1)-row
+    bounds agg broadcast back in-plan, then pure-integer shift/mask
+    interleave (whole-stage codegen, no UDF), one groupBy on the 16
+    bucket values. Bucket = top-4 bits of the 32-bit code — fixed
+    boundaries, no global sort, scale-free."""
+    from gearpump_spark.operators.physical import zorder_key, zorder_normalize
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("y"),
+    )
+    b = base.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    withb = base.crossJoin(F.broadcast(b))
+    xn = zorder_normalize(F.col("x"), F.col("minx"), F.col("maxx"))
+    yn = zorder_normalize(F.col("y"), F.col("miny"), F.col("maxy"))
+    zkey = zorder_key(
+        [F.col("x"), F.col("y")],
+        [(F.col("minx"), F.col("maxx")), (F.col("miny"), F.col("maxy"))],
+    )
+    return (
+        withb.select(
+            F.shiftright(zkey, 28).alias("bucket"),
+            xn.alias("xn"),
+            yn.alias("yn"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("xn").alias("min_x"),
+            F.max("xn").alias("max_x"),
+            F.min("yn").alias("min_y"),
+            F.max("yn").alias("max_y"),
+        )
+        .orderBy("bucket")
+    )

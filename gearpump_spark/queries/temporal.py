@@ -758,3 +758,56 @@ def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", "mean", "std")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type IS DISTINCT FROM LAG(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM marked),
+    versions AS (
+        SELECT user_id, version, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, version)
+    SELECT user_id, event_type, CAST(version AS BIGINT) AS version, valid_from,
+           LEAD(valid_from) OVER wv AS valid_to,
+           LEAD(valid_from) OVER wv IS NULL AS is_current,
+           n_events
+    FROM versions WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id, version
+    """,
+    desc="SCD Type-2 dimension history (warehouse staple the reference's "
+    "latest-value-only NonWindowState cannot express): change-point lag + "
+    "run numbering + lead close-out build every (key, state) validity "
+    "interval in ONE keyed shuffle — no self-join, no MERGE loop",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/temporal.py scd2_history over events: key=user_id,
+    tracked attribute=event_type, total event_id tiebreak makes the
+    version numbering re-run deterministic."""
+    from gearpump_spark.operators.temporal import scd2_history
+
+    ev = table(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("version").cast("bigint").alias("version"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_events",
+    ).orderBy("user_id", "version")

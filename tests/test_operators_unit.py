@@ -1455,3 +1455,82 @@ def test_duplicate_spans_runs_and_counts(spark):
     )
     r = duplicate_spans(rep, n=3).collect()[0]
     assert (r.n_windows, r.n_dup, r.max_dup_run) == (6, 2, 1)
+
+
+def test_scd2_history_intervals(spark):
+    """Hand-built change stream: runs collapse, intervals chain, the open
+    version is current, and re-ordering input rows changes nothing."""
+    from gearpump_spark.operators.temporal import scd2_history
+
+    rows = [
+        # (key, plan, ts, id) — key 1: A,A,B,A ; key 2: X only
+        (1, "A", 100, 1),
+        (1, "A", 200, 2),
+        (1, "B", 300, 3),
+        (1, "A", 400, 4),
+        (2, "X", 150, 5),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, plan string, ts bigint, id bigint")
+    got = {
+        (r.k, r.version): (r.plan, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in scd2_history(df, ["k"], ["plan"], "ts", "id").collect()
+    }
+    assert got == {
+        (1, 1): ("A", 100, 300, False, 2),
+        (1, 2): ("B", 300, 400, False, 1),
+        (1, 3): ("A", 400, None, True, 1),
+        (2, 1): ("X", 150, None, True, 1),
+    }
+    # input order must not matter (window order is total via tiebreak)
+    shuffled = spark.createDataFrame(list(reversed(rows)),
+                                     "k bigint, plan string, ts bigint, id bigint")
+    got2 = {
+        (r.k, r.version): (r.plan, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in scd2_history(shuffled, ["k"], ["plan"], "ts", "id").collect()
+    }
+    assert got2 == got
+
+
+def test_fuzzy_pairs_prefix_blocking(spark):
+    from gearpump_spark.operators.dedup import fuzzy_pairs
+
+    rows = [("red widget",), ("red widgit",), ("red widget",), ("blue bolt",),
+            ("blue boltt",), ("green gear",)]
+    df = spark.createDataFrame(rows, "name string")
+    got = {(r.name_a, r.name_b): (r.dist, r.support_a, r.support_b)
+           for r in fuzzy_pairs(df, "name", max_dist=2, prefix_len=3).collect()}
+    assert got == {
+        ("red widget", "red widgit"): (1, 2, 1),
+        ("blue bolt", "blue boltt"): (1, 1, 1),
+    }
+
+
+def test_fuzzy_pairs_d1_recall_complete(spark):
+    """SymSpell deletion blocking must find EVERY distance-1 pair a brute
+    force over the vocabulary finds (substitution, insertion, deletion),
+    and nothing else."""
+    import itertools
+
+    from gearpump_spark.operators.dedup import fuzzy_pairs_d1
+
+    vocab = ["cat", "bat", "cart", "ca", "dog", "dot", "cast", "cats", "xyz"]
+    df = spark.createDataFrame([(v,) for v in vocab for _ in range(2)], "name string")
+    got = {(r.name_a, r.name_b) for r in fuzzy_pairs_d1(df, "name").collect()}
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) == 1
+    }
+    assert got == brute
+    # support column carries corpus frequency (every value inserted twice)
+    sup = {r.name_a: r.support_a for r in fuzzy_pairs_d1(df, "name").collect()}
+    assert set(sup.values()) == {2}

@@ -695,3 +695,39 @@ def test_merge_into_single_shuffle_no_cartesian(spark):
     # formatted plans list each Exchange node once in the tree section
     # and once in the details section, so 2 nodes = 4 mentions
     assert p.count("Exchange") <= 4, p
+
+
+def test_zorder_layout_range_partitions_and_clusters_both_dims(spark):
+    """zorder_layout must (a) range-exchange on the Morton code (the one
+    shuffle that buys the layout), (b) sort within partitions, and (c)
+    actually cluster: each partition's span on EACH dimension stays well
+    under the full range (a 1-D sort would leave the minor dim at ~100%)."""
+    from gearpump_spark.operators.physical import zorder_layout
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") * 2654435761 % 64).alias("b"),
+    )
+    out = zorder_layout(df, ["a", "b"], n_files=16)
+    p = plan(out)
+    assert "rangepartitioning" in p.lower()
+    assert "sort" in p.lower()
+    spans = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    assert len(spans) > 4
+    avg_sa = sum(r.sa for r in spans) / len(spans)
+    avg_sb = sum(r.sb for r in spans) / len(spans)
+    # full span is 63 on both dims; z-ordered partitions should average
+    # well under half of it on each
+    assert avg_sa < 32, avg_sa
+    assert avg_sb < 32, avg_sb
+    # __zkey is the layout key and stays in the output for the writer
+    assert "__zkey" in out.columns
