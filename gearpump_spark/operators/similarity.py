@@ -569,3 +569,88 @@ def quantize_embeddings_int4(
         F.size("_qv") == 0, F.array().cast("array<int>")
     ).otherwise(F.transform(F.sequence(F.lit(1), n_pairs), pack_one))
     return base.select(id_col, "scale", packed.alias("packed"))
+
+
+def kmeans_int(
+    corpus: DataFrame,
+    vec_col: str,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    offset: float = 2.0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """BIT-REPRODUCIBLE Lloyd's k-means (companion to graph.pagerank_int):
+    float k-means can never be hash-checked across engines because both
+    the distance sums and the centroid means depend on summation order;
+    this variant quantizes each coordinate to BIGINT micro-units —
+    floor((v + offset) * scale), offset chosen so values are positive and
+    floor division is engine-independent — and runs a FIXED number of
+    Lloyd rounds in pure integer arithmetic:
+
+      seeds    = the k vectors with lowest (md5(id), id)   [decorrelated
+                 from insertion order, deterministic everywhere]
+      assign   = argmin_cid sum((vi-ci)^2), ties -> lowest cid
+      update   = per-dim floor(sum/count); empty cluster keeps its centroid
+
+    Every step is exactly reproducible on any engine/partitioning, so the
+    full fixpoint matches an unrolled DuckDB CTE chain bit-for-bit.
+
+    Scale shape (same as kmeans_train): assignment is a narrow map over a
+    single nested-array literal (no shuffle, no join); the update shuffles
+    only (cid, pos, sum, count) partial-agg rows; the driver sees k·dim
+    integers per round, never vectors. Quantization error is bounded by
+    1/scale per coordinate — at 10^-6 it is far below any embedding's
+    noise floor, so cluster quality is indistinguishable from float.
+    """
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor((x.cast("double") + F.lit(offset)) * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    base = corpus.select(F.col(id_col).alias("__id"), vq.alias("v"))
+
+    seed_rows = (
+        base.orderBy(F.md5(F.col("__id").cast("string")), "__id").limit(k).collect()
+    )
+    cents = [[int(x) for x in r.v] for r in seed_rows]
+
+    def _cands(cents_now: list[list[int]]) -> Column:
+        lit = F.lit(cents_now)  # ONE nested-array literal, not k·dim nodes
+        return F.transform(
+            lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.transform(c, lambda x: x.cast("long")),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.cast("int").alias("cid"),
+            ),
+        )
+
+    for _ in range(n_iter):
+        assigned = base.select(F.array_min(_cands(cents))["cid"].alias("cid"), "v")
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in rows:
+            upd.setdefault(r.cid, {})[r.pos] = int(r.s) // int(r.n)
+        cents = [
+            [upd[ci][p] for p in range(len(cents[ci]))] if ci in upd else cents[ci]
+            for ci in range(k)
+        ]
+
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.array_min(_cands(cents))["cid"].cast("bigint").alias("cluster"),
+    )

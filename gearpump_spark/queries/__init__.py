@@ -101,10 +101,15 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_simhash",
     "similarity_topk_lsh",
     "similarity_topk_ivf_seeded",
-    # -- new in r4, oracle-backed: bit-reproducible integer PageRank (the
-    #    first hash-checkable record for the iterative-graph family, whose
-    #    float flagship can only ever be rows-only) --
+    # -- new in r4, oracle-backed, never verified: the bit-reproducible
+    #    iterative pair (integer PageRank / integer k-means — their float
+    #    flagships can only ever be rows-only), the Z-order layout op, SCD
+    #    Type-2 history, and SymSpell fuzzy matching --
     "graph_pagerank_int",
+    "kmeans_clusters_int",
+    "q_zorder_layout",
+    "q_scd2_history",
+    "dedup_fuzzy_names",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -141,12 +146,9 @@ DRIVER_SAMPLE_WINDOW = [
     "q_rollup",
     "q_cube",
     "q_pivot",
-    "q_topk_per_group",
-    "q_window_running",
-    "q_lag_lead",
-    "q_trailing_1h",
-    # (q_sessionize — same r1 cohort — rotated out to hold the window at
-    # exactly 50 when graph_pagerank_int took a never-verified slot)
+    # (q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
+    # q_sessionize — same r1-verified cohort — rotated out to hold the
+    # window at exactly 50 as five never-verified r4 queries took slots)
 ]
 
 

@@ -3002,3 +3002,74 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support_a",
         "support_b",
     ).orderBy("name_a", "name_b")
+
+
+def _kmeans_int_oracle(k: int = 4, dim: int = 64, n_iter: int = 3) -> str:
+    """Unrolled Lloyd rounds mirroring operators/similarity.py kmeans_int:
+    fixed iterations + integer micro-unit arithmetic make the fixpoint
+    SQL-expressible (float k-means is summation-order-dependent). All
+    CTEs MATERIALIZED — each round references the previous twice."""
+    blocks = [
+        f"""
+    q AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS BIGINT) AS idx,
+             CAST(FLOOR((CAST(embedding[CAST(i AS INT)] AS DOUBLE) + 2.0)
+                        * 1000000) AS BIGINT) AS vi
+      FROM embeddings, range(1, {dim + 1}) t(i)),
+    seeds AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id) AS BIGINT) - 1 AS cid
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+    c0 AS MATERIALIZED (
+      SELECT s.cid, q.idx, q.vi AS ci FROM seeds s JOIN q ON q.vec_id = s.vec_id)"""
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f""",
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY SUM((q.vi - c.ci) * (q.vi - c.ci)), c.cid) AS rn
+        FROM q JOIN c{i} c USING (idx)
+        GROUP BY q.vec_id, c.cid) WHERE rn = 1),
+    c{i + 1} AS MATERIALIZED (
+      SELECT prev.cid, prev.idx, COALESCE(u.nc, prev.ci) AS ci
+      FROM c{i} prev LEFT JOIN (
+         SELECT a.cid, q.idx, SUM(q.vi) // COUNT(*) AS nc
+         FROM a{i} a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cid, q.idx) u
+      ON u.cid = prev.cid AND u.idx = prev.idx)"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f"""
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY SUM((q.vi - c.ci) * (q.vi - c.ci)), c.cid) AS rn
+        FROM q JOIN c{n_iter} c USING (idx)
+        GROUP BY q.vec_id, c.cid) WHERE rn = 1
+    ORDER BY vec_id"""
+    )
+
+
+@register(
+    "kmeans_clusters_int",
+    oracle=_kmeans_int_oracle(),
+    desc="BIT-REPRODUCIBLE k-means (micro-unit quantized coordinates, "
+    "integer distance sums, floor-division centroid updates, md5-seeded "
+    "init): the whole 3-round Lloyd fixpoint plus final assignment "
+    "hash-matches an unrolled DuckDB CTE chain — the auditable companion "
+    "to kmeans_clusters, whose float math is rows-only forever",
+)
+def kmeans_clusters_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py kmeans_int: narrow-map assignment against
+    one nested-array centroid literal, k*dim partial-agg rows per update,
+    driver never sees a vector."""
+    from gearpump_spark.operators.similarity import kmeans_int
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_int(emb, "embedding", k=4, n_iter=3).orderBy("vec_id")

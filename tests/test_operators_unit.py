@@ -1534,3 +1534,44 @@ def test_fuzzy_pairs_d1_recall_complete(spark):
     # support column carries corpus frequency (every value inserted twice)
     sup = {r.name_a: r.support_a for r in fuzzy_pairs_d1(df, "name").collect()}
     assert set(sup.values()) == {2}
+
+
+def test_kmeans_int_matches_pure_python(spark):
+    """Bit-exact golden for the integer k-means: same quantization, md5
+    seed order, integer argmin with cid tiebreak, floor-division update."""
+    import hashlib
+
+    from gearpump_spark.operators.similarity import kmeans_int
+
+    import random as _r
+    rng = _r.Random(7)
+    vecs = {i: [rng.uniform(-0.5, 0.5) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r.cluster for r in kmeans_int(df, "embedding", k=3, n_iter=2).collect()}
+
+    import math
+    # reproduce float32 storage then the exact quantization
+    import struct
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+    q = {i: [math.floor((f32(x) + 2.0) * 10**6) for x in v] for i, v in vecs.items()}
+    seed_ids = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+    cents = [q[i][:] for i in seed_ids]
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            dists = [(sum((a - b) ** 2 for a, b in zip(v, c)), ci) for ci, c in enumerate(cents)]
+            out[i] = min(dists)[1]
+        return out
+
+    for _ in range(2):
+        a = assign()
+        for ci in range(3):
+            members = [q[i] for i in a if a[i] == ci]
+            if members:
+                cents[ci] = [sum(col) // len(members) for col in zip(*members)]
+    assert got == assign()
