@@ -99,8 +99,41 @@ def bpe_train(
     return _train_merges(vocab, n_merges, min_freq)
 
 
+def bpe_train_vocab(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Like bpe_train, but ALSO returns the trained word-type vocabulary
+    (word, cnt, syms) in its final post-merge state. The final `syms` of
+    each word IS its tokenization under sequential-exhaustive merge
+    application (each merge rewrites the whole vocab before the next is
+    chosen) — so corpus tokenization stats come for free from training,
+    with no second encoding pass and no Python in the loop. This is the
+    hash-checkable path: every step is a deterministic DataFrame rewrite,
+    mirrored 1:1 by an unrolled SQL CTE chain (the greedy best-rank
+    encoder in bpe_tokenize is the real-world API for UNSEEN text, but
+    its rank-priority loop is not SQL-expressible)."""
+    chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
+    vocab = (
+        _word_counts(docs, text_col)
+        .select("word", "cnt", chars.alias("syms"))
+        .localCheckpoint()
+    )
+    merges, vocab = _train_merges_keep(vocab, n_merges, min_freq)
+    return merges, vocab
+
+
 def _train_merges(vocab: DataFrame, n_merges: int, min_freq: int) -> list[tuple[str, str]]:
-    """The shared merge loop: (cnt, syms array) vocab → ranked merges.
+    return _train_merges_keep(vocab, n_merges, min_freq)[0]
+
+
+def _train_merges_keep(
+    vocab: DataFrame, n_merges: int, min_freq: int
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The shared merge loop: (cnt, syms array) vocab → ranked merges +
+    the final rewritten vocab.
     One Spark job + 1-row argmax collect per merge (sequential by
     nature); narrow rewrite + lineage cut keeps the plan O(1)/round."""
     merges: list[tuple[str, str]] = []
@@ -124,7 +157,7 @@ def _train_merges(vocab: DataFrame, n_merges: int, min_freq: int) -> list[tuple[
         a, b = best[0]["p"]["l"], best[0]["p"]["r"]
         merges.append((a, b))
         vocab = vocab.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
-    return merges
+    return merges, vocab
 
 
 def bpe_train_bytes(

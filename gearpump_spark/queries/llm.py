@@ -3073,3 +3073,114 @@ def kmeans_clusters_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_int(emb, "embedding", k=4, n_iter=3).orderBy("vec_id")
+
+
+def _bpe_exact_oracle(n_merges: int = 16, min_freq: int = 2) -> str:
+    """Unrolled BPE trainer mirroring operators/bpe.py bpe_train_vocab:
+    each round counts adjacent-symbol pairs over the word-type vocab,
+    picks argmax (freq DESC, then pair lexicographic), and rewrites every
+    word left-to-right non-overlapping. Symbol arrays are encoded as
+    CHR(31)-wrapped strings ("<U>sym<U><U>sym<U>...") so one replace() of
+    '<U>l<U><U>r<U>' -> '<U>lr<U>' is EXACTLY the Spark-side fold in
+    _merge_pair (replace() is left-to-right non-overlapping too, and the
+    wrapping keeps adjacent matches from consuming a shared separator).
+    A LEFT JOIN ON TRUE against the 0-or-1-row argmax makes the early
+    stop (best freq < min_freq) a vocab pass-through. MATERIALIZED
+    everywhere — each round references the previous twice."""
+    U = "chr(31)"
+    blocks = [
+        f"""
+    bpe_words AS MATERIALIZED (
+      SELECT doc_id, LOWER(w) AS word
+      FROM documents,
+           UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                              x -> x <> '')) AS t(w)),
+    v0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             regexp_replace(word, '(.)', {U} || '\\1' || {U}, 'g') AS s
+      FROM bpe_words GROUP BY word)"""
+    ]
+    for k in range(n_merges):
+        blocks.append(
+            f""",
+    p{k} AS MATERIALIZED (
+      SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS freq
+      FROM (SELECT cnt, UNNEST(list_zip(lst, lst[2:])) AS pr
+            FROM (SELECT cnt,
+                         string_split(trim(s, {U}), {U} || {U}) AS lst
+                  FROM v{k}))
+      WHERE pr[2] IS NOT NULL
+      GROUP BY 1, 2),
+    b{k} AS MATERIALIZED (
+      SELECT l, r FROM p{k} WHERE freq >= {min_freq}
+      ORDER BY freq DESC, l, r LIMIT 1),
+    v{k + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+             CASE WHEN b.l IS NULL THEN v.s
+                  ELSE replace(v.s, {U} || b.l || {U} || {U} || b.r || {U},
+                               {U} || b.l || b.r || {U}) END AS s
+      FROM v{k} v LEFT JOIN b{k} b ON TRUE)"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f""",
+    sizes AS MATERIALIZED (
+      SELECT word,
+             CAST(LEN(string_split(trim(s, {U}), {U} || {U})) AS BIGINT)
+               AS n_syms
+      FROM v{n_merges}),
+    agg AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+             CAST(SUM(n_syms) AS BIGINT) AS n_bpe
+      FROM bpe_words w JOIN sizes USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_ws, 0) AS n_ws_tokens,
+           COALESCE(a.n_bpe, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "text_bpe_exact",
+    oracle=_bpe_exact_oracle(),
+    desc="HASH-CHECKABLE BPE: the full 16-merge trainer (pair counts -> "
+    "total-tiebreak argmax -> vocab rewrite, per round) plus corpus "
+    "tokenization stats, where tokenization = the trained vocab's final "
+    "symbol state (sequential-exhaustive merge application) — the whole "
+    "training fixpoint hash-matches an unrolled DuckDB CTE chain, "
+    "completing the bit-reproducible trio with graph_pagerank_int and "
+    "kmeans_clusters_int (the greedy best-rank encoder for unseen text "
+    "stays the rows-only real-world API in text_bpe_tokens)",
+)
+def text_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe.py bpe_train_vocab: tokenization stats read straight
+    off the trained word-type vocabulary (zero extra passes, no Python in
+    the loop — the per-doc stats are one join + one groupBy)."""
+    from gearpump_spark.functions import text as TX
+    from gearpump_spark.operators.bpe import bpe_train_vocab
+
+    docs = table(spark, sf_dir, "documents")
+    _, vocab = bpe_train_vocab(docs, n_merges=16)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.transform(TX.tokens(F.col("text")), F.lower)).alias("word"),
+    )
+    agg = (
+        words.join(vocab.select("word", F.size("syms").alias("n_syms")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws"),
+            F.sum("n_syms").alias("n_bpe"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ws"), F.lit(0)).cast("bigint").alias("n_ws_tokens"),
+            F.coalesce(F.col("n_bpe"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

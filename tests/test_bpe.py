@@ -272,3 +272,22 @@ def test_byte_level_round_trips_non_ascii(spark):
         assert joined == "".join(t.split())
         assert out[i].n_ws_tokens == len(t.split())
         assert out[i].n_bpe_tokens >= out[i].n_ws_tokens  # hex runs split finer
+
+
+def test_train_vocab_final_syms_is_the_tokenization(spark):
+    """bpe_train_vocab's returned vocabulary must carry each word's final
+    segmentation — identical to the greedy encoder on every trained word
+    (the equivalence text_bpe_exact's oracle path relies on)."""
+    from gearpump_spark.operators.bpe import bpe_train_vocab
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+    merges, vocab = bpe_train_vocab(docs, n_merges=12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = {r.word: list(r.syms) for r in vocab.collect()}
+    assert rows  # trained on a non-empty corpus
+    for w, syms in rows.items():
+        assert bpe_encode_word(w, ranks) == syms, w
+    # merge list identical to the plain trainer's
+    assert merges == bpe_train(docs, n_merges=12)
