@@ -1128,6 +1128,71 @@ def phash_candidate_pairs(
     )
 
 
+def ahash63(rows) -> int:
+    """63-bit average hash (aHash): integer block sums on an 8x8 grid,
+    each thresholded against the global mean — bit i set when
+    block_sum_i * 64 >= total (cross-multiplied: NO division, no floats
+    anywhere, so unlike phash64's DCT the whole pipeline is exactly
+    reproducible in SQL). Block 0 is excluded (its role parallels pHash
+    dropping DC) and bits map to positions 0..62, keeping the hash inside
+    a signed 64-bit value on every engine. A uniform brightness shift
+    adds the same amount to bv*64 and to total (equal-size blocks), so
+    shifted re-encodes collide — the same near-dup property the float
+    pHash gets from excluding DC. Requires h % 8 == 0 and w % 8 == 0
+    (equal-size blocks are what make the threshold shift-invariant)."""
+    import numpy as np
+
+    arr = np.asarray(rows, dtype=np.int64)
+    h, w = arr.shape[0], arr.shape[1]
+    if h % 8 or w % 8:
+        raise ValueError(f"ahash63 needs dims divisible by 8, got {w}x{h}")
+    g = arr.sum(axis=2) // 3
+    blocks = g.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    flat = blocks.flatten()
+    total = int(flat.sum())
+    bits = 0
+    for idx in range(1, 64):
+        if int(flat[idx]) * 64 >= total:
+            bits |= 1 << (idx - 1)
+    return bits
+
+
+def ahash_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, width, height, ahash): integer average-hashes of decoded
+    payloads — same narrow Arrow-map shape and near-dup banding contract
+    as phash_fingerprints, but every step is integer arithmetic, so the
+    full decode -> hash -> band -> pair pipeline is DuckDB-hash-checkable
+    (multimodal_ahash_neardup) where the DCT pHash can only be
+    numpy-goldened."""
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].values,
+                "width": [],
+                "height": [],
+                "ahash": [],
+            }
+            for p in pdf[payload_col]:
+                img = None if p is None else decoder.decode_pixels_arr(bytes(p))
+                if img is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ahash"].append(None)
+                else:
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["ahash"].append(ahash63(img["arr"]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", width int, height int, ahash bigint"
+    )
+
+
 def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup fixture for pHash: every 2 consecutive doc_ids share one
     deterministic LCG-noise pattern (group = doc_id // 2 seeds the

@@ -3184,3 +3184,82 @@ def text_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _ahash_oracle() -> str:
+    """Closed-form mirror of the aHash near-dup pipeline over the LCG
+    noise-pair fixture (operators/multimodal.py
+    synthesize_noise_pair_payloads): instead of iterating the per-pixel
+    LCG 384 times, each pixel k gets jump constants (a_k, b_k) with
+    s_k = (a_k * s0 + b_k) mod 2^31 — generated here, shipped as a
+    384-row VALUES table. Blocks/threshold/bits are pure integer
+    (ahash63); pairing is all-pairs popcount (200 hashes — the Spark
+    side's banded join is the scale path, the oracle only needs truth)."""
+    M31 = 2**31
+    A, C = 1103515245, 12345
+    rows = []
+    a, b = 1, 0
+    for k in range(384):
+        a, b = (A * a) % M31, (A * b + C) % M31
+        rows.append(f"({k},{a},{b})")
+    values = ",".join(rows)
+    return f"""
+    WITH lcg(k, a, b) AS (VALUES {values}),
+    docs0 AS (
+        SELECT doc_id, (doc_id // 2) * 2654435761 % 4294967296 AS s0,
+               doc_id % 2 AS odd
+        FROM documents WHERE doc_id < 200),
+    px AS (
+        SELECT doc_id, k,
+               40 + (((a * s0 + b) % 2147483648) >> 16) % 160 + 8 * odd AS v
+        FROM docs0, lcg),
+    blocks AS (
+        SELECT doc_id, ((k // 24) // 2) * 8 + (k % 24) // 3 AS idx,
+               SUM(v) AS bv
+        FROM px GROUP BY doc_id, idx),
+    tot AS (SELECT doc_id, SUM(bv) AS total FROM blocks GROUP BY doc_id),
+    hashes AS (
+        SELECT b.doc_id,
+               SUM(CASE WHEN idx >= 1 AND bv * 64 >= total
+                        THEN (CAST(1 AS BIGINT) << CAST(idx - 1 AS INT))
+                        ELSE 0 END) AS ahash
+        FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "multimodal_ahash_neardup",
+    oracle=_ahash_oracle(),
+    desc="HASH-CHECKABLE image near-dup: integer average-hash (block sums "
+    "thresholded by cross-multiplication — no floats) over the LCG "
+    "noise-pair fixture, paired by the 4x16-bit banded Hamming join "
+    "(pigeonhole recall to 3 bits, never all-pairs); brightness-shifted "
+    "re-encodes collide exactly as with pHash (the shift cancels in "
+    "bv*64 - total), and the oracle reconstructs every pixel closed-form "
+    "via LCG jump constants — the full decode->hash->band->pair pipeline "
+    "is bit-verified, where the float-DCT pHash can only be goldened",
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py ahash_fingerprints +
+    phash_candidate_pairs: decode + hash is a narrow Arrow map, only
+    8-byte hashes reach the banded equi-join."""
+    from gearpump_spark.operators.multimodal import (
+        ahash_fingerprints,
+        phash_candidate_pairs,
+        synthesize_noise_pair_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    fps = ahash_fingerprints(synthesize_noise_pair_payloads(docs))
+    return (
+        phash_candidate_pairs(fps, max_hamming=3, hash_col="ahash")
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

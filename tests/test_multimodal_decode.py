@@ -1376,3 +1376,37 @@ def test_jpeg_411_and_440_one_axis_subsampling():
         assert rst is not None and rst["rows"] == base["rows"], mode
         enc = encode_jpeg_color(rows, subsample=mode)
         assert d.decode_pixels(enc[: len(enc) // 2]) is None
+
+
+def test_ahash63_brightness_invariance_and_pairing(spark):
+    """ahash63 must (a) be invariant under a uniform brightness shift,
+    (b) group the LCG noise-pair fixture exactly 2-by-2 at Hamming 0 via
+    the banded join, matching a brute-force popcount pairing."""
+    import itertools
+
+    from gearpump_spark.operators.multimodal import (
+        ahash63,
+        ahash_fingerprints,
+        phash_candidate_pairs,
+        synthesize_noise_pair_payloads,
+    )
+
+    base = [[[40 + (i * 37 + j * 11) % 160] * 3 for j in range(24)] for i in range(16)]
+    shifted = [[[v + 8 for v in px] for px in row] for row in base]
+    assert ahash63(base) == ahash63(shifted)
+    assert 0 <= ahash63(base) < 1 << 63
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    fps = ahash_fingerprints(synthesize_noise_pair_payloads(docs))
+    rows = {r.doc_id: r.ahash for r in fps.collect()}
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_candidate_pairs(fps, max_hamming=3, hash_col="ahash").collect()
+    }
+    brute = {
+        (a, b): bin(rows[a] ^ rows[b]).count("1")
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert got == {(2 * g, 2 * g + 1): 0 for g in range(20)}
