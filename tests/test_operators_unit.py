@@ -1575,3 +1575,34 @@ def test_kmeans_int_matches_pure_python(spark):
             if members:
                 cents[ci] = [sum(col) // len(members) for col in zip(*members)]
     assert got == assign()
+
+
+def test_zorder_key_three_dims_matches_python(spark):
+    """Morton interleave generalizes to N dims: bit i of dim d lands at
+    i*n + (n-1-d). Pin against a pure-python interleave on 3 dims,
+    including the integer normalization."""
+    from gearpump_spark.operators.physical import zorder_key
+
+    rows = [(5, 17, 200), (0, 0, 0), (63, 63, 63), (1, 62, 31)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, c bigint")
+    bounds = [(F.lit(0), F.lit(63)), (F.lit(0), F.lit(63)), (F.lit(0), F.lit(255))]
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key([F.col("a"), F.col("b"), F.col("c")], bounds, bits=8).alias("z")
+        ).collect()
+    ]
+
+    def norm(x, lo, hi, bits=8):
+        return ((x - lo) * ((1 << bits) - 1)) // max(hi - lo, 1)
+
+    def morton3(a, b, c, bits=8):
+        n = 3
+        vals = [norm(a, 0, 63), norm(b, 0, 63), norm(c, 0, 255)]
+        out = 0
+        for d, v in enumerate(vals):
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * n + (n - 1 - d))
+        return out
+
+    assert got == [morton3(*r) for r in rows]

@@ -731,3 +731,34 @@ def test_zorder_layout_range_partitions_and_clusters_both_dims(spark):
     assert avg_sb < 32, avg_sb
     # __zkey is the layout key and stays in the output for the writer
     assert "__zkey" in out.columns
+
+
+def test_scd2_single_keyed_exchange(spark, sf_dir):
+    """scd2_history: lag/run-number/groupBy/lead all reuse ONE hash
+    exchange on the key — a second hash exchange would mean the window
+    specs or grouping keys drifted apart. (The plan also carries the
+    fixture round-robin repartition from datasets.table() — a documented
+    local-rig no-op — and the presentation ORDER BY's range exchange;
+    neither is keyed work.)"""
+    p = plan(QS["q_scd2_history"](spark, sf_dir)).lower()
+    assert p.count("hashpartitioning") == 1, p
+
+
+def test_fuzzy_d1_equi_join_not_nested_loop(spark, sf_dir):
+    """SymSpell candidate generation must plan as a hash equi-join on the
+    deletion variant (plus the tiny broadcast threshold exchanges a
+    distinct needs) — a BroadcastNestedLoopJoin would mean the variant
+    key fell out of the join condition."""
+    p = plan(QS["dedup_fuzzy_names"](spark, sf_dir))
+    assert "nestedloop" not in p.lower(), p
+    assert "sortmergejoin" in p.lower() or "shuffledhashjoin" in p.lower() \
+        or "broadcasthashjoin" in p.lower(), p
+
+
+def test_zorder_query_single_scan_broadcast_bounds(spark, sf_dir):
+    """q_zorder_layout: the bounds row enters via BroadcastExchange (one
+    O(1)-row agg), the interleave is codegen'd expressions (no UDF), and
+    the only hash exchange is the 16-bucket aggregation."""
+    p = plan(QS["q_zorder_layout"](spark, sf_dir))
+    assert "broadcastexchange" in p.lower(), p
+    assert "pythonudf" not in p.lower(), p
