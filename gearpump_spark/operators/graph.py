@@ -216,7 +216,10 @@ def triangle_count_estimate(
         seeded_hash15(F.concat_ws(",", F.col("u"), F.col("v")), seed) % 10000
         < p_bp
     )
-    sampled = triangle_count(kept, src="u", dst="v").select(
+    # explicit strategy keeps the whole estimate lazy/declarative (no
+    # checkpoint or count action); "merge" because a graph worth SAMPLING
+    # is one whose sampled edge list may still be too big to broadcast
+    sampled = triangle_count(kept, src="u", dst="v", close_strategy="merge").select(
         F.col("n_edges").alias("n_sampled_edges"),
         F.col("n_triangles").alias("n_sampled_triangles"),
     )
@@ -240,7 +243,13 @@ def triangle_count_estimate(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    close_strategy: str = "auto",
+    broadcast_max_edges: int = 5_000_000,
+) -> DataFrame:
     """Exact triangle count over an undirected edge list → 1 row
     (n_nodes, n_edges, n_triangles).
 
@@ -255,7 +264,37 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedge fan-out is O(m^1.5) worst-case instead of sum(deg^2) — the
     difference between feasible and not on a power-law graph. Plan shape:
     degree agg (one shuffle), wedge self-join keyed on the shared source
-    (one shuffle), closing join keyed on (v, w). No driver-side loops.
+    (one shuffle), then the closing check, whose strategy is the memory
+    crux (`close_strategy`):
+
+    - "broadcast" (chosen by "auto" when m <= broadcast_max_edges, ~16
+      bytes/edge -> <=~80 MB at the default): the wedge stream flows
+      through a broadcast LEFT-SEMI hash lookup against the closing-edge
+      set and straight into a KEYLESS count — zero per-task aggregation
+      state, no sort anywhere in the quadratic stage. A keyed pre-agg +
+      sort-merge join here OOM'd a default-heap (1g) session at sf0.1:
+      the per-task pair hash map plus the SMJ sort buffer both scale
+      with the wedge fan-out, and neither exists on this path.
+    - "merge" (auto above the threshold): collapse wedges to canonical
+      (pair, multiplicity) counts first — in clique-heavy graphs the
+      aggregate is much smaller than the raw stream — then a shuffled
+      join against the closing set. The cluster-scale path when the edge
+      list can't broadcast; per-task state is bounded by salting + the
+      pinned wedge-exchange width, but it NEEDS executor memory sized
+      for the pair map (the standard exact-triangle trade). Measured
+      crossover on the co-purchase graph: at 1.2M edges broadcast wins
+      ~2x (9.2s vs 16-26s at sf0.1, and it cannot OOM); at 12M edges the
+      clique-heavy wedge stream dwarfs the broadcast saving and the
+      pre-agg shrink wins (sf1: merge ~130-140s vs broadcast 249s) —
+      hence the 5M default.
+
+    Under "auto" the edge list is localCheckpoint'd first: the
+    strategy-selecting count then reads materialized blocks, and degrees,
+    orientation, both wedge sides, and the closing set all reuse them
+    instead of re-deriving the (possibly expensive) upstream plan per
+    consumer. An EXPLICIT strategy keeps the plan fully lazy — no
+    checkpoint, no driver-side action (what triangle_count_estimate
+    relies on to stay declarative end-to-end).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
@@ -264,6 +303,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     und = e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
+    if close_strategy == "auto":
+        und = und.localCheckpoint()
+        m = und.count()  # cheap: counts the checkpointed blocks
+        close_strategy = "broadcast" if m <= broadcast_max_edges else "merge"
+    if close_strategy not in ("broadcast", "merge"):
+        raise ValueError(f"close_strategy must be auto|broadcast|merge, got {close_strategy!r}")
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -315,36 +360,44 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(w2, ["s", "_salt"])
         .where(F.col("t1") < F.col("t2"))
     )
-    # Collapse wedges to canonical-pair COUNTS before touching the edge
-    # set: in clique-heavy graphs (co-purchase orders) many centers s
-    # produce the same (t1, t2), so the aggregate is much smaller than the
-    # raw wedge stream — the previous left-semi join sorted the full wedge
-    # set and OOM'd a default-heap driver at sf0.1. Triangles = Σ wedge
-    # multiplicity over pairs that close.
-    # Plain groupBy, no explicit repartition (r4): an explicit
-    # repartition BEFORE the groupBy defeated map-side combine — the
-    # exchange shipped the RAW quadratic wedge stream instead of the
-    # partial-aggregated pairs (measured ~10% slower at sf0.1; at
-    # cluster scale the network delta is the whole wedge fan-out). The
-    # AQE-blindness defense is NOT needed here: this exchange's input is
-    # the partial-agg output of the already-exploded wedge stage, so AQE
-    # sizes it from REAL post-fan-out bytes (the pin stays on the wedge
-    # join above, whose exchange input is the deceptively tiny edge list).
-    wedge_pairs = (
-        wedges.select(
-            F.least("t1", "t2").alias("c1"), F.greatest("t1", "t2").alias("c2")
-        )
-        .groupBy("c1", "c2")
-        .agg(F.count("*").alias("n_w"))
-    )
     # closing edge may be oriented either way between t1 and t2 in the
     # (degree, id) order — match the canonical undirected pair instead.
     closing = oriented.select(
         F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
     )
-    tri = wedge_pairs.join(closing, ["c1", "c2"])
+    pairs = wedges.select(
+        F.least("t1", "t2").alias("c1"), F.greatest("t1", "t2").alias("c2")
+    )
+    if close_strategy == "broadcast":
+        # Stateless closing (see docstring): broadcast hash semi-join +
+        # keyless count. Each closed wedge IS one triangle (its min-order
+        # vertex is the wedge center), so no multiplicity bookkeeping.
+        tri_count = (
+            pairs.join(F.broadcast(closing), ["c1", "c2"], "left_semi")
+            .agg(F.count("*").alias("n_triangles"))
+        )
+    else:
+        # Collapse wedges to canonical-pair COUNTS before touching the
+        # edge set: in clique-heavy graphs (co-purchase orders) many
+        # centers s produce the same (t1, t2), so the aggregate is much
+        # smaller than the raw wedge stream. Triangles = Σ wedge
+        # multiplicity over pairs that close.
+        # Plain groupBy, no explicit repartition (r4): an explicit
+        # repartition BEFORE the groupBy defeated map-side combine — the
+        # exchange shipped the RAW quadratic wedge stream instead of the
+        # partial-aggregated pairs (measured ~10% slower at sf0.1; at
+        # cluster scale the network delta is the whole wedge fan-out).
+        # The AQE-blindness defense is NOT needed here: this exchange's
+        # input is the partial-agg output of the already-exploded wedge
+        # stage, so AQE sizes it from REAL post-fan-out bytes (the pin
+        # stays on the wedge join above, whose exchange input is the
+        # deceptively tiny edge list).
+        wedge_pairs = pairs.groupBy("c1", "c2").agg(F.count("*").alias("n_w"))
+        tri_count = wedge_pairs.join(closing, ["c1", "c2"]).agg(
+            F.coalesce(F.sum("n_w"), F.lit(0)).alias("n_triangles")
+        )
     return (
-        tri.agg(F.coalesce(F.sum("n_w"), F.lit(0)).alias("n_triangles"))
+        tri_count
         .crossJoin(und.agg(F.count("*").alias("n_edges")))
         .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
         .select(

@@ -1606,3 +1606,35 @@ def test_zorder_key_three_dims_matches_python(spark):
         return out
 
     assert got == [morton3(*r) for r in rows]
+
+
+def test_triangle_close_strategies_agree(spark):
+    """Both closing strategies must count identically; the broadcast path
+    must plan a broadcast LEFT-SEMI with NO sort-merge join in the
+    closing stage (the stateless shape that cannot OOM a small heap)."""
+    import contextlib
+    import io
+
+    from gearpump_spark.operators.graph import triangle_count
+
+    # K4 plus a pendant edge: C(4,3)=4 triangles
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = {}
+    for strat in ("merge", "broadcast", "auto"):
+        r = triangle_count(df, close_strategy=strat).collect()[0]
+        rows[strat] = (r.n_nodes, r.n_edges, r.n_triangles)
+    assert rows["merge"] == rows["broadcast"] == rows["auto"] == (5, 7, 4)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        triangle_count(df, close_strategy="broadcast").explain("formatted")
+    p = buf.getvalue().lower()
+    # the closing check is a broadcast LEFT-SEMI (stateless, no sort
+    # buffers over the wedge stream); the remaining sort-merge joins sit
+    # on the small edge-list side (wedge self-join), which is fine
+    assert "broadcasthashjoin" in p and "leftsemi" in p, p
+    # and the wedge stream feeds a KEYLESS count (formatted mode prints
+    # "Keys: []" + partial_count), not a keyed pair aggregation (the
+    # state that OOM'd a default heap)
+    assert "keys: []" in p and "partial_count(1)" in p, p
