@@ -13,6 +13,7 @@ from gearpump_spark.streaming.core import (
     session_window_aggregate,
     stream_dedup,
     stream_stream_interval_join,
+    hll_monoid,
     monoid_windowed_state,
     replace_and_restart,
 )
@@ -30,5 +31,6 @@ __all__ = [
     "session_window_aggregate",
     "stream_dedup",
     "stream_stream_interval_join",
+    "hll_monoid",
     "monoid_windowed_state",
 ]

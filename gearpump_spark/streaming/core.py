@@ -309,6 +309,8 @@ def monoid_windowed_state(
     lift,
     watermark_delay: str = "0 seconds",
     drop_flush_sentinel: bool = False,
+    state_codec=None,
+    finalize=None,
 ) -> DataFrame:
     """The reference's WindowState as a custom stateful operator
     (state/impl/WindowState.scala:48-159 keeps per-window monoid partials
@@ -327,9 +329,20 @@ def monoid_windowed_state(
     monoids Spark lacks (custom sketches, CRDTs). `lift` maps a pandas
     Series of values to the monoid; `plus` combines; `zero` is identity.
 
+    ``state_codec`` generalizes the monoid VALUE beyond a scalar: an
+    (encode: value -> str, decode: str -> value) pair stores each open
+    window's partial as a STRING in the state store, so register arrays /
+    sketch payloads / CRDT states ride the same operator (see
+    ``hll_monoid`` — the Algebird-style HyperLogLog monoid this contract
+    was built to host). ``finalize`` maps the closed partial to the
+    emitted double (default float()) — e.g. the HLL cardinality estimate
+    of the merged registers. Defaults keep the original scalar behavior
+    and state schema bit-for-bit.
+
     Scale: state is per (key, open windows) — the watermark bounds open
     windows per key to ceil(delay/size)+1, same bound as the reference's
-    TreeMap of intervals.
+    TreeMap of intervals. With a codec, per-window state size is the
+    encoded value (e.g. 2^b HLL registers), constant in the data.
     """
     from pyspark.sql.streaming.state import GroupState
 
@@ -340,9 +353,16 @@ def monoid_windowed_state(
     # (and render outputs back to session-naive). The engine pins UTC
     # (session.py), where this is an identity.
     tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    enc, dec = state_codec if state_codec else (float, float)
+    fin = finalize if finalize else float
+    state_value_type = "string" if state_codec else "double"
 
     def fold(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        partials: dict[int, Any] = dict(zip(*state.get)) if state.exists else {}
+        if state.exists:
+            starts, stored = state.get
+            partials: dict[int, Any] = {s: dec(p) for s, p in zip(starts, stored)}
+        else:
+            partials = {}
         if not state.hasTimedOut:
             for pdf in batches:
                 epoch_ms = (
@@ -363,12 +383,12 @@ def monoid_windowed_state(
                 )
                 .tz_convert(tz)
                 .tz_localize(None),
-                "result": [float(partials.pop(w)) for w in closed],
+                "result": [fin(partials.pop(w)) for w in closed],
             }
         )
         if partials:
             ks, vs = zip(*sorted(partials.items()))
-            state.update((list(ks), [float(v) for v in vs]))
+            state.update((list(ks), [enc(v) for v in vs]))
             state.setTimeoutTimestamp(min(ks) + size_ms)
         else:
             state.remove()
@@ -384,11 +404,73 @@ def monoid_windowed_state(
         .applyInPandasWithState(
             fold,
             outputStructType="key string, window_start timestamp, result double",
-            stateStructType="starts array<bigint>, partials array<double>",
+            stateStructType=f"starts array<bigint>, partials array<{state_value_type}>",
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def hll_monoid(b: int = 10, value_col: str = "v") -> dict:
+    """HyperLogLog registers as a WindowState monoid — the Algebird-style
+    sketch monoid the reference's Monoid contract exists to host
+    (state/api/Monoid.scala:17-24; Gearpump's state docs demo AlgeBird
+    aggregators the same way). Returns kwargs for monoid_windowed_state:
+
+        zero     = 2^b zeroed registers
+        lift     = per-batch register maxima (md5 of the value: idx = low
+                   b bits, rho = leading-zeros+1 of the remaining 64-b)
+        plus     = elementwise max (associative, commutative, idempotent
+                   — merging partials across batches/windows/partitions
+                   is order-free, the exactly-once argument)
+        finalize = the HLL estimate: alpha_m * m^2 / sum(2^-reg), with
+                   the standard linear-counting small-range correction
+        state_codec = csv string of the registers (constant 2^b ints per
+                   open window in the state store, data-size-free)
+
+    Streaming approximate COUNT DISTINCT per event-time window in
+    bounded memory: the exact equivalent needs per-window value SETS
+    (unbounded state), which is why Spark itself ships approx HLL aggs
+    for batch but nothing windowed-streaming-custom — this composes the
+    engine's monoid seam with its sketch family instead.
+    """
+    import hashlib
+    import math
+
+    m = 1 << b
+
+    def lift(g) -> list[int]:
+        regs = [0] * m
+        for v in g[value_col]:
+            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx = h & (m - 1)
+            w = h >> b
+            rho = (64 - b) - w.bit_length() + 1
+            if rho > regs[idx]:
+                regs[idx] = rho
+        return regs
+
+    def plus(a: list[int], c: list[int]) -> list[int]:
+        return [x if x >= y else y for x, y in zip(a, c)]
+
+    def finalize(regs: list[int]) -> float:
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / sum(2.0 ** -r for r in regs)
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return float(est)
+
+    return {
+        "plus": plus,
+        "zero": [0] * m,
+        "lift": lift,
+        "finalize": finalize,
+        "state_codec": (
+            lambda v: ",".join(map(str, v)),
+            lambda s: [int(x) for x in s.split(",")],
+        ),
+    }
 
 
 def transform_with_state_supported() -> bool:

@@ -576,3 +576,57 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert accepted == [11, 14]
     # the index now holds snapshot + accepted fingerprints, all distinct
     assert spark.read.parquet(idx_path).distinct().count() == 4
+
+
+def test_hll_monoid_windowed_distinct(spark, tmp_path):
+    """Streaming approximate COUNT DISTINCT per window via the HLL
+    register monoid riding monoid_windowed_state's codec seam: the
+    streamed estimate must equal a pure-python HLL over the same rows
+    (same registers -> same estimate, across batch boundaries), and land
+    within the sketch's error envelope of the true distinct count."""
+    import hashlib
+    import math
+
+    from gearpump_spark.streaming import hll_monoid, monoid_windowed_state
+
+    # two windows for key "a", values split ACROSS micro-batches so the
+    # merge path (plus on decoded state) is actually exercised
+    w0 = [("a", v, 1 + (v % 8)) for v in range(0, 60)]
+    w1 = [("a", v, 11 + (v % 8)) for v in range(40, 150)]
+    chunks = [w0[:30] + w1[:50], w0[30:] + w1[50:]]
+    stream = _stream_from_rows(spark, chunks, tmp_path, "hll", flush=True)
+    mono = hll_monoid(b=10)
+    out = monoid_windowed_state(
+        stream, key_col="k", ts_col=TS, window_size="10 seconds",
+        drop_flush_sentinel=True, **mono,
+    )
+    got = {
+        int(r.window_start.timestamp()): r.result
+        for r in run_to_completion(out, "hll_win", output_mode="append").collect()
+    }
+
+    b, m = 10, 1 << 10
+
+    def pyhll(values):
+        regs = [0] * m
+        for v in values:
+            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx, w = h & (m - 1), h >> b
+            regs[idx] = max(regs[idx], (64 - b) - w.bit_length() + 1)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / sum(2.0 ** -r for r in regs)
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return est
+
+    expect = {
+        0: pyhll([v for _, v, _ in w0]),
+        10: pyhll([v for _, v, _ in w1]),
+    }
+    assert set(got) == set(expect)
+    for w, est in expect.items():
+        assert abs(got[w] - est) < 1e-9, (w, got[w], est)
+    # error envelope vs true distincts (60 and 110): ~1.04/sqrt(1024)*few
+    assert abs(got[0] - 60) / 60 < 0.15
+    assert abs(got[10] - 110) / 110 < 0.15
