@@ -237,3 +237,49 @@ def countmin_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
         .select(F.col("v").alias(col), "est_n")
     )
+
+
+def hll_register_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog REGISTERS as a DataFrame — one row per (group, idx)
+    with the max rank (rho), built entirely from JVM expressions on the
+    engine's seeded 60-bit md5 hash family:
+
+        idx = h & (2^b - 1)          (register index)
+        w   = h >> b                 (remaining 60-b bits)
+        rho = (60 - b) - LENGTH(bin(w)) + 1   (leading-zero rank; w = 0
+              -> 61 - b, the all-zero max — bin() prints '0', length 1,
+              so the CASE keeps both engines identical)
+
+    Same register math as streaming's hll_monoid (which buckets the full
+    64-bit md5 prefix); here the 15-hex-digit family keeps every step
+    bit-reproducible in DuckDB (SQL_H15 mirror), so the SKETCH STATE
+    itself is oracle-checkable — not just a tolerance band around the
+    estimate (contrast approx_distinct_by). Registers are mergeable by
+    max: union two tables and re-aggregate.
+
+    Scale: one groupBy shuffle carrying (group, idx, partial-max) — the
+    corpus reduces map-side to at most |groups| * 2^b rows.
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    gcols = group_cols or []
+    m = 1 << b
+    h = seeded_hash15(F.col(value_col).cast("string"), seed)
+    idx = (h % F.lit(m)).alias("idx")  # h >= 0: % == & (m-1)
+    w = F.shiftright(h, b)
+    rho = (
+        F.when(w > 0, F.lit(60 - b + 1) - F.length(F.bin(w)))
+        .otherwise(F.lit(60 - b + 1))
+        .alias("rho")
+    )
+    return (
+        df.select(*gcols, idx, rho)
+        .groupBy(*gcols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -109,6 +109,7 @@ DRIVER_SAMPLE_WINDOW = [
     "kmeans_clusters_int",
     "text_bpe_exact",
     "multimodal_ahash_neardup",
+    "sketch_hll_registers",
     "q_zorder_layout",
     "q_scd2_history",
     "dedup_fuzzy_names",
@@ -144,11 +145,9 @@ DRIVER_SAMPLE_WINDOW = [
     "q_asof_join",
     "q_range_join",
     "q_copurchase_pairs",
-    # grouping/window/analytics
-    "q_rollup",
-    # (q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
+    # (q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
     # q_sessionize — same r1-verified cohort — rotated out to hold the
-    # window at exactly 50 as seven never-verified r4 queries took slots)
+    # window at exactly 50 as eight never-verified r4 queries took slots)
 ]
 
 

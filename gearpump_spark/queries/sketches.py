@@ -229,3 +229,53 @@ def sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+@register(
+    "sketch_hll_registers",
+    oracle="""
+    WITH hashed AS (
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               CAST(CONCAT('0x', SUBSTR(MD5('0' || '|' ||
+                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+    regs AS (
+        SELECT window_start, h % 1024 AS idx,
+               MAX(CASE WHEN (h >> 10) > 0
+                        THEN 51 - LENGTH(BIN(h >> 10))
+                        ELSE 51 END) AS rho
+        FROM hashed GROUP BY window_start, idx)
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_regs,
+           CAST(MAX(rho) AS BIGINT) AS max_rho,
+           CAST(SUM((idx + 1) * rho) AS BIGINT) AS reg_checksum
+    FROM regs GROUP BY window_start ORDER BY window_start
+    """,
+    desc="HyperLogLog REGISTER STATE per hourly window, bit-verified: "
+    "the sketch itself (register indexes and leading-zero ranks over the "
+    "seeded 60-bit md5 family) hash-matches DuckDB exactly — a stronger "
+    "claim than sketch_hll_distinct's tolerance band around Spark's "
+    "built-in estimate, and the batch mirror of streaming's hll_monoid "
+    "(mergeable by max; union + re-aggregate)",
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py hll_register_table: one groupBy shuffle of
+    (window, idx, partial-max) rows — at most windows * 1024 after the
+    map-side combine, independent of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    regs = SK.hll_register_table(
+        ev.select(F.date_trunc("hour", "ts").alias("window_start"), "user_id"),
+        "user_id",
+        group_cols=["window_start"],
+        b=10,
+        seed=0,
+    )
+    return (
+        regs.groupBy("window_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_regs"),
+            F.max("rho").cast("bigint").alias("max_rho"),
+            F.sum((F.col("idx") + 1) * F.col("rho")).cast("bigint").alias("reg_checksum"),
+        )
+        .orderBy("window_start")
+    )

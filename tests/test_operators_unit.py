@@ -1638,3 +1638,34 @@ def test_triangle_close_strategies_agree(spark):
     # "Keys: []" + partial_count), not a keyed pair aggregation (the
     # state that OOM'd a default heap)
     assert "keys: []" in p and "partial_count(1)" in p, p
+
+
+def test_hll_register_table_golden_and_mergeable(spark):
+    """Registers match a pure-python build of the same seeded 60-bit
+    family; union of two halves re-aggregated by max equals the whole
+    (the monoid merge property)."""
+    import hashlib
+
+    from gearpump_spark.operators import sketches as SK
+
+    vals = [f"user{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = {r.idx: r.rho for r in SK.hll_register_table(df, "u", b=8).collect()}
+
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(f"0|{v}".encode()).hexdigest()[:15], 16)
+        idx, w = h % 256, h >> 8
+        rho = (60 - 8 + 1) - w.bit_length() if w else 60 - 8 + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    assert got == regs
+
+    half1 = spark.createDataFrame([(v,) for v in vals[:150]], "u string")
+    half2 = spark.createDataFrame([(v,) for v in vals[150:]], "u string")
+    merged = (
+        SK.hll_register_table(half1, "u", b=8)
+        .union(SK.hll_register_table(half2, "u", b=8))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert {r.idx: r.rho for r in merged.collect()} == regs
