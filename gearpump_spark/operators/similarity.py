@@ -654,3 +654,275 @@ def kmeans_int(
         F.col("__id").alias(id_col),
         F.array_min(_cands(cents))["cid"].cast("bigint").alias("cluster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS PQ analog, integer micro-unit variant)
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    offset: float = 2.0,
+    scale: int = 10**6,
+) -> list[list[list[int]]]:
+    """Seeded PQ codebook: cb[sub][cid] is the sub-vector (micro-unit
+    BIGINT coordinates) of the cid-th seed vector, seeds being the k
+    vectors with lowest (md5(id), id) — the same closed-form, engine-
+    independent seeding as kmeans_int / cosine_topk_ivf(refine=False),
+    so the whole codebook (and everything encoded with it) is exactly
+    recomputable by a DuckDB oracle. One bounded collect of k rows
+    (k*dim integers), never the corpus.
+
+    Real PQ (Jégou et al. 2011) would Lloyd-refine each subspace; the
+    seeded codebook is the bit-checkable member of that family exactly
+    as ivf_seeded is to ivf — the ENCODE and ADC paths (the parts that
+    touch 100 TB) are identical either way.
+    """
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor((x.cast("double") + F.lit(offset)) * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("__id"), vq.alias("v"))
+        .orderBy(F.md5(F.col("__id").cast("string")), "__id")
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"corpus has {len(seed_rows)} rows < k={k} PQ centroids")
+    dim = len(seed_rows[0].v)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return [
+        [[int(x) for x in r.v[mm * d_sub : (mm + 1) * d_sub]] for r in seed_rows]
+        for mm in range(m)
+    ]
+
+
+def _pq_sub_cands(vq_col: str, codebook_m: list[list[int]], lo: int, d_sub: int) -> Column:
+    """array<struct<d,cid>> of (sq-dist to centroid, cid) for one subspace
+    — array_min picks (min dist, lowest cid), the deterministic argmin.
+    Same nested-literal shape as kmeans_int._cands: ONE literal node for
+    the subspace's centroid matrix, distances via zip_with+aggregate fold
+    (pure JVM, no Python in the loop)."""
+    sub = F.slice(F.col(vq_col), lo + 1, d_sub)
+    return F.transform(
+        F.lit(codebook_m),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.transform(c, lambda x: x.cast("long")),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    offset: float = 2.0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(id, codes: array<int> length m, err: bigint): encode each vector
+    as its per-subspace nearest-centroid ids — dim floats become m small
+    ints (with m=8,k=16: 8 nibbles = 4 bytes per vector, a 64x cut vs
+    float32[64]) plus the total integer squared quantization error.
+
+    Scale shape: a narrow map — zero shuffles, zero joins; the codebook
+    rides along as m literal arrays (k*dim ints, broadcast-by-closure).
+    Encoding 100 TB of embeddings is a single scan-shaped stage.
+    """
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor((x.cast("double") + F.lit(offset)) * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    base = df.select(F.col(id_col).alias(id_col), vq.alias("_vq"))
+    mins = [
+        F.array_min(_pq_sub_cands("_vq", codebook[mm], mm * d_sub, d_sub))
+        for mm in range(m)
+    ]
+    codes = F.array(*[mn["cid"] for mn in mins])
+    err = mins[0]["d"]
+    for mn in mins[1:]:
+        err = err + mn["d"]
+    return base.select(id_col, codes.alias("codes"), err.cast("bigint").alias("err"))
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebook: list[list[list[int]]],
+    k: int = 5,
+    vec_col: str = "q_vec",
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    offset: float = 2.0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Asymmetric-distance top-k (the FAISS IVF-PQ query path): each query
+    precomputes a distance table dt[sub][cid] = sq-dist(query-sub,
+    centroid) once, then every corpus vector scores as the sum of m table
+    lookups over its codes — the corpus is never decoded.
+
+    Scale shape: dt is built in a narrow map on the (tiny) query side;
+    the broadcast cross join ships |Q| rows with their m*k-int tables to
+    every corpus partition; ADC is m element_at lookups per (q, vec) —
+    all integer, all JVM. The corpus side never shuffles; only the final
+    per-query top-k ranks on (adc_dist, id). Distances are exact integer
+    sums, so rankings are engine-independent (ties broken by id).
+    """
+    mm_ = len(codebook)
+    d_sub = len(codebook[0][0])
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor((x.cast("double") + F.lit(offset)) * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    qbase = queries.select(F.col(q_id_col).alias(q_id_col), vq.alias("_vq"))
+    dt = F.array(
+        *[
+            F.transform(
+                _pq_sub_cands("_vq", codebook[mm], mm * d_sub, d_sub),
+                lambda s: s["d"],
+            )
+            for mm in range(mm_)
+        ]
+    )
+    qtab = qbase.select(q_id_col, dt.alias("_dt"))
+
+    joined = corpus_codes.crossJoin(F.broadcast(qtab))
+    adc = F.element_at(F.element_at("_dt", 1), F.element_at("codes", 1) + 1)
+    for i in range(2, mm_ + 1):
+        adc = adc + F.element_at(
+            F.element_at("_dt", i), F.element_at("codes", i) + 1
+        )
+    scored = joined.select(
+        q_id_col, id_col, adc.cast("bigint").alias("adc_dist")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(q_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "adc_dist", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def pq_topk_ivfadc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: list[list[list[int]]],
+    nlist: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+    vec_col: str = "embedding",
+    q_vec_col: str = "q_vec",
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    offset: float = 2.0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """IVF-PQ (the full FAISS architecture, non-residual variant): the
+    corpus shards into nlist inverted lists by nearest coarse centroid
+    AND compresses to m PQ codes; each query probes its nprobe nearest
+    lists and scores ONLY those lists' codes by ADC table lookup.
+
+    The coarse quantizer is derived from the SAME seeded PQ codebook —
+    coarse centroid cid (cid < nlist) is the concatenation of subspace
+    centroids codebook[*][cid] — so one bounded k-row collect feeds both
+    quantizers and a SQL oracle can recompute every step (coarse
+    distances are sums of the same per-subspace integer distances the
+    PQ encoder computes).
+
+    Scale shape: corpus side is ONE narrow map emitting (id, cid, codes)
+    — writable as a cid-bucketed index, never shuffled here; query side
+    is a narrow map emitting (q_id, probe cids, distance table); the
+    probe is an equi-join on cid with the tiny query side broadcast;
+    ADC touches ~nprobe/nlist of the corpus codes. Integer arithmetic
+    end-to-end → engine-independent ranking (ties -> lowest id)."""
+    m = len(codebook)
+    if nlist > len(codebook[0]):
+        raise ValueError(f"nlist={nlist} > k={len(codebook[0])} codebook centroids")
+    d_sub = len(codebook[0][0])
+    coarse = [
+        [codebook[mm][cid][j] for mm in range(m) for j in range(d_sub)]
+        for cid in range(nlist)
+    ]
+
+    def _vq(col: str) -> Column:
+        return F.transform(
+            F.col(col),
+            lambda x: F.floor(
+                (x.cast("double") + F.lit(offset)) * F.lit(float(scale))
+            ).cast("long"),
+        )
+
+    # corpus: coarse argmin + PQ codes in one narrow projection
+    cbase = corpus.select(F.col(id_col).alias(id_col), _vq(vec_col).alias("_vq"))
+    coarse_cands = _pq_sub_cands("_vq", coarse, 0, m * d_sub)
+    mins = [
+        F.array_min(_pq_sub_cands("_vq", codebook[mm], mm * d_sub, d_sub))
+        for mm in range(m)
+    ]
+    lists_ = cbase.select(
+        id_col,
+        F.array_min(coarse_cands)["cid"].alias("cid"),
+        F.array(*[mn["cid"] for mn in mins]).alias("codes"),
+    )
+
+    # queries: nprobe probe cids + the ADC distance table, one narrow map
+    qbase = queries.select(F.col(q_id_col).alias(q_id_col), _vq(q_vec_col).alias("_vq"))
+    probes = F.transform(
+        F.slice(F.array_sort(_pq_sub_cands("_vq", coarse, 0, m * d_sub)), 1, nprobe),
+        lambda s: s["cid"],
+    )
+    dt = F.array(
+        *[
+            F.transform(
+                _pq_sub_cands("_vq", codebook[mm], mm * d_sub, d_sub),
+                lambda s: s["d"],
+            )
+            for mm in range(m)
+        ]
+    )
+    qtab = qbase.select(
+        q_id_col, F.explode(probes).alias("cid"), dt.alias("_dt")
+    )
+
+    joined = lists_.join(F.broadcast(qtab), "cid")
+    adc = F.element_at(F.element_at("_dt", 1), F.element_at("codes", 1) + 1)
+    for i in range(2, m + 1):
+        adc = adc + F.element_at(
+            F.element_at("_dt", i), F.element_at("codes", i) + 1
+        )
+    scored = joined.select(q_id_col, id_col, adc.cast("bigint").alias("adc_dist"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(q_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "adc_dist", F.col("rank").cast("bigint").alias("rank"))
+    )

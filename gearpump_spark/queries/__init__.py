@@ -113,6 +113,13 @@ DRIVER_SAMPLE_WINDOW = [
     "q_zorder_layout",
     "q_scd2_history",
     "dedup_fuzzy_names",
+    # -- new late-r4, oracle-backed, never verified: the PQ quantization/
+    #    ADC-search pair (FAISS analog, integer micro-unit arithmetic) and
+    #    the HLL register set-union (mergeability flagship) --
+    "embedding_quantize_pq",
+    "similarity_topk_pq_adc",
+    "similarity_topk_ivfpq",
+    "sketch_hll_union",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -138,16 +145,15 @@ DRIVER_SAMPLE_WINDOW = [
     "q21_last_shipper",
     "q22_idle_customers",
     # join matrix
-    "q_semi_join",
-    "q_anti_join",
-    "q_outer_join_counts",
-    "q_cross_join_broadcast",
     "q_asof_join",
     "q_range_join",
     "q_copurchase_pairs",
     # (q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
     # q_sessionize — same r1-verified cohort — rotated out to hold the
-    # window at exactly 50 as eight never-verified r4 queries took slots)
+    # window at exactly 50 as eight never-verified r4 queries took slots;
+    # q_semi_join, q_anti_join, q_outer_join_counts,
+    # q_cross_join_broadcast — the most stable code paths in the cohort —
+    # gave their slots to the four late-r4 never-verified queries above)
 ]
 
 

@@ -515,6 +515,179 @@ def similarity_topk_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+# Shared DuckDB CTE chain for product quantization (m=8 subspaces of 8
+# dims, k=16 seeded centroids, micro-unit BIGINT coordinates — mirrors
+# operators/similarity.py pq_train_codebook/pq_encode exactly):
+#   sub    = per-(vector, subspace, dim) micro-unit coordinates
+#   cb     = the codebook: sub-vectors of the 16 lowest-(md5(id), id) seeds
+#   pqd    = integer sq-dist of every (vector, subspace) to every centroid
+#   pqcode = the deterministic argmin (ties -> lowest cid) = the PQ code
+_SQL_PQ = """
+    pqsub AS MATERIALIZED (
+        SELECT vec_id,
+               (CAST(i AS BIGINT) - 1) // 8 AS m,
+               (CAST(i AS BIGINT) - 1) % 8 AS j,
+               CAST(FLOOR((CAST(embedding[CAST(i AS INT)] AS DOUBLE) + 2.0)
+                          * 1000000) AS BIGINT) AS vi
+        FROM embeddings, range(1, 65) t(i)),
+    pqseeds AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                       vec_id) AS BIGINT) - 1 AS cid
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    pqcb AS MATERIALIZED (
+        SELECT s.cid, u.m, u.j, u.vi AS ci
+        FROM pqseeds s JOIN pqsub u ON u.vec_id = s.vec_id),
+    pqd AS MATERIALIZED (
+        SELECT u.vec_id, u.m, c.cid,
+               SUM((u.vi - c.ci) * (u.vi - c.ci)) AS dist
+        FROM pqsub u JOIN pqcb c ON c.m = u.m AND c.j = u.j
+        GROUP BY 1, 2, 3),
+    pqcode AS MATERIALIZED (
+        SELECT vec_id, m, cid, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY dist, cid) AS rn
+            FROM pqd) WHERE rn = 1)
+"""
+
+
+@register(
+    "embedding_quantize_pq",
+    oracle=f"""
+    WITH {_SQL_PQ}
+    SELECT vec_id,
+           STRING_AGG(CAST(cid AS VARCHAR), ',' ORDER BY m) AS codes_str,
+           CAST(SUM(dist) AS BIGINT) AS err
+    FROM pqcode GROUP BY vec_id ORDER BY vec_id
+    """,
+    desc="product quantization (FAISS PQ analog): 64 float dims -> 8 "
+    "nibble codes + per-vector integer squared error, against a seeded "
+    "16-centroid-per-subspace codebook in micro-unit BIGINT arithmetic — "
+    "a 64x storage cut for the 100 TB vector estate, completing the "
+    "quantization ladder int8 (4x) -> int4 (8x) -> PQ (64x); every step "
+    "(seeding, distances, argmin ties) hash-matches DuckDB exactly. "
+    "Codes serialized via array_join (q_array_ops convention).",
+)
+def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py pq_train_codebook + pq_encode: one bounded
+    k-row collect for the codebook, then a pure narrow map (zero
+    shuffles) — encoding 100 TB of embeddings is one scan-shaped stage;
+    the codebook travels as m nested-array literals."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = S.pq_train_codebook(emb)
+    return (
+        S.pq_encode(emb, cb)
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes"), ",").alias("codes_str"),
+            "err",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "similarity_topk_pq_adc",
+    oracle=f"""
+    WITH {_SQL_PQ},
+    qdt AS (
+        SELECT u.vec_id AS q_id, u.m, c.cid,
+               SUM((u.vi - c.ci) * (u.vi - c.ci)) AS qd
+        FROM pqsub u JOIN pqcb c ON c.m = u.m AND c.j = u.j
+        WHERE u.vec_id < 5 GROUP BY 1, 2, 3),
+    adc AS (
+        SELECT t.q_id, a.vec_id, SUM(t.qd) AS adc_dist
+        FROM pqcode a JOIN qdt t ON t.m = a.m AND t.cid = a.cid
+        GROUP BY 1, 2)
+    SELECT q_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adc_dist, vec_id) AS rank FROM adc)
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    desc="PQ asymmetric-distance top-k (the FAISS IVF-PQ query path): "
+    "each query precomputes an 8x16 integer distance table once, every "
+    "corpus vector scores as 8 table lookups over its codes — the corpus "
+    "is never decoded; integer sums make the ranking engine-independent "
+    "(ties -> lowest vec_id), so even the approximate search path is "
+    "hash-verified end-to-end",
+)
+def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py pq_topk_adc: distance tables built in a
+    narrow map on the broadcast query side; the corpus side never
+    shuffles — ADC over 100 TB of codes is a scan + 8 element_at
+    lookups per (query, vector), then one per-query top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = S.pq_train_codebook(emb)
+    codes = S.pq_encode(emb, cb).select("vec_id", "codes")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.pq_topk_adc(q, codes, cb, k=5).orderBy("q_id", "rank")
+
+
+@register(
+    "similarity_topk_ivfpq",
+    # The coarse quantizer derives from the SAME seeded codebook (coarse
+    # centroid cid<8 = concatenated subspace centroids), so its distances
+    # are sums of the per-subspace integer distances pqd already holds.
+    oracle=f"""
+    WITH {_SQL_PQ},
+    pqcoarse AS MATERIALIZED (
+        SELECT vec_id, cid, SUM(dist) AS cdist
+        FROM pqd WHERE cid < 8 GROUP BY 1, 2),
+    cassign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cdist, cid) AS rn
+            FROM pqcoarse) WHERE rn = 1),
+    qprobes AS (
+        SELECT vec_id AS q_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cdist, cid) AS rn
+            FROM pqcoarse WHERE vec_id < 5) WHERE rn <= 3),
+    qdt AS (
+        SELECT u.vec_id AS q_id, u.m, c.cid,
+               SUM((u.vi - c.ci) * (u.vi - c.ci)) AS qd
+        FROM pqsub u JOIN pqcb c ON c.m = u.m AND c.j = u.j
+        WHERE u.vec_id < 5 GROUP BY 1, 2, 3),
+    adc AS (
+        SELECT t.q_id, a.vec_id, SUM(t.qd) AS adc_dist
+        FROM pqcode a
+        JOIN cassign ca ON ca.vec_id = a.vec_id
+        JOIN qprobes p ON p.cid = ca.cid
+        JOIN qdt t ON t.q_id = p.q_id AND t.m = a.m AND t.cid = a.cid
+        GROUP BY 1, 2)
+    SELECT q_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adc_dist, vec_id) AS rank FROM adc)
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    desc="IVF-PQ top-k (the full FAISS search architecture, non-residual "
+    "variant): corpus shards into 8 inverted lists by nearest coarse "
+    "centroid AND compresses to 8 PQ nibble codes; each query probes its "
+    "3 nearest lists and ADC-scores only those lists' codes — "
+    "candidate-generation (IVF) and compression (PQ) composed, integer "
+    "arithmetic end-to-end so every step hash-matches DuckDB",
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py pq_topk_ivfadc: corpus is ONE narrow map
+    to (id, cid, codes) — writable as a cid-bucketed index; probe is an
+    equi-join on cid with the broadcast query side; ADC touches
+    ~nprobe/nlist of the corpus codes. At 100 TB this is the shape that
+    works: 4-byte codes, bucketed lists, no corpus shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = S.pq_train_codebook(emb)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.pq_topk_ivfadc(q, emb, cb, nlist=8, nprobe=3, k=5).orderBy(
+        "q_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

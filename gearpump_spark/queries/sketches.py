@@ -279,3 +279,90 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# alpha_64 * 64^2 * 2^60 (the raw-HLL estimator numerator for m=64
+# registers, scaled so the harmonic denominator is the EXACT integer sum
+# of 2^(60-rho); computed once in Python — both engines parse the same
+# decimal literal to the same double). b=6 keeps every scale factor's
+# per-type cardinality above the 2.5*m small-range cutoff, where the raw
+# estimator (no linear-counting correction — that needs ln(), which is
+# not bit-identical across engines) is within ~13% (1.04/sqrt(64)).
+_HLL_UNION_ALPHA_NUM = "3.349767950060819e+21"
+
+
+@register(
+    "sketch_hll_union",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type,
+               CAST(CONCAT('0x', SUBSTR(MD5('0' || '|' ||
+                        CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+    regs AS (
+        SELECT event_type, h % 64 AS idx,
+               MAX(CASE WHEN (h >> 6) > 0
+                        THEN 55 - LENGTH(BIN(h >> 6))
+                        ELSE 55 END) AS rho
+        FROM hashed GROUP BY 1, 2),
+    merged AS (
+        SELECT event_type AS grp, idx, rho FROM regs
+        UNION ALL
+        SELECT 'ALL' AS grp, idx, MAX(rho) AS rho FROM regs GROUP BY idx),
+    est AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_regs,
+               CAST(SUM((idx + 1) * rho) AS BIGINT) AS reg_checksum,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(60 - rho AS INT)) AS HUGEINT)
+                 + CAST(64 - COUNT(*) AS HUGEINT)
+                   * CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT) AS inv_sum
+        FROM merged GROUP BY grp)
+    SELECT grp, n_regs, reg_checksum,
+           ROUND({_HLL_UNION_ALPHA_NUM} / CAST(inv_sum AS DOUBLE), 4)
+             AS est_distinct
+    FROM est ORDER BY grp
+    """,
+    desc="HLL SET UNION by register max-merge: per-event-type sketches "
+    "plus their union ('ALL') — the mergeability that makes sketches the "
+    "100 TB answer (partial sketches combine associatively across "
+    "partitions/days/datacenters without re-reading raw data). Register "
+    "state bit-verified via checksum; the raw-HLL estimate is exact too: "
+    "the harmonic denominator is computed as the INTEGER sum of "
+    "2^(60-rho) (every term a power of two; absent registers count 2^60) "
+    "so no float summation order exists to diverge",
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py hll_register_table + one max-merge groupBy:
+    the corpus reduces map-side to <= |types| * 64 register rows; the
+    union re-aggregates those rows, never the events. Estimates use
+    decimal (exact) integer sums cast to double at the very end — one
+    rounding, engine-independent."""
+    ev = table(spark, sf_dir, "events")
+    regs = SK.hll_register_table(
+        ev.select("event_type", "event_id"), "event_id",
+        group_cols=["event_type"], b=6, seed=0,
+    )
+    merged = regs.select(
+        F.col("event_type").alias("grp"), "idx", "rho"
+    ).unionByName(
+        regs.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("grp"), "idx", "rho")
+    )
+    # SQL form: the Python F.shiftleft wrapper only takes a literal shift
+    inv_term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - rho AS INT))")
+    est = merged.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_regs"),
+        F.sum((F.col("idx") + 1) * F.col("rho")).cast("bigint").alias("reg_checksum"),
+        (
+            F.sum(inv_term.cast("decimal(20,0)"))
+            + (F.lit(64) - F.count("*")).cast("decimal(38,0)")
+            * F.lit(1 << 60).cast("decimal(38,0)")
+        ).alias("inv_sum"),
+    )
+    return est.select(
+        "grp", "n_regs", "reg_checksum",
+        F.round(
+            F.lit(float(_HLL_UNION_ALPHA_NUM)) / F.col("inv_sum").cast("double"), 4
+        ).alias("est_distinct"),
+    ).orderBy("grp")

@@ -762,3 +762,59 @@ def test_zorder_query_single_scan_broadcast_bounds(spark, sf_dir):
     p = plan(QS["q_zorder_layout"](spark, sf_dir))
     assert "broadcastexchange" in p.lower(), p
     assert "pythonudf" not in p.lower(), p
+
+
+def test_pq_encode_narrow_and_adc_corpus_never_shuffles(spark, sf_dir):
+    """PQ encode must be a pure narrow map (codebook rides as literals —
+    zero exchanges), and the ADC query path must broadcast the query
+    side: the corpus codes see no exchange before scoring; the only
+    non-broadcast exchange is the final per-query top-k window."""
+    from gearpump_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train_codebook(emb)
+    p_enc = plan(pq_encode(emb, cb))
+    assert "Exchange" not in p_enc
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    codes = pq_encode(emb, cb).select("vec_id", "codes")
+    p_adc = plan(pq_topk_adc(q, codes, cb, k=5))
+    assert "BroadcastNestedLoopJoin" in p_adc  # tiny query side broadcast
+    assert "BroadcastExchange" in p_adc
+    # exactly one data shuffle: hash-partition by q_id for the top-k window
+    # (count detail headers "(n) Exchange" — the formatted plan prints each
+    # node once in the tree and once in the detail section)
+    assert p_adc.count(") Exchange") == 1
+    assert "hashpartitioning(q_id" in p_adc
+
+
+def test_hll_union_partial_aggregation(spark, sf_dir):
+    """The HLL union reduces map-side: register build, union max-merge,
+    and the estimate rollup must all be partial-agg pairs — the events
+    scan collapses to <= |types| * 64 rows before any exchange."""
+    p = plan(QS["sketch_hll_union"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 6
+
+
+def test_ivfpq_corpus_single_narrow_map_broadcast_probe(spark, sf_dir):
+    """IVF-PQ: the corpus side must be one narrow map to (id, cid, codes)
+    joined by a broadcast HASH join on cid (not nested-loop — the probe
+    is an equi-join); the only data shuffle is the per-query top-k."""
+    from gearpump_spark.operators.similarity import pq_topk_ivfadc, pq_train_codebook
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train_codebook(emb)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    p = plan(pq_topk_ivfadc(q, emb, cb, nlist=8, nprobe=3, k=5))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(q_id" in p

@@ -58,6 +58,13 @@ EXTRA = [
     "q_zorder_layout",
     "q_scd2_history",
     "dedup_fuzzy_names",
+    # r4 third wave: the PQ pair (encode = pure narrow map — expect
+    # near-flat; ADC = broadcast scan + one q_id shuffle) and the HLL
+    # union (map-side reduction to <= |types| * 64 register rows)
+    "embedding_quantize_pq",
+    "similarity_topk_pq_adc",
+    "similarity_topk_ivfpq",
+    "sketch_hll_union",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
