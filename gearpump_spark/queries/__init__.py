@@ -120,6 +120,7 @@ DRIVER_SAMPLE_WINDOW = [
     "similarity_topk_pq_adc",
     "similarity_topk_ivfpq",
     "sketch_hll_union",
+    "graph_kcore",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -147,13 +148,13 @@ DRIVER_SAMPLE_WINDOW = [
     # join matrix
     "q_asof_join",
     "q_range_join",
-    "q_copurchase_pairs",
     # (q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
     # q_sessionize — same r1-verified cohort — rotated out to hold the
     # window at exactly 50 as eight never-verified r4 queries took slots;
     # q_semi_join, q_anti_join, q_outer_join_counts,
-    # q_cross_join_broadcast — the most stable code paths in the cohort —
-    # gave their slots to the four late-r4 never-verified queries above)
+    # q_cross_join_broadcast, q_copurchase_pairs — the most stable code
+    # paths in the cohort — gave their slots to the five late-r4
+    # never-verified queries above)
 ]
 
 

@@ -688,6 +688,47 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle() -> str:
+    """Unrolled 4-round peel mirroring operators/graph.py kcore exactly:
+    degree count -> survivor filter -> edge restriction, per round, all
+    integer. MATERIALIZED everywhere — each round references the previous
+    edge set three times."""
+    return 'WITH\n    kitems AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),\n    ke0 AS MATERIALIZED (\n        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v\n        FROM kitems a JOIN kitems b\n          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),\n    kd0 AS MATERIALIZED (\n        SELECT n, COUNT(*) AS c FROM (\n            SELECT u AS n FROM ke0 UNION ALL SELECT v FROM ke0) GROUP BY n),\n    ka0 AS MATERIALIZED (SELECT n FROM kd0 WHERE c >= 60),\n    ke1 AS MATERIALIZED (\n        SELECT u, v FROM ke0\n        WHERE u IN (SELECT n FROM ka0) AND v IN (SELECT n FROM ka0)),\n    kd1 AS MATERIALIZED (\n        SELECT n, COUNT(*) AS c FROM (\n            SELECT u AS n FROM ke1 UNION ALL SELECT v FROM ke1) GROUP BY n),\n    ka1 AS MATERIALIZED (SELECT n FROM kd1 WHERE c >= 60),\n    ke2 AS MATERIALIZED (\n        SELECT u, v FROM ke1\n        WHERE u IN (SELECT n FROM ka1) AND v IN (SELECT n FROM ka1)),\n    kd2 AS MATERIALIZED (\n        SELECT n, COUNT(*) AS c FROM (\n            SELECT u AS n FROM ke2 UNION ALL SELECT v FROM ke2) GROUP BY n),\n    ka2 AS MATERIALIZED (SELECT n FROM kd2 WHERE c >= 60),\n    ke3 AS MATERIALIZED (\n        SELECT u, v FROM ke2\n        WHERE u IN (SELECT n FROM ka2) AND v IN (SELECT n FROM ka2)),\n    kd3 AS MATERIALIZED (\n        SELECT n, COUNT(*) AS c FROM (\n            SELECT u AS n FROM ke3 UNION ALL SELECT v FROM ke3) GROUP BY n),\n    ka3 AS MATERIALIZED (SELECT n FROM kd3 WHERE c >= 60),\n    ke4 AS MATERIALIZED (\n        SELECT u, v FROM ke3\n        WHERE u IN (SELECT n FROM ka3) AND v IN (SELECT n FROM ka3)),\n    kdf AS (\n        SELECT n, COUNT(*) AS c FROM (\n            SELECT u AS n FROM ke4 UNION ALL SELECT v FROM ke4) GROUP BY n)\n    SELECT n AS node, CAST(c AS BIGINT) AS deg FROM kdf WHERE c >= 60\n    ORDER BY node'
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    desc="k-core decomposition (k=60) of the co-purchase graph via "
+    "bounded-round peeling: 4 unrolled drop-degree-below-k cascades "
+    "(enough to reach the fixpoint on this graph — verified by the "
+    "convergence pytest), pure integer counting so the surviving "
+    "(node, in-core degree) rows hash-match the unrolled DuckDB CTE "
+    "chain exactly — the graph family density screen next to "
+    "pagerank (influence), triangles (cohesion) and CC (membership)",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py kcore: per round one map-side-combined degree
+    groupBy (exchange carries O(nodes)) + two survivor semi-joins; the
+    edge list only ever shrinks. Dense-core screening for curation:
+    co-purchase/co-citation cores locate template/boilerplate clusters."""
+    from gearpump_spark.operators.graph import kcore
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=60, n_rounds=4).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

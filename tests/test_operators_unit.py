@@ -1829,3 +1829,65 @@ def test_ivfpq_matches_pure_python_and_prunes_lists(spark):
         exp.extend((qi, i, d, r + 1) for r, (d, i) in enumerate(cands))
         assert len([i for i in q if assign[i] in probed]) < n  # lists pruned
     assert got == exp
+
+
+class TestKCore:
+    def test_cascade_peels_path_graph(self, spark):
+        """k=2 on a path a-b-c-d-e plus a 4-clique: every path node
+        eventually peels (endpoints first — the cascade), the clique
+        survives with degree 3."""
+        from gearpump_spark.operators.graph import kcore
+
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        clique = [(u, v) for u in (10, 11, 12, 13) for v in (10, 11, 12, 13) if u < v]
+        df = spark.createDataFrame(path + clique, "src bigint, dst bigint")
+        got = {(r.node, r.deg) for r in kcore(df, k=2, n_rounds=4).collect()}
+        assert got == {(10, 3), (11, 3), (12, 3), (13, 3)}
+
+    def test_matches_pure_python_peel(self, spark):
+        import collections
+        import random as _r
+
+        from gearpump_spark.operators.graph import kcore
+
+        rng = _r.Random(5)
+        edges = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)}
+        df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+        got = {(r.node, r.deg) for r in kcore(df, k=4, n_rounds=6).collect()}
+
+        E = set(edges)
+        for _ in range(6):
+            deg = collections.Counter()
+            for u, v in E:
+                deg[u] += 1
+                deg[v] += 1
+            alive = {n for n, c in deg.items() if c >= 4}
+            E = {(u, v) for u, v in E if u in alive and v in alive}
+        deg = collections.Counter()
+        for u, v in E:
+            deg[u] += 1
+            deg[v] += 1
+        assert got == {(n, c) for n, c in deg.items() if c >= 4}
+
+    def test_registered_rounds_reach_fixpoint(self, spark, sf_dir):
+        """The query's 4 bounded rounds must BE the fixpoint on the
+        co-purchase graph (so 'exact k-core' in the desc stays honest):
+        one more round changes nothing."""
+        from gearpump_spark.operators.graph import kcore
+        from gearpump_spark.datasets import table
+
+        li = table(spark, sf_dir, "lineitem")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = items.alias("a"), items.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+            .distinct()
+        )
+        r4 = {(r.node, r.deg) for r in kcore(edges, k=60, n_rounds=4).collect()}
+        r5 = {(r.node, r.deg) for r in kcore(edges, k=60, n_rounds=5).collect()}
+        assert r4 == r5 and len(r4) > 0

@@ -630,3 +630,28 @@ def test_hll_monoid_windowed_distinct(spark, tmp_path):
     # error envelope vs true distincts (60 and 110): ~1.04/sqrt(1024)*few
     assert abs(got[0] - 60) / 60 < 0.15
     assert abs(got[10] - 110) / 110 < 0.15
+
+
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """PQ encoding is a stateless narrow map (codebook rides as literals),
+    so it lifts to Structured Streaming UNCHANGED — the ingest shape for
+    compressing an embedding stream as it lands: train the codebook once
+    on a bounded batch, then encode micro-batches forever with no state
+    store and no shuffle. Streamed codes must equal the batch encode."""
+    import random as _r
+
+    from gearpump_spark.operators.similarity import pq_encode, pq_train_codebook
+
+    rng = _r.Random(31)
+    rows = [
+        (i, [float(rng.uniform(-1.0, 1.0)) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = pq_train_codebook(df, m=4, k=8)
+    path = str(tmp_path / "pqvecs")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = run_to_completion(pq_encode(stream, cb), "pq_stream_out").collect()
+    expect = pq_encode(df, cb).collect()
+    key = lambda r: (r.vec_id, tuple(r.codes), r.err)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, expect))

@@ -65,6 +65,7 @@ EXTRA = [
     "similarity_topk_pq_adc",
     "similarity_topk_ivfpq",
     "sketch_hll_union",
+    "graph_kcore",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
