@@ -650,3 +650,59 @@ def kcore(
         .filter(F.col("deg") >= k)
         .select(F.col("n").alias("node"), F.col("deg").cast("bigint").alias("deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) with a DETERMINISTIC
+    tie-break: every node starts labeled with its own id; each round it
+    adopts the most frequent label among its neighbors, ties going to the
+    smallest label. The fixed round count plus the total tie order makes
+    the whole computation closed-form — pure integer counting, so the
+    (node, label) fixpoint hash-matches an unrolled SQL oracle exactly,
+    the same audit-grade discipline as pagerank_int/kcore. Communities
+    complete the graph-curation toolkit: pagerank ranks influence,
+    triangles/k-core measure density, CC gives reachability, LPA gives
+    COMMUNITIES (e.g. topical clusters in a co-occurrence graph) without
+    any modularity float-optimization.
+
+    Scale shape per round: one groupBy shuffle on (node, label) counting
+    neighbor votes — map-side combined, exchange carries O(distinct
+    (node,label)) not O(edges) — then an argmax reduce keyed on node via
+    max(struct(count, -label)) (no window function, no second sort). The
+    adjacency list is built once and localCheckpoint-ed; labels (node-
+    sized) are the only per-round materialization, exactly the kcore
+    discipline (a lazy chain re-executes the upstream edge build
+    exponentially in round count).
+    """
+    nbr = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = nbr.select(F.col("n")).distinct().withColumn("label", F.col("n"))
+    for _ in range(n_rounds):
+        votes = (
+            nbr.join(
+                labels.select(F.col("n").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("n", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("neg_label"))
+                ).alias("best")
+            )
+            .select("n", (-F.col("best.neg_label")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("n").alias("node"), F.col("label").cast("bigint").alias("label")
+    )

@@ -121,6 +121,10 @@ DRIVER_SAMPLE_WINDOW = [
     "similarity_topk_ivfpq",
     "sketch_hll_union",
     "graph_kcore",
+    "graph_label_propagation",
+    "dedup_canonical_pick",
+    "text_gopher_rules",
+    "text_blocklist_filter",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -141,10 +145,6 @@ DRIVER_SAMPLE_WINDOW = [
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_excess_part_suppliers",
-    "q21_last_shipper",
-    "q22_idle_customers",
     # join matrix
     "q_asof_join",
     "q_range_join",
@@ -152,9 +152,10 @@ DRIVER_SAMPLE_WINDOW = [
     # q_sessionize — same r1-verified cohort — rotated out to hold the
     # window at exactly 50 as eight never-verified r4 queries took slots;
     # q_semi_join, q_anti_join, q_outer_join_counts,
-    # q_cross_join_broadcast, q_copurchase_pairs — the most stable code
-    # paths in the cohort — gave their slots to the five late-r4
-    # never-verified queries above)
+    # q_cross_join_broadcast, q_copurchase_pairs, and now
+    # q19_disjunctive_revenue/q20_excess_part_suppliers/q21_last_shipper/
+    # q22_idle_customers — the most stable code paths in the cohort —
+    # gave their slots to the nine late-r4 never-verified queries above)
 ]
 
 

@@ -105,7 +105,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by dedup_clusters and dedup_clusters_twophase: both compute the
 # SAME clustering (component id = min doc_id), differing only in the
 # distributed fixpoint algorithm, so one oracle checks both.
-_SQL_CLUSTERS = f"""
+# dedup_canonical_pick extends the CTE chain (split below) with the
+# keep-the-best-copy selection.
+_SQL_CLUSTERS_CTES = f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     sig AS (
         SELECT doc_id,
@@ -131,10 +133,14 @@ _SQL_CLUSTERS = f"""
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.node_id
-        WHERE cc.comp < e.v)
-    SELECT node_id AS doc_id, MIN(comp) AS cluster_id
-    FROM cc GROUP BY node_id ORDER BY doc_id
-    """
+        WHERE cc.comp < e.v),
+    clusters AS (
+        SELECT node_id AS doc_id, MIN(comp) AS cluster_id
+        FROM cc GROUP BY node_id)
+"""
+_SQL_CLUSTERS = (
+    _SQL_CLUSTERS_CTES + "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
+)
 
 
 @register(
@@ -183,6 +189,66 @@ def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle=_SQL_CLUSTERS_CTES
+    + """,
+    members AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)),
+    ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+               SUM(n_chars) OVER (PARTITION BY cluster_id) AS total_chars
+        FROM members)
+    SELECT cluster_id, doc_id AS canonical_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+    FROM ranked WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_id
+    """,
+    desc="canonical-copy selection after near-dup clustering: per cluster "
+    "keep the LONGEST member (ties -> smallest doc_id) and account the "
+    "chars the dedup pass drops — the keep-the-best-copy step every "
+    "production dedup pipeline ends with (singleton clusters excluded)",
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the cluster fixpoint with the selection policy. Scale:
+    the argmax is ONE map-side-combinable groupBy on cluster_id via
+    max(struct(n_chars, -doc_id)) — no window function, no per-cluster
+    sort; document bodies never move, only (cluster_id, doc_id, n_chars)
+    triples reach the exchange."""
+    from gearpump_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components(pairs, nodes=docs.select("doc_id"), src="a", dst="b")
+    members = comps.select(
+        F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+            best.alias("best"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("canonical_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("total_chars") - F.col("best.n_chars"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 @register(
@@ -727,6 +793,71 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=60, n_rounds=4).orderBy("node")
+
+
+def _lpa_oracle() -> str:
+    """Unrolled 3-round synchronous LPA mirroring operators/graph.py
+    label_propagation exactly: neighbor-label vote counts -> argmax with
+    (count DESC, label ASC) tie-break, per round."""
+    head = """WITH
+    kitems AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM kitems a JOIN kitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    nb AS MATERIALIZED (
+        SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v AS n, u AS nbr FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT n, n AS label FROM nb)"""
+    rounds = []
+    for i in range(3):
+        rounds.append(
+            f""",
+    v{i + 1} AS MATERIALIZED (
+        SELECT nb.n, l.label, COUNT(*) AS c
+        FROM nb JOIN l{i} l ON nb.nbr = l.n GROUP BY nb.n, l.label),
+    l{i + 1} AS MATERIALIZED (
+        SELECT n, label FROM (
+            SELECT n, label,
+                   ROW_NUMBER() OVER (PARTITION BY n
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM v{i + 1}) WHERE rn = 1)"""
+        )
+    tail = """
+    SELECT n AS node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    desc="community detection on the co-purchase graph via 3 rounds of "
+    "synchronous label propagation (Raghavan 2007) with deterministic "
+    "(count DESC, label ASC) tie-break — pure integer voting, so the "
+    "(node, community) assignment hash-matches an unrolled DuckDB round "
+    "chain exactly; completes the graph-curation toolkit: influence "
+    "(pagerank), density (triangles/k-core), reachability (CC), and now "
+    "COMMUNITIES, with no modularity float-optimization",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py label_propagation: per round one map-side-
+    combined (node, label) vote count + an argmax reduce via
+    max(struct(c, -label)) — no window function; adjacency built once and
+    checkpointed, labels (node-sized) are the only per-round state."""
+    from gearpump_spark.operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, n_rounds=3).orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -1434,6 +1565,147 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[ \\t\\n\\f\\r]+'),
+                           w -> w <> '') AS tk
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(LEN(tk) AS BIGINT) AS n_words,
+               CASE WHEN LEN(tk) = 0 THEN 0.0
+                    ELSE CAST(LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w)))
+                              AS DOUBLE) / LEN(tk) END AS mean_word_len,
+               CASE WHEN LEN(tk) = 0 THEN 0.0
+                    ELSE CAST(LEN(LIST_FILTER(tk,
+                              w -> REGEXP_MATCHES(w, '[A-Za-z]')))
+                              AS DOUBLE) / LEN(tk) END AS frac_alpha_words,
+               CASE WHEN LEN(tk) = 0 THEN 0.0
+                    ELSE CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                              + (LENGTH(text)
+                                 - LENGTH(REPLACE(text, '...', ''))) / 3
+                              AS DOUBLE) / LEN(tk) END AS symbol_ratio,
+               CAST(LEN(LIST_FILTER(LIST_TRANSFORM(tk, w -> LOWER(w)),
+                    w -> w IN ('the','be','to','of','and','that','have','with')))
+                    AS BIGINT) AS stopword_hits
+        FROM t)
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+           stopword_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio < 0.1
+            AND frac_alpha_words >= 0.8
+            AND stopword_hits >= 2) AS passes
+    FROM m ORDER BY doc_id
+    """,
+    desc="the Gopher quality-rule battery (Rae 2021 A.1.1): word-count "
+    "bounds, mean-word-length bounds, symbol-to-word ratio (# and "
+    "ellipsis), alphabetic-word fraction, required-stopword hits, and "
+    "the composite pass flag — the standard pre-training curation "
+    "filter, all integer counting with IEEE-exact ratio divisions",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All signals in ONE scan-local projection (zero shuffles, zero
+    UDFs): array expressions over whitespace tokens stay inside
+    whole-stage codegen, so at 100 TB this is scan-bound. Ratios are
+    integer/integer IEEE divisions — exact in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    tk = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", "text", tk.alias("tk"))
+    n = F.size("tk")
+    sum_len = F.aggregate(
+        "tk", F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    n_alpha = F.size(F.filter("tk", lambda w: w.rlike("[A-Za-z]")))
+    n_sym = (
+        F.length("text")
+        - F.length(F.replace("text", F.lit("#")))
+        + (F.length("text") - F.length(F.replace("text", F.lit("..."))))
+        / F.lit(3)
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.transform("tk", F.lower),
+            lambda w: w.isin("the", "be", "to", "of", "and", "that", "have", "with"),
+        )
+    ).cast("bigint")
+    zero_guard = lambda num: F.when(n == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        num.cast("double") / n
+    )
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        zero_guard(sum_len).alias("mean_word_len"),
+        zero_guard(n_alpha).alias("frac_alpha_words"),
+        zero_guard(n_sym).alias("symbol_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("frac_alpha_words") >= 0.8)
+            & (F.col("stopword_hits") >= 2)
+        ).alias("passes"),
+    ).orderBy("doc_id")
+
+
+_BLOCKLIST = ("spark", "merge", "vector")
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(LIST_TRANSFORM(
+                   REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[ \\t\\n\\f\\r]+'),
+                   w -> w), w -> w <> '') AS tk
+        FROM documents)
+    SELECT doc_id,
+           CAST(LEN(tk) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(tk, w -> w IN {_BLOCKLIST!r})) AS BIGINT)
+             AS n_blocked,
+           CASE WHEN LEN(tk) = 0 THEN 0.0
+                ELSE CAST(LEN(LIST_FILTER(tk, w -> w IN {_BLOCKLIST!r}))
+                          AS DOUBLE) / LEN(tk) END AS blocked_frac,
+           (CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE CAST(LEN(LIST_FILTER(tk, w -> w IN {_BLOCKLIST!r}))
+                           AS DOUBLE) / LEN(tk) END) < 0.10 AS kept
+    FROM t ORDER BY doc_id
+    """,
+    desc="blocklist screening (C4-style badwords filter): per-doc count "
+    "and fraction of exact-token blocklist hits plus the keep decision — "
+    "the list rides as a literal IN-set (broadcast-free), token matching "
+    "is whole-word so substrings never false-positive",
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local, zero shuffles: the blocklist is a literal isin() set
+    folded into codegen. At a real 100 TB run the list grows to ~10^3
+    terms — still a literal set (Catalyst converts large isin to a hash
+    set); beyond that, a broadcast join on exploded tokens."""
+    docs = table(spark, sf_dir, "documents")
+    ltk = F.filter(
+        F.split(F.lower(F.col("text")), TX.WS_RE), lambda t: t != ""
+    )
+    d = docs.select("doc_id", ltk.alias("tk"))
+    n = F.size("tk")
+    n_blocked = F.size(F.filter("tk", lambda w: w.isin(*_BLOCKLIST)))
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(n_blocked.cast("double") / n)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        n_blocked.cast("bigint").alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (frac < 0.10).alias("kept"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -1891,3 +1891,43 @@ class TestKCore:
         r4 = {(r.node, r.deg) for r in kcore(edges, k=60, n_rounds=4).collect()}
         r5 = {(r.node, r.deg) for r in kcore(edges, k=60, n_rounds=5).collect()}
         assert r4 == r5 and len(r4) > 0
+
+
+class TestLabelPropagation:
+    def test_two_cliques_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge: each clique converges
+        to its own min label; the bridge can't flip a 3-vote majority."""
+        from gearpump_spark.operators.graph import label_propagation
+
+        c1 = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+        c2 = [(u, v) for u in (10, 11, 12, 13) for v in (10, 11, 12, 13) if u < v]
+        df = spark.createDataFrame(c1 + c2 + [(4, 10)], "src bigint, dst bigint")
+        got = {(r.node, r.label) for r in label_propagation(df, n_rounds=4).collect()}
+        assert got == {(n, 1) for n in (1, 2, 3, 4)} | {
+            (n, 10) for n in (10, 11, 12, 13)
+        }
+
+    def test_matches_pure_python_sync_lpa(self, spark):
+        import collections
+        import random as _r
+
+        from gearpump_spark.operators.graph import label_propagation
+
+        rng = _r.Random(9)
+        edges = {tuple(sorted(rng.sample(range(25), 2))) for _ in range(60)}
+        df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+        got = {(r.node, r.label) for r in label_propagation(df, n_rounds=3).collect()}
+
+        nbrs = collections.defaultdict(list)
+        for u, v in edges:
+            nbrs[u].append(v)
+            nbrs[v].append(u)
+        label = {n: n for n in nbrs}
+        for _ in range(3):
+            new = {}
+            for n, ns in nbrs.items():
+                votes = collections.Counter(label[m] for m in ns)
+                # count DESC, label ASC — the registered tie-break
+                new[n] = min(votes, key=lambda l: (-votes[l], l))
+            label = new
+        assert got == set(label.items())

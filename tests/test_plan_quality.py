@@ -818,3 +818,14 @@ def test_ivfpq_corpus_single_narrow_map_broadcast_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count(") Exchange") == 1
     assert "hashpartitioning(q_id" in p
+
+
+def test_gopher_and_blocklist_scan_local(spark, sf_dir):
+    """The quality-rule battery and the blocklist screen are pure
+    projections: no joins, no aggregates, and the only exchange allowed
+    is the presentation orderBy's range partitioning."""
+    for name in ("text_gopher_rules", "text_blocklist_filter"):
+        p = plan(QS[name](spark, sf_dir))
+        assert "Join" not in p, name
+        assert "HashAggregate" not in p, name
+        assert "hashpartitioning" not in p, name  # only the sort's range exchange

@@ -66,6 +66,10 @@ EXTRA = [
     "similarity_topk_ivfpq",
     "sketch_hll_union",
     "graph_kcore",
+    "graph_label_propagation",
+    "dedup_canonical_pick",
+    "text_gopher_rules",
+    "text_blocklist_filter",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
