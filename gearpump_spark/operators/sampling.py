@@ -296,3 +296,57 @@ def priority_sample(
             F.greatest(F.col("w"), F.col("_tau")).alias("w_est"),
         )
     )
+
+
+def negative_pairs(
+    df: DataFrame, key_col: str, k: int = 2, seed: int = 0, stride: int = 7919
+) -> DataFrame:
+    """Deterministic contrastive-negative pairing: every key gets k
+    pseudo-random partners, reproducibly. Keys are ranked by seeded hash
+    (a uniform permutation both engines compute identically), then rank
+    r pairs with ranks (r + j*stride) % N for j = 1..k. Because the rank
+    permutation is hash-random, the partner of any anchor is an
+    effectively uniform draw — but bit-identical across engines, runs,
+    and partitionings, which IEEE-random negatives can never be (the
+    property that makes embedding-training data AUDITABLE).
+
+    Scale shape: one range-partitioned sort to rank (only (key, hash)
+    pairs move — never payloads), one explode to k rows per anchor, one
+    equi-join on rank. The global row_number is a range exchange Spark
+    parallelizes by sampled boundaries; at 100 TB rank only the KEYS
+    (bigint pairs, ~16 bytes/row) and join payloads back afterwards.
+
+    Self-pairs (possible when gcd(stride, N) > 1 collapses an orbit, or
+    N <= k*stride wraps onto r) are dropped rather than remapped — the
+    count lost is 0 or negligible and remapping would break the
+    closed-form oracle.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("h", key_col)
+    ranked = df.select(
+        F.col(key_col), seeded_hash15(F.col(key_col), seed).alias("h")
+    ).select(
+        key_col, (F.row_number().over(w) - 1).cast("bigint").alias("r")
+    )
+    n = ranked.groupBy().agg(F.count("*").alias("cnt"))
+    anchors = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.col(key_col).alias("anchor_id"),
+            F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+            "r",
+            "cnt",
+        )
+        .select(
+            "anchor_id",
+            F.col("j").cast("bigint").alias("j"),
+            ((F.col("r") + F.col("j") * F.lit(stride)) % F.col("cnt")).alias("nr"),
+        )
+    )
+    neg = ranked.select(F.col(key_col).alias("neg_id"), F.col("r").alias("nr"))
+    return (
+        anchors.join(neg, "nr")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_id", "j")
+    )

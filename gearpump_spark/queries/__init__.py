@@ -125,6 +125,8 @@ DRIVER_SAMPLE_WINDOW = [
     "dedup_canonical_pick",
     "text_gopher_rules",
     "text_blocklist_filter",
+    "sample_negative_pairs",
+    "text_length_band_filter",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -143,12 +145,13 @@ DRIVER_SAMPLE_WINDOW = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
     # join matrix
     "q_asof_join",
     "q_range_join",
-    # (q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
+    # (q17_small_quantity_revenue, q18_large_volume_customer — r1-verified,
+    # stable code paths — gave their slots to the two late-r4 never-verified
+    # queries sample_negative_pairs/text_length_band_filter above;
+    # q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
     # q_sessionize — same r1-verified cohort — rotated out to hold the
     # window at exactly 50 as eight never-verified r4 queries took slots;
     # q_semi_join, q_anti_join, q_outer_join_counts,

@@ -1657,6 +1657,72 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "text_length_band_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM d),
+    lo AS (SELECT source, MAX(n_chars) AS lo FROM r
+           WHERE rn = GREATEST(1, CEIL(0.05 * n)) GROUP BY source),
+    hi AS (SELECT source, MAX(n_chars) AS hi FROM r
+           WHERE rn = CEIL(0.95 * n) GROUP BY source)
+    SELECT d.doc_id, d.source, d.n_chars, lo.lo, hi.hi,
+           d.n_chars BETWEEN lo.lo AND hi.hi AS kept
+    FROM d JOIN lo USING (source) JOIN hi USING (source)
+    ORDER BY doc_id
+    """,
+    desc="per-source adaptive length filtering: keep documents inside the "
+    "source's own [p5, p95] character-length band (discrete rank-based "
+    "quantiles — exact integers, no interpolation) — the per-domain "
+    "outlier screen web-scale curation applies before global rules, "
+    "since a 'short' GitHub README and a 'short' tweet are different",
+)
+def text_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles by rank: one window sort partitioned by source
+    (only (doc_id, source, n_chars) triples move), bounds broadcast back.
+    At 100 TB with few sources the per-source sort is the skew risk —
+    swap the window for approx_percentile(n_chars, [0.05, 0.95]) per
+    source (a map-side-combinable agg) and accept epsilon-rank error;
+    kept EXACT here because the oracle demands closed form."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = W.partitionBy("source")
+    r = d.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = (
+        r.filter(F.col("rn") == F.greatest(F.lit(1), F.ceil(0.05 * F.col("n"))))
+        .groupBy("source")
+        .agg(F.max("n_chars").alias("lo"))
+    )
+    hi = (
+        r.filter(F.col("rn") == F.ceil(0.95 * F.col("n")))
+        .groupBy("source")
+        .agg(F.max("n_chars").alias("hi"))
+    )
+    return (
+        d.join(F.broadcast(lo), "source")
+        .join(F.broadcast(hi), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "lo",
+            "hi",
+            F.col("n_chars").between(F.col("lo"), F.col("hi")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _BLOCKLIST = ("spark", "merge", "vector")
 
 

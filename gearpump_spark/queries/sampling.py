@@ -284,3 +284,38 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.priority_sample(docs, "doc_id", "n_chars", k=100, seed=3).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS r
+        FROM (SELECT doc_id,
+                     {_SQL_H15.format(seed="'0'", key="doc_id")} AS h
+              FROM documents)),
+    n AS (SELECT COUNT(*) AS cnt FROM ranked),
+    anchors AS (
+        SELECT a.doc_id AS anchor_id, CAST(j.j AS BIGINT) AS j,
+               (a.r + j.j * 7919) % n.cnt AS nr
+        FROM ranked a CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2]) AS j) j)
+    SELECT anchor_id, b.doc_id AS neg_id, j
+    FROM anchors JOIN ranked b ON b.r = anchors.nr
+    WHERE b.doc_id <> anchor_id
+    ORDER BY anchor_id, j
+    """,
+    desc="deterministic contrastive negatives: 2 pseudo-random partners "
+    "per document via hash-permutation ranking + fixed-stride rank "
+    "pairing — uniform-looking negatives that are bit-identical across "
+    "engines/runs/partitionings (auditable embedding-training pairs, "
+    "which IEEE-random sampling can never give)",
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.py negative_pairs: one range-sort over (key,
+    hash) pairs to rank, one explode, one equi-join on rank — payloads
+    never move. Self-pairs dropped (closed-form, oracle-mirrored)."""
+    docs = table(spark, sf_dir, "documents")
+    return SP.negative_pairs(docs.select("doc_id"), "doc_id", k=2, seed=0).orderBy(
+        "anchor_id", "j"
+    )

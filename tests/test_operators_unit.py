@@ -1931,3 +1931,63 @@ class TestLabelPropagation:
                 new[n] = min(votes, key=lambda l: (-votes[l], l))
             label = new
         assert got == set(label.items())
+
+
+class TestNegativePairs:
+    """negative_pairs: hash-permutation rank + fixed-stride partner pick.
+    For fixed j the rank shift r -> (r + j*stride) % N is a bijection, so
+    every doc appears exactly once as anchor and once as negative per j
+    (minus dropped self-pairs, which occur iff (j*stride) % N == 0)."""
+
+    def _pairs(self, spark, n, k=2, seed=0, stride=7919, parts=None):
+        from gearpump_spark.operators.sampling import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        if parts:
+            df = df.repartition(parts)
+        return negative_pairs(df, "doc_id", k=k, seed=seed, stride=stride).collect()
+
+    def test_bijection_per_offset_no_self_pairs(self, spark):
+        rows = self._pairs(spark, 97, k=2)
+        assert len(rows) == 97 * 2
+        for j in (1, 2):
+            sub = [r for r in rows if r.j == j]
+            assert len({r.anchor_id for r in sub}) == 97
+            assert len({r.neg_id for r in sub}) == 97
+        assert all(r.anchor_id != r.neg_id for r in rows)
+
+    def test_self_pairs_dropped_when_stride_divides_n(self, spark):
+        # stride=10, N=20: j=2 shift is 20 % 20 == 0 -> all j=2 rows are
+        # self-pairs and must vanish; j=1 (shift 10) survives intact.
+        rows = self._pairs(spark, 20, k=2, stride=10)
+        assert sorted({r.j for r in rows}) == [1]
+        assert len(rows) == 20
+
+    def test_deterministic_across_partitionings(self, spark):
+        a = sorted(map(tuple, self._pairs(spark, 60, parts=1)))
+        b = sorted(map(tuple, self._pairs(spark, 60, parts=13)))
+        assert a == b
+
+    def test_seed_changes_pairing(self, spark):
+        a = sorted(map(tuple, self._pairs(spark, 60, seed=0)))
+        b = sorted(map(tuple, self._pairs(spark, 60, seed=1)))
+        assert a != b
+
+    def test_matches_pure_python(self, spark):
+        import hashlib
+
+        n, k, seed, stride = 41, 3, 2, 7
+        got = sorted(map(tuple, self._pairs(spark, n, k=k, seed=seed, stride=stride)))
+
+        def h(i):
+            return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+
+        ranked = sorted(range(n), key=lambda i: (h(i), i))
+        rank = {doc: r for r, doc in enumerate(ranked)}
+        expect = sorted(
+            (doc, ranked[(rank[doc] + j * stride) % n], j)
+            for doc in range(n)
+            for j in range(1, k + 1)
+            if ranked[(rank[doc] + j * stride) % n] != doc
+        )
+        assert got == expect
