@@ -926,3 +926,73 @@ def pq_topk_ivfadc(
         .where(F.col("rank") <= k)
         .select(q_id_col, id_col, "adc_dist", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def _jl_signs(seed: int, out_dim: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the JL projection, one row per
+    output component. Sign (j, pos) = +1 iff the seeded md5 bigint of
+    "seed|j|pos" is even — the exact expression the DuckDB oracle
+    recomputes (SQL_H15 % 2), so the matrix never has to be shipped:
+    both engines derive it from (seed, j, pos). Plan-build time, tiny."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}|{j}|{pos}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1
+            for pos in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+    scale: int = 1000,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a dense ±1
+    sign matrix (Achlioptas 2003, database-friendly variant): component
+    j of the output is sum_pos sign(j, pos) * round(v_pos * scale) — an
+    ALL-INTEGER fold over fixed-point coordinates, so the projection is
+    bit-identical across engines, runs, and partitionings. E[dot
+    products] are preserved up to the 1/out_dim JL distortion; divide by
+    sqrt(out_dim)/scale downstream when absolute scale matters (kept
+    integer here so the oracle is exact).
+
+    Scale shape: ZERO shuffles — one narrow map per row (out_dim folds
+    of length dim, whole-stage codegen). This is the 100 TB pre-step for
+    ANN/clustering: shrink 64-dim floats to 16 ints BEFORE anything
+    shuffles, cutting exchange bytes ~8× while cosine ordering survives
+    within JL tolerance (tested).
+    """
+    signs = _jl_signs(seed, out_dim, dim)
+    vq = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: F.round(x * scale, 0).cast("long"),
+    )
+    base = df.withColumn("_vq", vq)
+    comps = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_vq"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda v, s: v * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return base.withColumn(out_col, comps).drop("_vq")

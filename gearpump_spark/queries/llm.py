@@ -3815,3 +3815,54 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, CAST(i AS BIGINT) - 1 AS pos,
+               CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+                    AS BIGINT) AS x
+        FROM embeddings, range(1, 65) t(i)),
+    s AS (
+        SELECT CAST(j.j AS BIGINT) AS j, CAST(p.pos AS BIGINT) AS pos,
+               CASE WHEN CAST(CONCAT('0x',
+                        SUBSTR(MD5('7|' || j.j || '|' || p.pos), 1, 15))
+                        AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM range(0, 16) j(j) CROSS JOIN range(0, 64) p(pos)),
+    comp AS (
+        SELECT vec_id, j, SUM(sgn * x) AS c
+        FROM u JOIN s USING (pos) GROUP BY vec_id, j),
+    agg AS (
+        SELECT vec_id, LIST(c ORDER BY j) AS cs FROM comp GROUP BY vec_id)
+    SELECT vec_id, ARRAY_TO_STRING(cs, ',') AS proj,
+           CAST(LIST_SUM(LIST_TRANSFORM(cs, c -> c * c)) AS BIGINT) AS pnorm2
+    FROM agg ORDER BY vec_id
+    """,
+    desc="Johnson-Lindenstrauss random projection 64->16 dims: dense "
+    "seeded ±1 sign matrix over fixed-point integer coordinates — the "
+    "100 TB pre-step that shrinks embeddings ~8x BEFORE anything "
+    "shuffles, bit-identical across engines because every component is "
+    "an integer fold (signs derived from the shared seeded-md5 parity "
+    "in BOTH engines, never shipped); components serialized via "
+    "array_join per the q_array_ops convention",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py random_projection: zero-shuffle narrow
+    map (out_dim integer folds per row, whole-stage codegen); cosine
+    ordering survives within JL tolerance (tested in
+    tests/test_operators_unit.py)."""
+    from gearpump_spark.operators.similarity import random_projection
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "embedding", dim=64, out_dim=16, seed=7)
+    pnorm2 = F.aggregate(
+        F.col("proj"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return out.select(
+        "vec_id",
+        F.array_join("proj", ",").alias("proj"),
+        pnorm2.alias("pnorm2"),
+    ).orderBy("vec_id")

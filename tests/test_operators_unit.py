@@ -1991,3 +1991,79 @@ class TestNegativePairs:
             if ranked[(rank[doc] + j * stride) % n] != doc
         )
         assert got == expect
+
+
+class TestRandomProjection:
+    """JL ±1 projection: integer-exact vs numpy, cosine-preserving
+    within JL tolerance, and a zero-shuffle narrow map."""
+
+    def _proj(self, spark, vecs, out_dim=16, seed=7):
+        from gearpump_spark.operators.similarity import random_projection
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        return random_projection(
+            df, "embedding", dim=len(vecs[0]), out_dim=out_dim, seed=seed
+        )
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from gearpump_spark.operators.similarity import _jl_signs
+
+        rng = np.random.RandomState(0)
+        vecs = rng.uniform(-0.5, 0.5, size=(20, 64))
+        got = {r.vec_id: list(r.proj) for r in self._proj(spark, vecs).collect()}
+        S = np.array(_jl_signs(7, 16, 64))  # (16, 64)
+        # Spark F.round on .5 goes HALF_UP (away from zero for negatives
+        # too under Spark's HALF_UP on doubles? no: HALF_UP rounds .5 away
+        # from zero) — numpy rint would round half to even, so emulate.
+        vq = np.floor(np.abs(vecs) * 1000 + 0.5).astype(np.int64) * np.sign(
+            vecs
+        ).astype(np.int64)
+        expect = vq @ S.T
+        for i in range(len(vecs)):
+            assert got[i] == list(expect[i]), f"row {i}"
+
+    def test_cosine_preserved_within_jl_tolerance(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(1)
+        # clustered vectors (4 base directions + noise) so true cosines
+        # span a wide range — isotropic Gaussians all sit near cos=0,
+        # leaving no signal for the correlation check to measure
+        base = rng.normal(0, 0.2, size=(4, 64))
+        vecs = np.array(
+            [base[i % 4] + rng.normal(0, 0.05, 64) for i in range(40)]
+        )
+        rows = self._proj(spark, vecs, out_dim=16).collect()
+        proj = np.array([r.proj for r in sorted(rows, key=lambda r: r.vec_id)])
+
+        def cos(m):
+            n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return n @ n.T
+
+        c0, c1 = cos(vecs), cos(proj.astype(float))
+        iu = np.triu_indices(len(vecs), 1)
+        err = np.abs(c0[iu] - c1[iu])
+        # JL with k=16 dense ±1 signs: per-pair error ~ 1/sqrt(16)
+        assert err.mean() < 0.25 and np.corrcoef(c0[iu], c1[iu])[0, 1] > 0.6
+
+    def test_plan_zero_exchanges(self, spark):
+        import contextlib
+        import io
+
+        df = self._proj(spark, [[0.1] * 64, [0.2] * 64])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+
+    def test_seed_and_outdim(self, spark):
+        a = self._proj(spark, [[0.3] * 64], seed=7).collect()[0].proj
+        b = self._proj(spark, [[0.3] * 64], seed=8).collect()[0].proj
+        assert a != b and len(a) == 16
+        c = self._proj(spark, [[0.3] * 64], out_dim=4, seed=7).collect()[0].proj
+        assert c == a[:4]  # sign rows are independent per j
