@@ -706,3 +706,100 @@ def label_propagation(
     return labels.select(
         F.col("n").alias("node"), F.col("label").cast("bigint").alias("label")
     )
+
+
+def link_predict_common_neighbors(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003): score every UNLINKED node pair by how many neighbors it shares,
+    return the global top-k — the classic "customers also bought"
+    recommender over a co-occurrence graph.
+
+    Plan: canonical undirected edges → full adjacency (both directions) →
+    wedge self-join on the center node, SALTED exactly like
+    `triangle_count` (hub centers can't concentrate their quadratic
+    fan-out in one task; the wedge exchange width is pinned because AQE
+    sizes it from the deceptively tiny adjacency input) → map-side
+    combinable pair count → LEFT-ANTI against the edge set (only unlinked
+    pairs are predictions) → degree join → one TakeOrderedAndProject.
+
+    jaccard = common / (deg_u + deg_v - common): bigint operands, ONE
+    IEEE division — exact cross-engine.
+
+    Scale: wedge cost is Σ_c deg(c)² — unlike triangles there is no
+    orientation trick (a common neighbor ORDERED ABOVE an endpoint still
+    counts), so the 100 TB knob is `max_degree`: drop hub centers above
+    the cap before wedging (standard super-node exclusion; biases scores
+    only for celebrity nodes, which co-occurrence recommenders exclude
+    anyway). Default None = exact.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    # The canonical edge list feeds FOUR consumers (both adjacency
+    # directions, the degree agg, and the anti-join); materialize it once
+    # so the possibly-expensive upstream edge derivation doesn't re-run
+    # per consumer (same trade as triangle_count's auto mode).
+    und = und.localCheckpoint()
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("nb")).union(
+        und.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    centers = adj
+    if max_degree is not None:
+        centers = adj.join(
+            F.broadcast(deg.where(F.col("d") > max_degree)), "n", "left_anti"
+        )
+    n_salts = 16
+    w1 = centers.select(
+        F.col("n").alias("c"),
+        F.col("nb").alias("x"),
+        F.pmod(F.hash("nb"), F.lit(n_salts)).alias("_salt"),
+    )
+    w2 = centers.select(F.col("n").alias("c"), F.col("nb").alias("y")).crossJoin(
+        F.broadcast(
+            edges.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    n_wedge_parts = max(
+        64, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
+    wedges = (
+        w1.repartition(n_wedge_parts, "c", "_salt")
+        .join(w2, ["c", "_salt"])
+        .where(F.col("x") < F.col("y"))
+    )
+    cn = wedges.groupBy("x", "y").agg(F.count("*").cast("long").alias("common"))
+    cand = cn.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    scored = (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "common",
+            (
+                F.col("common")
+                / (F.col("dx") + F.col("dy") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common"), F.desc("jaccard"), "u", "v"
+    ).limit(k)

@@ -350,3 +350,81 @@ def negative_pairs(
         .filter(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_id", "j")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    budget_frac: float = 0.85,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): distribute a total
+    token budget B = floor(budget_frac * corpus_tokens) across sources so
+    that no source is repeated beyond `max_epochs` and the leftover is
+    shared EQUALLY among the sources big enough to absorb it.
+
+    The paper's sequential greedy (ascending by size: give each source
+    min(c_i * E, remaining / sources_left)) has a closed water-filling
+    form because the cap-binding test is monotone in the size order:
+    f(i) = B - E*cum_before(i) - c_i*E*(n-i+1) is non-increasing when
+    sizes ascend, so the capped sources are exactly a PREFIX. Two windows
+    over the per-source totals (n_sources rows) find the prefix; the
+    shared quota u = (B - E*Σ_capped c) / n_uncapped is ONE IEEE division
+    of integer-exact operands — bit-identical cross-engine, no recursion.
+    u <= c_j*E holds for every uncapped j (u < c_k**E at the first
+    uncapped k* by definition, and c ascends), so the greedy and the
+    closed form agree exactly.
+
+    Scale: the corpus touches ONE map-side-combinable groupBy(source);
+    everything after runs on n_sources rows. Returns one row per source:
+    (source, tokens, capped, quota, epochs) — feed `epochs` (a rate when
+    < 1) into hash_bucket sampling to materialize the mixture.
+    """
+    from pyspark.sql import Window as W
+
+    E = int(max_epochs)
+    c = df.groupBy(source_col).agg(
+        F.sum(weight_col).cast("long").alias("tokens")
+    )
+    w_ord = W.orderBy("tokens", source_col)
+    w_all = W.partitionBy()
+    t = c.select(
+        source_col,
+        "tokens",
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.coalesce(
+            F.sum("tokens").over(w_ord.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("cumbefore"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+        F.sum("tokens").over(w_all).alias("total"),
+    )
+    budget = F.floor(F.lit(float(budget_frac)) * F.col("total").cast("double")).cast(
+        "long"
+    )
+    t = t.withColumn("B", budget).withColumn(
+        "capped",
+        F.col("tokens") * E * (F.col("n") - F.col("rn") + 1)
+        <= F.col("B") - E * F.col("cumbefore"),
+    )
+    g = t.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("tokens")).otherwise(0))
+        .over(w_all)
+        .alias("cap_c"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(w_all).alias("n_cap"),
+    )
+    share = (F.col("B") - E * F.col("cap_c")).cast("double") / (
+        F.col("n") - F.col("n_cap")
+    )
+    quota = F.when(F.col("capped"), (F.col("tokens") * E).cast("double")).otherwise(
+        share
+    )
+    return g.select(
+        source_col,
+        "tokens",
+        "capped",
+        quota.alias("quota"),
+        (quota / F.col("tokens")).alias("epochs"),
+    )

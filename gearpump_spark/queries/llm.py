@@ -3866,3 +3866,60 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("proj", ",").alias("proj"),
         pnorm2.alias("pnorm2"),
     ).orderBy("vec_id")
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 10 = 0),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS n, v AS nb FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+    wed AS (SELECT a1.n AS c, a1.nb AS x, a2.nb AS y
+            FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.nb < a2.nb),
+    cn AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common
+           FROM wed GROUP BY x, y),
+    cand AS (SELECT cn.* FROM cn
+             LEFT JOIN edges e ON e.u = cn.x AND e.v = cn.y
+             WHERE e.u IS NULL),
+    scored AS (
+        SELECT cand.x AS u, cand.y AS v, common,
+               common / (dx.d + dy.d - common) AS jaccard
+        FROM cand
+        JOIN deg dx ON dx.n = cand.x
+        JOIN deg dy ON dy.n = cand.y)
+    SELECT u, v, common, jaccard FROM scored
+    ORDER BY common DESC, jaccard DESC, u, v LIMIT 20
+    """,
+    desc="common-neighbor / Jaccard link prediction (Liben-Nowell 2003) "
+    "over a 1-in-10 order sample of the co-purchase graph: top-20 "
+    "UNLINKED part pairs by shared neighbors — the 'customers also "
+    "bought' recommender; jaccard = common/(du+dv-common) is one IEEE "
+    "division of bigints, exact cross-engine",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py link_predict_common_neighbors: salted wedge
+    self-join (triangle_count discipline — hub fan-out spread over
+    16 salts, AQE-exempt width pin), map-side pair counts, anti-join
+    against existing edges, one TakeOrderedAndProject."""
+    from gearpump_spark.operators.graph import link_predict_common_neighbors
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return link_predict_common_neighbors(edges, k=20)

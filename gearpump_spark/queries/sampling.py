@@ -319,3 +319,55 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.negative_pairs(docs.select("doc_id"), "doc_id", k=2, seed=0).orderBy(
         "anchor_id", "j"
     )
+
+
+@register(
+    "sample_unimax_mix",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS rn,
+               COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbefore,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               SUM(tokens) OVER () AS total
+        FROM c),
+    p AS (
+        SELECT *, CAST(FLOOR(0.85 * CAST(total AS DOUBLE)) AS BIGINT) AS B
+        FROM t),
+    f AS (
+        SELECT *, tokens * 1 * (n - rn + 1) <= B - 1 * cumbefore AS capped
+        FROM p),
+    g AS (
+        SELECT *,
+               SUM(CASE WHEN capped THEN tokens ELSE 0 END) OVER () AS cap_c,
+               SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_cap
+        FROM f),
+    q AS (
+        SELECT source, tokens, capped,
+               CASE WHEN capped THEN CAST(tokens * 1 AS DOUBLE)
+                    ELSE CAST(B - 1 * cap_c AS DOUBLE) / (n - n_cap)
+               END AS quota
+        FROM g)
+    SELECT source, tokens, capped, quota, quota / tokens AS epochs
+    FROM q ORDER BY source
+    """,
+    desc="UniMax budget allocation (Chung 2023): distribute 85% of the "
+    "corpus token mass across sources with a 1-epoch cap — capped "
+    "sources contribute everything, the rest share the leftover "
+    "EQUALLY; the paper's sequential greedy solved in closed water-"
+    "filling form (cap-binding is prefix-monotone in size order), so "
+    "two windows over per-source totals replace the recursion and the "
+    "shared quota is one IEEE division — exact cross-engine",
+)
+def sample_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.py unimax_allocation: corpus touches one
+    map-side-combinable groupBy(source); windows run on n_sources rows.
+    Feed `epochs` into hash_bucket to materialize the mixture."""
+    docs = table(spark, sf_dir, "documents")
+    return SP.unimax_allocation(
+        docs, "source", "n_chars", budget_frac=0.85, max_epochs=1
+    ).orderBy("source")

@@ -2067,3 +2067,119 @@ class TestRandomProjection:
         assert a != b and len(a) == 16
         c = self._proj(spark, [[0.3] * 64], out_dim=4, seed=7).collect()[0].proj
         assert c == a[:4]  # sign rows are independent per j
+
+
+class TestUnimaxAllocation:
+    """Closed water-filling form == the paper's sequential greedy."""
+
+    def _alloc(self, spark, sizes, frac=0.85, E=1):
+        from gearpump_spark.operators.sampling import unimax_allocation
+
+        rows = [(f"s{i:03d}", int(c)) for i, c in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        out = unimax_allocation(df, "source", "n_chars", frac, E)
+        return {r.source: r for r in out.collect()}
+
+    @staticmethod
+    def _greedy(sizes, frac, E):
+        import math
+
+        named = sorted((int(c), f"s{i:03d}") for i, c in enumerate(sizes))
+        B = math.floor(frac * sum(c for c, _ in named))
+        rem, out = float(B), {}
+        for i, (c, name) in enumerate(named):
+            share = rem / (len(named) - i)
+            q = min(float(c * E), share)
+            out[name] = q
+            rem -= q
+        return out
+
+    def test_matches_sequential_greedy(self, spark):
+        import random
+
+        rng = random.Random(3)
+        for trial in range(4):
+            sizes = [rng.randint(100, 50_000) for _ in range(rng.randint(2, 15))]
+            frac = [0.3, 0.85, 1.0, 2.5][trial]
+            E = [1, 1, 2, 3][trial]
+            got = self._alloc(spark, sizes, frac, E)
+            want = self._greedy(sizes, frac, E)
+            for name, row in got.items():
+                # closed form does exact-integer arithmetic until ONE final
+                # division; greedy accumulates float subtractions — equal
+                # up to float noise, and exactly equal on capped rows
+                assert abs(row.quota - want[name]) < 1e-6 * max(1, want[name])
+                assert row.quota <= row.tokens * E + 1e-9
+            total = sum(r.quota for r in got.values())
+            import math
+
+            B = math.floor(frac * sum(sizes))
+            if not all(r.capped for r in got.values()):
+                assert abs(total - B) < 1e-6 * B  # budget fully spent
+            else:
+                assert total <= B  # every source exhausted under budget
+
+    def test_all_capped_when_budget_exceeds_corpus(self, spark):
+        got = self._alloc(spark, [100, 200, 300], frac=5.0, E=1)
+        assert all(r.capped for r in got.values())
+        assert all(r.epochs == 1.0 for r in got.values())
+
+    def test_none_capped_uniform(self, spark):
+        got = self._alloc(spark, [1000] * 4, frac=0.5, E=1)
+        assert not any(r.capped for r in got.values())
+        assert len({r.quota for r in got.values()}) == 1
+
+
+class TestLinkPrediction:
+    def _predict(self, spark, edge_list, k=50, max_degree=None):
+        from gearpump_spark.operators.graph import link_predict_common_neighbors
+
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        return link_predict_common_neighbors(df, k=k, max_degree=max_degree).collect()
+
+    @staticmethod
+    def _python_truth(edge_list):
+        import collections
+
+        nbrs = collections.defaultdict(set)
+        for a, b in edge_list:
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        linked = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+        out = {}
+        nodes = sorted(nbrs)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1 :]:
+                if (x, y) in linked:
+                    continue
+                c = len(nbrs[x] & nbrs[y])
+                if c:
+                    out[(x, y)] = (c, c / len(nbrs[x] | nbrs[y]))
+        return out
+
+    def test_matches_pure_python(self, spark):
+        import random
+
+        rng = random.Random(5)
+        edges = list({(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(60)})
+        got = self._predict(spark, edges, k=1000)
+        want = self._python_truth(edges)
+        assert {(r.u, r.v): (r.common, r.jaccard) for r in got} == want
+        # ranking is (common desc, jaccard desc, u, v) — verify total order
+        keys = [(-r.common, -r.jaccard, r.u, r.v) for r in got]
+        assert keys == sorted(keys)
+
+    def test_linked_pairs_never_predicted(self, spark):
+        # triangle + pendant: (1,2),(2,3),(1,3) linked; only (1,4) etc unlinked
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        got = {(r.u, r.v) for r in self._predict(spark, edges)}
+        assert (1, 2) not in got and (1, 4) in got and (2, 4) in got
+
+    def test_max_degree_excludes_hub_centers(self, spark):
+        # star: hub 0 connects 1..6; every leaf pair shares ONLY the hub
+        edges = [(0, i) for i in range(1, 7)]
+        full = self._predict(spark, edges)
+        assert len(full) == 15  # C(6,2) leaf pairs via the hub
+        capped = self._predict(spark, edges, max_degree=3)
+        assert capped == []  # hub excluded as wedge center -> no wedges
