@@ -333,11 +333,12 @@ class HeaderDecoder:
                 "audio_codec": None,
                 "n_video_frames": None,
                 "video_timescale": None,
+                "video_stts_duration": None,
             }
             for t, s, e in self._boxes(payload, *moov):
                 if t != b"trak":
                     continue
-                handler = codec = n_samples = media_ts = None
+                handler = codec = n_samples = media_ts = stts_dur = None
                 for tt, ts_, te in self._boxes(payload, s, e):
                     if tt != b"mdia":
                         continue
@@ -373,10 +374,39 @@ class HeaderDecoder:
                                         n_samples = int.from_bytes(
                                             payload[bs + 8 : bs + 12], "big"
                                         )
+                                    elif bt == b"stts" and be - bs >= 8:
+                                        # run-length (count, delta) pairs in
+                                        # media ticks: total track duration =
+                                        # Σ count·delta — the denominator of
+                                        # real fps (timescale·frames/dur)
+                                        n_runs = int.from_bytes(
+                                            payload[bs + 4 : bs + 8], "big"
+                                        )
+                                        if be - bs >= 8 + 8 * n_runs:
+                                            stts_dur = sum(
+                                                int.from_bytes(
+                                                    payload[
+                                                        bs + 8 + 8 * r : bs
+                                                        + 12
+                                                        + 8 * r
+                                                    ],
+                                                    "big",
+                                                )
+                                                * int.from_bytes(
+                                                    payload[
+                                                        bs + 12 + 8 * r : bs
+                                                        + 16
+                                                        + 8 * r
+                                                    ],
+                                                    "big",
+                                                )
+                                                for r in range(n_runs)
+                                            )
                 if handler == b"vide":
                     out["video_codec"] = codec
                     out["n_video_frames"] = n_samples
                     out["video_timescale"] = media_ts
+                    out["video_stts_duration"] = stts_dur
                 elif handler == b"soun":
                     out["audio_codec"] = codec
             return out
@@ -1308,11 +1338,19 @@ def encode_mp4(
         # sample entry: size + fourcc + 6 reserved + data_ref_index
         entry = (16).to_bytes(4, "big") + codec + bytes(6) + (1).to_bytes(2, "big")
         stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
-        stts = box(
-            b"stts",
-            bytes(4) + (1).to_bytes(4, "big")
-            + n_frames.to_bytes(4, "big") + (1).to_bytes(4, "big"),
-        )
+        # stts: per spec a run-length table of (sample_count, sample_delta)
+        # pairs in media-timescale ticks. Default = one run, 1 tick/frame;
+        # 'stts_runs' spec key gives variable frame timing (the source of
+        # real fps) — counts must sum to the stsz sample count.
+        runs = spec.get("stts_runs") or [(n_frames, 1)]
+        if sum(c for c, _ in runs) != n_frames:
+            raise ValueError("stts_runs sample counts must sum to n_frames")
+        stts_body = bytes(4) + len(runs).to_bytes(4, "big")
+        for cnt, delta in runs:
+            if not (0 < cnt < 1 << 32 and 0 < delta < 1 << 32):
+                raise ValueError("stts count/delta are 32-bit unsigned, > 0")
+            stts_body += int(cnt).to_bytes(4, "big") + int(delta).to_bytes(4, "big")
+        stts = box(b"stts", stts_body)
         stsz = box(
             b"stsz",
             bytes(4) + (1024).to_bytes(4, "big") + n_frames.to_bytes(4, "big"),
@@ -1437,18 +1475,68 @@ def synthesize_mp4_stsd_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
+def synthesize_mp4_fps_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL MP4s with VARIABLE frame timing, closed-form: the video
+    track's stts carries two runs — 8·(1+id%3) frames at (20+10·(id%4))
+    ticks plus 4·(1+id%2) frames at 25 ticks, media timescale
+    600·(1+id%3) — so average fps = timescale·frames/Σ(count·delta) is a
+    different non-trivial rational per document; a driver oracle verifies
+    the stts walk by pure arithmetic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                c1, d1 = 8 * (1 + i % 3), 20 + 10 * (i % 4)
+                c2, d2 = 4 * (1 + i % 2), 25
+                tables = [
+                    {
+                        "handler": "vide",
+                        "codec": "avc1" if i % 2 == 0 else "hev1",
+                        "n_frames": c1 + c2,
+                        "media_timescale": 600 * (1 + i % 3),
+                        "stts_runs": [(c1, d1), (c2, d2)],
+                    }
+                ]
+                payloads.append(
+                    encode_mp4(
+                        width=32,
+                        height=32,
+                        timescale=1000,
+                        duration=1000,
+                        sample_tables=tables,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
 def decode_video_sample_tables(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
+    include_timing: bool = False,
 ) -> DataFrame:
     """(id, video_codec, audio_codec, n_video_frames, video_timescale)
     via the REAL stbl walk (trak → mdia → mdhd/hdlr/minf → stbl →
     stsd/stsz) — the codec-allowlist / frame-budget filter columns a
     100 TB video pipeline prunes on before ever touching media bytes.
-    Narrow Arrow map; payloads never shuffle."""
+    Narrow Arrow map; payloads never shuffle.
+
+    ``include_timing=True`` appends video_stts_duration (Σ count·delta
+    over the stts run table, media ticks) — the denominator of real fps.
+    Opt-in so the original column set stays schema-stable."""
     decoder = decoder or HeaderDecoder()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("video_codec", "audio_codec", "n_video_frames", "video_timescale")
+        if include_timing:
+            cols = cols + ("video_stts_duration",)
         for pdf in batches:
             out = {id_col: pdf[id_col].values, **{c: [] for c in cols}}
             for p in pdf[payload_col]:
@@ -1464,7 +1552,8 @@ def decode_video_sample_tables(
         # >= 2^31 would overflow an int32 Arrow cast and fail the task,
         # violating corrupt-payload-never-fails-the-batch (ADVICE r3)
         _id_field(df, id_col) + ", video_codec string, audio_codec string, "
-        "n_video_frames bigint, video_timescale bigint",
+        "n_video_frames bigint, video_timescale bigint"
+        + (", video_stts_duration bigint" if include_timing else ""),
     )
 
 

@@ -428,3 +428,21 @@ def unimax_allocation(
         quota.alias("quota"),
         (quota / F.col("tokens")).alias("epochs"),
     )
+
+
+def cluster_safe_split(
+    df: DataFrame, cluster_col: str, test_bp: int = 1000, seed: int = 0
+) -> DataFrame:
+    """Leakage-free train/test split: the hash decision keys on the
+    CLUSTER id (near-dup component representative), not the row key, so
+    every member of a near-duplicate cluster lands on the SAME side —
+    the split a plain per-document hash cannot give (near-identical
+    text in train AND test silently inflates eval).
+
+    Scale: one scan-local expression on an already-clustered frame —
+    the cost lives in producing cluster ids (LSH + connected
+    components, both near-linear); the split itself moves nothing."""
+    b = hash_bucket(F.col(cluster_col), seed)
+    return df.withColumn(
+        "split", F.when(b < test_bp, F.lit("test")).otherwise(F.lit("train"))
+    )

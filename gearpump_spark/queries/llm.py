@@ -3923,3 +3923,88 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return link_predict_common_neighbors(edges, k=20)
+
+
+@register(
+    "multimodal_video_fps",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 * (1 + doc_id % 3) AS c1, 20 + 10 * (doc_id % 4) AS d1,
+               4 * (1 + doc_id % 2) AS c2, 25 AS d2,
+               600 * (1 + doc_id % 3) AS ts
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+           CAST(c1 + c2 AS BIGINT) AS n_video_frames,
+           CAST(ts AS BIGINT) AS video_timescale,
+           CAST(c1 * d1 + c2 * d2 AS BIGINT) AS video_stts_duration,
+           CAST(ts * (c1 + c2) AS DOUBLE) / (c1 * d1 + c2 * d2) AS avg_fps
+    FROM p ORDER BY doc_id
+    """,
+    desc="REAL stts frame-timing walk: MP4s synthesized with TWO stts "
+    "runs of different tick deltas per video track; the walker sums "
+    "count*delta over the run table and avg fps = timescale*frames/"
+    "duration is one IEEE division of the walked bigints — the "
+    "frame-rate filter column a video pipeline prunes on (e.g. drop "
+    "screencasts < 5 fps) without touching media bytes",
+)
+def multimodal_video_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py sniff_video_tracks stts extension +
+    decode_video_sample_tables(include_timing=True): narrow Arrow map,
+    payloads never shuffle; oracle recomputes the two-run arithmetic
+    closed-form so the REAL box walk is what's hash-checked."""
+    from gearpump_spark.operators.multimodal import (
+        decode_video_sample_tables,
+        synthesize_mp4_fps_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = decode_video_sample_tables(
+        synthesize_mp4_fps_payloads(docs), include_timing=True
+    )
+    return out.select(
+        "doc_id",
+        "video_codec",
+        "n_video_frames",
+        "video_timescale",
+        "video_stts_duration",
+        (
+            (F.col("video_timescale") * F.col("n_video_frames")).cast("double")
+            / F.col("video_stts_duration")
+        ).alias("avg_fps"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_cluster_split",
+    oracle=_SQL_CLUSTERS_CTES
+    + f""",
+    labeled AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN {_SQL_H15.format(seed="'0'", key="cluster_id")}
+                    % 10000 < 1000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM clusters)
+    SELECT doc_id, cluster_id, split FROM labeled ORDER BY doc_id
+    """,
+    desc="LEAKAGE-FREE train/test split: the 10% hash decision keys on "
+    "the near-dup CLUSTER id (LSH -> connected components), not the "
+    "doc id, so near-duplicates always land on the same side — the "
+    "split discipline that keeps eval honest (per-doc hashing puts "
+    "near-identical text in train AND test)",
+)
+def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.py cluster_safe_split over the dedup_clusters
+    component ids: the split itself is a scan-local expression; the
+    cluster ids come from the near-linear LSH + CC pipeline."""
+    from gearpump_spark.operators.graph import connected_components
+    from gearpump_spark.operators.sampling import cluster_safe_split
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="a", dst="b"
+    ).select(F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    return cluster_safe_split(comps, "cluster_id", test_bp=1000).orderBy("doc_id")

@@ -1119,6 +1119,8 @@ def test_mp4_stsd_sample_table_walk_and_truncation_safe():
         "audio_codec": "mp4a",
         "n_video_frames": 150,
         "video_timescale": 600,
+        # default stts = one run at 1 tick/frame -> duration == n_frames
+        "video_stts_duration": 150,
     }
     # presentation-level sniff still works: audio track carries 0x0 dims,
     # so width/height come from the video track; both tracks counted
@@ -1131,6 +1133,7 @@ def test_mp4_stsd_sample_table_walk_and_truncation_safe():
         "audio_codec": None,
         "n_video_frames": None,
         "video_timescale": None,
+        "video_stts_duration": None,
     }
     # truncation / garbage never raise
     for cut in range(0, len(enc), 11):
@@ -1158,6 +1161,7 @@ def test_mp4_mdhd_version1_timescale():
         "audio_codec": None,
         "n_video_frames": 0xFFFF0000,  # > int32 max: needs the bigint cols
         "video_timescale": 90000,
+        "video_stts_duration": 0xFFFF0000,  # one default 1-tick run
     }
     for cut in range(0, len(enc), 13):
         d.sniff_video_tracks(enc[:cut])
@@ -1410,3 +1414,37 @@ def test_ahash63_brightness_invariance_and_pairing(spark):
     }
     assert got == brute
     assert got == {(2 * g, 2 * g + 1): 0 for g in range(20)}
+
+
+def test_mp4_stts_multi_run_fps_walk():
+    """stts extension: multi-run (count, delta) tables round-trip — the
+    walker's video_stts_duration is Σ count·delta; counts that disagree
+    with stsz are an encoder error; truncation never raises."""
+    import pytest
+
+    from gearpump_spark.operators.multimodal import HeaderDecoder, encode_mp4
+
+    d = HeaderDecoder()
+    enc = encode_mp4(
+        width=64, height=64, timescale=1000, duration=1000,
+        sample_tables=[
+            {"handler": "vide", "codec": "avc1", "n_frames": 30,
+             "media_timescale": 600,
+             "stts_runs": [(10, 20), (15, 25), (5, 40)]},
+        ],
+    )
+    got = d.sniff_video_tracks(enc)
+    assert got["n_video_frames"] == 30
+    assert got["video_stts_duration"] == 10 * 20 + 15 * 25 + 5 * 40
+    # avg fps = timescale * frames / duration = 600*30/775 ≈ 23.2
+    assert abs(600 * 30 / got["video_stts_duration"] - 23.2258) < 1e-3
+    with pytest.raises(ValueError, match="sum to n_frames"):
+        encode_mp4(
+            width=64, height=64, timescale=1000, duration=1000,
+            sample_tables=[
+                {"handler": "vide", "codec": "avc1", "n_frames": 30,
+                 "media_timescale": 600, "stts_runs": [(10, 20)]},
+            ],
+        )
+    for cut in range(0, len(enc), 7):
+        d.sniff_video_tracks(enc[:cut])

@@ -2183,3 +2183,37 @@ class TestLinkPrediction:
         assert len(full) == 15  # C(6,2) leaf pairs via the hub
         capped = self._predict(spark, edges, max_degree=3)
         assert capped == []  # hub excluded as wedge center -> no wedges
+
+
+def test_cluster_safe_split_no_leakage(spark, sf_dir):
+    """Every LSH candidate pair must land on ONE side of the split —
+    the property per-doc hash splits violate (checked here: the same
+    corpus split by doc_id DOES leak at least one pair)."""
+    from gearpump_spark.operators import dedup as D
+    from gearpump_spark.operators.graph import connected_components
+    from gearpump_spark.operators.sampling import cluster_safe_split
+    from gearpump_spark.datasets import table
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="a", dst="b"
+    ).select(F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    split = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(comps, "cluster_id").collect()
+    }
+    plist = [(r.a, r.b) for r in pairs.collect()]
+    assert plist, "fixture should produce candidate pairs"
+    assert all(split[a] == split[b] for a, b in plist)
+    assert {"train", "test"} == set(split.values())
+    # contrast: naive per-doc split leaks (if it didn't, the clustered
+    # split would be pointless on this corpus)
+    from gearpump_spark.operators.sampling import train_test_split
+
+    naive = {
+        r.doc_id: r.split
+        for r in train_test_split(docs, "doc_id", test_bp=1000).collect()
+    }
+    assert any(naive[a] != naive[b] for a, b in plist)
