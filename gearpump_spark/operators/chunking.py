@@ -63,3 +63,68 @@ def chunk_by_tokens(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modulus: int = 8,
+    seed: int = 9,
+) -> DataFrame:
+    """Content-defined chunking (gear/Rabin CDC family, over tokens): cut
+    AFTER token i whenever the seeded hash of the 2-token window ending
+    at the cut is ≡ 0 (mod `modulus`) — expected chunk length ≈ modulus
+    tokens. Because boundaries depend only on LOCAL content, inserting or
+    deleting a prefix shifts chunk OFFSETS but not chunk IDENTITY: every
+    chunk not touching the edit re-fingerprints identically, which is the
+    property fixed-size chunking (dedup_chunk_exact) fundamentally lacks
+    — one inserted token there shifts every later chunk's content.
+
+    Returns (id_col, chunk_idx, tok_start, n_tokens, fp): fp = md5 of the
+    space-joined chunk tokens, the cross-document dedup key.
+
+    Scale: a pure narrow map — boundary tests, segmentation, and
+    fingerprinting are all array expressions inside whole-stage codegen;
+    the chunk TEXT never leaves the row (only 16-byte fps + coordinates
+    go on to any downstream shuffle). Production CDC adds min/max chunk
+    bounds to tame the geometric length tail; omitted here so the oracle
+    stays closed-form (the bound is one extra filter on n_tokens).
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    tk = TX.tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), tk.alias("tk")).filter(F.size("tk") > 0)
+    n = F.size("tk")
+    win = lambda i: F.concat(  # noqa: E731 — 2-token window ending at cut i
+        F.element_at("tk", i), F.lit(" "), F.element_at("tk", i + 1)
+    )
+    # F.sequence(1, 0) DESCENDS in Spark — a 1-token doc must yield an
+    # empty boundary list (one whole-doc chunk), not a bogus [1, 0] scan
+    bpos = F.when(
+        n > 1,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: seeded_hash15(win(i), seed) % modulus == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    seg = base.select(
+        id_col,
+        "tk",
+        F.concat(F.array(F.lit(0)), bpos).alias("starts"),
+        F.concat(bpos, F.array(n)).alias("ends"),
+    )
+    ex = seg.select(
+        id_col,
+        "tk",
+        F.posexplode(F.arrays_zip("starts", "ends")).alias("chunk_idx", "se"),
+    )
+    start, end = F.col("se.starts"), F.col("se.ends")
+    chunk = F.slice(F.col("tk"), start + 1, end - start)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("tok_start"),
+        (end - start).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("fp"),
+    )

@@ -996,3 +996,42 @@ def random_projection(
         ]
     )
     return base.withColumn(out_col, comps).drop("_vq")
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    a_id: str = "q_id",
+    c_id: str = "vec_id",
+    a_vec: str = "q_vec",
+    c_vec: str = "embedding",
+    a_label: str = "q_label",
+    c_label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses that teach an embedding model its decision boundary
+    (random negatives are trivially separable; hard ones carry the
+    gradient signal).
+
+    Same plan shape as cosine_topk — anchors broadcast, corpus never
+    shuffles, per-anchor top-k is |A|·k partials — plus one scan-local
+    label-inequality filter BEFORE ranking, so positives can't occupy
+    negative slots. At 100 TB swap the exact scan for the IVF probe
+    (ivf_topk_from_index) and apply the same filter to its candidates.
+    """
+    from pyspark.sql import Window as W
+
+    sim = F.round(cosine(F.col(a_vec), F.col(c_vec)), 4).alias("cosine_sim")
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col(c_label) != F.col(a_label))
+        .select(F.col(a_id), F.col(c_id), sim)
+    )
+    w = W.partitionBy(a_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(a_id, c_id, "cosine_sim", "rank")
+    )

@@ -132,6 +132,8 @@ DRIVER_SAMPLE_WINDOW = [
     "graph_link_prediction",
     "multimodal_video_fps",
     "sample_cluster_split",
+    "dedup_cdc_chunks",
+    "similarity_hard_negatives",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
     "q1_pricing_summary",
@@ -143,18 +145,18 @@ DRIVER_SAMPLE_WINDOW = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
     # join matrix
     "q_asof_join",
     "q_range_join",
-    # (q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
+    # (q10_returned_items, q11_important_parts,
+    # q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
     # q15_top_supplier, q16_supplier_count, q17_small_quantity_revenue,
     # q18_large_volume_customer — r1-verified,
     # stable code paths — gave their slots to the late-r4 never-verified
     # queries sample_negative_pairs/text_length_band_filter/
     # embedding_random_projection/sample_unimax_mix/graph_link_prediction/
-    # multimodal_video_fps/sample_cluster_split above;
+    # multimodal_video_fps/sample_cluster_split/dedup_cdc_chunks/
+    # similarity_hard_negatives above;
     # q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
     # q_sessionize — same r1-verified cohort — rotated out to hold the
     # window at exactly 50 as eight never-verified r4 queries took slots;

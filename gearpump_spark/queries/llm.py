@@ -4008,3 +4008,110 @@ def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, nodes=docs.select("doc_id"), src="a", dst="b"
     ).select(F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id"))
     return cluster_safe_split(comps, "cluster_id", test_bp=1000).orderBy("doc_id")
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM documents),
+    b AS (
+        SELECT doc_id, tk,
+               LIST_FILTER(RANGE(1, LEN(tk)),
+                   i -> {_SQL_H15.format(seed="'9'", key="(tk[i] || ' ' || tk[i+1])")}
+                        % 8 = 0) AS bpos
+        FROM toks WHERE LEN(tk) > 0),
+    seg AS (
+        SELECT doc_id, tk,
+               LIST_PREPEND(0, bpos) AS starts,
+               LIST_APPEND(bpos, LEN(tk)) AS ends,
+               UNNEST(GENERATE_SERIES(1, LEN(bpos) + 1)) AS j
+        FROM b),
+    ch AS (
+        SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+               CAST(starts[j] AS BIGINT) AS tok_start,
+               CAST(ends[j] - starts[j] AS BIGINT) AS n_tokens,
+               MD5(ARRAY_TO_STRING(tk[starts[j] + 1 : ends[j]], ' ')) AS fp
+        FROM seg),
+    r AS (
+        SELECT doc_id, chunk_idx, tok_start, n_tokens, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY doc_id, chunk_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY fp) AS n_dups
+        FROM ch)
+    SELECT fp, doc_id, chunk_idx, tok_start, n_tokens,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1 ORDER BY doc_id, chunk_idx
+    """,
+    desc="content-defined chunk dedup (gear/Rabin CDC over tokens): cut "
+    "where the seeded hash of the 2-token window is 0 mod 8, so chunk "
+    "identity survives prefix insertions/deletions — the edit-robust "
+    "upgrade over fixed-size chunk dedup, where one inserted token "
+    "shifts every later chunk; winner = min (doc_id, chunk_idx) per fp",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/chunking.py cdc_chunks: boundary tests, segmentation,
+    and fingerprints are array expressions in one narrow map; only
+    16-byte fps + coordinates reach the dedup shuffle."""
+    from pyspark.sql import Window as W
+
+    from gearpump_spark.operators.chunking import cdc_chunks
+
+    docs = table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, modulus=8, seed=9)
+    w = W.partitionBy("fp")
+    return (
+        ch.withColumn("rn", F.row_number().over(w.orderBy("doc_id", "chunk_idx")))
+        .withColumn("n_dups", F.count("*").over(w).cast("long"))
+        .where(F.col("rn") == 1)
+        .select("fp", "doc_id", "chunk_idx", "tok_start", "n_tokens", "n_dups")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH anchors AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+        FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT a.q_id, e.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(a.q_vec[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(a.q_vec,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine_sim
+        FROM embeddings e CROSS JOIN anchors a
+        WHERE e.label <> a.q_label)
+    SELECT q_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    desc="hard-negative mining for contrastive training: per anchor the "
+    "top-5 most-similar vectors with a DIFFERENT label — near-misses "
+    "that carry the gradient signal random negatives lack; anchors "
+    "broadcast, label filter applied scan-local BEFORE ranking",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py hard_negatives: cosine_topk plan shape +
+    one label-inequality filter; corpus never shuffles."""
+    from gearpump_spark.operators.similarity import hard_negatives
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negatives(anchors, emb, k=5)
+    return out.select(
+        "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("q_id", "rank")

@@ -2217,3 +2217,94 @@ def test_cluster_safe_split_no_leakage(spark, sf_dir):
         for r in train_test_split(docs, "doc_id", test_bp=1000).collect()
     }
     assert any(naive[a] != naive[b] for a, b in plist)
+
+
+class TestCdcChunks:
+    def _chunks(self, spark, texts, **kw):
+        from gearpump_spark.operators.chunking import cdc_chunks
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return cdc_chunks(df, **kw).collect()
+
+    def test_full_coverage_no_overlap(self, spark):
+        import random
+
+        rng = random.Random(7)
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+        text = " ".join(rng.choice(words) for _ in range(300))
+        rows = sorted(self._chunks(spark, [text]), key=lambda r: r.chunk_idx)
+        assert rows[0].tok_start == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.tok_start == prev.tok_start + prev.n_tokens
+        assert rows[-1].tok_start + rows[-1].n_tokens == 300
+        # expected chunk length ~ modulus: sanity-band the segmentation
+        assert 10 < len(rows) < 150
+
+    def test_single_token_doc_one_chunk(self, spark):
+        rows = self._chunks(spark, ["lonely"])
+        assert len(rows) == 1
+        assert (rows[0].tok_start, rows[0].n_tokens) == (0, 1)
+
+    def test_prefix_insert_preserves_interior_chunk_identity(self, spark):
+        """THE CDC property: prepending tokens shifts offsets but interior
+        chunk fingerprints survive — fixed-size chunking loses all of them."""
+        import random
+
+        rng = random.Random(11)
+        words = "red green blue cyan magenta yellow black white".split()
+        body = " ".join(rng.choice(words) for _ in range(400))
+        shifted = "zzz qqq xxx " + body
+        rows = self._chunks(spark, [body, shifted])
+        fps0 = {r.fp for r in rows if r.doc_id == 0}
+        fps1 = {r.fp for r in rows if r.doc_id == 1}
+        shared = len(fps0 & fps1) / len(fps0)
+        assert shared > 0.8, f"only {shared:.0%} of chunks survived the prefix edit"
+        # contrast: fixed-size chunks are wiped out by the same edit
+        from gearpump_spark.operators.chunking import chunk_by_tokens
+
+        df = spark.createDataFrame(
+            [(0, body), (1, shifted)], "doc_id long, text string"
+        )
+        fixed = chunk_by_tokens(df, size=8, stride=8).select(
+            "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("fp")
+        ).collect()
+        f0 = {r.fp for r in fixed if r.doc_id == 0}
+        f1 = {r.fp for r in fixed if r.doc_id == 1}
+        assert len(f0 & f1) / len(f0) < 0.1
+
+
+def test_hard_negatives_label_filter_and_ranking(spark):
+    """No same-label vector may appear; ranking matches brute force."""
+    import numpy as np
+
+    from gearpump_spark.operators.similarity import hard_negatives
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(0, 1, size=(30, 8))
+    labels = [i % 3 for i in range(30)]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(30)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    got = hard_negatives(anchors, corpus, k=4).collect()
+    lab = dict(enumerate(labels))
+    for r in got:
+        assert lab[r.vec_id] != lab[r.q_id]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    for q in range(3):
+        cands = sorted(
+            ((-cos(vecs[q], vecs[c]), c) for c in range(30) if lab[c] != lab[q]),
+        )[:4]
+        want = [c for _, c in cands]
+        have = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.q_id == q]
+        assert have == want, q
