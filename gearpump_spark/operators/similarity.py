@@ -969,8 +969,9 @@ def random_projection(
     sqrt(out_dim)/scale downstream when absolute scale matters (kept
     integer here so the oracle is exact).
 
-    Scale shape: ZERO shuffles — one narrow map per row (out_dim folds
-    of length dim, whole-stage codegen). This is the 100 TB pre-step for
+    Scale shape: ZERO shuffles — one narrow map per row (out_dim integer
+    folds of length dim; higher-order array expressions evaluate outside
+    whole-stage codegen but never leave the scan stage). The 100 TB pre-step for
     ANN/clustering: shrink 64-dim floats to 16 ints BEFORE anything
     shuffles, cutting exchange bytes ~8× while cosine ordering survives
     within JL tolerance (tested).

@@ -283,3 +283,38 @@ def hll_register_table(
         .groupBy(*gcols, "idx")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 64, seed: int = 4
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef 2002;
+    Beyer 2007 unbiased form): hash every distinct element uniformly into
+    [0, 2^60), keep the k smallest hashes, estimate
+    distinct ≈ (k-1) · 2^60 / h_(k) — one IEEE division, so even the
+    float estimate is engine-exact and DuckDB-oracle-checkable
+    (unlike engine-native HLL, whose register layouts differ).
+
+    Returns ONE row: (k, kth_hash, est_distinct). Mergeable: the union of
+    two sketches is the k smallest of the combined min-sets — the same
+    property HLL offers, with an exactly reproducible estimator.
+
+    Scale: the k-min set is a global TakeOrdered (per-partition top-k +
+    driver merge of k values — never a global sort); everything before it
+    is the distinct agg, map-side combined. Memory is O(k) per partition.
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    h = (
+        df.select(F.col(col).alias("_v"))
+        .distinct()
+        .select(seeded_hash15(F.col("_v"), seed).alias("h"))
+    )
+    kmin = h.orderBy("h").limit(k)
+    return kmin.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.max("h").alias("kth_hash"),
+        (
+            F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.max("h").cast("double")
+        ).alias("est_distinct"),
+    )

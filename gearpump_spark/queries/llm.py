@@ -3851,7 +3851,7 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.py random_projection: zero-shuffle narrow
-    map (out_dim integer folds per row, whole-stage codegen); cosine
+    map (out_dim integer folds per row); cosine
     ordering survives within JL tolerance (tested in
     tests/test_operators_unit.py)."""
     from gearpump_spark.operators.similarity import random_projection

@@ -817,3 +817,74 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+    WITH files AS (
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY source, lang),
+    ordered AS (
+        SELECT *,
+               COALESCE(SUM(bytes) OVER (ORDER BY bytes, source, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM files),
+    binned AS (
+        SELECT source, lang, n_docs, bytes,
+               CAST(cum_before // 16384 AS BIGINT) AS bin
+        FROM ordered)
+    SELECT source, lang, n_docs, bytes, bin,
+           CAST(SUM(bytes) OVER (PARTITION BY bin) AS BIGINT) AS bin_bytes,
+           CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files
+    FROM binned ORDER BY source, lang
+    """,
+    desc="small-file compaction planner (OPTIMIZE-style bin packing): "
+    "treat each (source, lang) slice as a file, order size-ascending, "
+    "assign merge bins by cumulative-size range (bin = cum_before div "
+    "16KB target) — the shuffle-free, sequential-dependency-free "
+    "approximation of greedy packing: every bin lands in "
+    "[target - max_file, target + max_file), and the assignment is a "
+    "pure window over the FILE INVENTORY (never the data)",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse maintenance: the planner runs on file metadata (one row
+    per file), so at 100 TB the window sorts ~10^6 inventory rows while
+    the actual rewrite is embarrassingly parallel per bin. Range-packing
+    (floor(cum/target)) instead of greedy first-fit: no sequential scan
+    dependency, deterministic, and bin overshoot is bounded by one file."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+    )
+    w = W.orderBy("bytes", "source", "lang")
+    ordered = files.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bytes").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    binned = ordered.select(
+        "source",
+        "lang",
+        "n_docs",
+        "bytes",
+        F.floor(F.col("cum_before") / 16384).cast("long").alias("bin"),
+    )
+    wb = W.partitionBy("bin")
+    return binned.select(
+        "source",
+        "lang",
+        "n_docs",
+        "bytes",
+        "bin",
+        F.sum("bytes").over(wb).cast("long").alias("bin_bytes"),
+        F.count("*").over(wb).cast("long").alias("bin_files"),
+    ).orderBy("source", "lang")

@@ -366,3 +366,38 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(_HLL_UNION_ALPHA_NUM)) / F.col("inv_sum").cast("double"), 4
         ).alias("est_distinct"),
     ).orderBy("grp")
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH w AS (
+        SELECT DISTINCT LOWER(word) AS word FROM (
+            SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                      t -> t <> '')) AS word
+            FROM documents)),
+    h AS (SELECT {_SQL_H15_T.format(seed="'4'", key="word")} AS h FROM w),
+    kmin AS (SELECT h FROM h ORDER BY h LIMIT 64)
+    SELECT CAST(64 AS BIGINT) AS k,
+           MAX(h) AS kth_hash,
+           63.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE)
+             AS est_distinct
+    FROM kmin
+    """,
+    desc="KMV (k-minimum-values) distinct-count sketch over the corpus "
+    "vocabulary: keep the 64 smallest seeded hashes of the distinct "
+    "words, estimate distinct = 63*2^60/h_(64) — ONE IEEE division, so "
+    "even the float estimate is engine-exact (the reproducible "
+    "alternative to engine-native HLL); mergeable by unioning min-sets",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py kmv_distinct: distinct agg (map-side
+    combined) then a global TakeOrdered of k values — never a full
+    sort; O(k) memory per partition."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("w")
+    ).select(F.lower("w").alias("word"))
+    return SK.kmv_distinct(words, "word", k=64, seed=4)

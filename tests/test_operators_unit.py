@@ -2308,3 +2308,74 @@ def test_hard_negatives_label_filter_and_ranking(spark):
         want = [c for _, c in cands]
         have = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.q_id == q]
         assert have == want, q
+
+
+class TestKmvDistinct:
+    def test_estimate_within_band_and_matches_formula(self, spark):
+        import hashlib
+
+        vals = [f"item{i}" for i in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        from gearpump_spark.operators.sketches import kmv_distinct
+
+        row = kmv_distinct(df, "v", k=64, seed=4).collect()[0]
+        hs = sorted(
+            int(hashlib.md5(f"4|{v}".encode()).hexdigest()[:15], 16) for v in vals
+        )
+        assert row.kth_hash == hs[63]
+        assert row.est_distinct == 63.0 * float(1 << 60) / float(hs[63])
+        # KMV error ~ 1/sqrt(k) = 12.5%; allow 3 sigma
+        assert abs(row.est_distinct - 5000) / 5000 < 0.375
+
+    def test_mergeable_union_equals_combined_sketch(self, spark):
+        import hashlib
+
+        from gearpump_spark.operators.sketches import kmv_distinct
+
+        a = [f"a{i}" for i in range(800)]
+        b = [f"b{i}" for i in range(1200)] + a[:300]  # overlap
+        k = 32
+
+        def kmin(vals):
+            return sorted(
+                int(hashlib.md5(f"4|{v}".encode()).hexdigest()[:15], 16)
+                for v in set(vals)
+            )[:k]
+
+        # union of sketches = k smallest of combined min-sets
+        merged = sorted(set(kmin(a)) | set(kmin(b)))[:k]
+        df = spark.createDataFrame([(v,) for v in a + b], "v string")
+        row = kmv_distinct(df, "v", k=k, seed=4).collect()[0]
+        assert row.kth_hash == merged[-1]
+
+    def test_plan_takeordered_no_global_sort(self, spark):
+        import contextlib
+        import io
+
+        from gearpump_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame([(f"x{i}",) for i in range(100)], "v string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            kmv_distinct(df, "v").explain("formatted")
+        p = buf.getvalue()
+        assert "TakeOrderedAndProject" in p
+        assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_compaction_plan_bin_bound(spark, sf_dir):
+    """Range-packing invariant: every bin except possibly the last
+    overshoots the 16 KB target by at most one file."""
+    from gearpump_spark.queries import all_queries
+
+    rows = all_queries()["q_compaction_plan"](spark, sf_dir).collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r)
+    for b, members in by_bin.items():
+        total = members[0].bin_bytes
+        mx = max(m.bytes for m in members)
+        assert total < 16384 + mx
+        assert all(m.bin_bytes == total for m in members)
+    # files are contiguous in size order within bins: cum ranges partition
+    assert sorted(by_bin) == list(range(len(by_bin)))

@@ -829,3 +829,60 @@ def test_gopher_and_blocklist_scan_local(spark, sf_dir):
         assert "Join" not in p, name
         assert "HashAggregate" not in p, name
         assert "hashpartitioning" not in p, name  # only the sort's range exchange
+
+
+def test_link_prediction_salted_wedge_and_anti_join(spark):
+    """The wedge self-join must run on the salted key (hub fan-out spread
+    over 16 tasks) with an AQE-exempt width pin; predictions come from a
+    LEFT-ANTI against existing edges; the top-k compiles to
+    TakeOrderedAndProject — no global sort of every candidate pair."""
+    from gearpump_spark.operators.graph import link_predict_common_neighbors
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 40) for i in range(40)], "src long, dst long"
+    )
+    p = plan(link_predict_common_neighbors(edges, k=10))
+    assert "_salt" in p
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    # REPARTITION_BY_NUM pins the wedge exchange width against AQE
+    assert "REPARTITION_BY_NUM" in p
+
+
+def test_cdc_chunks_narrow_map(spark, sf_dir):
+    """Boundary tests, segmentation, and fingerprints are array
+    expressions in ONE narrow map — zero exchanges before any downstream
+    dedup shuffle."""
+    from gearpump_spark.operators.chunking import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan(cdc_chunks(docs))
+    assert "Exchange" not in p
+
+
+def test_random_projection_no_exchange(spark, sf_dir):
+    """The JL projection is a zero-shuffle narrow map — two Project nodes
+    over the scan, nothing else (higher-order array folds run outside
+    whole-stage codegen by design, but never leave the scan stage)."""
+    from gearpump_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan(random_projection(emb, "embedding", dim=64, out_dim=16))
+    assert "Exchange" not in p
+
+
+def test_hard_negatives_broadcast_anchors_corpus_never_shuffles(spark, sf_dir):
+    """Anchors broadcast; the only exchange after the corpus scan is the
+    per-anchor top-k window shuffle on q_id."""
+    p = plan(QS["similarity_hard_negatives"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    # exchanges: q_id window + presentation sort (+ table() split guard)
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_unimax_single_corpus_groupby(spark, sf_dir):
+    """The corpus touches exactly ONE hash exchange (the per-source agg,
+    map-side combined); everything downstream runs on n_sources rows."""
+    p = plan(QS["sample_unimax_mix"](spark, sf_dir))
+    assert "partial_sum" in p or "partial" in p.lower()
+    assert p.count("Exchange hashpartitioning") <= 2  # agg + tiny window

@@ -70,6 +70,21 @@ EXTRA = [
     "dedup_canonical_pick",
     "text_gopher_rules",
     "text_blocklist_filter",
+    # r4 fourth wave: the global-rank pairing (one range exchange over
+    # (key, hash) pairs), the window-quantile band, the JL narrow map,
+    # the water-filling allocation (one groupBy + tiny windows), the
+    # salted-wedge link predictor (Σdeg² — the heaviest of the wave),
+    # the stts timing walk, the CC-keyed split, CDC chunk dedup (one fp
+    # shuffle), and broadcast hard-negative mining
+    "sample_negative_pairs",
+    "text_length_band_filter",
+    "embedding_random_projection",
+    "sample_unimax_mix",
+    "graph_link_prediction",
+    "multimodal_video_fps",
+    "sample_cluster_split",
+    "dedup_cdc_chunks",
+    "similarity_hard_negatives",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
