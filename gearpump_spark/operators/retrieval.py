@@ -289,3 +289,54 @@ def _score_topk(
     else:
         pivoted = scored.groupBy(id_col).agg(bm25_pivot_score(terms).alias("score"))
     return pivoted.orderBy(F.desc("score"), id_col).limit(k).select(id_col, "score")
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009) of N rank lists — the
+    standard hybrid-retrieval combiner (BM25 lexical + embedding
+    semantic, each blind to the other's signal). Each input is
+    (name, DataFrame[(id_col, rank)]); a document absent from a list
+    contributes nothing for it. rrf = Σ_i 1/(c + rank_i), summed in the
+    FIXED input order (IEEE addition is not associative; an unordered
+    SUM would be partition-order-dependent for ≥3 lists — same pivot
+    discipline as the BM25 scorer).
+
+    Scale: inputs are top-k lists (tiny — each ranker already reduced
+    the corpus with TakeOrdered), so the pivot groupBy and final sort
+    run on Σ|lists| rows, never the corpus.
+    """
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.lit(name).alias("_src"),
+            F.col("rank").cast("bigint").alias("_r"),
+        )
+        for name, df in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    names = [name for name, _ in rankings]
+    g = u.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_src") == name, F.col("_r"))).alias(f"r_{name}")
+            for name in names
+        ]
+    )
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"r_{name}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    ranked = g.select(id_col, *[f"r_{n}" for n in names], score.alias("rrf"))
+    from pyspark.sql import Window as W
+
+    top = ranked.orderBy(F.desc("rrf"), F.col(id_col)).limit(k)
+    w = W.orderBy(F.desc("rrf"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -4115,3 +4115,115 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
     ).orderBy("q_id", "rank")
+
+
+# BM25 CTE chain shared with text_bm25_topk (same engine-exact rational
+# scorer), parameterized only by the rank depth the fusion consumes.
+_SQL_BM25_RANKS = """
+    toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dl FROM toks),
+    words AS (SELECT doc_id, UNNEST(tk) AS word FROM toks),
+    qw AS (SELECT doc_id, word FROM words
+           WHERE word IN ('vector', 'merge', 'stream')),
+    tfc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM qw GROUP BY doc_id, word),
+    dfc AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qw GROUP BY word),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+                   CAST((SELECT SUM(LEN(tk)) FROM toks) AS BIGINT) AS t),
+    terms AS (
+        SELECT f.doc_id, f.word,
+               (22.0 * f.tf * t * (2 * n - 2 * d.df + 1)) /
+               ((10.0 * f.tf * t + 3.0 * t + 9.0 * l.dl * n) * (2 * d.df + 1)) AS s
+        FROM tfc f JOIN dfc d USING (word) JOIN dl l USING (doc_id), tot),
+    pivoted AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN word = 'vector' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN word = 'merge' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN word = 'stream' THEN s END), 0.0) AS score
+        FROM terms GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS r
+            FROM pivoted) WHERE r <= 50)
+"""
+
+
+@register(
+    "text_hybrid_rrf",
+    oracle=f"""
+    WITH {_SQL_BM25_RANKS},
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.q_vec[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(q.q_vec,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS sim
+        FROM embeddings e CROSS JOIN qv q),
+    sem AS (
+        SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                        AS BIGINT) AS r
+            FROM cos) WHERE r <= 50),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.r AS r_bm25, s.r AS r_cosine,
+               COALESCE(1.0 / (60 + l.r), 0.0)
+             + COALESCE(1.0 / (60 + s.r), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, r_bm25, r_cosine, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    desc="hybrid retrieval via reciprocal-rank fusion (Cormack 2009): "
+    "BM25 lexical top-50 fused with embedding-cosine top-50 (query = "
+    "doc 0's vector), rrf = 1/(60+r_lex) + 1/(60+r_sem) in fixed term "
+    "order — the standard lexical+semantic combiner, engine-exact "
+    "because each term is one IEEE division",
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/retrieval.py rrf_fuse over bm25_topk + cosine ranks:
+    each ranker reduces the corpus with TakeOrdered first, so fusion
+    (pivot groupBy + sort) runs on <=100 rows, never the corpus."""
+    from pyspark.sql import Window as W
+
+    from gearpump_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from gearpump_spark.operators.similarity import cosine
+
+    docs = table(spark, sf_dir, "documents")
+    lexw = W.orderBy(F.desc("score"), F.col("doc_id"))
+    lex = (
+        bm25_topk(docs, ("vector", "merge", "stream"), k=50)
+        .withColumn("rank", F.row_number().over(lexw))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_vec")), 4).alias("sim"),
+    )
+    semw = W.orderBy(F.desc("sim"), F.col("doc_id"))
+    sem = (
+        scored.orderBy(F.desc("sim"), "doc_id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(semw))
+    )
+    out = rrf_fuse([("bm25", lex), ("cosine", sem)], k=10, c=60)
+    return out.select("doc_id", "r_bm25", "r_cosine", "rrf", "rank").orderBy(
+        F.desc("rrf"), "doc_id"
+    )

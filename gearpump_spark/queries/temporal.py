@@ -811,3 +811,58 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "n_events",
     ).orderBy("user_id", "version")
+
+
+@register(
+    "q_ohlc_downsample",
+    oracle="""
+    WITH r AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+                                  ORDER BY ts, event_id) AS r_asc,
+               ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+                                  ORDER BY ts DESC, event_id DESC) AS r_desc
+        FROM events)
+    SELECT bucket, event_type,
+           MAX(CASE WHEN r_asc = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN r_desc = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+    desc="OHLC time-series downsampling (candlestick rollup): per "
+    "(hour, event_type) the first/max/min/last value with total "
+    "(ts, event_id) tie-breaks — the continuous-aggregate shape "
+    "timeseries stores precompute; open/close picked by deterministic "
+    "rank, never engine-dependent first()/last()",
+)
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle: the rank window and the rollup share the same
+    (bucket, event_type) partitioning, so Catalyst reuses the exchange;
+    at 100 TB this is the classic pre-aggregation that turns a raw tick
+    stream into queryable candles (hierarchical rollups compose by
+    re-running over the candle table)."""
+    ev = table(spark, sf_dir, "events")
+    b = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    base = ev.select(b, "event_type", "value", "ts", "event_id")
+    wp = Window.partitionBy("bucket", "event_type")
+    r = base.select(
+        "*",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("r_asc"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("r_desc"),
+    )
+    return (
+        r.groupBy("bucket", "event_type")
+        .agg(
+            F.max(F.when(F.col("r_asc") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("r_desc") == 1, F.col("value"))).alias("close"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("bucket", "event_type")
+    )

@@ -2379,3 +2379,33 @@ def test_compaction_plan_bin_bound(spark, sf_dir):
         assert all(m.bin_bytes == total for m in members)
     # files are contiguous in size order within bins: cum ranges partition
     assert sorted(by_bin) == list(range(len(by_bin)))
+
+
+def test_rrf_fuse_matches_formula_and_absence_semantics(spark):
+    from gearpump_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], "doc_id long, rank long"
+    )
+    got = {
+        r.doc_id: (r.r_bm25, r.r_cosine, r.rrf, r.rank)
+        for r in rrf_fuse([("bm25", lex), ("cosine", sem)], k=10, c=60).collect()
+    }
+    want_scores = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 62,
+    }
+    assert set(got) == set(want_scores)
+    for d, s in want_scores.items():
+        assert abs(got[d][2] - s) < 1e-15
+    # docs 1 and 3 tie exactly (1/61+1/63 both) -> id tie-break; 2 and 4
+    # tie at 1/62 -> id tie-break again
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][3])]
+    assert order == [1, 3, 2, 4]
+    # absence: doc 2 has no cosine rank, doc 4 no bm25 rank
+    assert got[2][1] is None and got[4][0] is None
