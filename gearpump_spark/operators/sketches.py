@@ -318,3 +318,56 @@ def kmv_distinct(
             F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.max("h").cast("double")
         ).alias("est_distinct"),
     )
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, col: str, k: int = 64, seed: int = 4
+) -> DataFrame:
+    """Theta-sketch-style set-intersection estimate from two KMV
+    sketches (Dasgupta 2016): take each side's k smallest distinct-element
+    hashes, θ = the kth smallest of their UNION, and count the hashes ≤ θ
+    present in BOTH min-sets (c). Then union ≈ (k−1)·2^60/θ,
+    jaccard ≈ c/k, intersection ≈ (c/k)·union — the audience-overlap
+    estimator that never materializes either set, with every arithmetic
+    step deterministic (divisions of exact integers, fixed order), so
+    the whole sketch pipeline is DuckDB-oracle-checkable.
+
+    Returns ONE row: (k, theta, c, est_union, est_jaccard,
+    est_intersection). Scale: each sketch is a distinct agg + global
+    TakeOrdered of k values; the combine step runs on ≤ 2k rows.
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    def kmin(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("_v"))
+            .distinct()
+            .select(seeded_hash15(F.col("_v"), seed).alias("h"))
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ha, hb = kmin(a), kmin(b)
+    theta_df = (
+        ha.unionByName(hb).distinct().orderBy("h").limit(k)
+        .agg(F.max("h").alias("theta"))
+    )
+    both = ha.join(hb, "h")  # k-row join: hashes in BOTH min-sets
+    c_df = both.join(F.broadcast(theta_df)).where(
+        F.col("h") <= F.col("theta")
+    ).agg(F.count("*").cast("long").alias("c"))
+    est_union = (
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("theta").cast("double")
+    )
+    jac = F.col("c").cast("double") / F.lit(float(k))
+    return (
+        theta_df.crossJoin(F.broadcast(c_df))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "theta",
+            "c",
+            est_union.alias("est_union"),
+            jac.alias("est_jaccard"),
+            (jac * est_union).alias("est_intersection"),
+        )
+    )

@@ -401,3 +401,52 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     ).select(F.lower("w").alias("word"))
     return SK.kmv_distinct(words, "word", k=64, seed=4)
+
+
+@register(
+    "sketch_theta_overlap",
+    oracle=f"""
+    WITH ae AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+               || CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS e
+        FROM events WHERE event_type = 'view'),
+    be AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+               || CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS e
+        FROM events WHERE event_type = 'purchase'),
+    ha AS (SELECT {_SQL_H15_T.format(seed="'4'", key="e")} AS h FROM ae
+           ORDER BY h LIMIT 64),
+    hb AS (SELECT {_SQL_H15_T.format(seed="'4'", key="e")} AS h FROM be
+           ORDER BY h LIMIT 64),
+    un AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+           ORDER BY h LIMIT 64),
+    th AS (SELECT MAX(h) AS theta FROM un),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM ha JOIN hb USING (h), th WHERE h <= theta)
+    SELECT CAST(64 AS BIGINT) AS k, theta, c,
+           63.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE) AS est_union,
+           CAST(c AS DOUBLE) / 64.0 AS est_jaccard,
+           (CAST(c AS DOUBLE) / 64.0)
+             * (63.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE))
+             AS est_intersection
+    FROM th, c
+    """,
+    desc="theta-sketch audience overlap: KMV intersection estimate of "
+    "'view' vs 'purchase' active user-days — theta = kth min of the "
+    "union min-set, c = shared hashes under theta; union/jaccard/"
+    "intersection estimates are fixed-order exact divisions, so the "
+    "whole sketch pipeline hash-matches the oracle (the measurement "
+    "ad/retention systems run without materializing either set)",
+)
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py kmv_overlap: two distinct-agg TakeOrdered
+    sketches + a 64-row combine — the corpus is never joined."""
+    ev = table(spark, sf_dir, "events")
+    e = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.to_date("ts").cast("string"),
+    ).alias("e")
+    a = ev.where(F.col("event_type") == "view").select(e)
+    b = ev.where(F.col("event_type") == "purchase").select(e)
+    return SK.kmv_overlap(a, b, "e", k=64, seed=4)

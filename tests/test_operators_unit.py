@@ -2409,3 +2409,26 @@ def test_rrf_fuse_matches_formula_and_absence_semantics(spark):
     assert order == [1, 3, 2, 4]
     # absence: doc 2 has no cosine rank, doc 4 no bm25 rank
     assert got[2][1] is None and got[4][0] is None
+
+
+def test_kmv_overlap_accuracy_and_edges(spark):
+    """Intersection estimate lands in the KMV error band on a known
+    overlap; disjoint sets estimate 0; identical sets estimate J=1."""
+    from gearpump_spark.operators.sketches import kmv_overlap
+
+    a_vals = [f"x{i}" for i in range(2000)]
+    b_vals = [f"x{i}" for i in range(1000, 3000)]  # true inter = 1000, union 3000
+
+    def df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "e string")
+
+    row = kmv_overlap(df(a_vals), df(b_vals), "e", k=128, seed=4).collect()[0]
+    assert abs(row.est_union - 3000) / 3000 < 0.3
+    assert abs(row.est_intersection - 1000) / 1000 < 0.5  # J·union compounding
+    assert 0.15 < row.est_jaccard < 0.55  # true J = 1/3
+
+    dis = kmv_overlap(df(["a1", "a2"]), df(["b1", "b2"]), "e", k=8).collect()[0]
+    assert dis.c == 0 and dis.est_intersection == 0.0
+
+    same = kmv_overlap(df(a_vals[:500]), df(a_vals[:500]), "e", k=64).collect()[0]
+    assert same.est_jaccard == 1.0
