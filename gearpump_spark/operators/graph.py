@@ -803,3 +803,59 @@ def link_predict_common_neighbors(
     return scored.orderBy(
         F.desc("common"), F.desc("jaccard"), "u", "v"
     ).limit(k)
+
+
+def khop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-round BFS from a source set: (node, dist) for every node
+    reachable within `n_rounds` hops, dist = exact shortest hop count —
+    k-hop reachability / expansion analysis (blast radius of a bad
+    document through its near-dup graph, catalog distance in a
+    co-purchase graph).
+
+    FRONTIER form, not dense relaxation: each round expands only the
+    nodes discovered last round (one keyed join frontier×adjacency + one
+    LEFT-ANTI against the settled set), so total work is O(Σ frontier
+    edges) — the BSP BFS (Pregel's canonical example). Per-round
+    localCheckpoint cuts lineage (O(1) plan per round, same discipline
+    as pagerank/kcore). BFS layers make `dist` exact by construction;
+    the fixed round count keeps the whole computation closed-form for
+    the SQL oracle (depth-capped recursive CTE).
+
+    `sources` is a 1-column frame of start nodes (deduped here).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("nb")).union(
+        und.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    ).localCheckpoint()
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias(node_col))
+        .distinct()
+        .select(node_col, F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    dist = frontier
+    for r in range(1, n_rounds + 1):
+        cand = (
+            frontier.join(adj, frontier[node_col] == adj["n"])
+            .select(F.col("nb").alias(node_col))
+            .distinct()
+        )
+        frontier = (
+            cand.join(dist, node_col, "left_anti")
+            .select(node_col, F.lit(r).cast("bigint").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = dist.union(frontier)
+    return dist

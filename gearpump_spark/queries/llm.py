@@ -4227,3 +4227,56 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "r_bm25", "r_cosine", "rrf", "rank").orderBy(
         F.desc("rrf"), "doc_id"
     )
+
+
+@register(
+    "graph_khop_reach",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 10 = 0),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS n, v AS nb FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    srcs AS (SELECT DISTINCT n FROM adj WHERE n % 97 = 0),
+    bfs(node, d) AS (
+        SELECT n, CAST(0 AS BIGINT) FROM srcs
+        UNION
+        SELECT a.nb, bfs.d + 1
+        FROM bfs JOIN adj a ON a.n = bfs.node
+        WHERE bfs.d < 4)
+    SELECT node, MIN(d) AS dist FROM bfs GROUP BY node ORDER BY node
+    """,
+    desc="bounded k-hop BFS reachability (4 hops) from the ~1% seed "
+    "parts over the sampled co-purchase graph: exact shortest hop "
+    "count per reached node — blast-radius / expansion analysis; "
+    "frontier form (each round expands only newly-discovered nodes, "
+    "Pregel's canonical BSP example), depth-capped recursive CTE oracle",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py khop_distances: one frontier×adjacency join +
+    one LEFT-ANTI per round, localCheckpoint lineage cuts — total work
+    O(sum of frontier edges), never all-pairs."""
+    from gearpump_spark.operators.graph import khop_distances
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("n")).union(
+        edges.select(F.col("dst").alias("n"))
+    )
+    srcs = nodes.where(F.col("n") % 97 == 0).distinct()
+    out = khop_distances(edges, srcs, n_rounds=4)
+    return out.select(F.col("node"), F.col("dist")).orderBy("node")

@@ -2432,3 +2432,46 @@ def test_kmv_overlap_accuracy_and_edges(spark):
 
     same = kmv_overlap(df(a_vals[:500]), df(a_vals[:500]), "e", k=64).collect()[0]
     assert same.est_jaccard == 1.0
+
+
+class TestKhopDistances:
+    def _bfs(self, spark, edge_list, sources, r=4):
+        from gearpump_spark.operators.graph import khop_distances
+
+        e = spark.createDataFrame(edge_list, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in sources], "n long")
+        return {
+            row.node: row.dist
+            for row in khop_distances(e, s, n_rounds=r).collect()
+        }
+
+    def test_matches_pure_python_bfs(self, spark):
+        import collections
+        import random
+
+        rng = random.Random(9)
+        edges = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(50)})
+        sources = [0, 7]
+        got = self._bfs(spark, edges, sources, r=4)
+
+        nbrs = collections.defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        want, frontier = {s: 0 for s in sources}, set(sources)
+        for d in range(1, 5):
+            frontier = {
+                nb for n in frontier for nb in nbrs[n] if nb not in want
+            }
+            want.update({n: d for n in frontier})
+        assert got == want
+
+    def test_path_graph_exact_layers(self, spark):
+        edges = [(i, i + 1) for i in range(10)]
+        got = self._bfs(spark, edges, [0], r=3)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_disconnected_component_unreached(self, spark):
+        got = self._bfs(spark, [(1, 2), (5, 6)], [1], r=4)
+        assert got == {1: 0, 2: 1}

