@@ -4280,3 +4280,72 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = nodes.where(F.col("n") % 97 == 0).distinct()
     out = khop_distances(edges, srcs, n_rounds=4)
     return out.select(F.col("node"), F.col("dist")).orderBy("node")
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    words AS (SELECT doc_id, UNNEST(tk) AS word FROM toks),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+            FROM words GROUP BY word) WHERE rk <= 64),
+    per_doc AS (
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov
+        FROM words w LEFT JOIN vocab v ON v.word = w.word
+        GROUP BY w.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+    FROM per_doc ORDER BY doc_id
+    """,
+    desc="per-document out-of-vocabulary rate against the corpus top-64 "
+    "vocabulary — the tokenizer-fit signal curation uses to flag docs a "
+    "fixed vocab would shred into bytes (boilerplate/code/foreign text); "
+    "vocab broadcast, one explode shuffle keyed on doc_id, rate = one "
+    "IEEE division",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the vocab is a top-N aggregate (TakeOrdered) that
+    broadcasts; the per-doc rollup is the only corpus shuffle. At a real
+    32k vocab the broadcast is still KBs."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("w"),
+    ).select("doc_id", F.lower("w").alias("word"))
+    rk = F.row_number().over(W.orderBy(F.desc("cnt"), "word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select("word", rk.alias("rk"))
+        .where(F.col("rk") <= 64)
+        .select("word")
+    )
+    flagged = words.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "word", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    ).orderBy("doc_id")

@@ -14,6 +14,7 @@ from gearpump_spark.streaming.core import (
     stream_dedup,
     stream_stream_interval_join,
     hll_monoid,
+    kmv_monoid,
     monoid_windowed_state,
     replace_and_restart,
 )
@@ -32,5 +33,6 @@ __all__ = [
     "stream_dedup",
     "stream_stream_interval_join",
     "hll_monoid",
+    "kmv_monoid",
     "monoid_windowed_state",
 ]

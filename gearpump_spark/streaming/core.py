@@ -473,6 +473,56 @@ def hll_monoid(b: int = 10, value_col: str = "v") -> dict:
     }
 
 
+def kmv_monoid(k: int = 64, value_col: str = "v", seed: int = 4) -> dict:
+    """KMV (k-minimum-values) distinct sketch as a WindowState monoid —
+    the engine-exact sibling of ``hll_monoid`` (same seam, same state
+    discipline; operators/sketches.py kmv_distinct is the batch form).
+    Returns kwargs for monoid_windowed_state:
+
+        zero     = empty min-set
+        lift     = the k smallest seeded-md5 hashes of a batch's values
+        plus     = merge two min-sets, keep the k smallest (associative,
+                   commutative, idempotent — order-free partial merging)
+        finalize = (k-1)·2^60/h_(k) when the set is full; EXACT distinct
+                   count (= set size) while fewer than k distincts have
+                   been seen — KMV's small-range regime is exact, not
+                   approximate, which HLL cannot offer
+        state_codec = csv of ≤ k bigints per open window (bounded state)
+
+    Streaming approximate COUNT DISTINCT per event-time window whose
+    estimator is bit-reproducible across engines and runs — the batch
+    query `sketch_kmv_distinct` hash-matches DuckDB with the same
+    formula, so streaming results can be audited against a batch replay.
+    """
+    import hashlib
+
+    def lift(g) -> list[int]:
+        hs = {
+            int(hashlib.md5(f"{seed}|{v}".encode()).hexdigest()[:15], 16)
+            for v in g[value_col]
+        }
+        return sorted(hs)[:k]
+
+    def plus(a: list[int], c: list[int]) -> list[int]:
+        return sorted(set(a) | set(c))[:k]
+
+    def finalize(mins: list[int]) -> float:
+        if len(mins) < k:
+            return float(len(mins))  # small-range regime: exact
+        return float(k - 1) * float(1 << 60) / float(mins[-1])
+
+    return {
+        "plus": plus,
+        "zero": [],
+        "lift": lift,
+        "finalize": finalize,
+        "state_codec": (
+            lambda v: ",".join(map(str, v)),
+            lambda s: [int(x) for x in s.split(",")] if s else [],
+        ),
+    }
+
+
 def transform_with_state_supported() -> bool:
     """Whether Spark 4's transformWithStateInPandas path can run here.
 

@@ -655,3 +655,37 @@ def test_streaming_pq_encode_matches_batch(spark, tmp_path):
     expect = pq_encode(df, cb).collect()
     key = lambda r: (r.vec_id, tuple(r.codes), r.err)  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, expect))
+
+
+def test_kmv_monoid_windowed_distinct(spark, tmp_path):
+    """Streaming COUNT DISTINCT per window via the KMV min-set monoid:
+    the window with fewer than k distincts must be EXACT (KMV's
+    small-range regime — a set of < k hashes IS the distinct set), the
+    full window must equal the closed-form (k-1)*2^60/h_(k) estimator
+    bit-for-bit, with values split across micro-batches so the decoded
+    state-merge path runs."""
+    import hashlib
+
+    from gearpump_spark.streaming import kmv_monoid, monoid_windowed_state
+
+    k = 32
+    # window 0: 20 distincts (< k -> exact); window 1: 300 distincts
+    w0 = [("a", v % 20, 1 + (v % 8)) for v in range(0, 40)]
+    w1 = [("a", v, 11 + (v % 8)) for v in range(1000, 1300)]
+    chunks = [w0[:20] + w1[:150], w0[20:] + w1[150:]]
+    stream = _stream_from_rows(spark, chunks, tmp_path, "kmv", flush=True)
+    out = monoid_windowed_state(
+        stream, key_col="k", ts_col=TS, window_size="10 seconds",
+        drop_flush_sentinel=True, **kmv_monoid(k=k),
+    )
+    got = {
+        int(r.window_start.timestamp()): r.result
+        for r in run_to_completion(out, "kmv_win", output_mode="append").collect()
+    }
+    assert got[0] == 20.0  # exact small-range
+    hs = sorted(
+        int(hashlib.md5(f"4|{v}".encode()).hexdigest()[:15], 16)
+        for v in range(1000, 1300)
+    )
+    assert got[10] == float(k - 1) * float(1 << 60) / float(hs[k - 1])
+    assert abs(got[10] - 300) / 300 < 0.6  # sanity envelope (1/sqrt(32)~18%)
