@@ -141,14 +141,15 @@ DRIVER_SAMPLE_WINDOW = [
     "sketch_theta_overlap",
     "graph_khop_reach",
     "text_oov_rate",
+    "embedding_matryoshka",
+    "graph_degree_distribution",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
-    "q1_pricing_summary",
-    "q2_min_acctbal_supplier",
     # join matrix
     "q_asof_join",
     "q_range_join",
-    # (q3_shipping_priority, q4_order_priority, q5_local_supplier_volume, q6_revenue_forecast, q7_volume_shipping, q8_market_share,
+    # (q1_pricing_summary, q2_min_acctbal_supplier,
+    # q3_shipping_priority, q4_order_priority, q5_local_supplier_volume, q6_revenue_forecast, q7_volume_shipping, q8_market_share,
     # q9_product_profit, q10_returned_items, q11_important_parts,
     # q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,
     # q15_top_supplier, q16_supplier_count, q17_small_quantity_revenue,
@@ -159,7 +160,10 @@ DRIVER_SAMPLE_WINDOW = [
     # multimodal_video_fps/sample_cluster_split/dedup_cdc_chunks/
     # similarity_hard_negatives/sketch_kmv_distinct/q_compaction_plan/
     # text_hybrid_rrf/q_ohlc_downsample/sketch_theta_overlap/
-    # graph_khop_reach/text_oov_rate above;
+    # graph_khop_reach/text_oov_rate/embedding_matryoshka/
+    # graph_degree_distribution above — after which the window is 100%
+    # never-verified queries; q1/q2's r1 records remain the freshest-risk
+    # items outside it;
     # q_rollup, q_cube, q_pivot, q_topk_per_group, q_window_running, q_lag_lead, q_trailing_1h,
     # q_sessionize — same r1-verified cohort — rotated out to hold the
     # window at exactly 50 as eight never-verified r4 queries took slots;

@@ -4349,3 +4349,113 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_matryoshka",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding[1:16],
+                   v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS pq,
+               LIST_TRANSFORM(embedding,
+                   v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS fq
+        FROM embeddings)
+    SELECT vec_id,
+           ARRAY_TO_STRING(pq, ',') AS prefix,
+           CAST(LIST_SUM(LIST_TRANSFORM(pq, x -> x * x)) AS BIGINT)
+             AS prefix_norm2,
+           CAST(LIST_SUM(LIST_TRANSFORM(fq, x -> x * x)) AS BIGINT)
+             AS full_norm2,
+           CAST(LIST_SUM(LIST_TRANSFORM(pq, x -> x * x)) AS DOUBLE)
+             / LIST_SUM(LIST_TRANSFORM(fq, x -> x * x)) AS energy_ratio
+    FROM q ORDER BY vec_id
+    """,
+    desc="Matryoshka (MRL) prefix truncation 64->16 dims: the first-16 "
+    "fixed-point coordinates plus the energy-retention ratio "
+    "||prefix||^2/||full||^2 (one IEEE division of integer norms) — the "
+    "diagnostic that tells you whether an embedding family was "
+    "MRL-trained (prefix carries the mass) before you cut storage 4x; "
+    "zero-shuffle narrow map, prefix serialized via array_join",
+)
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local: slice + two integer folds per row; at 100 TB pair
+    with random_projection/int8 quantization as the storage ladder."""
+    emb = table(spark, sf_dir, "embeddings")
+    fx = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+    q = emb.select(
+        "vec_id",
+        fx(F.slice("embedding", 1, 16)).alias("pq"),
+        fx(F.col("embedding")).alias("fq"),
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    return q.select(
+        "vec_id",
+        F.array_join("pq", ",").alias("prefix"),
+        n2(F.col("pq")).alias("prefix_norm2"),
+        n2(F.col("fq")).alias("full_norm2"),
+        (n2(F.col("pq")).cast("double") / n2(F.col("fq"))).alias("energy_ratio"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 10 = 0),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY n)
+    SELECT CAST(LENGTH(BIN(d)) - 1 AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(d) AS min_deg, MAX(d) AS max_deg
+    FROM deg GROUP BY log2_bin ORDER BY log2_bin
+    """,
+    desc="log2-binned degree distribution of the sampled co-purchase "
+    "graph — THE skew diagnostic every graph plan decision here keys on "
+    "(salting width, hub caps, broadcast vs merge closing); the bin is "
+    "the INTEGER bit-length of the degree (LENGTH(BIN(d))-1 in both "
+    "engines), so no float log can straddle a power of two",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combinable aggs (degree, then histogram) — the cheap
+    pre-flight a 100 TB graph job runs to pick its skew strategy."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    return (
+        deg.groupBy(
+            (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("log2_bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("log2_bin")
+    )

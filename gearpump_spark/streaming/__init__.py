@@ -12,6 +12,7 @@ from gearpump_spark.streaming.core import (
     stateful_running_count,
     session_window_aggregate,
     stream_dedup,
+    stream_scd2_enrich,
     stream_stream_interval_join,
     hll_monoid,
     kmv_monoid,
@@ -31,6 +32,7 @@ __all__ = [
     "stateful_running_count",
     "session_window_aggregate",
     "stream_dedup",
+    "stream_scd2_enrich",
     "stream_stream_interval_join",
     "hll_monoid",
     "kmv_monoid",

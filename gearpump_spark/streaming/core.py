@@ -299,6 +299,40 @@ def stream_stream_interval_join(
     return l.join(r, cond, how)
 
 
+def stream_scd2_enrich(
+    stream: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal enrichment of an event stream against an SCD Type-2
+    dimension history (operators/temporal.py scd2_history): each event
+    joins the dimension VERSION that was valid at its event time —
+    key match + ts in [valid_from, valid_to), open versions (NULL
+    valid_to) match everything from valid_from on. The classic
+    "price/plan as of the click" lookup; joining the CURRENT version
+    instead silently rewrites history for late or replayed events.
+
+    Stream-static join: the dimension side is a batch frame, re-read
+    per micro-batch (so a MERGE/SCD2 refresh lands without restarting
+    the query), no state store involved; Spark broadcasts it when small.
+    At 100 TB of history, bucket the dim by key so the per-batch join
+    is co-located."""
+    s, h = stream.alias("s"), history.alias("h")
+    cond = (
+        (F.col(f"s.{key}") == F.col(f"h.{key}"))
+        & (F.col(f"s.{ts_col}") >= F.col(f"h.{valid_from}"))
+        & (
+            F.col(f"h.{valid_to}").isNull()
+            | (F.col(f"s.{ts_col}") < F.col(f"h.{valid_to}"))
+        )
+    )
+    return s.join(h, cond, how).drop(F.col(f"h.{key}"))
+
+
 def monoid_windowed_state(
     stream: DataFrame,
     key_col: str,

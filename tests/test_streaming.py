@@ -689,3 +689,34 @@ def test_kmv_monoid_windowed_distinct(spark, tmp_path):
     )
     assert got[10] == float(k - 1) * float(1 << 60) / float(hs[k - 1])
     assert abs(got[10] - 300) / 300 < 0.6  # sanity envelope (1/sqrt(32)~18%)
+
+
+def test_stream_scd2_enrich_joins_version_valid_at_event_time(spark, tmp_path):
+    """Temporal enrichment: each streamed event picks the SCD2 dimension
+    VERSION valid at its event time — late/replayed events get the
+    historical attribute, not the current one; events before the first
+    version enrich to NULL (left join)."""
+    from gearpump_spark.operators.temporal import scd2_history
+    from gearpump_spark.streaming import stream_scd2_enrich
+
+    updates = spark.createDataFrame(
+        [("a", "bronze", 10, 1), ("a", "gold", 30, 2), ("b", "silver", 20, 3)],
+        "k string, plan string, sec long, uid long",
+    ).select("k", "plan", F.timestamp_seconds("sec").alias("vts"), "uid")
+    hist = scd2_history(
+        updates, key_cols=["k"], attr_cols=["plan"], ts_col="vts", tiebreak="uid"
+    )
+    # events: before any version (5), inside v1 (15), exactly at the v2
+    # boundary (30 -> gold), after (40 -> gold), other key (25 -> silver)
+    stream = _stream_from_rows(
+        spark,
+        [[("a", 1, 5), ("a", 2, 15)], [("a", 3, 30), ("a", 4, 40), ("b", 5, 25)]],
+        tmp_path,
+        "scd2e",
+    )
+    out = stream_scd2_enrich(stream, hist, key="k", ts_col=TS)
+    rows = run_to_completion(out, "scd2_enrich", output_mode="append").collect()
+    got = {r.v: r.plan for r in rows}
+    assert got == {1: None, 2: "bronze", 3: "gold", 4: "gold", 5: "silver"}
+    # key column appears once (the dim side's copy is dropped)
+    assert [f for f in out.schema.fieldNames()].count("k") == 1
