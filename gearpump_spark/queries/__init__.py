@@ -143,12 +143,11 @@ DRIVER_SAMPLE_WINDOW = [
     "text_oov_rate",
     "embedding_matryoshka",
     "graph_degree_distribution",
+    "q_gap_detection",
+    "q_first_touch_attribution",
     # -- re-verification: last driver record is round 1 (oldest cohort) --
     # TPC-H analog suite
-    # join matrix
-    "q_asof_join",
-    "q_range_join",
-    # (q1_pricing_summary, q2_min_acctbal_supplier,
+    # (q_asof_join, q_range_join, q1_pricing_summary, q2_min_acctbal_supplier,
     # q3_shipping_priority, q4_order_priority, q5_local_supplier_volume, q6_revenue_forecast, q7_volume_shipping, q8_market_share,
     # q9_product_profit, q10_returned_items, q11_important_parts,
     # q12_ship_priority_class, q13_customer_distribution, q14_promo_revenue,

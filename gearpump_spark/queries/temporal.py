@@ -866,3 +866,118 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "q_gap_detection",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           CAST(DATE_DIFF('millisecond', prev_ts, ts) AS BIGINT) AS gap_ms
+    FROM o
+    WHERE prev_ts IS NOT NULL
+      AND DATE_DIFF('millisecond', prev_ts, ts) > 3600000
+    ORDER BY user_id, gap_start
+    """,
+    desc="event-gap / outage detection: per-user silences longer than "
+    "one hour via a single lag window — the monitoring primitive that "
+    "finds dead sensors, churned sessions, and ingest outages; one "
+    "keyed shuffle, gaps reported with exact millisecond durations",
+)
+def q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id; at 100 TB the lag window is the minimal
+    formulation (a self-join formulation would double the scan)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    # DATE_DIFF('millisecond', a, b) counts ms-boundary crossings —
+    # truncate EACH timestamp to ms before subtracting (double seconds
+    # math was off by one when sub-ms parts straddled a boundary)
+    ms = lambda c: F.floor(F.unix_micros(c) / 1000)  # noqa: E731
+    gap_ms = (ms(F.col("ts")) - ms(F.col("prev_ts"))).cast("long")
+    return (
+        o.where(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap_ms.alias("gap_ms"),
+        )
+        .where(F.col("gap_ms") > 3_600_000)
+        .orderBy("user_id", "gap_start")
+    )
+
+
+@register(
+    "q_first_touch_attribution",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type AS first_touch, ts AS first_ts
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1),
+    purchases AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 6))), 2)
+                    AS DECIMAL(38, 2)) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT f.first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(COALESCE(p.n_purchases, 0)) AS BIGINT) AS n_purchases,
+           CAST(CAST(ROUND(SUM(COALESCE(p.revenue, 0)), 2) AS DECIMAL(38, 2))
+                AS DOUBLE) AS revenue
+    FROM firsts f LEFT JOIN purchases p USING (user_id)
+    GROUP BY f.first_touch ORDER BY f.first_touch
+    """,
+    desc="first-touch attribution: each user's FIRST event type claims "
+    "their purchase count and revenue — the marketing-attribution "
+    "rollup (dual of the as-of join's latest-prior semantics); revenue "
+    "summed in decimal so partial-agg order can't change the cents",
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggs sharing the user_id shuffle + one broadcast-size join on
+    the per-user rollups; the raw event table is never self-joined."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("first_touch"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+    return (
+        firsts.join(purchases, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("n_purchases"), F.lit(0)))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(
+                F.sum(F.coalesce(F.col("revenue"), F.lit(0).cast("decimal(38,2)"))),
+                2,
+            )
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("first_touch")
+    )
