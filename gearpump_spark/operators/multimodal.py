@@ -201,6 +201,56 @@ class HeaderDecoder:
             i += 2 + seg_len
         return None
 
+    def sniff_jfif(self, payload: bytes) -> dict | None:
+        """APP0/JFIF metadata for a JPEG payload: {version_major,
+        version_minor, units, xdensity, ydensity} — the pixel-density
+        fields a print/scan pipeline prunes on (units 0 = aspect only,
+        1 = dots/inch, 2 = dots/cm). None if not JPEG; all-None fields
+        if JPEG without a JFIF APP0 (e.g. bare-SOI or Exif-first files).
+        Same length-skipping marker walk as _sniff_jpeg."""
+        try:
+            if not payload.startswith(b"\xff\xd8"):
+                return None
+            out = {
+                "version_major": None,
+                "version_minor": None,
+                "units": None,
+                "xdensity": None,
+                "ydensity": None,
+            }
+            i, n = 2, len(payload)
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker == 0xDA:  # SOS: entropy data follows, stop
+                    break
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if (
+                    marker == 0xE0
+                    and seg_len >= 14
+                    and payload[i + 4 : i + 9] == b"JFIF\x00"
+                ):
+                    b0 = i + 9
+                    if b0 + 7 <= n:
+                        out["version_major"] = payload[b0]
+                        out["version_minor"] = payload[b0 + 1]
+                        out["units"] = payload[b0 + 2]
+                        out["xdensity"] = int.from_bytes(
+                            payload[b0 + 3 : b0 + 5], "big"
+                        )
+                        out["ydensity"] = int.from_bytes(
+                            payload[b0 + 5 : b0 + 7], "big"
+                        )
+                    return out
+                i += 2 + seg_len
+            return out
+        except (IndexError, ValueError):
+            return None
+
     def sniff_audio(self, payload: bytes) -> dict | None:
         """Return {format,n_channels,sample_rate,bits_per_sample} for a
         RIFF/WAVE payload, else None. Walks chunks to 'fmt ' (it is not at
@@ -1554,6 +1604,62 @@ def decode_video_sample_tables(
         _id_field(df, id_col) + ", video_codec string, audio_codec string, "
         "n_video_frames bigint, video_timescale bigint"
         + (", video_stts_duration bigint" if include_timing else ""),
+    )
+
+
+def synthesize_jpeg_jfif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEGs with an APP0/JFIF density segment, closed-form: every
+    third doc carries NO JFIF (the Exif-first / bare-SOI case — fields
+    must come back NULL, not fail); the rest carry version 1.02,
+    units = id % 3, xdensity = 72 + id % 120, ydensity = 72 + (7·id) % 120.
+    The raster is the flat-gray fixture so the payloads stay real,
+    decodable JPEGs end to end."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                jfif = (
+                    None
+                    if i % 3 == 0
+                    else (i % 3, 72 + i % 120, 72 + (7 * i) % 120)
+                )
+                payloads.append(
+                    JpegDecoder.encode_jpeg_gray(
+                        [[(37 * i + 11) % 256] * 8] * 8, jfif=jfif
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def decode_jfif_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, version_major, version_minor, units, xdensity, ydensity) via
+    the REAL APP0/JFIF marker walk — the pixel-density prune columns a
+    print/scan corpus filters on; JPEGs without a JFIF segment yield
+    NULL fields. Narrow Arrow map; payloads never shuffle."""
+    decoder = decoder or HeaderDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("version_major", "version_minor", "units", "xdensity", "ydensity")
+        for pdf in batches:
+            out = {id_col: pdf[id_col].values, **{c: [] for c in cols}}
+            for p in pdf[payload_col]:
+                meta = None if p is None else decoder.sniff_jfif(bytes(p))
+                for c in cols:
+                    out[c].append(None if meta is None else meta[c])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op,
+        _id_field(df, id_col) + ", version_major int, version_minor int, "
+        "units int, xdensity int, ydensity int",
     )
 
 
@@ -3248,7 +3354,10 @@ class JpegDecoder(GifDecoder):
 
     @staticmethod
     def encode_jpeg_gray(
-        gray: list[list[int]], dc_quant: int = 8, precision: int = 8
+        gray: list[list[int]],
+        dc_quant: int = 8,
+        precision: int = 8,
+        jfif: tuple[int, int, int] | None = None,
     ) -> bytes:
         """REAL grayscale JPEG: float FDCT per 8x8 block (edge
         replication padding), quantization (flat table, DC step
@@ -3361,6 +3470,23 @@ class JpegDecoder(GifDecoder):
                 bits.append(0x00)
 
         out = bytearray(b"\xff\xd8")  # SOI
+        if jfif is not None:
+            # APP0/JFIF (units, xdensity, ydensity), version 1.02, no
+            # thumbnail — the pixel-density metadata print pipelines
+            # prune on; every decoder length-skips unknown APPn, so the
+            # segment is transparent to the existing decode paths
+            units, dx, dy = jfif
+            if not (0 <= units <= 2 and 0 < dx < 1 << 16 and 0 < dy < 1 << 16):
+                raise ValueError("JFIF: units in [0,2], densities 16-bit > 0")
+            out += (
+                b"\xff\xe0"
+                + (16).to_bytes(2, "big")
+                + b"JFIF\x00"
+                + bytes([1, 2, units])
+                + dx.to_bytes(2, "big")
+                + dy.to_bytes(2, "big")
+                + bytes([0, 0])
+            )
         if precision == 8:  # DQT Pq=0: 8-bit entries
             out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
         else:  # DQT Pq=1: 16-bit entries

@@ -83,8 +83,8 @@ DRIVER_SAMPLE_WINDOW = [
     #    and the three ex-rows-only fake-decoder ops, now with closed-form
     #    md5 oracles) --
     "embedding_quantize_int8",
-    "embedding_quantize_int4",
     "q_merge_into",
+    "embedding_quantize_int4",
     "multimodal_jpeg12_real",
     "multimodal_jpeg_411_real",
     "multimodal_frames",
@@ -159,6 +159,9 @@ DRIVER_SAMPLE_WINDOW = [
     # multimodal_video_fps/sample_cluster_split/dedup_cdc_chunks/
     # similarity_hard_negatives/sketch_kmv_distinct/q_compaction_plan/
     # text_hybrid_rrf/q_ohlc_downsample/sketch_theta_overlap/
+    # multimodal_jfif_real — registered after the window filled with
+    # never-verified queries — waits for the r5 rotation (the <=8
+    # in-flight bound in test_registry_order covers it);
     # graph_khop_reach/text_oov_rate/embedding_matryoshka/
     # graph_degree_distribution above — after which the window is 100%
     # never-verified queries; q1/q2's r1 records remain the freshest-risk

@@ -4459,3 +4459,38 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+@register(
+    "multimodal_jfif_real",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 1 END AS version_major,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 2 END AS version_minor,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE CAST(doc_id % 3 AS INT) END AS units,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE CAST(72 + doc_id % 120 AS INT) END AS xdensity,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE CAST(72 + (7 * doc_id) % 120 AS INT) END AS ydensity
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL APP0/JFIF density walk: JPEGs synthesized with (and every "
+    "third doc WITHOUT) a JFIF segment — version/units/x-y density "
+    "parsed back by the real marker walk, JFIF-less files yield NULLs "
+    "instead of failing; the dpi prune columns a print/scan corpus "
+    "filters on before decoding pixels",
+)
+def multimodal_jfif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py sniff_jfif/decode_jfif_metadata: narrow
+    Arrow map, payloads never shuffle; the APP0 segment is transparent
+    to every existing decode path (length-skipping marker walks)."""
+    from gearpump_spark.operators.multimodal import (
+        decode_jfif_metadata,
+        synthesize_jpeg_jfif_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jfif_metadata(synthesize_jpeg_jfif_payloads(docs)).orderBy(
+        "doc_id"
+    )

@@ -1448,3 +1448,42 @@ def test_mp4_stts_multi_run_fps_walk():
         )
     for cut in range(0, len(enc), 7):
         d.sniff_video_tracks(enc[:cut])
+
+
+def test_jfif_app0_roundtrip_transparent_and_safe():
+    """APP0/JFIF: density fields round-trip through real bytes; the
+    segment is transparent to the pixel decoder (identical raster with
+    and without); JFIF-less JPEGs yield all-None fields (not None
+    result); non-JPEG yields None; truncation never raises; bad density
+    params are encoder errors."""
+    import pytest
+
+    from gearpump_spark.operators.multimodal import HeaderDecoder, JpegDecoder
+
+    d = HeaderDecoder()
+    img = [[90] * 16] * 8
+    enc = JpegDecoder.encode_jpeg_gray(img, jfif=(2, 300, 600))
+    assert d.sniff_jfif(enc) == {
+        "version_major": 1, "version_minor": 2,
+        "units": 2, "xdensity": 300, "ydensity": 600,
+    }
+    # transparency: decoded pixels identical with/without the segment
+    jd = JpegDecoder()
+    import numpy as np
+
+    assert np.array_equal(
+        jd.decode_pixels_arr(enc)["arr"],
+        jd.decode_pixels_arr(JpegDecoder.encode_jpeg_gray(img))["arr"],
+    )
+    # dimensions sniff still works through the extra segment
+    assert d._sniff_jpeg(enc)["width"] == 16
+    bare = JpegDecoder.encode_jpeg_gray(img)
+    assert d.sniff_jfif(bare) == {
+        "version_major": None, "version_minor": None,
+        "units": None, "xdensity": None, "ydensity": None,
+    }
+    assert d.sniff_jfif(b"\x89PNG not a jpeg") is None
+    for cut in range(0, len(enc), 7):
+        d.sniff_jfif(enc[:cut])
+    with pytest.raises(ValueError, match="JFIF"):
+        JpegDecoder.encode_jpeg_gray(img, jfif=(3, 72, 72))
