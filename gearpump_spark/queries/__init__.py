@@ -159,9 +159,10 @@ DRIVER_SAMPLE_WINDOW = [
     # multimodal_video_fps/sample_cluster_split/dedup_cdc_chunks/
     # similarity_hard_negatives/sketch_kmv_distinct/q_compaction_plan/
     # text_hybrid_rrf/q_ohlc_downsample/sketch_theta_overlap/
-    # multimodal_jfif_real — registered after the window filled with
-    # never-verified queries — waits for the r5 rotation (the <=8
-    # in-flight bound in test_registry_order covers it);
+    # multimodal_jfif_real, dedup_savings_report, text_retrieval_eval —
+    # registered after the window filled with never-verified queries —
+    # wait for the r5 rotation (the <=8 in-flight bound in
+    # test_registry_order covers them);
     # graph_khop_reach/text_oov_rate/embedding_matryoshka/
     # graph_degree_distribution above — after which the window is 100%
     # never-verified queries; q1/q2's r1 records remain the freshest-risk

@@ -4494,3 +4494,176 @@ def multimodal_jfif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jfif_metadata(synthesize_jpeg_jfif_payloads(docs)).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "dedup_savings_report",
+    oracle=_SQL_CLUSTERS_CTES
+    + """,
+    members AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)),
+    per_cluster AS (
+        SELECT cluster_id,
+               COUNT(*) AS n_members,
+               SUM(n_chars) AS chars_total,
+               MAX(n_chars) AS chars_kept
+        FROM members GROUP BY cluster_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           CAST(SUM(n_members - 1) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_clusters,
+           CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+           CAST(SUM(chars_total - chars_kept) AS BIGINT) AS chars_saved,
+           CAST(SUM(chars_total - chars_kept) AS DOUBLE) / SUM(chars_total)
+             AS savings_frac
+    FROM per_cluster
+    """,
+    desc="dedup ROI report: one-row rollup of the LSH->CC clustering — "
+    "clusters, docs dropped (keep the longest copy per cluster), chars "
+    "saved and the savings fraction; the summary every curation run "
+    "prints before anyone signs off on deleting data",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: near-linear LSH + CC produce cluster ids; the report
+    is two map-side-combinable aggs over (cluster_id, n_chars) pairs —
+    document bodies never move."""
+    from gearpump_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="a", dst="b"
+    ).select(F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    members = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    per_cluster = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_chars").alias("chars_total"),
+        F.max("n_chars").alias("chars_kept"),
+    )
+    return per_cluster.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+        F.sum(F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("n_members") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_clusters"),
+        F.sum("chars_total").cast("long").alias("chars_total"),
+        F.sum(F.col("chars_total") - F.col("chars_kept"))
+        .cast("long")
+        .alias("chars_saved"),
+        (
+            F.sum(F.col("chars_total") - F.col("chars_kept")).cast("double")
+            / F.sum("chars_total")
+        ).alias("savings_frac"),
+    )
+
+
+@register(
+    "text_retrieval_eval",
+    oracle=f"""
+    WITH {_SQL_BM25_RANKS},
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.q_vec[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(LIST_SUM(LIST_TRANSFORM(q.q_vec,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS sim
+        FROM embeddings e CROSS JOIN qv q),
+    sem AS (
+        SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                        AS BIGINT) AS r
+            FROM cos) WHERE r <= 10),
+    rel AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, COUNT(DISTINCT word) AS nw FROM qw
+            GROUP BY doc_id) WHERE nw = 3),
+    ranked AS (
+        SELECT 'bm25' AS ranker, doc_id, r FROM lex WHERE r <= 10
+        UNION ALL
+        SELECT 'cosine', doc_id, r FROM sem),
+    scored AS (
+        SELECT ranked.ranker, ranked.r,
+               CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM ranked LEFT JOIN rel ON rel.doc_id = ranked.doc_id)
+    SELECT ranker,
+           CAST((SELECT COUNT(*) FROM rel) AS BIGINT) AS n_relevant,
+           CAST(SUM(hit) AS BIGINT) AS hits_at_10,
+           CAST(SUM(hit) AS DOUBLE) / 10.0 AS p_at_10,
+           COALESCE(1.0 / MIN(CASE WHEN hit = 1 THEN r END), 0.0) AS mrr
+    FROM scored GROUP BY ranker ORDER BY ranker
+    """,
+    desc="retrieval evaluation harness: precision@10 and MRR of the BM25 "
+    "lexical and embedding-cosine rankers against an exact conjunctive-"
+    "match relevance set — the eval loop every retrieval stack runs "
+    "after swapping rankers; rank-reciprocal metrics only (one IEEE "
+    "division), no log-discount nDCG whose libm could differ by engine",
+)
+def text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rank lists are TakeOrdered top-10s; relevance is a tiny
+    conjunctive-match set; metrics aggregate <=20 rows."""
+    from pyspark.sql import Window as W
+
+    from gearpump_spark.operators.retrieval import bm25_topk
+    from gearpump_spark.operators.similarity import cosine
+    from gearpump_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents")
+    terms = ("vector", "merge", "stream")
+    lexw = W.orderBy(F.desc("score"), F.col("doc_id"))
+    lex = (
+        bm25_topk(docs, terms, k=10)
+        .select("doc_id", F.row_number().over(lexw).cast("bigint").alias("r"))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_vec")), 4).alias("sim"),
+    )
+    semw = W.orderBy(F.desc("sim"), F.col("doc_id"))
+    sem = (
+        scored.orderBy(F.desc("sim"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.row_number().over(semw).cast("bigint").alias("r"))
+    )
+    ltk = F.filter(F.split(F.lower(F.col("text")), TX.WS_RE), lambda t: t != "")
+    rel = (
+        docs.select("doc_id", F.explode(ltk).alias("word"))
+        .where(F.col("word").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("nw"))
+        .where(F.col("nw") == 3)
+        .select("doc_id")
+    )
+    ranked = lex.select(F.lit("bm25").alias("ranker"), "doc_id", "r").unionByName(
+        sem.select(F.lit("cosine").alias("ranker"), "doc_id", "r")
+    )
+    scored2 = ranked.join(
+        F.broadcast(rel.withColumn("_hit", F.lit(1))), "doc_id", "left"
+    ).select("ranker", "r", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"))
+    n_rel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
+    return (
+        scored2.groupBy("ranker")
+        .agg(
+            F.sum("hit").cast("long").alias("hits_at_10"),
+            (F.sum("hit").cast("double") / F.lit(10.0)).alias("p_at_10"),
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("hit") == 1, F.col("r"))),
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+        .crossJoin(F.broadcast(n_rel))
+        .select("ranker", "n_relevant", "hits_at_10", "p_at_10", "mrr")
+        .orderBy("ranker")
+    )
