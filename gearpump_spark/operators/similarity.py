@@ -1036,3 +1036,59 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(a_id, c_id, "cosine_sim", "rank")
     )
+
+
+def top_principal_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_iter: int = 12,
+    seed: int = 3,
+) -> "tuple[list[float], float]":
+    """Top principal component of the (uncentered) embedding matrix by
+    power iteration: v ← normalize(Xᵀ(Xv)) — each round is ONE narrow
+    map (dot product per row) + one map-side-combinable per-dimension
+    aggregate; the driver sees dim floats per round (the broadcast
+    pattern pagerank/k-means already use). Returns (component, eigenvalue
+    estimate = ‖Xᵀ(Xv)‖ / n_rows).
+
+    The float matvec is summation-order-dependent, so this op is
+    GOLDEN-tested against numpy rather than oracle-backed (same class as
+    pagerank/k-means float flagships). Use it to whiten/deflate before
+    JL/PQ when one direction dominates the spectrum (a common pathology
+    of contrastive embeddings — Gao 2019's anisotropy).
+
+    Scale: per round, only (dim) doubles cross the driver boundary; the
+    corpus is scanned once per iteration with no shuffle beyond the
+    dimension aggregate (explode → groupBy(pos), combiner-friendly).
+    """
+    import hashlib
+
+    dim = len(emb.select(vec_col).first()[0])
+    v = [
+        int(hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:8], 16)
+        / float(2**31)
+        - 1.0
+        for j in range(dim)
+    ]
+    norm = sum(x * x for x in v) ** 0.5
+    v = [x / norm for x in v]
+    n_rows = emb.count()
+    lam = 0.0
+    for _ in range(n_iter):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        proj = dot(_to_double(F.col(vec_col)), vlit)
+        contrib = emb.select(
+            F.posexplode(
+                F.transform(_to_double(F.col(vec_col)), lambda x: x * proj)
+            ).alias("pos", "c")
+        )
+        sums = (
+            contrib.groupBy("pos").agg(F.sum("c").alias("s")).orderBy("pos").collect()
+        )
+        w = [r.s for r in sums]
+        norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            break
+        lam = norm / n_rows
+        v = [x / norm for x in w]
+    return v, lam

@@ -4667,3 +4667,28 @@ def text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ranker", "n_relevant", "hits_at_10", "p_at_10", "mrr")
         .orderBy("ranker")
     )
+
+
+@register(
+    "embedding_top_pc",
+    # rows-only: power iteration's float matvec is summation-order-
+    # dependent (same class as pagerank/kmeans float flagships); the
+    # numpy golden in tests/test_operators_unit.py holds the exactness
+    # evidence (cos > 0.999 to the eigh component, eigenvalue within 1%)
+    desc="dominant principal component of the embedding table via power "
+    "iteration (one narrow-map dot + one combiner-friendly per-dim agg "
+    "per round, dim floats to the driver) — the anisotropy probe run "
+    "before JL/PQ when one direction dominates a contrastive embedding "
+    "space; rows-only (float iterative), numpy-goldened",
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py top_principal_component. Emits one row:
+    the unit component (rounded, joined) and the eigenvalue estimate."""
+    from gearpump_spark.operators.similarity import top_principal_component
+
+    emb = table(spark, sf_dir, "embeddings")
+    v, lam = top_principal_component(emb, n_iter=12)
+    comp = ",".join(f"{round(x, 6):.6f}" for x in v)
+    return spark.createDataFrame(
+        [(comp, float(round(lam, 6)))], "component string, eigenvalue double"
+    )

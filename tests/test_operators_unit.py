@@ -2475,3 +2475,26 @@ class TestKhopDistances:
     def test_disconnected_component_unreached(self, spark):
         got = self._bfs(spark, [(1, 2), (5, 6)], [1], r=4)
         assert got == {1: 0, 2: 1}
+
+
+def test_top_principal_component_matches_numpy(spark):
+    """Power iteration recovers numpy's dominant right singular vector
+    (up to sign) and its eigenvalue of X^T X / n on a spiked dataset."""
+    import numpy as np
+
+    from gearpump_spark.operators.similarity import top_principal_component
+
+    rng = np.random.RandomState(4)
+    direction = rng.normal(0, 1, 16)
+    direction /= np.linalg.norm(direction)
+    X = np.outer(rng.normal(0, 3, 200), direction) + rng.normal(0, 0.3, (200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    v, lam = top_principal_component(df, n_iter=25)
+    w, V = np.linalg.eigh(X.T @ X / len(X))
+    top = V[:, -1]
+    cos = abs(float(np.dot(v, top)))
+    assert cos > 0.999, cos
+    assert abs(lam - w[-1]) / w[-1] < 0.01
