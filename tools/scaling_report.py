@@ -85,6 +85,24 @@ EXTRA = [
     "sample_cluster_split",
     "dedup_cdc_chunks",
     "similarity_hard_negatives",
+    # r4 fifth wave: sketches (KMV/theta TakeOrdered shapes), fusion/eval
+    # over tiny rank lists, single-window temporal ops, frontier BFS,
+    # narrow-map embedding ops, the JFIF/fps Arrow walks, the one-row
+    # dedup ROI rollup, and the vocab-broadcast OOV rate
+    "sketch_kmv_distinct",
+    "sketch_theta_overlap",
+    "text_hybrid_rrf",
+    "text_retrieval_eval",
+    "q_ohlc_downsample",
+    "q_gap_detection",
+    "q_first_touch_attribution",
+    "q_compaction_plan",
+    "graph_khop_reach",
+    "graph_degree_distribution",
+    "text_oov_rate",
+    "embedding_matryoshka",
+    "multimodal_jfif_real",
+    "dedup_savings_report",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
