@@ -251,6 +251,63 @@ class HeaderDecoder:
         except (IndexError, ValueError):
             return None
 
+    def sniff_exif_orientation(self, payload: bytes) -> dict | None:
+        """Exif orientation for a JPEG payload: walk markers to APP1
+        'Exif\\x00\\x00', parse the embedded TIFF header (II little- or
+        MM big-endian both occur in the wild), scan IFD0 for tag 0x0112
+        → {orientation (1-8), byte_order ('II'|'MM')}. Exif-less JPEGs
+        yield all-None fields; non-JPEG yields None. Orientation is THE
+        image-pipeline gotcha: a pHash/resize over un-rotated rasters
+        silently splits one photo into up to 8 'distinct' images."""
+        try:
+            if not payload.startswith(b"\xff\xd8"):
+                return None
+            out = {"orientation": None, "byte_order": None}
+            i, n = 2, len(payload)
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker == 0xDA:
+                    break
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if (
+                    marker == 0xE1
+                    and seg_len >= 16
+                    and payload[i + 4 : i + 10] == b"Exif\x00\x00"
+                ):
+                    t0 = i + 10  # TIFF header start
+                    order = payload[t0 : t0 + 2]
+                    if order not in (b"II", b"MM"):
+                        return out
+                    endian = "little" if order == b"II" else "big"
+                    if int.from_bytes(payload[t0 + 2 : t0 + 4], endian) != 42:
+                        return out
+                    ifd = t0 + int.from_bytes(payload[t0 + 4 : t0 + 8], endian)
+                    if ifd + 2 > n:
+                        return out
+                    n_entries = int.from_bytes(payload[ifd : ifd + 2], endian)
+                    for e in range(n_entries):
+                        es = ifd + 2 + 12 * e
+                        if es + 12 > n:
+                            break
+                        tag = int.from_bytes(payload[es : es + 2], endian)
+                        typ = int.from_bytes(payload[es + 2 : es + 4], endian)
+                        if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+                            v = int.from_bytes(payload[es + 8 : es + 10], endian)
+                            if 1 <= v <= 8:
+                                out["orientation"] = v
+                                out["byte_order"] = order.decode("ascii")
+                            break
+                    return out
+                i += 2 + seg_len
+            return out
+        except (IndexError, ValueError):
+            return None
+
     def sniff_audio(self, payload: bytes) -> dict | None:
         """Return {format,n_channels,sample_rate,bits_per_sample} for a
         RIFF/WAVE payload, else None. Walks chunks to 'fmt ' (it is not at
@@ -3358,6 +3415,8 @@ class JpegDecoder(GifDecoder):
         dc_quant: int = 8,
         precision: int = 8,
         jfif: tuple[int, int, int] | None = None,
+        exif_orientation: int | None = None,
+        exif_byte_order: str = "II",
     ) -> bytes:
         """REAL grayscale JPEG: float FDCT per 8x8 block (edge
         replication padding), quantization (flat table, DC step
@@ -3487,6 +3546,27 @@ class JpegDecoder(GifDecoder):
                 + dy.to_bytes(2, "big")
                 + bytes([0, 0])
             )
+        if exif_orientation is not None:
+            # APP1/Exif: minimal TIFF (II or MM endian) with one IFD0
+            # entry — tag 0x0112 Orientation, SHORT, value in [1, 8]
+            if not 1 <= exif_orientation <= 8:
+                raise ValueError("Exif orientation must be in [1, 8]")
+            if exif_byte_order not in ("II", "MM"):
+                raise ValueError("Exif byte order must be 'II' or 'MM'")
+            en = "little" if exif_byte_order == "II" else "big"
+            tiff = (
+                exif_byte_order.encode("ascii")
+                + (42).to_bytes(2, en)
+                + (8).to_bytes(4, en)          # IFD0 at offset 8
+                + (1).to_bytes(2, en)          # one entry
+                + (0x0112).to_bytes(2, en)     # Orientation
+                + (3).to_bytes(2, en)          # SHORT
+                + (1).to_bytes(4, en)          # count
+                + exif_orientation.to_bytes(2, en) + bytes(2)  # value, pad
+                + bytes(4)                     # next-IFD = none
+            )
+            body = b"Exif\x00\x00" + tiff
+            out += b"\xff\xe1" + (2 + len(body)).to_bytes(2, "big") + body
         if precision == 8:  # DQT Pq=0: 8-bit entries
             out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes(quant)
         else:  # DQT Pq=1: 16-bit entries
@@ -4291,4 +4371,52 @@ def synthesize_jpeg_progressive_payloads(df: DataFrame, id_col: str = "doc_id") 
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg_exif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEGs with an APP1/Exif orientation tag, closed-form: every
+    fourth doc has NO Exif (fields must come back NULL); the rest carry
+    orientation 1 + id % 8 with the TIFF byte order alternating II/MM by
+    id parity — both endiannesses exercised through real bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payloads.append(
+                    JpegDecoder.encode_jpeg_gray(
+                        [[(37 * i + 11) % 256] * 8] * 8,
+                        exif_orientation=None if i % 4 == 0 else 1 + i % 8,
+                        exif_byte_order="II" if i % 2 == 0 else "MM",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def decode_exif_orientation(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, orientation, byte_order) via the REAL APP1/Exif TIFF walk —
+    the rotate-before-hash prerequisite: pHash/resize over un-rotated
+    rasters splits one photo into up to 8 'distinct' images. Narrow
+    Arrow map; payloads never shuffle."""
+    decoder = decoder or HeaderDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col].values, "orientation": [], "byte_order": []}
+            for p in pdf[payload_col]:
+                meta = None if p is None else decoder.sniff_exif_orientation(bytes(p))
+                out["orientation"].append(None if meta is None else meta["orientation"])
+                out["byte_order"].append(None if meta is None else meta["byte_order"])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", orientation int, byte_order string"
     )

@@ -160,7 +160,7 @@ DRIVER_SAMPLE_WINDOW = [
     # similarity_hard_negatives/sketch_kmv_distinct/q_compaction_plan/
     # text_hybrid_rrf/q_ohlc_downsample/sketch_theta_overlap/
     # multimodal_jfif_real, dedup_savings_report, text_retrieval_eval,
-    # q_moving_zscore —
+    # q_moving_zscore, multimodal_exif_real —
     # registered after the window filled with never-verified queries —
     # wait for the r5 rotation (the <=8 in-flight bound in
     # test_registry_order covers them);

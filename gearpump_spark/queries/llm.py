@@ -4692,3 +4692,34 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(comp, float(round(lam, 6)))], "component string, eigenvalue double"
     )
+
+
+@register(
+    "multimodal_exif_real",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL APP1/Exif orientation walk: JPEGs synthesized with a "
+    "minimal embedded TIFF (alternating II/MM byte order — BOTH "
+    "endiannesses parsed from real bytes), every fourth doc without "
+    "Exif yielding NULLs; the rotate-before-hash prerequisite that "
+    "keeps pHash/resize from splitting one photo into 8 'distinct' ones",
+)
+def multimodal_exif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py sniff_exif_orientation /
+    decode_exif_orientation: narrow Arrow map, payloads never shuffle;
+    APP1 is transparent to every decode path (length-skipping walks)."""
+    from gearpump_spark.operators.multimodal import (
+        decode_exif_orientation,
+        synthesize_jpeg_exif_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_exif_orientation(synthesize_jpeg_exif_payloads(docs)).orderBy(
+        "doc_id"
+    )

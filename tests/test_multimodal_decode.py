@@ -1487,3 +1487,44 @@ def test_jfif_app0_roundtrip_transparent_and_safe():
         d.sniff_jfif(enc[:cut])
     with pytest.raises(ValueError, match="JFIF"):
         JpegDecoder.encode_jpeg_gray(img, jfif=(3, 72, 72))
+
+
+def test_exif_orientation_walk_both_endians_and_safe():
+    """APP1/Exif: orientation round-trips through real TIFF bytes in
+    BOTH byte orders, coexists with JFIF (APP0 first), is transparent
+    to the pixel decoder, Exif-less JPEGs yield None fields, corrupt
+    TIFF headers degrade to None fields, truncation never raises."""
+    import numpy as np
+    import pytest
+
+    from gearpump_spark.operators.multimodal import HeaderDecoder, JpegDecoder
+
+    d = HeaderDecoder()
+    img = [[70] * 8] * 8
+    for bo in ("II", "MM"):
+        for o in (1, 5, 8):
+            enc = JpegDecoder.encode_jpeg_gray(
+                img, jfif=(1, 96, 96), exif_orientation=o, exif_byte_order=bo
+            )
+            assert d.sniff_exif_orientation(enc) == {
+                "orientation": o, "byte_order": bo,
+            }, (bo, o)
+            assert d.sniff_jfif(enc)["xdensity"] == 96  # APP0 coexists
+    enc = JpegDecoder.encode_jpeg_gray(img, exif_orientation=3)
+    jd = JpegDecoder()
+    assert np.array_equal(
+        jd.decode_pixels_arr(enc)["arr"],
+        jd.decode_pixels_arr(JpegDecoder.encode_jpeg_gray(img))["arr"],
+    )
+    assert d.sniff_exif_orientation(JpegDecoder.encode_jpeg_gray(img)) == {
+        "orientation": None, "byte_order": None,
+    }
+    # corrupt TIFF magic -> graceful None fields
+    bad = bytearray(enc)
+    app1 = bad.find(b"Exif\x00\x00")
+    bad[app1 + 6 : app1 + 8] = b"XX"
+    assert d.sniff_exif_orientation(bytes(bad))["orientation"] is None
+    for cut in range(0, len(enc), 7):
+        d.sniff_exif_orientation(enc[:cut])
+    with pytest.raises(ValueError, match="orientation"):
+        JpegDecoder.encode_jpeg_gray(img, exif_orientation=9)
