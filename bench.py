@@ -72,7 +72,14 @@ def main() -> None:
         off = jvm.org.apache.logging.log4j.Level.OFF
         for logger_name in (
             "org.apache.spark.sql.execution.streaming.CheckpointFileManager",
+            # Spark 4.1 moved the checkpoint file managers into a
+            # .checkpointing subpackage and added a checksummed wrapper —
+            # the r4 artifact tail caught FileContextBasedCheckpointFileManager
+            # + ChecksumCheckpointFileManager traces under the new names, so
+            # silence the whole subpackage.
+            "org.apache.spark.sql.execution.streaming.checkpointing",
             "org.apache.hadoop.fs.FileContext",
+            "org.apache.hadoop.fs.AbstractFileSystem",
             "org.apache.spark.util.ShutdownHookManager",
             # r3 verdict item #4: stream teardown also logs state-store
             # commit + write-task abort stack traces at ERROR when stop()
@@ -89,6 +96,8 @@ def main() -> None:
             # stop() on an in-flight trigger also aborts tasks through
             # Utils ("Aborting task" + TaskKilledException traces)
             "org.apache.spark.util.Utils",
+            "org.apache.spark.util.SparkUncaughtExceptionHandler",
+            "org.apache.spark.util.ThreadUtils",
         ):
             configurator.setLevel(logger_name, off)
     except Exception:

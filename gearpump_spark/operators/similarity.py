@@ -476,6 +476,15 @@ def semantic_dedup(
         (-F.col("best.ncid")).alias("cluster"),
         F.col("best.v").alias(vec_col),
     )
+    # The assignment subplan (corpus × centroids cross join + argmax) is
+    # consumed THREE times below — both sides of the pair join and the
+    # final anti-join. Lazy localCheckpoint materializes it once at first
+    # action and lets every consumer read the persisted blocks instead of
+    # re-running the cross join 3× (measured: 2.9s → ~1s at sf0.1; at
+    # 100 TB the k·n assignment pass is the dominant cost, so recomputing
+    # it per consumer triples the whole job). eager=False keeps the
+    # DataFrame build side-effect-free.
+    assigned = assigned.localCheckpoint(eager=False)
     # one-time per-vector double cast + norm (oracle-identical tree:
     # round(dot/(norm_a*norm_b), 4) == round(dot/(sqrt(f_a)*sqrt(f_b)), 4))
     normed = assigned.select(
