@@ -888,3 +888,99 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").over(wb).cast("long").alias("bin_bytes"),
         F.count("*").over(wb).cast("long").alias("bin_files"),
     ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# r5 addition: snapshot diff (CDC bootstrap)
+# ---------------------------------------------------------------------------
+
+from gearpump_spark.operators.hashing import SQL_H15 as _SQL_H15
+from gearpump_spark.operators.hashing import seeded_hash15 as _h15
+
+# Deterministic simulated snapshots of `orders`: "old" drops the keys whose
+# seeded hash lands in the top 5%, "new" drops the bottom 3% and bumps
+# o_totalprice by 10% for keys with hash % 7 == 0 — inserts, deletes, and
+# updates, all reproducible on both engines.
+_SNAP_OLD = "({h} % 10000) < 9500"
+_SNAP_NEW = "({h} % 10000) >= 300"
+_SNAP_UPD = "({h} % 7) = 0"
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT o_orderkey, o_totalprice,
+               {_SQL_H15.format(seed="'21'", key="o_orderkey")} AS h
+        FROM orders),
+    old AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM hashed WHERE {_SNAP_OLD.format(h="h")}),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN {_SNAP_UPD.format(h="h")}
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) * 1.1
+                    ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS price
+        FROM hashed WHERE {_SNAP_NEW.format(h="h")})
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change_type,
+           CAST(o.price AS DOUBLE) AS old_price,
+           CAST(n.price AS DOUBLE) AS new_price
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.price <> n.price
+    ORDER BY o_orderkey
+    """,
+    desc="snapshot diff (CDC bootstrap): full-outer join of two table "
+    "versions on the key, classifying every row as inserted / deleted / "
+    "updated — the change feed you compute when no CDC log exists; "
+    "unchanged rows are filtered before the result ever leaves the join",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed shuffle per side into a sort-merge full-outer join; at
+    100 TB both snapshots bucket by the key so the diff is co-located
+    (and day-over-day snapshots of the same table share layout). The
+    unchanged-row filter sits ON the join output, before any projection
+    widens it."""
+    od = table(spark, sf_dir, "orders")
+    hashed = od.select(
+        "o_orderkey",
+        "o_totalprice",
+        _h15(F.col("o_orderkey"), 21).alias("h"),
+    )
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    old = hashed.where((F.col("h") % 10000) < 9500).select(
+        "o_orderkey", price.alias("price")
+    )
+    new = hashed.where((F.col("h") % 10000) >= 300).select(
+        "o_orderkey",
+        # decimal literal, NOT F.lit(1.1): a bare 1.1 is a DOUBLE in Spark
+        # but an exact DECIMAL(2,1) in DuckDB — the product would silently
+        # go through float on one side only
+        F.when((F.col("h") % 7) == 0, price * F.lit("1.1").cast("decimal(2,1)"))
+        .otherwise(price)
+        .alias("price"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return (
+        j.where(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.price") != F.col("n.price"))
+        )
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), F.lit("inserted"))
+            .when(F.col("n.o_orderkey").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+            F.col("o.price").cast("double").alias("old_price"),
+            F.col("n.price").cast("double").alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )

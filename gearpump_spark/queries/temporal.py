@@ -1051,3 +1051,255 @@ def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "*", F.coalesce(F.abs(F.col("z")) > 3.0, F.lit(False)).alias("anomaly")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: EWMA smoothing, gap interpolation, robust (MAD) outliers
+# ---------------------------------------------------------------------------
+
+# EWMA weights as INTEGER literals (alpha=0.3, decay 0.7, scale 1e6,
+# 20 taps): w_i = round(0.3 * 0.7^i * 1e6). The recursive EWMA definition
+# s_t = a*x_t + (1-a)*s_{t-1} is a sequential fixpoint no engine can
+# hash-check; the truncated direct form sum(w_i * x_{t-i}) / sum(w_i) is
+# ONE window pass, and integer weights x decimal values keep both engines
+# bit-identical (float pow() is not correctly rounded across libms).
+_EWMA_W = [round(0.3 * 0.7**i * 1e6) for i in range(20)]
+
+
+@register(
+    "q_ewma_smooth",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_id, event_type, ts, value,
+               {", ".join(
+                   f"LAG(value, {i}) OVER w AS x{i}" for i in range(1, 20)
+               )}
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    acc AS (
+        SELECT event_id, event_type, value,
+               CAST(value AS DECIMAL(18,6)) * {_EWMA_W[0]}
+               {" ".join(
+                   f"+ COALESCE(CAST(x{i} AS DECIMAL(18,6)) * {w}, 0)"
+                   for i, w in enumerate(_EWMA_W) if i > 0
+               )} AS s,
+               {_EWMA_W[0]}
+               {" ".join(
+                   f"+ CASE WHEN x{i} IS NULL THEN 0 ELSE {w} END"
+                   for i, w in enumerate(_EWMA_W) if i > 0
+               )} AS wsum
+        FROM lagged)
+    SELECT event_id, event_type, value,
+           CAST(s AS DOUBLE) / CAST(wsum AS DOUBLE) AS ewma
+    FROM acc ORDER BY event_id
+    """,
+    desc="EWMA smoothing (alpha=0.3, 20-tap truncated direct form): "
+    "per-type trailing exponential average with INTEGER weight literals "
+    "times decimal values — the sequential recursion re-expressed as one "
+    "window pass, exact on both engines (no float pow in the hot path)",
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed shuffle (the per-type window); the 20 LAG taps share a
+    single window spec so Spark evaluates them in one pass over each
+    partition. At 100 TB the window state per task is 20 doubles per
+    group — constant, no buffering of the full partition."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"x{i}") for i in range(1, 20)],
+    )
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    s = d6(F.col("value")) * F.lit(_EWMA_W[0])
+    wsum = F.lit(_EWMA_W[0])
+    for i, wt in enumerate(_EWMA_W):
+        if i == 0:
+            continue
+        x = F.col(f"x{i}")
+        s = s + F.coalesce(d6(x) * F.lit(wt), F.lit(0).cast("decimal(18,6)"))
+        wsum = wsum + F.when(x.isNull(), F.lit(0)).otherwise(F.lit(wt))
+    return lagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        (s.cast("double") / wsum.cast("double")).alias("ewma"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_interp_gapfill",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, value,
+               LEAD(ts)    OVER w AS t1,
+               LEAD(value) OVER w AS v1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    gaps AS (
+        SELECT * FROM seq
+        WHERE t1 IS NOT NULL AND t1 - ts > INTERVAL 6 HOUR),
+    filled AS (
+        SELECT g.user_id, f.fill_ts,
+               g.value + (g.v1 - g.value)
+                 * (CAST(epoch_us(f.fill_ts) - epoch_us(g.ts) AS DOUBLE)
+                    / CAST(epoch_us(g.t1) - epoch_us(g.ts) AS DOUBLE))
+                 AS v_interp
+        FROM gaps g,
+             UNNEST(generate_series(g.ts + INTERVAL 6 HOUR,
+                                    g.t1 - INTERVAL 1 MICROSECOND,
+                                    INTERVAL 6 HOUR)) AS f(fill_ts))
+    SELECT user_id, fill_ts, v_interp
+    FROM filled ORDER BY user_id, fill_ts
+    """,
+    desc="time-series gap fill with linear interpolation: per-user gaps "
+    "longer than 6h get synthetic points every 6h, value interpolated "
+    "along the segment — the standard resample-and-interpolate step "
+    "before any fixed-grid modeling; interpolation fraction is a single "
+    "IEEE division over exact epoch-microsecond integers",
+)
+def q_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed shuffle (per-user window) + a narrow explode; the fill
+    generator is sequence() over the gap only, so output is proportional
+    to MISSING time, never to the grid span x users."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("t1"),
+        F.lead("value").over(w).alias("v1"),
+    )
+    gaps = seq.where(
+        F.col("t1").isNotNull()
+        & (F.col("t1") > F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    filled = gaps.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("ts") + F.expr("INTERVAL 6 HOURS"),
+                F.col("t1") - F.expr("INTERVAL 1 MICROSECOND"),
+                F.expr("INTERVAL 6 HOURS"),
+            )
+        ).alias("fill_ts"),
+        "ts",
+        "t1",
+        "value",
+        "v1",
+    )
+    frac = (
+        (F.unix_micros("fill_ts") - F.unix_micros("ts")).cast("double")
+        / (F.unix_micros("t1") - F.unix_micros("ts")).cast("double")
+    )
+    return filled.select(
+        "user_id",
+        "fill_ts",
+        (F.col("value") + (F.col("v1") - F.col("value")) * frac).alias("v_interp"),
+    ).orderBy("user_id", "fill_ts")
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    med AS (  -- med2 = SUM of the two middle values (2x the median;
+              -- sum, not avg, so no engine-specific decimal division)
+        SELECT event_type,
+               SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+                 * (CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2 ELSE 1 END)
+                 AS med2
+        FROM ranked GROUP BY event_type, n),
+    dev AS (
+        SELECT r.event_id, r.event_type, r.value, m.med2,
+               ABS(2 * CAST(r.value AS DECIMAL(18,6)) - m.med2) AS d,
+               ROW_NUMBER() OVER (PARTITION BY r.event_type
+                   ORDER BY ABS(2 * CAST(r.value AS DECIMAL(18,6)) - m.med2),
+                            r.event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY r.event_type) AS n
+        FROM ranked r JOIN med m USING (event_type)),
+    mad AS (  -- md4 = sum of two middle doubled-deviations = 4x the MAD
+        SELECT event_type,
+               SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                        THEN d ELSE 0 END)
+                 * (CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2 ELSE 1 END)
+                 AS md4
+        FROM dev GROUP BY event_type, n)
+    SELECT d.event_id, d.event_type, d.value,
+           CAST(d.med2 AS DOUBLE) * 0.5 AS median,
+           CAST(a.md4 AS DOUBLE) * 0.25 AS mad,
+           CASE WHEN a.md4 > 0 THEN
+               (2 * d.value - CAST(d.med2 AS DOUBLE))
+               / (1.4826 * (CAST(a.md4 AS DOUBLE) * 0.5))
+           END AS robust_z
+    FROM dev d JOIN mad a USING (event_type)
+    ORDER BY event_id
+    """,
+    desc="robust outlier scores via exact median + MAD: medians computed "
+    "as the SUM of the two middle rows (doubled median — avoids any "
+    "engine-specific decimal division), robust_z = (x - med) / "
+    "(1.4826 * MAD); immune to the mean/std masking that plain z-scores "
+    "suffer under heavy tails",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two keyed window passes (rank by value, rank by deviation) + two
+    tiny per-type aggregates broadcast back — the exact-median analog of
+    q_user_value_outliers' mean/std screen. Group cardinality is the
+    event-type count, so the agg side always broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+
+    def two_middle_sum(df: DataFrame, val_col, order_extra: str, out: str) -> DataFrame:
+        """SUM of the two middle rows of val_col per event_type (rank by
+        (val_col, order_extra)); for odd n the single middle is doubled."""
+        w = Window.partitionBy("event_type").orderBy(val_col, order_extra)
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "*",
+            F.row_number().over(w).cast("long").alias("_rn"),
+            F.count("*").over(wn).alias("_n"),
+        )
+        lo = F.floor((F.col("_n") + 1) / 2)
+        hi = F.floor((F.col("_n") + 2) / 2)
+        return ranked.groupBy("event_type", "_n").agg(
+            (
+                F.sum(
+                    F.when((F.col("_rn") == lo) | (F.col("_rn") == hi), val_col).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                * F.when(lo == hi, F.lit(2)).otherwise(F.lit(1))
+            ).alias(out)
+        ).select("event_type", out)
+
+    base = ev.select("event_id", "event_type", F.col("value"))
+    med = two_middle_sum(
+        base.withColumn("_v", d6(F.col("value"))), F.col("_v"), "event_id", "med2"
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "_d", F.abs(F.lit(2) * d6(F.col("value")) - F.col("med2"))
+    )
+    mad = two_middle_sum(dev, F.col("_d"), "event_id", "md4")
+    out = dev.join(F.broadcast(mad), "event_type")
+    med_d = F.col("med2").cast("double")
+    mad_d = F.col("md4").cast("double")
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        (med_d * 0.5).alias("median"),
+        (mad_d * 0.25).alias("mad"),
+        F.when(
+            F.col("md4") > 0,
+            (F.lit(2) * F.col("value") - med_d) / (F.lit(1.4826) * (mad_d * 0.5)),
+        ).alias("robust_z"),
+    ).orderBy("event_id")
