@@ -4723,3 +4723,136 @@ def multimodal_exif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_exif_orientation(synthesize_jpeg_exif_payloads(docs)).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: unigram LM scoring + character entropy (quality signals)
+# ---------------------------------------------------------------------------
+# Both metrics are log-based, and LN/LOG2 are NOT correctly rounded on
+# either engine (measured: 124/5000 LN and 1574/5000 LOG2 values differ by
+# 1 ulp between the JVM and libm). The discipline: round every log TERM to
+# a fixed decimal scale first — a 1-ulp input wobble only matters within
+# ~1e-13 of a rounding boundary (odds ~1e-9/term) — then CAST to DECIMAL
+# and sum exactly, so partial-aggregation order can never move the result.
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS tok
+        FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT SUM(c) AS n FROM vocab),
+    doc_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS m FROM toks GROUP BY doc_id, tok),
+    terms AS (
+        SELECT d.doc_id, d.m,
+               CAST(ROUND(LN(CAST(v.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 4)
+                    AS DECIMAL(12,4)) AS lp
+        FROM doc_tok d JOIN vocab v USING (tok) CROSS JOIN total t)
+    SELECT doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           CAST(SUM(m * lp) AS DOUBLE) AS logprob_sum,
+           CAST(SUM(m * lp) AS DOUBLE) / CAST(SUM(m) AS BIGINT) AS avg_logprob
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="unigram LM quality score: corpus-estimated token probabilities, "
+    "per-doc sum/avg log-likelihood — the cheapest perplexity proxy for "
+    "corpus filtering (low avg_logprob = rare-token-heavy or junk text); "
+    "log terms rounded to 4 decimals then summed as EXACT decimals so "
+    "neither engine's 1-ulp LN wobble nor partial-agg order moves the "
+    "result",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles (corpus vocab agg, per-doc agg) + one vocab join that
+    AQE broadcasts when the vocab is small; the corpus total N rides in as
+    a 1-row cross join, never a collect. At 100 TB the vocab join is the
+    shuffle to watch — token-keyed, so Zipf skew on stopwords is bounded
+    by the per-doc pre-aggregation (doc_tok collapses repeats BEFORE the
+    join)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("m"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")), 4
+    ).cast("decimal(12,4)")
+    terms = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total)).select(
+        "doc_id", "m", lp.alias("lp")
+    )
+    s = F.sum(F.col("m") * F.col("lp"))
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            s.cast("double").alias("logprob_sum"),
+            (s.cast("double") / F.sum("m").cast("bigint")).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z ]')) AS ch
+        FROM documents),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+        FROM chars GROUP BY doc_id, ch),
+    terms AS (
+        SELECT doc_id, c, n,
+               CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * LOG2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 5)
+                    AS DECIMAL(12,5)) AS t
+        FROM counts)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(-SUM(t) AS DOUBLE) AS entropy_bits
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    desc="character-distribution entropy (bits): per-doc Shannon entropy "
+    "over [a-z ] characters — a classic junk screen (natural language "
+    "sits ~4.0-4.2 bits; keyboard mash, base64 blobs and repeated-char "
+    "padding land far off); p*log2(p) terms rounded then summed as exact "
+    "decimals (same cross-engine log discipline as text_unigram_logprob)",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle (per-doc char counts; the window total rides the same
+    partitioning). Character alphabet is bounded, so per-doc state is a
+    few dozen rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z ]"), F.lit(0))
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    counts = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    t = F.round(p * F.log2(p), 5).cast("decimal(12,5)")
+    return (
+        counts.select("doc_id", "c", "n", t.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            (-F.sum("t")).cast("double").alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -371,3 +371,57 @@ def sample_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.unimax_allocation(
         docs, "source", "n_chars", budget_frac=0.85, max_epochs=1
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# r5 addition: weighted reservoir sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -LN((CAST({_SQL_H15.format(seed="'31'", key="doc_id")} AS DOUBLE) + 1.0)
+                   / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY k, doc_id) AS BIGINT) AS rank
+        FROM keyed)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, rank
+    FROM ranked WHERE rank <= 20 ORDER BY source, rank
+    """,
+    desc="weighted reservoir sample without replacement (Efraimidis-"
+    "Spirakis 2006): priority -ln(u)/w from the seeded-md5 uniform, "
+    "k smallest per source win — inclusion probability proportional to "
+    "weight (n_chars), one pass, any stream order; the sampled IDs are "
+    "deterministic so the draw itself is oracle-checked (the float key "
+    "stays internal — only ids/ranks are emitted)",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed shuffle (per-source top-k window). At scale the window
+    is a TakeOrdered per group — executors keep a 20-row heap, never the
+    full partition. The exponential-race key means merging two reservoirs
+    is just 'keep the 20 smallest keys of the union', the mergeability
+    that makes this THE distributed weighted sampler."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (seeded_hash15(F.col("doc_id"), 31).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+    k = -F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", k.alias("k"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("bigint").alias("weight"), "rank"
+        )
+        .orderBy("source", "rank")
+    )

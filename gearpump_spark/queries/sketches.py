@@ -450,3 +450,114 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where(F.col("event_type") == "view").select(e)
     b = ev.where(F.col("event_type") == "purchase").select(e)
     return SK.kmv_overlap(a, b, "e", k=64, seed=4)
+
+
+# ---------------------------------------------------------------------------
+# r5 addition: AMS F2 (second frequency moment) sketch
+# ---------------------------------------------------------------------------
+
+_AMS_J = 16  # 16 estimators: 4 groups of 4, median-of-means
+_AMS_SEED0 = 100
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH signs AS (
+        SELECT o_custkey AS v,
+               {", ".join(
+                   "CASE WHEN " + _SQL_H15.format(seed=f"'{_AMS_SEED0 + j}'", v="o_custkey")
+                   + f" % 2 = 0 THEN 1 ELSE -1 END AS s{j}"
+                   for j in range(_AMS_J)
+               )}
+        FROM orders WHERE o_custkey IS NOT NULL),
+    z AS (SELECT COUNT(*) AS n_rows,
+                 {", ".join(f"SUM(s{j}) AS z{j}" for j in range(_AMS_J))}
+          FROM signs),
+    y AS (SELECT n_rows,
+                 {", ".join(f"CAST(z{j} AS BIGINT) * z{j} AS y{j}" for j in range(_AMS_J))}
+          FROM z),
+    grouped AS (
+        SELECT n_rows,
+               [{", ".join(
+                   " + ".join(f"y{g * 4 + i}" for i in range(4)) for g in range(4)
+               )}] AS gs
+        FROM y),
+    est AS (
+        SELECT n_rows,
+               CAST(ls[2] + ls[3] AS DOUBLE) / 8.0 AS f2_estimate
+        FROM (SELECT n_rows, LIST_SORT(gs) AS ls FROM grouped)),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        FROM (SELECT COUNT(*) AS c FROM orders
+              WHERE o_custkey IS NOT NULL GROUP BY o_custkey))
+    SELECT CAST(n_rows AS BIGINT) AS n_rows, f2_exact, f2_estimate,
+           ROUND(ABS(f2_estimate - f2_exact) / f2_exact * 100, 2) AS rel_err_pct
+    FROM est CROSS JOIN exact
+    """,
+    desc="AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996): "
+    "16 {{-1,+1}}-signed row sums from the seeded-md5 family, squared, "
+    "median-of-means over 4 groups of 4 — F2 (self-join size / skew "
+    "indicator) in ONE streaming pass and 16 counters, vs the exact "
+    "groupBy's per-key state; deterministic signs make even the estimate "
+    "hash-checkable",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyless aggregate over the scan (16 sign-sums fold map-side —
+    no per-key state, no shuffle beyond the 1-row combine); the exact-F2
+    comparison column is the one groupBy. The median of 4 group sums is
+    (mid1+mid2)/8.0 — a power-of-two division, so the estimate column is
+    exact on both engines."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    od = table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    signs = [
+        F.when(
+            seeded_hash15(F.col("o_custkey"), _AMS_SEED0 + j) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias(f"s{j}")
+        for j in range(_AMS_J)
+    ]
+    z = od.select(*signs).agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(f"s{j}").alias(f"z{j}") for j in range(_AMS_J)],
+    )
+    y = z.select(
+        "n_rows",
+        *[
+            (F.col(f"z{j}").cast("bigint") * F.col(f"z{j}")).alias(f"y{j}")
+            for j in range(_AMS_J)
+        ],
+    )
+    gs = F.array(
+        *[
+            sum(F.col(f"y{g * 4 + i}") for i in range(1, 4)) + F.col(f"y{g * 4}")
+            for g in range(4)
+        ]
+    )
+    est = y.select(
+        "n_rows",
+        (
+            (
+                F.element_at(F.array_sort(gs), 2) + F.element_at(F.array_sort(gs), 3)
+            ).cast("double")
+            / F.lit(8.0)
+        ).alias("f2_estimate"),
+    )
+    exact = (
+        od.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("n_rows").cast("bigint"),
+        "f2_exact",
+        "f2_estimate",
+        F.round(
+            F.abs(F.col("f2_estimate") - F.col("f2_exact"))
+            / F.col("f2_exact")
+            * 100,
+            2,
+        ).alias("rel_err_pct"),
+    )
