@@ -1101,3 +1101,74 @@ def top_principal_component(
         lam = norm / n_rows
         v = [x / norm for x in w]
     return v, lam
+
+
+def top_principal_components(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 3,
+    n_iter: int = 12,
+    seed: int = 3,
+) -> "list[tuple[list[float], float]]":
+    """Top-k principal components by power iteration with Hotelling
+    deflation: find v1 as top_principal_component does, then for each
+    subsequent component re-orthogonalize the iterate against all
+    previously found components EVERY round (Gram-Schmidt on the driver —
+    k·dim floats, never a distributed op). Orthogonal-iteration theory:
+    projecting out span(v1..v_{t-1}) makes the power step converge to the
+    next-largest eigenvector of XᵀX without ever materializing a deflated
+    matrix — X itself is scanned unchanged, so the distributed plan per
+    round stays identical to the single-component probe (one narrow dot +
+    one per-dimension combiner agg).
+
+    Returns [(component, eigenvalue), ...] in decreasing eigenvalue
+    order. Same determinism class as the single-PC probe: float matvec →
+    rows-only + numpy golden.
+    """
+    import hashlib
+
+    dim = len(emb.select(vec_col).first()[0])
+    n_rows = emb.count()
+    found: list[tuple[list[float], float]] = []
+
+    def _ortho(w: list[float]) -> list[float]:
+        for vk, _ in found:
+            d = sum(a * b for a, b in zip(w, vk))
+            w = [a - d * b for a, b in zip(w, vk)]
+        return w
+
+    for t in range(n_components):
+        v = [
+            int(hashlib.md5(f"{seed + t}|{j}".encode()).hexdigest()[:8], 16)
+            / float(2**31)
+            - 1.0
+            for j in range(dim)
+        ]
+        v = _ortho(v)
+        norm = sum(x * x for x in v) ** 0.5
+        if norm == 0.0:
+            break
+        v = [x / norm for x in v]
+        lam = 0.0
+        for _ in range(n_iter):
+            vlit = F.array(*[F.lit(float(x)) for x in v])
+            proj = dot(_to_double(F.col(vec_col)), vlit)
+            contrib = emb.select(
+                F.posexplode(
+                    F.transform(_to_double(F.col(vec_col)), lambda x: x * proj)
+                ).alias("pos", "c")
+            )
+            sums = (
+                contrib.groupBy("pos")
+                .agg(F.sum("c").alias("s"))
+                .orderBy("pos")
+                .collect()
+            )
+            w = _ortho([r.s for r in sums])
+            norm = sum(x * x for x in w) ** 0.5
+            if norm == 0.0:
+                break
+            lam = norm / n_rows
+            v = [x / norm for x in w]
+        found.append((v, lam))
+    return found

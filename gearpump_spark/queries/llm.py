@@ -4856,3 +4856,188 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: per-node clustering coefficient, IVF recall eval, multi-PC
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        GROUP BY n),
+    oriented AS (
+        SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+               CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS t
+        FROM und
+        JOIN deg d1 ON d1.n = und.u
+        JOIN deg d2 ON d2.n = und.v,
+        LATERAL (SELECT d1.d AS du, d2.d AS dv) x),
+    wedges AS (
+        SELECT e1.s, e1.t AS t1, e2.t AS t2
+        FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t),
+    closing AS (
+        SELECT LEAST(s, t) AS c1, GREATEST(s, t) AS c2 FROM oriented),
+    tri AS (
+        SELECT w.s, LEAST(w.t1, w.t2) AS c1, GREATEST(w.t1, w.t2) AS c2
+        FROM wedges w SEMI JOIN closing c
+          ON c.c1 = LEAST(w.t1, w.t2) AND c.c2 = GREATEST(w.t1, w.t2)),
+    per_node AS (
+        SELECT n, SUM(t) AS n_triangles FROM (
+            SELECT s AS n, COUNT(*) AS t FROM tri GROUP BY s
+            UNION ALL SELECT c1, COUNT(*) FROM tri GROUP BY c1
+            UNION ALL SELECT c2, COUNT(*) FROM tri GROUP BY c2)
+        GROUP BY n)
+    SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+               ROUND(2.0 * COALESCE(p.n_triangles, 0)
+                     / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)), 4)
+           END AS coeff
+    FROM deg LEFT JOIN per_node p ON p.n = deg.n
+    ORDER BY degree DESC, node LIMIT 100
+    """,
+    desc="local clustering coefficient (top-100 hubs of the co-purchase "
+    "graph): 2*tri(v)/(deg*(deg-1)) via the degree-ordered wedge join, "
+    "with the closing join keeping corner identities so each triangle "
+    "credits all three corners — the community-structure probe next to "
+    "the global triangle count",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py clustering_coefficient: salted wedge join,
+    pinned exchange width, per-corner credits pre-aggregated before the
+    3-way union; top-100 cut is TakeOrdered."""
+    from gearpump_spark.operators.graph import clustering_coefficient
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return clustering_coefficient(edges, top_n=100)
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=f"""
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus_assign AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_IVF_SQDIST_SQL.format(e='e.embedding', c='c.cvec')},
+                       c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+    probes AS (
+        SELECT q_id, q_vec, cid FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_IVF_SQDIST_SQL.format(e='e.embedding', c='c.cvec')},
+                       c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id < 25)
+        WHERE rn <= 3),
+    ivf AS (
+        SELECT q_id, vec_id FROM (
+            SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cosine_sim DESC, vec_id) AS rank FROM (
+                SELECT p.q_id, a.vec_id,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.q_vec[i] AS DOUBLE)))
+                         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * SQRT(LIST_SUM(LIST_TRANSFORM(p.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         4) AS cosine_sim
+                FROM corpus_assign a JOIN probes p USING (cid)) s)
+        WHERE rank <= 5),
+    brute AS (
+        SELECT q_id, vec_id FROM (
+            SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cosine_sim DESC, vec_id) AS rank FROM (
+                SELECT q.vec_id AS q_id, e.vec_id,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                         / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         4) AS cosine_sim
+                FROM embeddings e CROSS JOIN embeddings q
+                WHERE q.vec_id < 25) s)
+        WHERE rank <= 5)
+    SELECT b.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b LEFT JOIN ivf i USING (q_id, vec_id)
+    GROUP BY b.q_id ORDER BY b.q_id
+    """,
+    desc="ANN quality gate: recall@5 of the seeded-IVF index (nprobe=3 "
+    "of 8 lists) against brute-force cosine truth for 25 queries — the "
+    "measurement that decides nprobe/nlist before anyone trusts an "
+    "approximate index; fully closed-form, so even the recall numbers "
+    "hash-match",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute side: corpus-partitioned scan with the 25-query side
+    broadcast (corpus never shuffles); IVF side probes 3/8 lists. The
+    recall join keys on (q_id, vec_id) — 125 rows per side."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = S.cosine_topk(q, emb, k=5).select("q_id", "vec_id")
+    approx = S.cosine_topk_ivf(q, emb, nlist=8, nprobe=3, k=5, refine=False).select(
+        "q_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(approx, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").cast("bigint").alias("n_hits"),
+            (F.count("_hit").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+@register(
+    "embedding_top_pcs",
+    # rows-only: same float-matvec class as embedding_top_pc; the numpy
+    # golden (tests/test_operators_unit.py) checks top-3 eigenvalues
+    # within 1% and |cos| > 0.999 per component against numpy.linalg.eigh
+    desc="top-3 principal components by power iteration with Hotelling "
+    "deflation (Gram-Schmidt against found components each round, on the "
+    "driver): the spectrum probe that decides how many directions to "
+    "remove before JL/PQ — rows-only (float iterative), numpy-goldened",
+)
+def embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py top_principal_components: per round ONE
+    narrow dot + one per-dim combiner agg; only k*dim floats ever reach
+    the driver."""
+    from gearpump_spark.operators.similarity import top_principal_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    comps = top_principal_components(emb, n_components=3, n_iter=12)
+    rows = [
+        (i, ",".join(f"{round(x, 6):.6f}" for x in v), float(round(lam, 6)))
+        for i, (v, lam) in enumerate(comps)
+    ]
+    return spark.createDataFrame(
+        rows, "pc_idx int, component string, eigenvalue double"
+    ).orderBy("pc_idx")

@@ -2534,3 +2534,34 @@ def test_moving_zscore_flags_known_outlier(spark, tmp_path):
     z = (n * 500.0 - s) / math.sqrt(n * s2 - s * s)
     assert z > 10  # unambiguous anomaly
     assert by_id[10].n < 30  # warm-up row has too few priors to score
+
+
+def test_top_principal_components_deflation_matches_numpy(spark):
+    """Deflated power iteration recovers numpy's top-3 eigenpairs of
+    X^T X / n (up to sign) on a 3-spike dataset with separated spectrum,
+    and returns them in decreasing eigenvalue order."""
+    import numpy as np
+
+    from gearpump_spark.operators.similarity import top_principal_components
+
+    rng = np.random.RandomState(11)
+    dirs, _ = np.linalg.qr(rng.normal(0, 1, (16, 3)))
+    scales = [6.0, 3.0, 1.5]
+    X = sum(
+        np.outer(rng.normal(0, s, 300), dirs[:, i]) for i, s in enumerate(scales)
+    ) + rng.normal(0, 0.1, (300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    comps = top_principal_components(df, n_components=3, n_iter=30)
+    w, V = np.linalg.eigh(X.T @ X / len(X))
+    assert len(comps) == 3
+    lams = [lam for _, lam in comps]
+    assert lams == sorted(lams, reverse=True)
+    for t, (v, lam) in enumerate(comps):
+        top = V[:, -1 - t]
+        cos = abs(float(np.dot(v, top)))
+        assert cos > 0.999, (t, cos)
+        ref = w[-1 - t]
+        assert abs(lam - ref) / ref < 0.01, (t, lam, ref)
