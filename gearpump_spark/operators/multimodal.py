@@ -323,6 +323,8 @@ class HeaderDecoder:
                 if chunk_id == b"fmt " and i + 24 <= n:
                     return {
                         "format": "wav",
+                        # wFormatTag: 1 = linear PCM, 7 = G.711 mu-law
+                        "codec_tag": int.from_bytes(payload[i + 8 : i + 10], "little"),
                         "n_channels": int.from_bytes(payload[i + 10 : i + 12], "little"),
                         "sample_rate": int.from_bytes(payload[i + 12 : i + 16], "little"),
                         "bits_per_sample": int.from_bytes(payload[i + 22 : i + 24], "little"),
@@ -883,11 +885,17 @@ class PixelDecoder(HeaderDecoder):
 
     # -- WAV samples --------------------------------------------------------
     def decode_audio_samples(self, payload: bytes):
-        """PCM sample values from a RIFF/WAV data chunk as plain ints
-        (8-bit unsigned, 16/24/32-bit signed little-endian), else None."""
+        """Sample values from a RIFF/WAV data chunk as plain ints: linear
+        PCM (8-bit unsigned, 16/24/32-bit signed little-endian) or G.711
+        mu-law (wFormatTag 7: 8-bit log-companded bytes expanded to 16-bit
+        linear via the CCITT integer formula), else None."""
         meta = self.sniff_audio(payload)
         if meta is None or meta["bits_per_sample"] not in (8, 16, 24, 32):
             return None
+        if meta.get("codec_tag", 1) == 7:
+            if meta["bits_per_sample"] != 8:
+                return None
+            return self._decode_mulaw_data(payload)
         bits = meta["bits_per_sample"]
         width = bits // 8
         i, n = 12, len(payload)
@@ -915,6 +923,28 @@ class PixelDecoder(HeaderDecoder):
                     )
                     a -= (a >> 23 & 1) << 24
                 return a.tolist()
+            i += 8 + chunk_len + (chunk_len & 1)
+        return None
+
+    @staticmethod
+    def _decode_mulaw_data(payload: bytes):
+        """G.711 mu-law expansion of the data chunk (CCITT integer form):
+        u = ~b; t = ((mantissa << 3) + 0x84) << exponent; sample =
+        ±(t − 0x84). Pure integer arithmetic — the same formula is
+        expressible in ANSI SQL, which is what makes a sample-level
+        oracle possible (ITU-T G.711 Table 2a, public spec)."""
+        import numpy as np
+
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            chunk_id = payload[i : i + 4]
+            chunk_len = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if chunk_id == b"data":
+                raw = np.frombuffer(payload[i + 8 : i + 8 + chunk_len], dtype=np.uint8)
+                u = (~raw).astype(np.int64) & 0xFF
+                t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+                x = np.where(u & 0x80, 0x84 - t, t - 0x84)
+                return x.tolist()
             i += 8 + chunk_len + (chunk_len & 1)
         return None
 
@@ -1037,6 +1067,33 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
                 body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 body += b"data" + struct.pack("<I", len(data)) + data
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_wav_mulaw_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL RIFF/WAV G.711 mu-law bytes per row (wFormatTag 7, mono,
+    8 kHz, 8 bits): 8 companded bytes with closed-form values
+    b_k = (5·id + 17·k) % 256, so the decoder's integer expansion is
+    verifiable against pure SQL arithmetic. Every 7th doc gets a
+    truncated container (RIFF/WAVE + fmt, no data chunk) to exercise the
+    null path."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                if i % 7 != 0:
+                    data = bytes((5 * i + 17 * k) % 256 for k in range(8))
+                    body += b"data" + struct.pack("<I", len(data)) + data
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 

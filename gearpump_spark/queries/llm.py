@@ -5041,3 +5041,50 @@ def embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "pc_idx int, component string, eigenvalue double"
     ).orderBy("pc_idx")
+
+
+@register(
+    "multimodal_mulaw_real",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, 8), k -> (5 * doc_id + 17 * k) % 256) AS bs
+        FROM documents),
+    dec AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(bs, b -> CASE
+                   WHEN (255 - b) >= 128 THEN
+                       132 - ((((255 - b) % 16) * 8 + 132)
+                              * CAST(POW(2, ((255 - b) // 16) % 8) AS BIGINT))
+                   ELSE ((((255 - b) % 16) * 8 + 132)
+                         * CAST(POW(2, ((255 - b) // 16) % 8) AS BIGINT)) - 132
+               END) AS xs
+        FROM p)
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(8 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(LIST_SUM(xs) AS BIGINT) END AS sample_sum,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(LIST_MIN(xs) AS BIGINT) END AS sample_min,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(LIST_MAX(xs) AS BIGINT) END AS sample_max
+    FROM dec ORDER BY doc_id
+    """,
+    desc="REAL G.711 mu-law decode (ITU-T G.711, wFormatTag 7): "
+    "log-companded bytes expanded to 16-bit linear PCM via the CCITT "
+    "integer formula — pure integer arithmetic, so the oracle replays "
+    "the expansion in SQL byte for byte; every 7th payload is a "
+    "truncated container exercising the null path (telephony corpora "
+    "are the classic mu-law estate)",
+)
+def multimodal_mulaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py _decode_mulaw_data: Arrow-batched narrow
+    map; payload bytes never shuffle, only 4 aggregate ints per doc do."""
+    from gearpump_spark.operators.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_mulaw_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_sample_stats(synthesize_wav_mulaw_payloads(docs)).orderBy("doc_id")

@@ -1528,3 +1528,34 @@ def test_exif_orientation_walk_both_endians_and_safe():
         d.sniff_exif_orientation(enc[:cut])
     with pytest.raises(ValueError, match="orientation"):
         JpegDecoder.encode_jpeg_gray(img, exif_orientation=9)
+
+
+def test_mulaw_decode_matches_g711_table_values():
+    """The integer expansion must reproduce ITU-T G.711 Table 2a anchor
+    values: 0x00 -> -32124 (max negative), 0x80 -> +32124 (max positive),
+    0x7F and 0xFF -> 0 (+0/-0 both decode to silence)."""
+    import struct
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    data = bytes([0x00, 0x80, 0x7F, 0xFF, 0x1A])
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = PixelDecoder().sniff_audio(payload)
+    assert meta["codec_tag"] == 7 and meta["bits_per_sample"] == 8
+    vals = PixelDecoder().decode_audio_samples(payload)
+    # 0x1A: u=0xE5 -> sign, exp=6, mant=5 -> t=(40+132)<<6=11008 -> -10876
+    assert vals == [-32124, 32124, 0, 0, -10876]
+
+
+def test_mulaw_truncated_container_yields_none():
+    import struct
+
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert PixelDecoder().decode_audio_samples(payload) is None
