@@ -5088,3 +5088,75 @@ def multimodal_mulaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return audio_sample_stats(synthesize_wav_mulaw_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "embedding_center_project",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding,
+                   x -> CAST(FLOOR((CAST(x AS DOUBLE) + 2.0) * 1000000)
+                             AS BIGINT)) AS qv
+        FROM embeddings),
+    dims AS (
+        SELECT vec_id, CAST(i AS INT) - 1 AS j, qv[CAST(i AS INT)] AS v
+        FROM q, UNNEST(RANGE(1, LEN(qv) + 1)) t(i)),
+    mean AS (
+        -- CAST: SUM(BIGINT) is HUGEINT in DuckDB; keep everything BIGINT
+        SELECT j, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m FROM dims GROUP BY j),
+    centered AS (
+        SELECT d.vec_id, d.j, d.v - m.m AS c FROM dims d JOIN mean m USING (j)),
+    ranked AS (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ABS(c) DESC, j) AS rn
+        FROM centered)
+    SELECT s.vec_id, s.norm2_micro, r.j AS peak_dim,
+           CAST(r.c AS BIGINT) AS peak_val
+    FROM (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS norm2_micro
+          FROM centered GROUP BY vec_id) s
+    JOIN ranked r ON r.vec_id = s.vec_id AND r.rn = 1
+    ORDER BY s.vec_id
+    """,
+    desc="exact embedding centering: coordinates quantized to BIGINT "
+    "micro-units (the PQ convention), per-dim floor-mean subtracted, "
+    "per-vector centered norm-squared + dominant deviation dim — the "
+    "mean-subtraction preprocessing before anisotropy correction, in "
+    "pure integer arithmetic so the whole pass hash-checks (a float "
+    "mean could never: summation order)",
+)
+def embedding_center_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One posexplode + per-dim agg (64 rows broadcast back) + one
+    per-vector agg: the corpus is scanned twice, nothing but (dim) longs
+    and per-vector scalars ever shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor((x.cast("double") + F.lit(2.0)) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    dims = emb.select("vec_id", F.posexplode(qv).alias("j", "v"))
+    mean = dims.groupBy("j").agg(
+        F.floor(F.sum("v") / F.count("*")).cast("long").alias("m")
+    )
+    centered = dims.join(F.broadcast(mean), "j").select(
+        "vec_id", "j", (F.col("v") - F.col("m")).alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    norms = centered.groupBy("vec_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("norm2_micro")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.abs(F.col("c")).desc(), "j")
+    peaks = (
+        centered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("j").alias("peak_dim"), F.col("c").alias("peak_val"))
+    )
+    return (
+        norms.join(peaks, "vec_id")
+        .select("vec_id", "norm2_micro", "peak_dim", "peak_val")
+        .orderBy("vec_id")
+    )

@@ -984,3 +984,79 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_file_skip_stats",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT l_shipdate,
+               CAST(STRFTIME(l_shipdate, '%Y%m') AS INT) * 4
+                 + CAST({_SQL_H15.format(seed="'13'", key="l_orderkey")} % 4 AS INT)
+                 AS file_clustered,
+               CAST({_SQL_H15.format(seed="'13'", key="l_orderkey")} % 64 AS INT)
+                 AS file_scattered
+        FROM lineitem),
+    layouts AS (
+        SELECT 'clustered' AS layout, file_clustered AS file_id, l_shipdate
+        FROM tagged
+        UNION ALL
+        SELECT 'scattered', file_scattered, l_shipdate FROM tagged),
+    zones AS (
+        SELECT layout, file_id, COUNT(*) AS n_rows,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM layouts GROUP BY layout, file_id)
+    SELECT layout, file_id, CAST(n_rows AS BIGINT) AS n_rows,
+           min_ship, max_ship,
+           (max_ship < DATE '1995-01-01' OR min_ship > DATE '1995-03-31')
+             AS can_skip
+    FROM zones ORDER BY layout, file_id
+    """,
+    desc="zone-map file-skipping accounting: the same rows laid out two "
+    "ways — shipdate-clustered files vs hash-scattered files — with "
+    "per-file min/max zone maps and the skip verdict for a Q1-95 date "
+    "predicate; the quantified argument for clustering/Z-order (the "
+    "scattered layout skips ~nothing, the clustered one skips almost "
+    "everything outside the window)",
+)
+def q_file_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle per layout (union of two groupBys over the same scan);
+    file counts are bounded (months x 4, 64), so the result always
+    broadcasts. This is the accounting a table-format metadata layer
+    (Iceberg/Delta stats) maintains incrementally."""
+    li = table(spark, sf_dir, "lineitem")
+    h = _h15(F.col("l_orderkey"), 13)
+    tagged = li.select(
+        "l_shipdate",
+        (
+            F.date_format("l_shipdate", "yyyyMM").cast("int") * 4 + (h % 4).cast("int")
+        ).alias("file_clustered"),
+        (h % 64).cast("int").alias("file_scattered"),
+    )
+    layouts = tagged.select(
+        F.lit("clustered").alias("layout"),
+        F.col("file_clustered").alias("file_id"),
+        "l_shipdate",
+    ).unionAll(
+        tagged.select(
+            F.lit("scattered").alias("layout"),
+            F.col("file_scattered").alias("file_id"),
+            "l_shipdate",
+        )
+    )
+    zones = layouts.groupBy("layout", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    return zones.select(
+        "layout",
+        "file_id",
+        "n_rows",
+        "min_ship",
+        "max_ship",
+        (
+            (F.col("max_ship") < F.lit("1995-01-01").cast("date"))
+            | (F.col("min_ship") > F.lit("1995-03-31").cast("date"))
+        ).alias("can_skip"),
+    ).orderBy("layout", "file_id")
