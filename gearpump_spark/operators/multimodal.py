@@ -583,6 +583,10 @@ class PixelDecoder(HeaderDecoder):
         unfilter."""
         if payload.startswith(self._PNG_SIG):
             return self.decode_png_arr(payload)
+        if payload.startswith(b"qoif"):
+            return self.decode_qoi_arr(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return self.decode_tiff_arr(payload)
         try:
             if not payload.startswith(b"BM") or len(payload) < 54:
                 return None
@@ -605,6 +609,190 @@ class PixelDecoder(HeaderDecoder):
             if h_raw > 0:  # bottom-up storage unless height is negative
                 raster = raster[::-1]
             arr = raster.reshape(h, w, 3).astype(np.int64)
+            return {"width": w, "height": h, "arr": arr}
+        except (IndexError, ValueError):
+            return None
+
+    # -- QOI raster (qoiformat.org spec, CC0 reference) ---------------------
+    def decode_qoi_arr(self, payload: bytes):
+        """{width, height, arr(int64 h x w x [B,G,R])} for a QOI stream
+        (the 2021 'Quite OK Image' format): 14-byte big-endian header,
+        then the 6 chunk ops — RGB (0xFE), RGBA (0xFF), INDEX (00+6-bit
+        slot of the r*3+g*5+b*7+a*11 mod 64 table), DIFF (01 + three
+        2-bit channel deltas bias 2), LUMA (10 + 6-bit dg bias 32, then
+        dr-dg/db-dg nibbles bias 8), RUN (11 + 6-bit length bias -1).
+        Sequential by construction (prev-pixel + running table state), so
+        this stays a per-byte Python walk — QOI images in a corpus are
+        small thumbnails; big rasters arrive as PNG/BMP/TIFF."""
+        try:
+            if payload[:4] != b"qoif" or len(payload) < 14 + 8:
+                return None
+            w = int.from_bytes(payload[4:8], "big")
+            h = int.from_bytes(payload[8:12], "big")
+            channels = payload[12]
+            if w <= 0 or h <= 0 or channels not in (3, 4) or payload[13] > 1:
+                return None
+            import numpy as np
+
+            n_px = w * h
+            out = np.empty((n_px, 3), dtype=np.int64)
+            index = [(0, 0, 0, 0)] * 64
+            r = g = b = 0
+            a = 255
+            i, px = 14, 0
+            end = len(payload) - 8  # 7x00+01 end marker
+            while px < n_px and i < end:
+                byte = payload[i]
+                i += 1
+                if byte == 0xFE:  # QOI_OP_RGB
+                    r, g, b = payload[i], payload[i + 1], payload[i + 2]
+                    i += 3
+                elif byte == 0xFF:  # QOI_OP_RGBA
+                    r, g, b, a = payload[i], payload[i + 1], payload[i + 2], payload[i + 3]
+                    i += 4
+                else:
+                    tag = byte >> 6
+                    if tag == 0:  # QOI_OP_INDEX
+                        r, g, b, a = index[byte & 0x3F]
+                    elif tag == 1:  # QOI_OP_DIFF
+                        r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+                        g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+                        b = (b + (byte & 3) - 2) & 0xFF
+                    elif tag == 2:  # QOI_OP_LUMA
+                        dg = (byte & 0x3F) - 32
+                        nxt = payload[i]
+                        i += 1
+                        r = (r + dg + ((nxt >> 4) & 0x0F) - 8) & 0xFF
+                        g = (g + dg) & 0xFF
+                        b = (b + dg + (nxt & 0x0F) - 8) & 0xFF
+                    else:  # QOI_OP_RUN
+                        run = (byte & 0x3F) + 1
+                        out[px : px + run] = (b, g, r)
+                        px += run
+                        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                        continue
+                index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                out[px] = (b, g, r)
+                px += 1
+            if px != n_px:
+                return None
+            return {"width": w, "height": h, "arr": out.reshape(h, w, 3)}
+        except (IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def encode_qoi(rows: "list[list[list[int]]]") -> bytes:
+        """REAL QOI encoder over [B,G,R] rows (the raster contract):
+        greedy per spec — RUN for repeats, INDEX on table hit, DIFF when
+        all channel deltas fit 2 bits, LUMA when the green-relative form
+        fits, RGB otherwise. Alpha fixed at 255 (channels=3)."""
+        h = len(rows)
+        w = len(rows[0]) if h else 0
+        out = bytearray(b"qoif")
+        out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([3, 0])
+        index = [(0, 0, 0, 0)] * 64
+        pr, pg, pb, pa = 0, 0, 0, 255
+        run = 0
+        for row in rows:
+            for bpx, gpx, rpx in row:
+                if (rpx, gpx, bpx) == (pr, pg, pb):
+                    run += 1
+                    if run == 62:
+                        out.append(0xC0 | (run - 1))
+                        run = 0
+                    continue
+                if run:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                slot = (rpx * 3 + gpx * 5 + bpx * 7 + 255 * 11) % 64
+                if index[slot] == (rpx, gpx, bpx, 255):
+                    out.append(slot)
+                else:
+                    index[slot] = (rpx, gpx, bpx, 255)
+                    dr = (rpx - pr + 128) % 256 - 128
+                    dg = (gpx - pg + 128) % 256 - 128
+                    db = (bpx - pb + 128) % 256 - 128
+                    if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                        out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                    elif (
+                        -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+                    ):
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    else:
+                        out += bytes([0xFE, rpx, gpx, bpx])
+                pr, pg, pb = rpx, gpx, bpx
+        if run:
+            out.append(0xC0 | (run - 1))
+        out += b"\x00" * 7 + b"\x01"
+        return bytes(out)
+
+    # -- TIFF raster (baseline gray, uncompressed strips) -------------------
+    def decode_tiff_arr(self, payload: bytes):
+        """{width, height, arr} for a baseline TIFF: classic header (II or
+        MM byte order, magic 42), first IFD walked entry by entry (SHORT
+        values left-justified in the 4-byte field per spec §2), 8-bit
+        single-sample gray, Compression=1 (none), strips concatenated via
+        StripOffsets/StripByteCounts; PhotometricInterpretation 0
+        (WhiteIsZero) inverts, 1 (BlackIsZero) is identity. Gray expands
+        to B=G=R like the PNG gray path."""
+        try:
+            if payload[:4] == b"II*\x00":
+                bo = "little"
+            elif payload[:4] == b"MM\x00*":
+                bo = "big"
+            else:
+                return None
+
+            def rd(off: int, n: int) -> int:
+                return int.from_bytes(payload[off : off + n], bo)
+
+            ifd = rd(4, 4)
+            n_ent = rd(ifd, 2)
+            tags: dict[int, tuple[int, int, int]] = {}
+            for k in range(n_ent):
+                e = ifd + 2 + 12 * k
+                tags[rd(e, 2)] = (rd(e + 2, 2), rd(e + 4, 4), e + 8)
+
+            def val(tag: int, default=None):
+                if tag not in tags:
+                    return default
+                typ, cnt, voff = tags[tag]
+                size = {3: 2, 4: 4}.get(typ)
+                if size is None or cnt != 1:
+                    return None
+                return rd(voff, size)  # left-justified in the value field
+
+            def arr_vals(tag: int) -> "list[int] | None":
+                if tag not in tags:
+                    return None
+                typ, cnt, voff = tags[tag]
+                size = {3: 2, 4: 4}.get(typ)
+                if size is None:
+                    return None
+                if cnt * size <= 4:
+                    return [rd(voff + j * size, size) for j in range(cnt)]
+                base = rd(voff, 4)
+                return [rd(base + j * size, size) for j in range(cnt)]
+
+            w, h = val(256), val(257)
+            if not w or not h:
+                return None
+            if val(258, 8) != 8 or val(259, 1) != 1 or val(277, 1) != 1:
+                return None
+            photo = val(262, 1)
+            offs, cnts = arr_vals(273), arr_vals(279)
+            if photo not in (0, 1) or not offs or not cnts or len(offs) != len(cnts):
+                return None
+            import numpy as np
+
+            raw = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+            if len(raw) < w * h:
+                return None
+            a = np.frombuffer(raw, dtype=np.uint8, count=w * h).astype(np.int64)
+            if photo == 0:
+                a = 255 - a
+            arr = np.repeat(a.reshape(h, w, 1), 3, axis=2)
             return {"width": w, "height": h, "arr": arr}
         except (IndexError, ValueError):
             return None
@@ -1095,6 +1283,142 @@ def synthesize_wav_mulaw_payloads(df: DataFrame, id_col: str = "doc_id") -> Data
                     data = bytes((5 * i + 17 * k) % 256 for k in range(8))
                     body += b"data" + struct.pack("<I", len(data)) + data
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_qoi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL QOI bytes per row: width = 2 + id%5, height = 1 + id%4.
+    Rows where (y + id) % 3 == 0 are a constant color (exercising
+    QOI_OP_RUN); every fifth doc uses a unit-gradient raster (all three
+    channel deltas = 1 → QOI_OP_DIFF); all other pixels reuse the BMP
+    closed-form raster formula (deltas 3/5/1 land in LUMA range, row
+    seams fall to RGB, revisited colors hit INDEX) — so the byte stream
+    exercises every 3-channel op while every pixel stays pure arithmetic
+    for the oracle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 5, 1 + i % 4
+                rows = []
+                for y in range(h):
+                    if (y + i) % 3 == 0:
+                        px = [(13 * i) % 256, (11 * i) % 256, (7 * i) % 256]
+                        rows.append([list(px) for _ in range(w)])
+                    elif i % 5 == 0:
+                        rows.append(
+                            [
+                                [
+                                    (i + x + y) % 256,
+                                    (2 * i + x + y) % 256,
+                                    (3 * i + x + y) % 256,
+                                ]
+                                for x in range(w)
+                            ]
+                        )
+                    else:
+                        rows.append(
+                            [
+                                [
+                                    (i + 3 * x + 7 * y) % 256,
+                                    (2 * i + 5 * x + y) % 256,
+                                    (3 * i + x + 11 * y) % 256,
+                                ]
+                                for x in range(w)
+                            ]
+                        )
+                payloads.append(PixelDecoder.encode_qoi(rows))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL baseline-TIFF bytes per row: 8-bit gray, width =
+    2 + id%6, height = 1 + id%5, gray(x, y) = (id + 5x + 3y) % 256,
+    RowsPerStrip = 2 (so multi-strip assembly is exercised), byte order
+    alternating II/MM by id parity, and PhotometricInterpretation
+    WhiteIsZero (stored inverted) every third doc. Every header, IFD
+    entry, and strip offset is real."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                bo = "little" if i % 2 == 0 else "big"
+                photo = 0 if i % 3 == 0 else 1  # 0 = WhiteIsZero (inverted)
+                gray = bytes(
+                    (i + 5 * x + 3 * y) % 256 if photo == 1
+                    else 255 - ((i + 5 * x + 3 * y) % 256)
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rps = 2
+                n_strips = (h + rps - 1) // rps
+                strip_lens = [
+                    w * min(rps, h - s * rps) for s in range(n_strips)
+                ]
+                # layout: header(8) | IFD(2 + 9*12 + 4) | [offset/count
+                # arrays when n_strips > 1] | strip data
+                ifd_off = 8
+                ifd_len = 2 + 9 * 12 + 4
+                arrays_off = ifd_off + ifd_len
+                arrays_len = 0 if n_strips == 1 else 2 * 4 * n_strips
+                data_off = arrays_off + arrays_len
+                strip_offs = []
+                o = data_off
+                for ln in strip_lens:
+                    strip_offs.append(o)
+                    o += ln
+
+                def short_val(v: int) -> bytes:
+                    return v.to_bytes(2, bo) + b"\x00\x00"
+
+                def entry(tag: int, typ: int, cnt: int, valfield: bytes) -> bytes:
+                    return (
+                        tag.to_bytes(2, bo)
+                        + typ.to_bytes(2, bo)
+                        + cnt.to_bytes(4, bo)
+                        + valfield
+                    )
+
+                if n_strips == 1:
+                    so_field = strip_offs[0].to_bytes(4, bo)
+                    sc_field = strip_lens[0].to_bytes(4, bo)
+                else:
+                    so_field = arrays_off.to_bytes(4, bo)
+                    sc_field = (arrays_off + 4 * n_strips).to_bytes(4, bo)
+                entries = (
+                    entry(256, 3, 1, short_val(w))
+                    + entry(257, 3, 1, short_val(h))
+                    + entry(258, 3, 1, short_val(8))
+                    + entry(259, 3, 1, short_val(1))
+                    + entry(262, 3, 1, short_val(photo))
+                    + entry(273, 4, n_strips, so_field)
+                    + entry(277, 3, 1, short_val(1))
+                    + entry(278, 3, 1, short_val(rps))
+                    + entry(279, 4, n_strips, sc_field)
+                )
+                ifd = (9).to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+                header = (
+                    (b"II" + (42).to_bytes(2, "little") if bo == "little" else b"MM" + (42).to_bytes(2, "big"))
+                    + ifd_off.to_bytes(4, bo)
+                )
+                arrays = b""
+                if n_strips > 1:
+                    arrays = b"".join(v.to_bytes(4, bo) for v in strip_offs)
+                    arrays += b"".join(v.to_bytes(4, bo) for v in strip_lens)
+                payloads.append(header + ifd + arrays + gray)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

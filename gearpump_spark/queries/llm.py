@@ -5160,3 +5160,75 @@ def embedding_center_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "norm2_micro", "peak_dim", "peak_val")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "multimodal_qoi_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 5 AS INT) AS width,
+           CAST(1 + doc_id % 4 AS INT) AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, (2 + doc_id % 5) * (1 + doc_id % 4)),
+               k -> CASE
+                   WHEN (k // (2 + doc_id % 5) + doc_id) % 3 = 0 THEN
+                       (13 * doc_id) % 256 + (11 * doc_id) % 256
+                       + (7 * doc_id) % 256
+                   WHEN doc_id % 5 = 0 THEN
+                       (doc_id + k % (2 + doc_id % 5) + k // (2 + doc_id % 5)) % 256
+                       + (2 * doc_id + k % (2 + doc_id % 5) + k // (2 + doc_id % 5)) % 256
+                       + (3 * doc_id + k % (2 + doc_id % 5) + k // (2 + doc_id % 5)) % 256
+                   ELSE
+                       (doc_id + 3 * (k % (2 + doc_id % 5)) + 7 * (k // (2 + doc_id % 5))) % 256
+                       + (2 * doc_id + 5 * (k % (2 + doc_id % 5)) + (k // (2 + doc_id % 5))) % 256
+                       + (3 * doc_id + (k % (2 + doc_id % 5)) + 11 * (k // (2 + doc_id % 5))) % 256
+               END)) AS BIGINT) AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL QOI decode (qoiformat.org 2021): constant rows compress "
+    "to RUN ops, unit-gradient docs to DIFF, formula rasters to "
+    "LUMA/INDEX/RGB — the full 3-channel op set decoded back and "
+    "checksummed against closed-form pixel arithmetic",
+)
+def multimodal_qoi_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py decode_qoi_arr / encode_qoi: sequential
+    per-byte state machine (prev pixel + 64-slot table) inside an
+    Arrow-batched narrow map; payloads never shuffle."""
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_qoi_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_qoi_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_tiff_pixels_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           CAST(3 * LIST_SUM(LIST_TRANSFORM(
+               RANGE(0, (2 + doc_id % 6) * (1 + doc_id % 5)),
+               k -> (doc_id + 5 * (k % (2 + doc_id % 6))
+                     + 3 * (k // (2 + doc_id % 6))) % 256)) AS BIGINT) AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL baseline-TIFF decode: classic header in BOTH byte orders "
+    "(II and MM alternating), IFD walk with left-justified SHORT values, "
+    "multi-strip assembly (RowsPerStrip=2), WhiteIsZero inversion every "
+    "third doc — gray rasters checksummed against closed-form arithmetic "
+    "(the decode-side twin of the Exif APP1 TIFF walk)",
+)
+def multimodal_tiff_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py decode_tiff_arr: the photometric
+    normalization makes stored-inverted and stored-direct payloads hash
+    identically, which is exactly what the oracle checks (px_sum is the
+    NORMALIZED gray sum x3 regardless of id % 3)."""
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_tiff_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_tiff_payloads(docs)).orderBy("doc_id")

@@ -1559,3 +1559,72 @@ def test_mulaw_truncated_container_yields_none():
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     assert PixelDecoder().decode_audio_samples(payload) is None
+
+
+def test_qoi_roundtrip_exercises_all_ops():
+    """Encoder/decoder roundtrip over the synthetic corpus must be exact
+    and the emitted streams must collectively exercise RUN, DIFF, LUMA,
+    INDEX and RGB chunk types."""
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    dec = PixelDecoder()
+    ops_seen = set()
+    for i in range(60):
+        w, h = 2 + i % 5, 1 + i % 4
+        rows = []
+        for y in range(h):
+            if (y + i) % 3 == 0:
+                px = [(13 * i) % 256, (11 * i) % 256, (7 * i) % 256]
+                rows.append([list(px) for _ in range(w)])
+            elif i % 5 == 0:
+                rows.append(
+                    [[(i + x + y) % 256, (2 * i + x + y) % 256, (3 * i + x + y) % 256]
+                     for x in range(w)]
+                )
+            else:
+                rows.append(
+                    [[(i + 3 * x + 7 * y) % 256, (2 * i + 5 * x + y) % 256,
+                      (3 * i + x + 11 * y) % 256] for x in range(w)]
+                )
+        p = PixelDecoder.encode_qoi(rows)
+        out = dec.decode_pixels_arr(p)
+        assert out is not None and out["width"] == w and out["height"] == h
+        assert out["arr"].tolist() == rows, i
+        j = 14
+        while j < len(p) - 8:
+            b0 = p[j]
+            if b0 == 0xFE:
+                ops_seen.add("RGB"); j += 4
+            elif b0 == 0xFF:
+                ops_seen.add("RGBA"); j += 5
+            else:
+                t = b0 >> 6
+                ops_seen.add(["INDEX", "DIFF", "LUMA", "RUN"][t])
+                j += 2 if t == 2 else 1
+    assert {"RUN", "DIFF", "LUMA", "INDEX", "RGB"} <= ops_seen, ops_seen
+
+
+def test_tiff_decode_both_endians_photometric_and_strips(spark):
+    """TIFF decode must normalize WhiteIsZero payloads to the same gray
+    values as BlackIsZero, handle II and MM headers, and reassemble
+    multi-strip rasters (RowsPerStrip=2)."""
+    from gearpump_spark.operators.multimodal import (
+        PixelDecoder,
+        synthesize_tiff_payloads,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    rows = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synthesize_tiff_payloads(docs).collect()
+    }
+    dec = PixelDecoder()
+    for i in range(24):
+        w, h = 2 + i % 6, 1 + i % 5
+        out = dec.decode_pixels_arr(rows[i])
+        assert out is not None and out["width"] == w and out["height"] == h, i
+        expect = [
+            [[(i + 5 * x + 3 * y) % 256] * 3 for x in range(w)] for y in range(h)
+        ]
+        assert out["arr"].tolist() == expect, i
+        assert rows[i][:2] == (b"II" if i % 2 == 0 else b"MM")
