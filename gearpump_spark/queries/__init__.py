@@ -72,10 +72,11 @@ _LOADED = False
 DRIVER_SAMPLE_WINDOW = [
     # ROUND-5 ROTATION. CORRECTNESS_r04 came back 100% green (48 hash-green
     # + 2 rows-only by construction), so the window policy (r3 verdict
-    # #1/#6) now reads: (a) the 7 queries registered after the r4 window
-    # filled — never driver-verified — go first; (b) every remaining slot
-    # re-verifies the LEAST-recently-verified cohort, which is the round-1
-    # relational/TPC-H suite (records now 4 rounds old).
+    # #1/#6) now reads: (a) never-driver-verified queries go first — the 7
+    # registered after the r4 window filled, then the 16 new r5 operators;
+    # (b) every remaining slot re-verifies the LEAST-recently-verified
+    # cohort, which is the round-1 relational/TPC-H suite (records now 4
+    # rounds old).
     # tests/test_registry_order.py::test_window_prefers_least_recently_verified
     # enforces (b) mechanically against the CORRECTNESS_r*.json artifacts.
     #
@@ -89,6 +90,30 @@ DRIVER_SAMPLE_WINDOW = [
     # -- never-sampled, rows-only (power iteration: float dot-product
     #    reduction order is engine-specific; numpy golden holds exactness) --
     "embedding_top_pc",
+    # -- new in r5, oracle-backed, never verified: temporal analytics
+    #    (EWMA / gap interpolation / exact-median MAD), CDC snapshot diff,
+    #    LM-quality text scores (rounded-log-term decimal-sum discipline),
+    #    the AMS F2 sketch, Efraimidis-Spirakis weighted sampling, local
+    #    clustering coefficients, the IVF recall gate, exact embedding
+    #    centering, zone-map skip accounting, G.711 mu-law + QOI + TIFF
+    #    real-byte decodes --
+    "q_ewma_smooth",
+    "q_interp_gapfill",
+    "q_mad_outliers",
+    "q_snapshot_diff",
+    "text_unigram_logprob",
+    "text_char_entropy",
+    "sketch_ams_f2",
+    "sample_weighted_reservoir",
+    "graph_clustering_coeff",
+    "similarity_ivf_recall",
+    "multimodal_mulaw_real",
+    "embedding_center_project",
+    "q_file_skip_stats",
+    "multimodal_qoi_real",
+    "multimodal_tiff_pixels_real",
+    # -- new in r5, rows-only (deflated power iteration; numpy golden) --
+    "embedding_top_pcs",
     # -- re-verification: the full round-1 cohort minus the 7 most static
     #    scalar-expression queries (q_distinct, q_sort_limit, q_set_ops,
     #    q_count_distinct, q_scalar_string_date_math, q_json_extract,
@@ -122,23 +147,13 @@ DRIVER_SAMPLE_WINDOW = [
     "q_semi_join",
     "q_anti_join",
     "q_outer_join_counts",
-    "q_cross_join_broadcast",
-    "q_copurchase_pairs",
-    # -- grouping / windowed analytics (r1 records) --
-    "q_rollup",
-    "q_cube",
-    "q_pivot",
-    "q_unpivot",
-    "q_topk_per_group",
-    "q_window_running",
-    "q_lag_lead",
-    "q_ntile",
-    "q_trailing_1h",
-    "q_sessionize",
-    "q_quantiles",
-    "q_agg_stats",
-    "q_groupby_having",
-    "q_incremental_agg",
+    # (q_cross_join_broadcast, q_copurchase_pairs, q_rollup, q_cube,
+    # q_pivot, q_unpivot, q_topk_per_group, q_window_running, q_lag_lead,
+    # q_ntile, q_trailing_1h, q_sessionize, q_quantiles, q_agg_stats,
+    # q_groupby_having, q_incremental_agg — r1-verified, stable code
+    # paths — gave their re-verification slots to the sixteen
+    # never-verified r5 queries above; they re-verify in r6 together
+    # with the 7 scalar-expression queries already queued there)
 ]
 
 
