@@ -98,6 +98,11 @@ def main() -> None:
             "org.apache.spark.util.Utils",
             "org.apache.spark.util.SparkUncaughtExceptionHandler",
             "org.apache.spark.util.ThreadUtils",
+            # stop() during an in-flight trigger deletes the temporary
+            # state-store dir under running completion listeners →
+            # TaskContextImpl logs FileNotFound/chmod traces (r5: the last
+            # remaining artifact-tail noise source)
+            "org.apache.spark.TaskContextImpl",
         ):
             configurator.setLevel(logger_name, off)
     except Exception:

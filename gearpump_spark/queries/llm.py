@@ -5232,3 +5232,134 @@ def multimodal_tiff_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return pixel_stats(synthesize_tiff_payloads(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: 1-bit (binary) quantization + Hamming search, winsorization
+# ---------------------------------------------------------------------------
+
+# sign-bit words shared by the quantizer and the Hamming searcher: bit j of
+# the lo/hi word is 1 iff embedding[j] > 0 (ties at 0 stay 0). Two UINT32-
+# range words per 64-dim vector, kept in BIGINT so neither engine touches
+# the sign bit.
+_SQL_SIGN_WORDS = """
+        SELECT vec_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                   i -> CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE) > 0
+                             THEN CAST(POW(2, i - 1) AS BIGINT) ELSE 0 END))
+                   AS BIGINT) AS w_lo,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(33, 65),
+                   i -> CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE) > 0
+                             THEN CAST(POW(2, i - 33) AS BIGINT) ELSE 0 END))
+                   AS BIGINT) AS w_hi
+        FROM embeddings"""
+
+
+def _sign_words(emb: DataFrame) -> DataFrame:
+    """(vec_id, w_lo, w_hi): 64 sign bits packed into two 32-bit words."""
+    def word(lo: int, hi: int):
+        bits = F.slice(F.col("embedding"), lo + 1, hi - lo)
+        return F.aggregate(
+            F.zip_with(
+                bits,
+                F.sequence(F.lit(0), F.lit(hi - lo - 1)),
+                # pow, not shiftleft: pyspark's shiftleft takes a literal
+                # bit count; 2^i is exact in double for i <= 31
+                lambda x, i: F.when(
+                    x.cast("double") > 0,
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select("vec_id", word(0, 32).alias("w_lo"), word(32, 64).alias("w_hi"))
+
+
+@register(
+    "embedding_quantize_binary",
+    oracle=f"""
+    WITH words AS ({_SQL_SIGN_WORDS})
+    SELECT vec_id, w_lo, w_hi,
+           CAST(BIT_COUNT(w_lo) + BIT_COUNT(w_hi) AS INT) AS n_pos
+    FROM words ORDER BY vec_id
+    """,
+    desc="1-bit (sign) embedding quantization: 64 dims -> two 32-bit "
+    "words, a 32x storage cut — the coarsest tier of the quantization "
+    "ladder (float -> int8 -> int4 -> PQ -> binary) and the standard "
+    "first-pass filter for billion-vector search; pure integer, exact "
+    "oracle",
+)
+def embedding_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow map, no shuffle: the sequential zip_with fold packs sign
+    bits JVM-side; nothing but (id, 2 longs, count) leaves the scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    w = _sign_words(emb)
+    return w.select(
+        "vec_id",
+        "w_lo",
+        "w_hi",
+        (F.bit_count("w_lo") + F.bit_count("w_hi")).cast("int").alias("n_pos"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "similarity_topk_hamming",
+    oracle=f"""
+    WITH words AS ({_SQL_SIGN_WORDS}),
+    q AS (SELECT vec_id AS q_id, w_lo AS q_lo, w_hi AS q_hi
+          FROM words WHERE vec_id < 25),
+    scored AS (
+        SELECT q.q_id, w.vec_id,
+               CAST(BIT_COUNT(XOR(w.w_lo, q.q_lo))
+                    + BIT_COUNT(XOR(w.w_hi, q.q_hi)) AS INT) AS hamming
+        FROM words w CROSS JOIN q WHERE w.vec_id <> q.q_id)
+    SELECT q_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY hamming, vec_id) AS rank
+        FROM scored) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    desc="Hamming-space top-k over sign-quantized embeddings: XOR + "
+    "popcount per candidate (2 ALU ops against 64 float multiplies for "
+    "cosine) — the binary pre-rank that makes a billion-vector first "
+    "pass affordable before exact re-ranking; integer-exact, so even "
+    "the approximate ranking hash-checks",
+)
+def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 25-query side broadcasts; the corpus word table never
+    shuffles (same shape as cosine_topk but with 16 bytes/vector of
+    state instead of 256)."""
+    emb = table(spark, sf_dir, "embeddings")
+    words = _sign_words(emb)
+    q = (
+        words.where(F.col("vec_id") < 25)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("w_lo").alias("q_lo"),
+            F.col("w_hi").alias("q_hi"),
+        )
+    )
+    scored = (
+        words.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    )

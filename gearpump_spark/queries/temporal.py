@@ -1303,3 +1303,82 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2) * F.col("value") - med_d) / (F.lit(1.4826) * (mad_d * 0.5)),
         ).alias("robust_z"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.01 * n) AS BIGINT))
+                        THEN value END) AS lo,
+               MIN(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                        THEN value END) AS hi
+        FROM ranked GROUP BY event_type, n)
+    SELECT r.event_type,
+           CAST(MAX(r.n) AS BIGINT) AS n,
+           MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+           CAST(SUM(CASE WHEN r.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN r.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(CAST(ROUND(SUM(CAST(LEAST(GREATEST(r.value, b.lo), b.hi)
+                                    AS DECIMAL(18,6))), 2) AS DECIMAL(38,2))
+                AS DOUBLE) AS winsorized_sum
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+    desc="winsorization at exact p01/p99 ORDER STATISTICS (rank "
+    "ceil(q*n), no interpolation — engine-independent): per-type clip "
+    "bounds, clipped-row counts, and the decimal-exact winsorized sum — "
+    "the robust-preprocessing twin of q_mad_outliers (tame the tails "
+    "instead of flagging them)",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed window (rank by value) + a per-type bounds aggregate
+    broadcast back. Order-statistic bounds, not percentile_cont: the
+    interpolated form differs across engines, the k-th order stat never
+    does."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k_lo = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(0.01) * F.col("n")))
+    k_hi = F.ceil(F.lit(0.99) * F.col("n"))
+    bounds = ranked.groupBy("event_type", "n").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("value"))).alias("hi"),
+    ).select("event_type", "lo", "hi")
+    j = ranked.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.sum(clipped.cast("decimal(18,6)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -103,6 +103,34 @@ EXTRA = [
     "embedding_matryoshka",
     "multimodal_jfif_real",
     "dedup_savings_report",
+    # r5 wave: single-window temporal analytics (EWMA taps / gap
+    # interpolation / exact-median MAD), the full-outer snapshot diff,
+    # the decimal-summed log scores, the one-pass AMS sketch, per-source
+    # weighted reservoirs, the Θ(m^1.5) clustering coefficient (the
+    # DOULION-sampled graph is the 100 TB path, same as the triangle
+    # pair), the closed-form IVF recall gate, integer embedding
+    # centering, zone-map accounting, and the three new real-byte codecs
+    # (G.711 mu-law, QOI, baseline TIFF — all Arrow narrow maps)
+    "q_ewma_smooth",
+    "q_interp_gapfill",
+    "q_mad_outliers",
+    "q_snapshot_diff",
+    "text_unigram_logprob",
+    "text_char_entropy",
+    "sketch_ams_f2",
+    "sample_weighted_reservoir",
+    "graph_clustering_coeff",
+    "similarity_ivf_recall",
+    "embedding_center_project",
+    "q_file_skip_stats",
+    "multimodal_mulaw_real",
+    "multimodal_qoi_real",
+    "multimodal_tiff_pixels_real",
+    # r5 second wave: the binary-quantization pair (narrow map; Hamming
+    # search = XOR+popcount broadcast scan) and order-statistic clipping
+    "embedding_quantize_binary",
+    "similarity_topk_hamming",
+    "q_winsorize",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
