@@ -5363,3 +5363,189 @@ def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 addition: MMR diversified re-ranking (unrolled greedy, exact oracle)
+# ---------------------------------------------------------------------------
+
+# round(cosine, 4) between two embedding lists in DuckDB — same tree as
+# _cos_pair_sql but parameterized on arbitrary vector expressions.
+_MMR_LAMBDA = 0.7
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, e.vec_id, e.embedding,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) AS rel
+        FROM embeddings e CROSS JOIN embeddings q
+        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+    cand AS (
+        SELECT q_id, vec_id, rel, embedding FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY rel DESC, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= 8),
+    pairs AS (
+        SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) AS sim
+        FROM cand a JOIN cand b
+          ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+    s1 AS (
+        SELECT q_id, vec_id, rel AS score FROM (
+            SELECT q_id, vec_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1),
+    s2 AS (
+        SELECT q_id, vec_id, score FROM (
+            SELECT c.q_id, c.vec_id,
+                   {_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA:.1f} * p.sim AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id
+                       ORDER BY {_MMR_LAMBDA} * c.rel
+                                - {1 - _MMR_LAMBDA:.1f} * p.sim DESC,
+                                c.vec_id) AS rn
+            FROM cand c
+            JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
+            JOIN pairs p ON p.q_id = c.q_id AND p.a_id = c.vec_id
+                        AND p.b_id = s1.vec_id)
+        WHERE rn = 1),
+    s3 AS (
+        SELECT q_id, vec_id, score FROM (
+            SELECT c.q_id, c.vec_id,
+                   {_MMR_LAMBDA} * c.rel
+                     - {1 - _MMR_LAMBDA:.1f} * GREATEST(p1.sim, p2.sim) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id
+                       ORDER BY {_MMR_LAMBDA} * c.rel
+                                - {1 - _MMR_LAMBDA:.1f} * GREATEST(p1.sim, p2.sim)
+                                DESC, c.vec_id) AS rn
+            FROM cand c
+            JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
+            JOIN s2 ON s2.q_id = c.q_id AND c.vec_id <> s2.vec_id
+            JOIN pairs p1 ON p1.q_id = c.q_id AND p1.a_id = c.vec_id
+                         AND p1.b_id = s1.vec_id
+            JOIN pairs p2 ON p2.q_id = c.q_id AND p2.a_id = c.vec_id
+                         AND p2.b_id = s2.vec_id)
+        WHERE rn = 1)
+    SELECT q_id, CAST(pick AS INT) AS pick, vec_id,
+           ROUND(score, 4) AS score
+    FROM (SELECT q_id, 1 AS pick, vec_id, score FROM s1
+          UNION ALL SELECT q_id, 2, vec_id, score FROM s2
+          UNION ALL SELECT q_id, 3, vec_id, score FROM s3)
+    ORDER BY q_id, pick
+    """,
+    desc="MMR diversified re-ranking (Carbonell-Goldstein 1998): 3 "
+    "greedy picks from a brute top-8 candidate pool per query, score = "
+    "0.7*relevance - 0.3*max-similarity-to-picked — the standard "
+    "redundancy killer between retrieval and a context window; the "
+    "greedy recursion is UNROLLED (one plan stage per pick) so the "
+    "whole thing stays declarative and hash-checks",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pools are top-8 per query (the corpus-side scan is the
+    only big input; pools and pair sims are |Q|*8 and |Q|*64 rows).
+    Each unrolled pick is a window argmax over the tiny pool — no
+    driver loop, no UDF, and the plan depth is fixed at 3 regardless of
+    corpus size."""
+    from pyspark.sql import Window as W
+
+    lam = _MMR_LAMBDA
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    sim_qc = F.round(S.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "embedding", sim_qc.alias("rel"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 8)
+        .drop("rn")
+    ).localCheckpoint(eager=False)  # consumed by pairs + all three picks
+    a = cand.select(
+        "q_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
+    )
+    b = cand.select(
+        "q_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    pairs = (
+        a.join(b, "q_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            "a_id",
+            "b_id",
+            F.round(S.cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("sim"),
+        )
+    ).localCheckpoint(eager=False)  # consumed by picks 2 and 3 (x3 legs)
+
+    def argmax(df: DataFrame, score, out: str) -> DataFrame:
+        w = W.partitionBy("q_id").orderBy(F.desc("_s"), "vec_id")
+        return (
+            df.withColumn("_s", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("q_id", F.col("vec_id").alias(out), F.col("_s").alias(f"{out}_score"))
+        )
+
+    base = cand.select("q_id", "vec_id", "rel")
+    s1 = argmax(base, F.col("rel"), "s1")
+    c2 = (
+        base.join(s1, "q_id")
+        .where(F.col("vec_id") != F.col("s1"))
+        .join(
+            pairs.withColumnRenamed("a_id", "vec_id").withColumnRenamed("b_id", "s1"),
+            ["q_id", "vec_id", "s1"],
+        )
+    )
+    s2 = argmax(c2, F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("sim"), "s2")
+    p1 = pairs.select(
+        "q_id", F.col("a_id").alias("vec_id"), F.col("b_id").alias("s1"),
+        F.col("sim").alias("sim1"),
+    )
+    p2 = pairs.select(
+        "q_id", F.col("a_id").alias("vec_id"), F.col("b_id").alias("s2"),
+        F.col("sim").alias("sim2"),
+    )
+    c3 = (
+        base.join(s1.select("q_id", "s1"), "q_id")
+        .join(s2.select("q_id", "s2"), "q_id")
+        .where((F.col("vec_id") != F.col("s1")) & (F.col("vec_id") != F.col("s2")))
+        .join(p1, ["q_id", "vec_id", "s1"])
+        .join(p2, ["q_id", "vec_id", "s2"])
+    )
+    s3 = argmax(
+        c3,
+        F.lit(lam) * F.col("rel")
+        - F.lit(1 - lam) * F.greatest(F.col("sim1"), F.col("sim2")),
+        "s3",
+    )
+    out = (
+        s1.select("q_id", F.lit(1).alias("pick"), F.col("s1").alias("vec_id"),
+                  F.col("s1_score").alias("score"))
+        .unionAll(
+            s2.select("q_id", F.lit(2).alias("pick"), F.col("s2").alias("vec_id"),
+                      F.col("s2_score").alias("score"))
+        )
+        .unionAll(
+            s3.select("q_id", F.lit(3).alias("pick"), F.col("s3").alias("vec_id"),
+                      F.col("s3_score").alias("score"))
+        )
+    )
+    return out.select(
+        "q_id", F.col("pick").cast("int"), "vec_id", F.round("score", 4).alias("score")
+    ).orderBy("q_id", "pick")
