@@ -5549,3 +5549,178 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", F.col("pick").cast("int"), "vec_id", F.round("score", 4).alias("score")
     ).orderBy("q_id", "pick")
+
+
+@register(
+    "similarity_binary_rerank",
+    oracle=f"""
+    WITH words AS ({_SQL_SIGN_WORDS}),
+    q AS (SELECT vec_id AS q_id, w_lo AS q_lo, w_hi AS q_hi
+          FROM words WHERE vec_id < 25),
+    prefilter AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, w.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY BIT_COUNT(XOR(w.w_lo, q.q_lo))
+                                + BIT_COUNT(XOR(w.w_hi, q.q_hi)),
+                                w.vec_id) AS rn
+            FROM words w CROSS JOIN q WHERE w.vec_id <> q.q_id)
+        WHERE rn <= 50),
+    rerank AS (
+        SELECT p.q_id, p.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) AS cosine_sim
+        FROM prefilter p
+        JOIN embeddings e ON e.vec_id = p.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.q_id)
+    SELECT q_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM rerank) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    desc="two-stage binary search: Hamming top-50 prefilter over sign "
+    "words (XOR+popcount, 16 bytes/vector) then exact cosine re-rank of "
+    "the survivors — THE pattern 1-bit quantization exists for: the "
+    "float corpus is touched for only 50 candidates per query instead "
+    "of all of it; end-to-end integer+round4, so the whole cascade "
+    "hash-checks",
+)
+def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 never reads float vectors (word table only); stage 2 is a
+    keyed join back to the corpus for |Q|*50 rows. At 100 TB the words
+    table is 32 GB/billion vectors — memory-resident where the float
+    corpus never could be."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    words = _sign_words(emb).localCheckpoint(eager=False)  # corpus + query side
+    q = (
+        words.where(F.col("vec_id") < 25)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("w_lo").alias("q_lo"),
+            F.col("w_hi").alias("q_hi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    )
+    w1 = W.partitionBy("q_id").orderBy(ham, "vec_id")
+    prefilter = (
+        words.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 50)
+        .select("q_id", "vec_id")
+    )
+    e = emb.select("vec_id", F.col("embedding").alias("c_vec"))
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    rerank = (
+        prefilter.join(e, "vec_id")
+        .join(F.broadcast(qe), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+        )
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    common AS (
+        SELECT a.n AS x, b.n AS y, COUNT(*) AS cn
+        FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
+        GROUP BY a.n, b.n),
+    pairs AS (
+        SELECT c.x, c.y, c.cn, da.d AS dx, db.d AS dy,
+               ROUND(CAST(c.cn AS DOUBLE)
+                     / CAST(da.d + db.d - c.cn AS DOUBLE), 4) AS jaccard
+        FROM common c JOIN deg da ON da.n = c.x JOIN deg db ON db.n = c.y
+        WHERE c.cn >= 3)
+    SELECT x, y, CAST(cn AS BIGINT) AS n_common,
+           CAST(dx AS BIGINT) AS deg_x, CAST(dy AS BIGINT) AS deg_y, jaccard
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, x, y) AS rn
+          FROM pairs)
+    WHERE rn <= 50 ORDER BY jaccard DESC, x, y
+    """,
+    desc="neighborhood Jaccard similarity (top-50 co-purchase pairs with "
+    ">= 3 common neighbors): |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the "
+    "normalized cousin of common-neighbor link prediction (hubs can't "
+    "win on raw overlap alone)",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-style common-neighbor count (one shuffle keyed on the shared
+    neighbor, pre-aggregated before the degree joins); the cn >= 3 floor
+    prunes the quadratic tail before ranking; top-50 is TakeOrdered."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    ).localCheckpoint(eager=False)  # adj (x2), both wedge sides, degrees
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        und.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("m"), F.col("n").alias("x"))
+    y = adj.select(F.col("m"), F.col("n").alias("y"))
+    common = (
+        x.join(y, "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cn"))
+        .where(F.col("cn") >= 3)
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    pairs = common.join(dx, "x").join(dy, "y").select(
+        "x",
+        "y",
+        "cn",
+        "dx",
+        "dy",
+        F.round(
+            F.col("cn").cast("double")
+            / (F.col("dx") + F.col("dy") - F.col("cn")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )
+    return (
+        pairs.orderBy(F.desc("jaccard"), "x", "y")
+        .limit(50)
+        .select(
+            "x",
+            "y",
+            F.col("cn").cast("bigint").alias("n_common"),
+            F.col("dx").cast("bigint").alias("deg_x"),
+            F.col("dy").cast("bigint").alias("deg_y"),
+            "jaccard",
+        )
+    )
