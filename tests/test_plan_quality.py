@@ -916,3 +916,34 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         assert j.count() == 1000  # 2 of 20 partitions
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_binary_quantize_no_exchange(spark, sf_dir):
+    """Sign-bit packing is a zero-shuffle narrow map: nothing but the
+    scan (plus the fixture split guard) in the plan."""
+    p = plan(QS["embedding_quantize_binary"](spark, sf_dir))
+    # presentation sort only; no hash exchange anywhere
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_hamming_topk_broadcast_queries_corpus_never_shuffles(spark, sf_dir):
+    """The query-side word table broadcasts; the corpus reaches exactly
+    one hash exchange (the per-query top-k window)."""
+    p = plan(QS["similarity_topk_hamming"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_ewma_single_keyed_window_shuffle(spark, sf_dir):
+    """All 20 LAG taps share one window spec — exactly one keyed
+    exchange (event_type), one Window node evaluating every tap."""
+    p = plan(QS["q_ewma_smooth"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert p.count("Window") >= 1
+
+
+def test_file_skip_stats_partial_agg_before_exchange(spark, sf_dir):
+    """Zone maps are map-side partial min/max/count per (layout, file) —
+    the exchange carries file-granularity rows, never raw lineitems."""
+    p = plan(QS["q_file_skip_stats"](spark, sf_dir))
+    assert "partial" in p.lower()
