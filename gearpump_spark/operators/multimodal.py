@@ -1426,6 +1426,47 @@ def synthesize_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def synthesize_jpeg_lossless_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Build REAL lossless-JPEG (SOF3) bytes per row: width = 2 + id%6,
+    height = 1 + id%5, predictor = 1 + id%7 (every spec predictor
+    exercised across the corpus), every fourth doc 12-bit
+    (gray = (17·id + 5x + 3y) % 4096, presented via the high byte),
+    the rest 8-bit (gray = (id + 5x + 3y) % 256). Lossless, so every
+    decoded sample equals the closed form exactly."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                pred = 1 + i % 7
+                if i % 4 == 0:
+                    gray = [
+                        [(17 * i + 5 * x + 3 * y) % 4096 for x in range(w)]
+                        for y in range(h)
+                    ]
+                    p = JpegDecoder.encode_jpeg_lossless_gray(
+                        gray, precision=12, predictor=pred
+                    )
+                else:
+                    gray = [
+                        [(i + 5 * x + 3 * y) % 256 for x in range(w)]
+                        for y in range(h)
+                    ]
+                    p = JpegDecoder.encode_jpeg_lossless_gray(
+                        gray, precision=8, predictor=pred
+                    )
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
 def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build REAL uncompressed 24-bit BMP bytes per row with closed-form
     raster content: width = 2 + id%6, height = 1 + id%5, pixel (x, y) =
@@ -3231,8 +3272,8 @@ class JpegDecoder(GifDecoder):
                         return None  # out-of-spec sampling factor
                 elif marker == 0xC2:  # progressive: dedicated path
                     return self._decode_progressive(payload)
-                elif marker == 0xC3:  # lossless SOF: out of scope
-                    return None
+                elif marker == 0xC3:  # lossless (Annex H): dedicated path
+                    return self._decode_lossless(payload)
                 elif marker == 0xC4:  # DHT
                     j = 0
                     while j < len(body):
@@ -3381,6 +3422,216 @@ class JpegDecoder(GifDecoder):
             )
         except (IndexError, ValueError):
             return None
+
+    def _decode_lossless(self, payload: bytes):
+        """Lossless JPEG (SOF3, T.81 Annex H): single-component predictive
+        coding — per sample a DC-style Huffman size category + EXTEND'd
+        difference, reconstructed through one of the seven spec
+        predictors (SOS Ss field selects; Ra/Rb/Rc = left/above/
+        above-left) with modulo-2^16 arithmetic. Boundary rules per
+        H.1.2.2: first sample predicts 2^(P-1), the rest of the first
+        line uses Ra, the first sample of later lines uses Rb. The
+        DNG/medical-imaging JPEG variant. Presents >8-bit samples via
+        the high byte, like the rest of the codec family."""
+        try:
+            i = 2
+            n = len(payload)
+            w = h = precision = None
+            luts: dict[tuple[int, int], dict] = {}
+            scan = None
+            predictor = pt = 0
+            dc_th = 0
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                body = payload[i + 4 : i + 2 + seg_len]
+                if marker == 0xC3:
+                    precision = body[0]
+                    h = int.from_bytes(body[1:3], "big")
+                    w = int.from_bytes(body[3:5], "big")
+                    if body[5] != 1 or not (2 <= precision <= 16):
+                        return None  # single-component tier
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(body):
+                        tc, th = body[j] >> 4, body[j] & 0x0F
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        lut = {}
+                        code = 0
+                        k = 0
+                        for ln in range(1, 17):
+                            for _ in range(bits[ln - 1]):
+                                lut[(ln, code)] = vals[k]
+                                code += 1
+                                k += 1
+                            code <<= 1
+                        luts[(tc, th)] = lut
+                        j += 17 + nv
+                elif marker == 0xDA:
+                    dc_th = body[2] >> 4
+                    predictor = body[1 + 2 * body[0]]  # Ss
+                    pt = body[3 + 2 * body[0]] & 0x0F  # Al = point transform
+                    scan = payload[i + 2 + seg_len :]
+                    break
+                i += 2 + seg_len
+            if scan is None or w is None or (0, dc_th) not in luts:
+                return None
+            if not (1 <= predictor <= 7):
+                return None
+            data = bytearray()
+            j = 0
+            while j < len(scan):
+                b = scan[j]
+                if b == 0xFF:
+                    if j + 1 < len(scan) and scan[j + 1] == 0x00:
+                        data.append(0xFF)
+                        j += 2
+                        continue
+                    break
+                data.append(b)
+                j += 1
+            rdr = _BitReader(data)
+            lut = luts[(0, dc_th)]
+            out = [[0] * w for _ in range(h)]
+            default = 1 << (precision - 1 - pt)
+            for y in range(h):
+                row = out[y]
+                up = out[y - 1] if y else None
+                for x in range(w):
+                    ssss = rdr.read_huff(lut)
+                    if ssss is None:
+                        return None
+                    diff = 32768 if ssss == 16 else rdr.receive_extend(ssss)
+                    if diff is None:
+                        return None
+                    if y == 0:
+                        pred = row[x - 1] if x else default
+                    elif x == 0:
+                        pred = up[x]
+                    else:
+                        ra, rb, rc = row[x - 1], up[x], up[x - 1]
+                        if predictor == 1:
+                            pred = ra
+                        elif predictor == 2:
+                            pred = rb
+                        elif predictor == 3:
+                            pred = rc
+                        elif predictor == 4:
+                            pred = ra + rb - rc
+                        elif predictor == 5:
+                            pred = ra + ((rb - rc) >> 1)
+                        elif predictor == 6:
+                            pred = rb + ((ra - rc) >> 1)
+                        else:
+                            pred = (ra + rb) >> 1
+                    row[x] = (pred + diff) & 0xFFFF
+            import numpy as np
+
+            a = np.array(out, dtype=np.int64)
+            if precision > 8:  # high-byte presentation
+                a = a >> (precision - 8)
+            return {"width": w, "height": h, "arr": np.repeat(a[:, :, None], 3, axis=2)}
+        except (IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def encode_jpeg_lossless_gray(
+        gray: "list[list[int]]", precision: int = 8, predictor: int = 1
+    ) -> bytes:
+        """REAL lossless JPEG (SOF3): per-sample predictive differences
+        Huffman-coded with the DC-category tables (Annex-K for 8-bit,
+        the extended _DC12 set for 12-bit), byte stuffing, decodable by
+        the _decode_lossless walk above and by any Annex-H reader.
+        ``predictor`` selects spec predictors 1-7 (SOS Ss)."""
+        if precision not in (8, 12):
+            raise ValueError("precision must be 8 or 12")
+        if not (1 <= predictor <= 7):
+            raise ValueError("predictor must be 1..7")
+        maxv = (1 << precision) - 1
+        if any(not (0 <= px <= maxv) for row in gray for px in row):
+            raise ValueError(f"samples must be in [0, {maxv}]")
+        h = len(gray)
+        w = len(gray[0]) if h else 0
+        dc_bits, dc_vals = (
+            (_DC_BITS, _DC_VALS) if precision == 8 else (_DC12_BITS, _DC12_VALS)
+        )
+        dc_codes = _huff_codes(dc_bits, dc_vals)
+
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+
+        def put(code, ln):
+            nonlocal acc, nacc
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    bits.append(acc)
+                    if acc == 0xFF:
+                        bits.append(0x00)
+                    acc = 0
+                    nacc = 0
+
+        default = 1 << (precision - 1)
+        for y in range(h):
+            row = gray[y]
+            up = gray[y - 1] if y else None
+            for x in range(w):
+                if y == 0:
+                    pred = row[x - 1] if x else default
+                elif x == 0:
+                    pred = up[x]
+                else:
+                    ra, rb, rc = row[x - 1], up[x], up[x - 1]
+                    if predictor == 1:
+                        pred = ra
+                    elif predictor == 2:
+                        pred = rb
+                    elif predictor == 3:
+                        pred = rc
+                    elif predictor == 4:
+                        pred = ra + rb - rc
+                    elif predictor == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    else:
+                        pred = (ra + rb) >> 1
+                diff = row[x] - pred
+                size = 0
+                a = abs(diff)
+                while a:
+                    size += 1
+                    a >>= 1
+                code, ln = dc_codes[size]
+                put(code, ln)
+                if size:
+                    v = diff if diff >= 0 else diff + (1 << size) - 1
+                    put(v & ((1 << size) - 1), size)
+        if nacc:
+            acc <<= 8 - nacc
+            acc |= (1 << (8 - nacc)) - 1  # 1-pad per spec
+            bits.append(acc)
+            if acc == 0xFF:
+                bits.append(0x00)
+
+        import struct
+
+        sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+        nv = sum(dc_bits)
+        dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals[:nv])
+        sos = bytes([1, 1, 0x00, predictor, 0, 0])
+        out = b"\xff\xd8"
+        out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += bytes(bits) + b"\xff\xd9"
+        return out
 
     def _decode_progressive(self, payload: bytes):
         """Progressive JPEG (SOF2), spectral-selection scans: coefficients

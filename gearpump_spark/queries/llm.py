@@ -5724,3 +5724,41 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "multimodal_jpeg_lossless_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 6 AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           CAST(3 * LIST_SUM(LIST_TRANSFORM(
+               RANGE(0, (2 + doc_id % 6) * (1 + doc_id % 5)),
+               k -> CASE WHEN doc_id % 4 = 0 THEN
+                        ((17 * doc_id + 5 * (k % (2 + doc_id % 6))
+                          + 3 * (k // (2 + doc_id % 6))) % 4096) // 16
+                    ELSE
+                        (doc_id + 5 * (k % (2 + doc_id % 6))
+                         + 3 * (k // (2 + doc_id % 6))) % 256
+                    END)) AS BIGINT) AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL lossless-JPEG decode (SOF3, T.81 Annex H — the DNG/"
+    "medical variant): per-sample predictive Huffman coding through all "
+    "seven spec predictors across the corpus, 8-bit AND 12-bit "
+    "precisions; lossless, so every decoded sample equals the "
+    "closed-form raster exactly (no DC-quant caveats needed)",
+)
+def multimodal_jpeg_lossless_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py _decode_lossless / encode_jpeg_lossless_gray:
+    Arrow-batched narrow map; payloads never shuffle."""
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_lossless_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(
+        synthesize_jpeg_lossless_payloads(docs), decoder=JpegDecoder()
+    ).orderBy("doc_id")

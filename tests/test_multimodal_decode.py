@@ -1628,3 +1628,28 @@ def test_tiff_decode_both_endians_photometric_and_strips(spark):
         ]
         assert out["arr"].tolist() == expect, i
         assert rows[i][:2] == (b"II" if i % 2 == 0 else b"MM")
+
+
+def test_jpeg_lossless_roundtrip_all_predictors_both_precisions():
+    """SOF3 encode/decode must be exact for random rasters under every
+    spec predictor (1-7) at 8-bit and 12-bit precision (12-bit presents
+    the high byte, like the rest of the codec family)."""
+    import random
+
+    import numpy as np
+
+    from gearpump_spark.operators.multimodal import JpegDecoder
+
+    dec = JpegDecoder()
+    rng = random.Random(3)
+    for trial in range(28):
+        P = 8 if trial % 4 else 12
+        maxv = (1 << P) - 1
+        pred = 1 + trial % 7
+        w, h = 2 + trial % 6, 1 + trial % 5
+        gray = [[rng.randint(0, maxv) for _ in range(w)] for _ in range(h)]
+        p = JpegDecoder.encode_jpeg_lossless_gray(gray, precision=P, predictor=pred)
+        out = dec.decode_jpeg_arr(p)
+        assert out is not None and out["width"] == w and out["height"] == h
+        exp = np.array(gray) >> (P - 8)
+        assert (out["arr"][:, :, 0] == exp).all(), (trial, P, pred)
