@@ -131,6 +131,12 @@ EXTRA = [
     "embedding_quantize_binary",
     "similarity_topk_hamming",
     "q_winsorize",
+    # r5 third wave: the two-stage binary cascade, neighborhood Jaccard
+    # (wedge-keyed), unrolled MMR, and the SOF3 lossless codec walk
+    "similarity_binary_rerank",
+    "graph_jaccard_neighbors",
+    "similarity_mmr_rerank",
+    "multimodal_jpeg_lossless_real",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
