@@ -114,6 +114,9 @@ DRIVER_SAMPLE_WINDOW = [
     "multimodal_tiff_pixels_real",
     # -- new in r5, rows-only (deflated power iteration; numpy golden) --
     "embedding_top_pcs",
+    # -- late-r5, oracle-backed: growth accounting + user-flow matrix --
+    "q_running_distinct",
+    "q_event_transitions",
     # -- re-verification: the full round-1 cohort minus the 7 most static
     #    scalar-expression queries (q_distinct, q_sort_limit, q_set_ops,
     #    q_count_distinct, q_scalar_string_date_math, q_json_extract,
@@ -144,10 +147,9 @@ DRIVER_SAMPLE_WINDOW = [
     # -- joins / temporal joins (r1 records) --
     "q_asof_join",
     "q_range_join",
-    "q_semi_join",
-    "q_anti_join",
     "q_outer_join_counts",
-    # (q_cross_join_broadcast, q_copurchase_pairs, q_rollup, q_cube,
+    # (q_semi_join, q_anti_join — rotated to r6 as two late-r5 queries
+    # took their slots; q_cross_join_broadcast, q_copurchase_pairs, q_rollup, q_cube,
     # q_pivot, q_unpivot, q_topk_per_group, q_window_running, q_lag_lead,
     # q_ntile, q_trailing_1h, q_sessionize, q_quantiles, q_agg_stats,
     # q_groupby_having, q_incremental_agg — r1-verified, stable code

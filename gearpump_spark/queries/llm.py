@@ -5648,9 +5648,15 @@ def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
     deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    -- hub cap (super-node exclusion): wedge cost is sum(deg(center)^2)
+    -- and has NO orientation trick, so centers above 64 neighbors are
+    -- dropped before wedging; the cap is part of the op's spec
+    centers AS (
+        SELECT a.n, a.m FROM adj a JOIN deg dm ON dm.n = a.m
+        WHERE dm.d <= 64),
     common AS (
         SELECT a.n AS x, b.n AS y, COUNT(*) AS cn
-        FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
+        FROM centers a JOIN centers b ON a.m = b.m AND a.n < b.n
         GROUP BY a.n, b.n),
     pairs AS (
         SELECT c.x, c.y, c.cn, da.d AS dx, db.d AS dy,
@@ -5665,14 +5671,17 @@ def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 50 ORDER BY jaccard DESC, x, y
     """,
     desc="neighborhood Jaccard similarity (top-50 co-purchase pairs with "
-    ">= 3 common neighbors): |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the "
-    "normalized cousin of common-neighbor link prediction (hubs can't "
-    "win on raw overlap alone)",
+    ">= 3 common neighbors, hub centers capped at degree 64 — super-node "
+    "exclusion, the standard recsys move): |N(x) ∩ N(y)| / |N(x) ∪ N(y)| "
+    "— the normalized cousin of common-neighbor link prediction",
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wedge-style common-neighbor count (one shuffle keyed on the shared
-    neighbor, pre-aggregated before the degree joins); the cn >= 3 floor
-    prunes the quadratic tail before ranking; top-50 is TakeOrdered."""
+    """Wedge-style common-neighbor count keyed on the shared neighbor —
+    SALTED like link_predict_common_neighbors (wedge cost is
+    Σ deg(center)² with no orientation trick, so hub centers above the
+    degree-64 cap are excluded BEFORE wedging and the rest can't
+    concentrate in one task); the cn >= 3 floor prunes the quadratic
+    tail before ranking; top-50 is TakeOrdered."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -5689,10 +5698,28 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("v").alias("n"), F.col("u").alias("m"))
     )
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
-    x = adj.select(F.col("m"), F.col("n").alias("x"))
-    y = adj.select(F.col("m"), F.col("n").alias("y"))
+    centers = adj.join(
+        F.broadcast(deg.where(F.col("d") > 64).withColumnRenamed("n", "m")),
+        "m",
+        "left_anti",
+    )
+    n_salts = 16
+    x = centers.select(
+        F.col("m"),
+        F.col("n").alias("x"),
+        F.pmod(F.hash("n"), F.lit(n_salts)).alias("_salt"),
+    )
+    y = centers.select(F.col("m"), F.col("n").alias("y")).crossJoin(
+        F.broadcast(
+            spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    n_parts = max(
+        64, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
     common = (
-        x.join(y, "m")
+        x.repartition(n_parts, "m", "_salt")
+        .join(y, ["m", "_salt"])
         .where(F.col("x") < F.col("y"))
         .groupBy("x", "y")
         .agg(F.count("*").alias("cn"))

@@ -1382,3 +1382,106 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_running_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, DATE_TRUNC('day', ts) AS d,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    daily AS (
+        SELECT d, COUNT(*) AS new_users
+        FROM firsts WHERE rn = 1 GROUP BY d),
+    days AS (
+        SELECT DATE_TRUNC('day', ts) AS d, COUNT(*) AS n_events
+        FROM events GROUP BY d)
+    SELECT days.d AS day,
+           CAST(days.n_events AS BIGINT) AS n_events,
+           CAST(COALESCE(daily.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(daily.new_users, 0))
+                OVER (ORDER BY days.d) AS BIGINT) AS cume_distinct_users
+    FROM days LEFT JOIN daily ON daily.d = days.d
+    ORDER BY day
+    """,
+    desc="running distinct-user count per day via the first-seen-flag "
+    "rewrite: windows cannot COUNT(DISTINCT), so each user's first event "
+    "becomes a +1 and a cumulative sum does the rest — the standard "
+    "growth-accounting query, one user-keyed window + one day aggregate",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles (user window, day agg) + a days-sized running sum.
+    The first-seen rewrite is THE scalable form: a naive per-day
+    COUNT(DISTINCT user) over a growing prefix re-scans the whole
+    history per day; this sees each event once."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "ts", "event_id", F.date_trunc("DAY", "ts").alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("d")
+        .agg(F.count("*").alias("new_users"))
+    )
+    days = ev.groupBy(F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    wd = Window.orderBy("d")
+    return (
+        days.join(firsts, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "n_events",
+            F.coalesce(F.col("new_users"), F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .withColumn(
+            "cume_distinct_users",
+            F.sum("new_users").over(Window.orderBy("day")).cast("bigint"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER
+                 (PARTITION BY prev_type) AS DOUBLE), 4) AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+    desc="event-transition matrix (first-order Markov estimate): per-user "
+    "LAG pairs counted into (prev, next) cells with row-normalized "
+    "transition probabilities — the user-flow/Sankey aggregation, one "
+    "user-keyed window + one cell aggregate",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell count is |types|^2 (bounded), so the normalization window
+    runs on a tiny aggregate, never on events."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    cells = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 4
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
