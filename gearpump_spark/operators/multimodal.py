@@ -5052,3 +5052,54 @@ def decode_exif_orientation(
     return df.select(id_col, payload_col).mapInPandas(
         op, _id_field(df, id_col) + ", orientation int, byte_order string"
     )
+
+
+def audio_resample_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Decimate-by-2 resample of REAL mono PCM (pairwise mean, floor):
+    out[k] = floor((s[2k] + s[2k+1]) / 2) — the box-filter half-rate
+    downsample a speech pipeline applies before feature extraction.
+    Multi-channel payloads yield NULLs (interleaved decimation would mix
+    channels; channel-aware resampling is a different op). Arrow-batched
+    narrow map; payload bytes never shuffle."""
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].values,
+                "n_out": [],
+                "out_sum": [],
+                "out_min": [],
+                "out_max": [],
+            }
+            for p in pdf[payload_col]:
+                payload = None if p is None else bytes(p)
+                meta = None if payload is None else decoder.sniff_audio(payload)
+                vals = (
+                    decoder.decode_audio_samples(payload)
+                    if meta is not None and meta["n_channels"] == 1
+                    else None
+                )
+                if not vals or len(vals) < 2:
+                    for k in ("n_out", "out_sum", "out_min", "out_max"):
+                        out[k].append(None)
+                    continue
+                # >> 1 is floor division toward -inf, matching the
+                # oracle's FLOOR((s0 + s1) / 2.0) for negative sums too
+                res = [
+                    (vals[2 * k] + vals[2 * k + 1]) >> 1
+                    for k in range(len(vals) // 2)
+                ]
+                out["n_out"].append(len(res))
+                out["out_sum"].append(sum(res))
+                out["out_min"].append(min(res))
+                out["out_max"].append(max(res))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op,
+        _id_field(df, id_col)
+        + ", n_out bigint, out_sum bigint, out_min bigint, out_max bigint",
+    )

@@ -5387,33 +5387,39 @@ _MMR_LAMBDA = 0.7
         FROM embeddings e CROSS JOIN embeddings q
         WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
     cand AS (
-        SELECT q_id, vec_id, rel, embedding FROM (
+        -- r10k: relevance in EXACT integer 1e-4 units (rel is a 4-decimal
+        -- double, so ROUND(rel*10000) is exact on both engines); all MMR
+        -- scores below stay integer — a final ROUND(0.7a-0.3b, 4) would
+        -- sit ON a rounding boundary half the time (inputs have 4
+        -- decimals), and the engines' double-rounding disagrees there
+        SELECT q_id, vec_id, embedding,
+               CAST(ROUND(rel * 10000) AS BIGINT) AS r10k FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                         ORDER BY rel DESC, vec_id) AS rn
             FROM scored)
         WHERE rn <= 8),
     pairs AS (
         SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
-               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+               CAST(ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                  / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                 4) AS sim
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 * 10000) AS BIGINT) AS s10k
         FROM cand a JOIN cand b
           ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
     s1 AS (
-        SELECT q_id, vec_id, rel AS score FROM (
-            SELECT q_id, vec_id, rel,
+        SELECT q_id, vec_id, 7 * r10k AS score_1e5 FROM (
+            SELECT q_id, vec_id, r10k,
                    ROW_NUMBER() OVER (PARTITION BY q_id
-                                      ORDER BY rel DESC, vec_id) AS rn
+                                      ORDER BY r10k DESC, vec_id) AS rn
             FROM cand) WHERE rn = 1),
     s2 AS (
-        SELECT q_id, vec_id, score FROM (
+        SELECT q_id, vec_id, score_1e5 FROM (
             SELECT c.q_id, c.vec_id,
-                   {_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA:.1f} * p.sim AS score,
+                   7 * c.r10k - 3 * p.s10k AS score_1e5,
                    ROW_NUMBER() OVER (PARTITION BY c.q_id
-                       ORDER BY {_MMR_LAMBDA} * c.rel
-                                - {1 - _MMR_LAMBDA:.1f} * p.sim DESC,
+                       ORDER BY 7 * c.r10k - 3 * p.s10k DESC,
                                 c.vec_id) AS rn
             FROM cand c
             JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
@@ -5421,13 +5427,11 @@ _MMR_LAMBDA = 0.7
                         AND p.b_id = s1.vec_id)
         WHERE rn = 1),
     s3 AS (
-        SELECT q_id, vec_id, score FROM (
+        SELECT q_id, vec_id, score_1e5 FROM (
             SELECT c.q_id, c.vec_id,
-                   {_MMR_LAMBDA} * c.rel
-                     - {1 - _MMR_LAMBDA:.1f} * GREATEST(p1.sim, p2.sim) AS score,
+                   7 * c.r10k - 3 * GREATEST(p1.s10k, p2.s10k) AS score_1e5,
                    ROW_NUMBER() OVER (PARTITION BY c.q_id
-                       ORDER BY {_MMR_LAMBDA} * c.rel
-                                - {1 - _MMR_LAMBDA:.1f} * GREATEST(p1.sim, p2.sim)
+                       ORDER BY 7 * c.r10k - 3 * GREATEST(p1.s10k, p2.s10k)
                                 DESC, c.vec_id) AS rn
             FROM cand c
             JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
@@ -5438,10 +5442,10 @@ _MMR_LAMBDA = 0.7
                          AND p2.b_id = s2.vec_id)
         WHERE rn = 1)
     SELECT q_id, CAST(pick AS INT) AS pick, vec_id,
-           ROUND(score, 4) AS score
-    FROM (SELECT q_id, 1 AS pick, vec_id, score FROM s1
-          UNION ALL SELECT q_id, 2, vec_id, score FROM s2
-          UNION ALL SELECT q_id, 3, vec_id, score FROM s3)
+           CAST(score_1e5 AS BIGINT) AS score_1e5
+    FROM (SELECT q_id, 1 AS pick, vec_id, score_1e5 FROM s1
+          UNION ALL SELECT q_id, 2, vec_id, score_1e5 FROM s2
+          UNION ALL SELECT q_id, 3, vec_id, score_1e5 FROM s3)
     ORDER BY q_id, pick
     """,
     desc="MMR diversified re-ranking (Carbonell-Goldstein 1998): 3 "
@@ -5449,7 +5453,9 @@ _MMR_LAMBDA = 0.7
     "0.7*relevance - 0.3*max-similarity-to-picked — the standard "
     "redundancy killer between retrieval and a context window; the "
     "greedy recursion is UNROLLED (one plan stage per pick) so the "
-    "whole thing stays declarative and hash-checks",
+    "whole thing stays declarative; scores emit in exact integer 1e-5 "
+    "units (7*rel10k - 3*sim10k) so no rounding boundary can ever "
+    "split the engines",
 )
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pools are top-8 per query (the corpus-side scan is the
@@ -5459,7 +5465,6 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size."""
     from pyspark.sql import Window as W
 
-    lam = _MMR_LAMBDA
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -5471,10 +5476,15 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "embedding", sim_qc.alias("rel"))
     )
     wq = W.partitionBy("q_id").orderBy(F.desc("rel"), "vec_id")
+    # r10k: relevance in exact integer 1e-4 units; all MMR scores stay
+    # integer (a final ROUND(0.7a-0.3b, 4) sits ON a rounding boundary
+    # half the time — 4-decimal inputs — where engine double-rounding
+    # disagrees; integers cannot)
     cand = (
         scored.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= 8)
         .drop("rn")
+        .withColumn("r10k", F.round(F.col("rel") * 10000).cast("long"))
     ).localCheckpoint(eager=False)  # consumed by pairs + all three picks
     a = cand.select(
         "q_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
@@ -5489,7 +5499,9 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "a_id",
             "b_id",
-            F.round(S.cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("sim"),
+            F.round(S.cosine(F.col("a_vec"), F.col("b_vec")) * 10000)
+            .cast("long")
+            .alias("s10k"),
         )
     ).localCheckpoint(eager=False)  # consumed by picks 2 and 3 (x3 legs)
 
@@ -5502,8 +5514,8 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", F.col("vec_id").alias(out), F.col("_s").alias(f"{out}_score"))
         )
 
-    base = cand.select("q_id", "vec_id", "rel")
-    s1 = argmax(base, F.col("rel"), "s1")
+    base = cand.select("q_id", "vec_id", "r10k")
+    s1 = argmax(base, F.lit(7) * F.col("r10k"), "s1")
     c2 = (
         base.join(s1, "q_id")
         .where(F.col("vec_id") != F.col("s1"))
@@ -5512,14 +5524,14 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["q_id", "vec_id", "s1"],
         )
     )
-    s2 = argmax(c2, F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("sim"), "s2")
+    s2 = argmax(c2, F.lit(7) * F.col("r10k") - F.lit(3) * F.col("s10k"), "s2")
     p1 = pairs.select(
         "q_id", F.col("a_id").alias("vec_id"), F.col("b_id").alias("s1"),
-        F.col("sim").alias("sim1"),
+        F.col("s10k").alias("s10k1"),
     )
     p2 = pairs.select(
         "q_id", F.col("a_id").alias("vec_id"), F.col("b_id").alias("s2"),
-        F.col("sim").alias("sim2"),
+        F.col("s10k").alias("s10k2"),
     )
     c3 = (
         base.join(s1.select("q_id", "s1"), "q_id")
@@ -5530,24 +5542,27 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s3 = argmax(
         c3,
-        F.lit(lam) * F.col("rel")
-        - F.lit(1 - lam) * F.greatest(F.col("sim1"), F.col("sim2")),
+        F.lit(7) * F.col("r10k")
+        - F.lit(3) * F.greatest(F.col("s10k1"), F.col("s10k2")),
         "s3",
     )
     out = (
         s1.select("q_id", F.lit(1).alias("pick"), F.col("s1").alias("vec_id"),
-                  F.col("s1_score").alias("score"))
+                  F.col("s1_score").alias("score_1e5"))
         .unionAll(
             s2.select("q_id", F.lit(2).alias("pick"), F.col("s2").alias("vec_id"),
-                      F.col("s2_score").alias("score"))
+                      F.col("s2_score").alias("score_1e5"))
         )
         .unionAll(
             s3.select("q_id", F.lit(3).alias("pick"), F.col("s3").alias("vec_id"),
-                      F.col("s3_score").alias("score"))
+                      F.col("s3_score").alias("score_1e5"))
         )
     )
     return out.select(
-        "q_id", F.col("pick").cast("int"), "vec_id", F.round("score", 4).alias("score")
+        "q_id",
+        F.col("pick").cast("int"),
+        "vec_id",
+        F.col("score_1e5").cast("bigint").alias("score_1e5"),
     ).orderBy("q_id", "pick")
 
 
@@ -5789,3 +5804,419 @@ def multimodal_jpeg_lossless_real(spark: SparkSession, sf_dir: str) -> DataFrame
     return pixel_stats(
         synthesize_jpeg_lossless_payloads(docs), decoder=JpegDecoder()
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r5 fourth wave: graph assortativity, drift monitors, data-quality audits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    ends AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM adj JOIN deg dx ON dx.n = adj.n JOIN deg dy ON dy.n = adj.m),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sx2,
+               CAST(SUM(CAST(x AS BIGINT) * y) AS BIGINT) AS sxy
+        FROM ends)
+    SELECT m AS n_directed_edges, sx AS sum_deg, sx2 AS sum_deg_sq,
+           sxy AS sum_deg_prod,
+           -- ratio in DOUBLE space: each sum converts exactly (< 2^53)
+           -- and BIGINT products would overflow past ~sf1
+           (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+    FROM s
+    """,
+    desc="degree assortativity (Newman 2002): Pearson correlation of "
+    "endpoint degrees over the directed edge list — do hubs attach to "
+    "hubs (assortative, r > 0) or to leaves (disassortative, r < 0)? "
+    "Both edge directions included, so the two endpoint marginals "
+    "coincide and r reduces to ONE integer-exact ratio cast to double "
+    "— the whole statistic hash-checks",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles (degree agg, two degree joins collapse to one keyed
+    exchange each) then a keyless integer aggregate — the one-number
+    skew diagnostic to run before choosing salting constants."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    ).localCheckpoint(eager=False)  # both adjacency directions
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        und.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    dx = deg.select(F.col("n"), F.col("d").alias("x"))
+    dy = deg.select(F.col("n").alias("m"), F.col("d").alias("y"))
+    ends = adj.join(dx, "n").join(dy, "m")
+    s = ends.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("x").cast("bigint") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sx2").alias("sum_deg_sq"),
+        F.col("sxy").alias("sum_deg_prod"),
+        (
+            (
+                F.col("m").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (
+                F.col("m").cast("double") * F.col("sx2").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+    WITH mid AS (
+        -- integer microsecond midpoint test (2*t < lo+hi): no interval
+        -- halving, whose sub-microsecond rounding differs across engines
+        SELECT epoch_us(MIN(ts)) + epoch_us(MAX(ts)) AS m2 FROM events),
+    binned AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
+               CASE WHEN 2 * epoch_us(ts) < (SELECT m2 FROM mid)
+                    THEN 0 ELSE 1 END AS half
+        FROM events),
+    cells AS (
+        SELECT event_type, bin,
+               1 + SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+               1 + SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+        FROM binned GROUP BY event_type, bin),
+    tot AS (
+        SELECT event_type, SUM(a) AS ta, SUM(b) AS tb
+        FROM cells GROUP BY event_type),
+    terms AS (
+        SELECT c.event_type,
+               CAST(ROUND((CAST(c.a AS DOUBLE) / t.ta
+                           - CAST(c.b AS DOUBLE) / t.tb)
+                          * LN((CAST(c.a AS DOUBLE) / t.ta)
+                               / (CAST(c.b AS DOUBLE) / t.tb)), 6)
+                    AS DECIMAL(14,6)) AS term
+        FROM cells c JOIN tot t USING (event_type))
+    SELECT event_type, CAST(SUM(term) AS DOUBLE) AS psi,
+           CAST(SUM(term) AS DOUBLE) >= 0.2 AS drift_alert
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    desc="population-stability-index drift monitor: per-type value "
+    "distribution of the first half of the window vs the second (10 "
+    "fixed 50-unit bins, add-1 smoothing), PSI = sum (p-q) ln(p/q) with "
+    "the rounded-log-term decimal-sum discipline; >= 0.2 is the "
+    "industry alert line — the monitor a feature pipeline runs before "
+    "anyone retrains on drifted data",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + one (type, bin) aggregate (bounded cells); the time
+    midpoint rides in as a broadcast 1-row aggregate, never a collect."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))).alias("m2")
+    )
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+        F.when(F.lit(2) * F.unix_micros("ts") < F.col("m2"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        (F.lit(1) + F.sum(F.when(F.col("half") == 0, 1).otherwise(0))).alias("a"),
+        (F.lit(1) + F.sum(F.when(F.col("half") == 1, 1).otherwise(0))).alias("b"),
+    )
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("event_type")
+    p = F.col("a").cast("double") / F.sum("a").over(wt)
+    q = F.col("b").cast("double") / F.sum("b").over(wt)
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(14,6)")
+    return (
+        cells.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(F.sum("term").cast("double").alias("psi"))
+        .select(
+            "event_type", "psi", (F.col("psi") >= 0.2).alias("drift_alert")
+        )
+        .orderBy("event_type")
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), precomputed in Python
+# and embedded as LITERALS on both sides — no cross-engine log10 in the
+# plan at all (stronger than the rounded-term discipline when the log
+# arguments are compile-time constants).
+_BENFORD_P = [0.3010299957, 0.1760912591, 0.1249387366, 0.096910013,
+              0.079181246, 0.0669467896, 0.057991947, 0.0511525224,
+              0.0457574906]
+
+
+@register(
+    "q_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs),
+    bp AS (
+        SELECT UNNEST(RANGE(1, 10)) AS d,
+               UNNEST([{", ".join(str(p) for p in _BENFORD_P)}]) AS p)
+    SELECT bp.d AS digit,
+           CAST(COALESCE(obs.n, 0) AS BIGINT) AS observed,
+           ROUND(bp.p * t.t, 2) AS expected,
+           ROUND((COALESCE(obs.n, 0) - bp.p * t.t)
+                 * (COALESCE(obs.n, 0) - bp.p * t.t) / (bp.p * t.t), 4)
+             AS chi2_term
+    FROM bp LEFT JOIN obs ON obs.d = bp.d CROSS JOIN tot t
+    ORDER BY digit
+    """,
+    desc="Benford first-digit audit over order totals: observed leading-"
+    "digit counts vs log10(1+1/d) expectations (embedded as compile-time "
+    "literals — no cross-engine log in the plan) with per-digit chi2 "
+    "contributions — the classic fabricated-numbers screen for financial "
+    "fact tables",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + a 9-row aggregate; the digit extraction is a string
+    head over the integer part (no float log in the hot path)."""
+    od = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = od.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    bp = od.sparkSession.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)], "d int, p double"
+    )
+    j = (
+        F.broadcast(bp)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("observed"),
+            F.round(F.col("p") * F.col("t"), 2).alias("expected"),
+            F.round(
+                (F.coalesce(F.col("n"), F.lit(0)) - F.col("p") * F.col("t"))
+                * (F.coalesce(F.col("n"), F.lit(0)) - F.col("p") * F.col("t"))
+                / (F.col("p") * F.col("t")),
+                4,
+            ).alias("chi2_term"),
+        )
+    )
+    return j.orderBy("digit")
+
+
+@register(
+    "q_fd_violations",
+    oracle="""
+    WITH checks AS (
+        SELECT 'l_orderkey->l_shipdate' AS fd, l_orderkey AS k,
+               COUNT(DISTINCT l_shipdate) AS nv
+        FROM lineitem GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'l_orderkey->l_returnflag', l_orderkey,
+               COUNT(DISTINCT l_returnflag)
+        FROM lineitem GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'l_partkey->l_extendedprice/l_quantity', l_partkey,
+               COUNT(DISTINCT l_extendedprice / l_quantity)
+        FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey)
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           ROUND(CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS violation_rate
+    FROM checks GROUP BY fd ORDER BY fd
+    """,
+    desc="functional-dependency audit: candidate FDs checked by counting "
+    "keys with more than one distinct dependent value (does an order "
+    "ship on one date? does a part have one unit price?) — the "
+    "data-quality contract check run before anyone trusts a key for "
+    "dedup or joins",
+)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed aggregate per FD (map-side partial distinct), unioned
+    at n_keys granularity — violation counting never re-shuffles rows."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def check(name: str, key, dep, flt=None) -> DataFrame:
+        d = li.where(flt) if flt is not None else li
+        return (
+            d.groupBy(key.alias("k"))
+            .agg(F.countDistinct(dep).alias("nv"))
+            .select(F.lit(name).alias("fd"), "k", "nv")
+        )
+
+    checks = (
+        check("l_orderkey->l_shipdate", F.col("l_orderkey"), F.col("l_shipdate"))
+        .unionAll(
+            check(
+                "l_orderkey->l_returnflag", F.col("l_orderkey"), F.col("l_returnflag")
+            )
+        )
+        .unionAll(
+            check(
+                "l_partkey->l_extendedprice/l_quantity",
+                F.col("l_partkey"),
+                F.col("l_extendedprice") / F.col("l_quantity"),
+                flt=F.col("l_quantity") > 0,
+            )
+        )
+    )
+    return (
+        checks.groupBy("fd")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum((F.col("nv") > 1).cast("long")).cast("bigint").alias("n_violating"),
+        )
+        .select(
+            "fd",
+            "n_keys",
+            "n_violating",
+            F.round(
+                F.col("n_violating").cast("double") / F.col("n_keys"), 4
+            ).alias("violation_rate"),
+        )
+        .orderBy("fd")
+    )
+
+
+@register(
+    "multimodal_wav_resample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 100 ELSE 1000 END
+                 AS scale,
+               LIST_TRANSFORM(RANGE(0, 4),
+                              k -> (7 * doc_id + 13 * k) % 200 - 100) AS v
+        FROM documents),
+    res AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   LIST_TRANSFORM(RANGE(0, 2), k ->
+                       CAST(FLOOR((scale * v[2 * CAST(k AS INT) + 1]
+                                   + scale * v[2 * CAST(k AS INT) + 2]) / 2.0)
+                            AS BIGINT))
+               END AS xs
+        FROM p)
+    SELECT doc_id,
+           CAST(LEN(xs) AS BIGINT) AS n_out,
+           CAST(LIST_SUM(xs) AS BIGINT) AS out_sum,
+           CAST(LIST_MIN(xs) AS BIGINT) AS out_min,
+           CAST(LIST_MAX(xs) AS BIGINT) AS out_max
+    FROM res ORDER BY doc_id
+    """,
+    desc="REAL PCM decimate-by-2 resample: pairwise floor-mean over "
+    "decoded mono samples (8/16/24-bit, the box-filter half-rate step "
+    "before audio feature extraction); stereo payloads yield NULLs "
+    "(interleaved decimation would mix channels) — both paths "
+    "hash-checked against the closed-form sample arithmetic",
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py audio_resample_stats over the existing
+    closed-form WAV corpus (mono = even doc ids); narrow Arrow map."""
+    from gearpump_spark.operators.multimodal import (
+        audio_resample_stats,
+        synthesize_wav_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_resample_stats(synthesize_wav_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "text_kl_source_drift",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS tok
+        FROM documents),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, SUM(c) AS t FROM sc GROUP BY source),
+    cc AS (SELECT tok, SUM(c) AS cc FROM sc GROUP BY tok),
+    ctot AS (SELECT SUM(cc) AS ct FROM cc),
+    terms AS (
+        SELECT sc.source,
+               CAST(ROUND((CAST(sc.c AS DOUBLE) / st.t)
+                          * LN((CAST(sc.c AS DOUBLE) / st.t)
+                               / (CAST(cc.cc AS DOUBLE) / ct.ct)), 7)
+                    AS DECIMAL(16,7)) AS term
+        FROM sc JOIN stot st USING (source)
+                JOIN cc USING (tok) CROSS JOIN ctot ct)
+    SELECT source, CAST(SUM(term) AS DOUBLE) AS kl_nats
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    desc="per-source KL divergence from the corpus token distribution "
+    "(KL(source || corpus), nats): the drift monitor that catches a "
+    "crawl source going off-distribution before it contaminates a "
+    "training mix; rounded-log-term decimal sums (the cross-engine LN "
+    "discipline), no smoothing needed since the corpus majorizes every "
+    "source",
+)
+def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + (source, tok) aggregate; corpus counts derive from
+    the same aggregate (no second tokenization pass); totals ride in as
+    window sums over bounded keys."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    ws = W.partitionBy("source")
+    wt = W.partitionBy("tok")
+    wall = W.partitionBy()
+    enriched = sc.select(
+        "source",
+        "c",
+        F.sum("c").over(ws).alias("t"),
+        F.sum("c").over(wt).alias("cc"),
+    ).withColumn("ct", F.sum("c").over(wall))
+    p = F.col("c").cast("double") / F.col("t")
+    q = F.col("cc").cast("double") / F.col("ct")
+    term = F.round(p * F.log(p / q), 7).cast("decimal(16,7)")
+    return (
+        enriched.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").cast("double").alias("kl_nats"))
+        .orderBy("source")
+    )

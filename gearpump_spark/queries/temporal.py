@@ -1485,3 +1485,61 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 4
         ).alias("p_next"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "q_temporal_lookup",
+    oracle="""
+    WITH bands AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value / 100.0) AS INT) AS band,
+               LAG(CAST(FLOOR(value / 100.0) AS INT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_band
+        FROM events),
+    changes AS (
+        SELECT user_id, ts AS valid_from, band,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+        FROM bands WHERE prev_band IS NULL OR band <> prev_band),
+    purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, c.band,
+           c.valid_from, c.valid_to
+    FROM purchases p JOIN changes c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.valid_from
+     AND (c.valid_to IS NULL OR p.ts < c.valid_to)
+    ORDER BY p.event_id
+    """,
+    desc="bitemporal SCD2 lookup: build validity intervals from value-"
+    "band transitions (LAG change detection + LEAD interval close), then "
+    "join each purchase to the band valid AT ITS TIMESTAMP — the "
+    "dimension-at-event-time join every SCD2 history exists to answer",
+)
+def q_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History build is two window passes on the user key; the interval
+    join shuffles both sides on user_id and range-filters within the
+    key group — never a cross product (plan: keyed equi-join with the
+    interval predicate as post-join filters)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    band = F.floor(F.col("value") / 100.0).cast("int")
+    bands = ev.select(
+        "user_id", "ts", "event_id", band.alias("band")
+    ).withColumn("prev_band", F.lag("band").over(w))
+    changes = (
+        bands.where(F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band")))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select("user_id", F.col("ts").alias("valid_from"), "band", "valid_to")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = purchases.join(changes, "user_id").where(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return j.select(
+        "event_id", "user_id", "band", "valid_from", "valid_to"
+    ).orderBy("event_id")

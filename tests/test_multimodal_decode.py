@@ -105,7 +105,8 @@ def test_gif_and_jpeg_header_golden():
 def test_wav_header_golden():
     meta = D.decode_audio(make_wav(2, 44100, 16))
     assert meta == {
-        "format": "wav", "n_channels": 2, "sample_rate": 44100, "bits_per_sample": 16,
+        "format": "wav", "codec_tag": 1, "n_channels": 2,
+        "sample_rate": 44100, "bits_per_sample": 16,
     }
     with pytest.raises(ValueError):
         D.decode_audio(b"not audio at all")
