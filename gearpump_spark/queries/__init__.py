@@ -114,9 +114,17 @@ DRIVER_SAMPLE_WINDOW = [
     "multimodal_tiff_pixels_real",
     # -- new in r5, rows-only (deflated power iteration; numpy golden) --
     "embedding_top_pcs",
-    # -- late-r5, oracle-backed: growth accounting + user-flow matrix --
+    # -- late-r5, oracle-backed: growth accounting + user-flow matrix,
+    #    drift monitors, data-quality audits, graph/codec additions --
     "q_running_distinct",
     "q_event_transitions",
+    "graph_assortativity",
+    "q_psi_drift",
+    "text_kl_source_drift",
+    "q_benford_digits",
+    "q_fd_violations",
+    "multimodal_wav_resample",
+    "q_temporal_lookup",
     # -- re-verification: the full round-1 cohort minus the 7 most static
     #    scalar-expression queries (q_distinct, q_sort_limit, q_set_ops,
     #    q_count_distinct, q_scalar_string_date_math, q_json_extract,
@@ -125,12 +133,7 @@ DRIVER_SAMPLE_WINDOW = [
     "q1_pricing_summary",
     "q2_min_acctbal_supplier",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
     "q12_ship_priority_class",
@@ -146,9 +149,8 @@ DRIVER_SAMPLE_WINDOW = [
     "q22_idle_customers",
     # -- joins / temporal joins (r1 records) --
     "q_asof_join",
-    "q_range_join",
-    "q_outer_join_counts",
-    # (q_semi_join, q_anti_join — rotated to r6 as two late-r5 queries
+    # (q2/q4/q6/q7/q8/q9 of the TPC-H cohort, q_range_join,
+    # q_outer_join_counts, q_semi_join, q_anti_join — rotated to r6 as two late-r5 queries
     # took their slots; q_cross_join_broadcast, q_copurchase_pairs, q_rollup, q_cube,
     # q_pivot, q_unpivot, q_topk_per_group, q_window_running, q_lag_lead,
     # q_ntile, q_trailing_1h, q_sessionize, q_quantiles, q_agg_stats,
