@@ -137,6 +137,19 @@ EXTRA = [
     "graph_jaccard_neighbors",
     "similarity_mmr_rerank",
     "multimodal_jpeg_lossless_real",
+    # r5 fourth wave: growth/flow analytics (one window + one agg each),
+    # drift monitors and data-quality audits (bounded cell aggregates),
+    # the assortativity one-number scan, the PCM resample narrow map,
+    # and the SCD2 interval lookup (user-keyed join)
+    "q_running_distinct",
+    "q_event_transitions",
+    "graph_assortativity",
+    "q_psi_drift",
+    "text_kl_source_drift",
+    "q_benford_digits",
+    "q_fd_violations",
+    "multimodal_wav_resample",
+    "q_temporal_lookup",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
