@@ -992,3 +992,55 @@ def clustering_coefficient(
         )
     )
     return out.orderBy(F.desc("degree"), "node").limit(top_n)
+
+
+def khop_distances_labeled(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-SEED bounded BFS: (seed, node, dist) for every (seed, node)
+    pair within ``n_rounds`` hops — the labeled variant of
+    khop_distances (which collapses the source set to one frontier).
+    Powers per-seed centralities (harmonic/closeness within a horizon)
+    and per-seed blast-radius reports.
+
+    Frontier form per seed simultaneously: the frontier carries the seed
+    label, so one keyed join expands every seed's frontier in the same
+    round; work is O(Σ_seeds Σ frontier edges) — the multi-source BSP
+    BFS. Per-round localCheckpoint cuts lineage.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    adj = (
+        und.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+        .union(und.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+        .localCheckpoint()
+    )
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    settled = frontier
+    for depth in range(1, n_rounds + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.n)
+            .select("seed", F.col("nb").alias("node"))
+            .distinct()
+            .join(settled.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(depth).cast("bigint").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.union(nxt).localCheckpoint()
+        frontier = nxt
+    return settled

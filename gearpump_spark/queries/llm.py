@@ -6220,3 +6220,93 @@ def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term").cast("double").alias("kl_nats"))
         .orderBy("source")
     )
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 10 = 0),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS n, v AS nb FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    srcs AS (SELECT DISTINCT n FROM adj WHERE n % 97 = 0),
+    bfs(seed, node, d) AS (
+        SELECT n, n, CAST(0 AS BIGINT) FROM srcs
+        UNION
+        SELECT bfs.seed, a.nb, bfs.d + 1
+        FROM bfs JOIN adj a ON a.n = bfs.node
+        WHERE bfs.d < 4),
+    dist AS (
+        SELECT seed, node, MIN(d) AS d FROM bfs
+        WHERE node <> seed GROUP BY seed, node),
+    cnts AS (
+        SELECT seed,
+               SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS c2,
+               SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS c3,
+               SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS c4
+        FROM dist GROUP BY seed)
+    SELECT seed,
+           CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_reached,
+           CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE) / 2
+             + CAST(c3 AS DOUBLE) / 3 + CAST(c4 AS DOUBLE) / 4
+             AS harmonic
+    FROM cnts ORDER BY seed
+    """,
+    desc="bounded harmonic centrality per seed (4-hop horizon): "
+    "sum of 1/dist over nodes reached from EACH seed via the labeled "
+    "multi-source BFS — closeness-family centrality that, unlike raw "
+    "reach counts, rewards SHORT paths; per-distance integer counts "
+    "combine in one fixed-order expression, so the float value is "
+    "engine-exact",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py khop_distances_labeled: the frontier carries
+    the seed label, one keyed join expands every seed's frontier per
+    round; per-seed work is bounded by its 4-hop ball, never the graph."""
+    from gearpump_spark.operators.graph import khop_distances_labeled
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("n")).union(
+        edges.select(F.col("dst").alias("n"))
+    )
+    srcs = nodes.where(F.col("n") % 97 == 0).distinct()
+    out = khop_distances_labeled(edges, srcs, n_rounds=4)
+    cnts = (
+        out.where(F.col("node") != F.col("seed"))
+        .groupBy("seed")
+        .agg(
+            F.sum((F.col("dist") == 1).cast("long")).alias("c1"),
+            F.sum((F.col("dist") == 2).cast("long")).alias("c2"),
+            F.sum((F.col("dist") == 3).cast("long")).alias("c3"),
+            F.sum((F.col("dist") == 4).cast("long")).alias("c4"),
+        )
+    )
+    return cnts.select(
+        "seed",
+        (F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4"))
+        .cast("bigint")
+        .alias("n_reached"),
+        (
+            F.col("c1").cast("double")
+            + F.col("c2").cast("double") / 2
+            + F.col("c3").cast("double") / 3
+            + F.col("c4").cast("double") / 4
+        ).alias("harmonic"),
+    ).orderBy("seed")

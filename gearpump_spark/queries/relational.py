@@ -1033,17 +1033,25 @@ def q_file_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("file_clustered"),
         (h % 64).cast("int").alias("file_scattered"),
     )
+    # ONE scan for both layouts: a union of two projections over the same
+    # source reads the fact table twice — at 100 TB the scan is the
+    # dominant cost, so the two layout rows explode from each input row
+    # instead (narrow, scan-local)
     layouts = tagged.select(
-        F.lit("clustered").alias("layout"),
-        F.col("file_clustered").alias("file_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    F.col("file_clustered").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("scattered").alias("layout"),
+                    F.col("file_scattered").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
         "l_shipdate",
-    ).unionAll(
-        tagged.select(
-            F.lit("scattered").alias("layout"),
-            F.col("file_scattered").alias("file_id"),
-            "l_shipdate",
-        )
-    )
+    ).select("lf.layout", "lf.file_id", "l_shipdate")
     zones = layouts.groupBy("layout", "file_id").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.min("l_shipdate").alias("min_ship"),
