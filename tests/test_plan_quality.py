@@ -947,3 +947,33 @@ def test_file_skip_stats_partial_agg_before_exchange(spark, sf_dir):
     the exchange carries file-granularity rows, never raw lineitems."""
     p = plan(QS["q_file_skip_stats"](spark, sf_dir))
     assert "partial" in p.lower()
+
+
+def test_temporal_lookup_keyed_join_no_cartesian(spark, sf_dir):
+    """The SCD2 interval lookup is a user-keyed equi-join with the
+    interval predicate as post-join filters — never a nested loop."""
+    p = plan(QS["q_temporal_lookup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_snapshot_diff_no_nested_loop(spark, sf_dir):
+    """Full-outer snapshot diff joins on the key (SMJ/hash), and the
+    unchanged-row filter sits on the join, not a second pass."""
+    p = plan(QS["q_snapshot_diff"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mulaw_decode_scan_local(spark, sf_dir):
+    """Real-byte codec tier stays a narrow Arrow map: no hash exchange
+    anywhere (payloads never shuffle; only per-doc aggregate ints move)."""
+    p = plan(QS["multimodal_mulaw_real"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_file_skip_single_fact_scan(spark, sf_dir):
+    """Both layouts explode from ONE lineitem scan — the union-of-
+    projections form would read the fact table twice."""
+    p = plan(QS["q_file_skip_stats"](spark, sf_dir))
+    assert p.count("FileScan parquet") <= 1
