@@ -2565,3 +2565,31 @@ def test_top_principal_components_deflation_matches_numpy(spark):
         assert cos > 0.999, (t, cos)
         ref = w[-1 - t]
         assert abs(lam - ref) / ref < 0.01, (t, lam, ref)
+
+
+def test_weighted_reservoir_is_mergeable(spark, sf_dir):
+    """Efraimidis-Spirakis mergeability: the top-20 of a source equals
+    the top-20 of the union of its two halves' top-20s — the property
+    that lets a 1000-executor job keep one tiny reservoir per task and
+    merge at the end."""
+    from pyspark.sql import functions as F
+
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where((F.col("n_chars") > 0) & (F.col("source") == "src0"))
+        .select("doc_id", "n_chars")
+    )
+    u = (seeded_hash15(F.col("doc_id"), 31).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+    keyed = docs.select("doc_id", (-F.log(u) / F.col("n_chars")).alias("k"))
+    full_top = [r.doc_id for r in keyed.orderBy("k", "doc_id").limit(20).collect()]
+    half_a = keyed.where(F.col("doc_id") % 2 == 0).orderBy("k", "doc_id").limit(20)
+    half_b = keyed.where(F.col("doc_id") % 2 == 1).orderBy("k", "doc_id").limit(20)
+    merged = [
+        r.doc_id
+        for r in half_a.unionAll(half_b).orderBy("k", "doc_id").limit(20).collect()
+    ]
+    assert merged == full_top

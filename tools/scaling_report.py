@@ -150,6 +150,8 @@ EXTRA = [
     "q_fd_violations",
     "multimodal_wav_resample",
     "q_temporal_lookup",
+    # r5 fifth wave: per-seed labeled BFS centrality
+    "graph_harmonic_centrality",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
