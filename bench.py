@@ -204,6 +204,94 @@ def main() -> None:
         output_mode="update",
     )
 
+    # Latency analog (BASELINE.md: the reference publishes 8 ms avg
+    # task-to-task latency at max throughput — a per-record actor-hop
+    # number). The honest micro-batch counterpart is end-to-end trigger
+    # latency at SMALL batch sizes: median triggerExecution for 10k-row
+    # pass-through batches. Architectural difference, reported as such.
+    def measure_latency_ms(rows_per_batch: int = 10_000) -> float:
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("numPartitions", CPUS)
+            .load()
+        )
+        q = (
+            src.selectExpr("value", "timestamp")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .start()
+        )
+        deadline = time.perf_counter() + 45
+        done: list = []
+        while time.perf_counter() < deadline:
+            time.sleep(0.5)
+            done = [
+                p
+                for p in q.recentProgress
+                if p["batchId"] >= 3 and p["numInputRows"] > 0
+            ]
+            if len(done) >= 10:
+                break
+        q.stop()
+        lats = sorted(p["durationMs"]["triggerExecution"] for p in done)
+        return float(lats[len(lats) // 2]) if lats else -1.0
+
+    # Fault-recovery analog (BASELINE.md: reference replays from its
+    # checkpoint store in ~10 s after an executor kill). Here: run a
+    # checkpointed stateful stream, stop it mid-flight, restart from the
+    # SAME checkpoint, and time start() -> first committed batch — the
+    # state-restore + replay overhead a Structured Streaming job pays.
+    def measure_recovery_sec() -> float:
+        import shutil
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="bench_recovery_")
+        try:
+
+            def start():
+                src = (
+                    spark.readStream.format("rate-micro-batch")
+                    .option("rowsPerBatch", 1_000_000)
+                    .option("numPartitions", CPUS)
+                    .load()
+                )
+                agg = (
+                    src.withWatermark("timestamp", "0 seconds")
+                    .groupBy((F.col("value") % 64).alias("k"))
+                    .count()
+                )
+                return (
+                    agg.writeStream.format("noop")
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+
+            q = start()
+            deadline = time.perf_counter() + 45
+            while time.perf_counter() < deadline:
+                time.sleep(0.5)
+                if any(p["batchId"] >= 3 for p in q.recentProgress):
+                    break
+            q.stop()
+            t0 = time.perf_counter()
+            q = start()
+            deadline = time.perf_counter() + 60
+            rec = -1.0
+            while time.perf_counter() < deadline:
+                if q.recentProgress:
+                    rec = time.perf_counter() - t0
+                    break
+                time.sleep(0.2)
+            q.stop()
+            return round(rec, 2)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    passthrough_latency_ms = measure_latency_ms()
+    recovery_sec = measure_recovery_sec()
+
     total = round(sum(timings.values()), 3)
     linear_total = round(
         sum(t for n, t in timings.items() if n not in SUPERLINEAR), 3
@@ -217,6 +305,12 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "sol_passthrough_rows_per_sec": sol_rows_per_sec,
         "windowed_agg_rows_per_sec": windowed_rows_per_sec,
+        # BASELINE.md's other two published numbers, as honest analogs:
+        # reference 8 ms per-record actor latency vs our micro-batch
+        # end-to-end trigger latency; reference ~10 s kill-to-replay vs
+        # our checkpoint-restore + replay restart time.
+        "passthrough_latency_ms": passthrough_latency_ms,
+        "checkpoint_recovery_sec": recovery_sec,
         "cpus": CPUS,
     }
     line = json.dumps(out)
