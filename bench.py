@@ -103,6 +103,12 @@ def main() -> None:
             # TaskContextImpl logs FileNotFound/chmod traces (r5: the last
             # remaining artifact-tail noise source)
             "org.apache.spark.TaskContextImpl",
+            # the recovery measure's second stop() can catch an in-flight
+            # broadcast store → TorrentBroadcast/EventLoop ERROR lines
+            "org.apache.spark.broadcast.TorrentBroadcast",
+            "org.apache.spark.util.EventLoop",
+            "org.apache.spark.storage.BlockManager",
+            "org.apache.spark.storage.BlockManagerMaster",
         ):
             configurator.setLevel(logger_name, off)
     except Exception:
