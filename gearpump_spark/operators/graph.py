@@ -253,6 +253,69 @@ def triangle_count_estimate(
     )
 
 
+def _degree_oriented_wedges(und: DataFrame):
+    """(deg, oriented, wedges, closing) over a canonical undirected edge
+    list — the degree-ordered wedge machinery shared by triangle_count
+    and clustering_coefficient:
+
+    - degrees, then orientation low-(degree, id) → high-(degree, id)
+      (bounds every out-degree by O(sqrt(m)), Suri & Vassilvitskii 2011);
+    - wedge self-join on the shared source, SALTED on the center: hub
+      centers (power-law graphs, or AQE coalescing the small edge input
+      into few partitions) otherwise concentrate a center's full
+      quadratic fan-out in one task — measured OOM on a default-heap
+      driver at sf0.1. Salt = hash bucket of t1; the right side
+      replicates across all salts. Cluster cost: n_salts× replication of
+      the (tiny) oriented edge list;
+    - explicit width pin on the wedge exchange: AQE sizes it by its
+      (tiny) edge-list input and would coalesce the quadratic fan-out
+      into a handful of tasks; a user repartition with an explicit count
+      is exempt from AQE coalescing;
+    - closing set as canonical undirected pairs (a closing edge may be
+      oriented either way between t1 and t2 in the (degree, id) order).
+    """
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    n_salts = 16
+    w1 = oriented.select(
+        F.col("s"),
+        F.col("t").alias("t1"),
+        (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
+    )
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
+        F.broadcast(
+            oriented.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    n_wedge_parts = max(
+        64, int(und.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
+    wedges = (
+        w1.repartition(n_wedge_parts, "s", "_salt")
+        .join(w2, ["s", "_salt"])
+        .where(F.col("t1") < F.col("t2"))
+    )
+    closing = oriented.select(
+        F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
+    )
+    return deg, oriented, wedges, closing
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -319,62 +382,7 @@ def triangle_count(
         close_strategy = "broadcast" if m <= broadcast_max_edges else "merge"
     if close_strategy not in ("broadcast", "merge"):
         raise ValueError(f"close_strategy must be auto|broadcast|merge, got {close_strategy!r}")
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .union(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    # orient low-(degree, id) → high-(degree, id)
-    with_deg = (
-        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
-    )
-    fwd = F.struct("du", "u") < F.struct("dv", "v")
-    oriented = with_deg.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
-    # Wedge self-join, SALTED on the center: hub centers (power-law
-    # graphs, or AQE coalescing the small edge input into few partitions)
-    # otherwise concentrate a center's full quadratic fan-out in one task
-    # — measured OOM on a default-heap driver at sf0.1. Salt = hash
-    # bucket of t1; the right side replicates across all salts, so each
-    # task emits ~1/n_salts of every hub's wedges and the map-side pair
-    # aggregation below stays bounded. Cluster cost: n_salts× replication
-    # of the (tiny) oriented edge list.
-    n_salts = 16
-    w1 = oriented.select(
-        F.col("s"),
-        F.col("t").alias("t1"),
-        (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
-    )
-    w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
-        F.broadcast(
-            oriented.sparkSession.range(n_salts).select(
-                F.col("id").cast("int").alias("_salt")
-            )
-        )
-    )
-    # Explicit width pin: AQE sizes this exchange by its (tiny) edge-list
-    # input and would coalesce to a handful of tasks, each then producing
-    # an exploding join output pipelined into the pair aggregation. A
-    # user repartition with an explicit count is exempt from AQE
-    # coalescing, so the quadratic work spreads over enough tasks for
-    # per-task state to stay small.
-    n_wedge_parts = max(
-        64, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    )
-    wedges = (
-        w1.repartition(n_wedge_parts, "s", "_salt")
-        .join(w2, ["s", "_salt"])
-        .where(F.col("t1") < F.col("t2"))
-    )
-    # closing edge may be oriented either way between t1 and t2 in the
-    # (degree, id) order — match the canonical undirected pair instead.
-    closing = oriented.select(
-        F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
-    )
+    deg, _oriented, wedges, closing = _degree_oriented_wedges(und)
     pairs = wedges.select(
         F.least("t1", "t2").alias("c1"), F.greatest("t1", "t2").alias("c2")
     )
@@ -909,44 +917,7 @@ def clustering_coefficient(
     # makes.
     und = und.localCheckpoint()
     m = und.count()
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .union(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    with_deg = und.join(
-        deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u"
-    ).join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
-    fwd = F.struct("du", "u") < F.struct("dv", "v")
-    oriented = with_deg.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
-    n_salts = 16
-    w1 = oriented.select(
-        F.col("s"),
-        F.col("t").alias("t1"),
-        (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
-    )
-    w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
-        F.broadcast(
-            oriented.sparkSession.range(n_salts).select(
-                F.col("id").cast("int").alias("_salt")
-            )
-        )
-    )
-    n_wedge_parts = max(
-        64, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    )
-    wedges = (
-        w1.repartition(n_wedge_parts, "s", "_salt")
-        .join(w2, ["s", "_salt"])
-        .where(F.col("t1") < F.col("t2"))
-    )
-    closing = oriented.select(
-        F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
-    )
+    deg, _oriented, wedges, closing = _degree_oriented_wedges(und)
     # closing strategy by measured edge count (the triangle_count trade):
     # small graphs broadcast the closing set (the wedge stream flows
     # through a broadcast semi-join, no exchange, no sort — 2x faster at
