@@ -6310,3 +6310,46 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("c4").cast("double") / 4
         ).alias("harmonic"),
     ).orderBy("seed")
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=_SQL_CLUSTERS_CTES
+    + """, sizes AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, CAST(s.sz AS BIGINT) AS cluster_size,
+           CAST(CAST(1 AS DOUBLE) / s.sz AS DOUBLE) AS weight,
+           (c.doc_id = c.cluster_id) AS is_canonical
+    FROM clusters c JOIN sizes s USING (cluster_id)
+    ORDER BY c.doc_id
+    """,
+    desc="soft dedup: instead of DROPPING near-duplicates, every doc "
+    "gets training weight 1/cluster_size (the cluster contributes one "
+    "document's worth of gradient no matter how many copies the crawl "
+    "found) — the lossless alternative labs use when duplicates carry "
+    "quality signal; weight is one exact integer division",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the MinHash-LSH → connected-components pipeline with one
+    cluster-size aggregate broadcast back; 1/size is a single IEEE
+    division of exact integers, so even the float weights hash-match."""
+    from gearpump_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=6)
+    pairs = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2)
+    comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="a", dst="b"
+    ).select(F.col("node_id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        comps.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            (F.lit(1.0) / F.col("sz")).alias("weight"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
