@@ -125,6 +125,8 @@ DRIVER_SAMPLE_WINDOW = [
     "q_fd_violations",
     "multimodal_wav_resample",
     "q_temporal_lookup",
+    "graph_harmonic_centrality",
+    "dedup_soft_weights",
     # -- re-verification: the full round-1 cohort minus the 7 most static
     #    scalar-expression queries (q_distinct, q_sort_limit, q_set_ops,
     #    q_count_distinct, q_scalar_string_date_math, q_json_extract,
@@ -134,7 +136,6 @@ DRIVER_SAMPLE_WINDOW = [
     "q2_min_acctbal_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q10_returned_items",
     "q11_important_parts",
     "q12_ship_priority_class",
     "q13_customer_distribution",
@@ -147,9 +148,7 @@ DRIVER_SAMPLE_WINDOW = [
     "q20_excess_part_suppliers",
     "q21_last_shipper",
     "q22_idle_customers",
-    # -- joins / temporal joins (r1 records) --
-    "q_asof_join",
-    # (q2/q4/q6/q7/q8/q9 of the TPC-H cohort, q_range_join,
+    # (q4/q6/q7/q8/q9/q10 of the TPC-H cohort, q_asof_join, q_range_join,
     # q_outer_join_counts, q_semi_join, q_anti_join — rotated to r6 as two late-r5 queries
     # took their slots; q_cross_join_broadcast, q_copurchase_pairs, q_rollup, q_cube,
     # q_pivot, q_unpivot, q_topk_per_group, q_window_running, q_lag_lead,
