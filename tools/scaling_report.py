@@ -150,8 +150,9 @@ EXTRA = [
     "q_fd_violations",
     "multimodal_wav_resample",
     "q_temporal_lookup",
-    # r5 fifth wave: per-seed labeled BFS centrality
+    # r5 fifth wave: per-seed labeled BFS centrality + soft dedup weights
     "graph_harmonic_centrality",
+    "dedup_soft_weights",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
