@@ -241,6 +241,13 @@ def q_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="ntile quartiles of customer account balance",
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB note: exact NTILE over a global order is inherently a
+    single-task sort (every row's bucket depends on the total count), so
+    this op is for dimension-sized inputs. At fact-table scale use the
+    order-statistic rewrite instead: percentile_approx / approx quantile
+    cut-points (sketch_approx_quantiles) + a narrow bucket-assign map —
+    same buckets up to sketch error, zero global sort. The plan-audit
+    allowlist in tests/test_plan_quality.py pins this trade-off."""
     cust = table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
