@@ -196,6 +196,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment of each query doc in corpus docs:
+    c(q→d) = |shingles(q) ∩ shingles(d)| / |shingles(q)|.
+
+    Jaccard misses subsumption: a paragraph quoted verbatim inside a much
+    longer page scores near-zero Jaccard (the union is huge) but
+    containment 1.0 — the quote/boilerplate/excerpt detector curation
+    pipelines run NEXT TO near-dup Jaccard, not instead of it
+    (Broder 1997 §2 defines both resemblance and containment).
+
+    Returns (q_id, c_id, containment) for pairs at/over the threshold.
+    Scale: identical shape to ngram_jaccard_pairs — inverted shingle
+    index join, never all-pairs; the only extra state is the query-side
+    size, which broadcasts.
+    """
+
+    def shingle_set(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        ).distinct()
+
+    q = shingle_set(queries, "q_id")
+    c = shingle_set(corpus, "c_id")
+    q_size = q.groupBy("q_id").agg(F.count("*").alias("q_n"))
+    inter = (
+        q.join(c, "shingle")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(q_size), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(F.col("inter").cast("double") / F.col("q_n"), 4).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def cross_split_contamination(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1084,6 +1084,10 @@ class PixelDecoder(HeaderDecoder):
             if meta["bits_per_sample"] != 8:
                 return None
             return self._decode_mulaw_data(payload)
+        if meta.get("codec_tag", 1) == 6:
+            if meta["bits_per_sample"] != 8:
+                return None
+            return self._decode_alaw_data(payload)
         bits = meta["bits_per_sample"]
         width = bits // 8
         i, n = 12, len(payload)
@@ -1132,6 +1136,30 @@ class PixelDecoder(HeaderDecoder):
                 u = (~raw).astype(np.int64) & 0xFF
                 t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
                 x = np.where(u & 0x80, 0x84 - t, t - 0x84)
+                return x.tolist()
+            i += 8 + chunk_len + (chunk_len & 1)
+        return None
+
+    @staticmethod
+    def _decode_alaw_data(payload: bytes):
+        """G.711 A-law expansion of the data chunk (CCITT integer form,
+        ITU-T G.711 Table 1a/1b, public spec): a ^= 0x55; t = mantissa<<4;
+        segment 0 adds 8, segments >= 1 add 0x108 then shift by seg-1;
+        sign bit SET means positive. Pure integer arithmetic, so the
+        sample-level oracle replays it in ANSI SQL byte for byte."""
+        import numpy as np
+
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            chunk_id = payload[i : i + 4]
+            chunk_len = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if chunk_id == b"data":
+                raw = np.frombuffer(payload[i + 8 : i + 8 + chunk_len], dtype=np.uint8)
+                a = raw.astype(np.int64) ^ 0x55
+                seg = (a & 0x70) >> 4
+                t = (a & 0x0F) << 4
+                t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+                x = np.where(a & 0x80, t, -t)
                 return x.tolist()
             i += 8 + chunk_len + (chunk_len & 1)
         return None
@@ -1281,6 +1309,33 @@ def synthesize_wav_mulaw_payloads(df: DataFrame, id_col: str = "doc_id") -> Data
                 body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 if i % 7 != 0:
                     data = bytes((5 * i + 17 * k) % 256 for k in range(8))
+                    body += b"data" + struct.pack("<I", len(data)) + data
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_wav_alaw_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL RIFF/WAV G.711 A-law bytes per row (wFormatTag 6, mono,
+    8 kHz, 8 bits): 8 companded bytes with closed-form values
+    b_k = (3·id + 29·k) % 256, so the decoder's integer expansion is
+    verifiable against pure SQL arithmetic. Every 6th doc gets a
+    truncated container (RIFF/WAVE + fmt, no data chunk) to exercise the
+    null path."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+                body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                if i % 6 != 0:
+                    data = bytes((3 * i + 29 * k) % 256 for k in range(8))
                     body += b"data" + struct.pack("<I", len(data)) + data
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})

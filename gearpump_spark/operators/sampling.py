@@ -200,19 +200,27 @@ def pack_sequences(
     tokens; a doc may straddle a boundary — at train time that's where the
     sequence is cut).
 
-    shards=None runs ONE global-ordered window — fine up to millions of
-    rows, a bottleneck at 100 TB. With shards=N, each doc is hash-assigned
-    to a shard and every shard packs independently in parallel (bin_id =
-    shard * 2^40 + local_bin; disjoint, deterministic). Cross-shard bins
-    never mix, so N only changes grouping, not correctness.
+    shards=None packs ONE contiguous global order — r6: via
+    `global_positions` (range-partitioned distributed running sum), so
+    even the single-sequence form never single-task-sorts. With
+    shards=N, each doc is hash-assigned to a shard and every shard packs
+    independently in parallel (bin_id = shard * 2^40 + local_bin;
+    disjoint, deterministic). Cross-shard bins never mix, so N only
+    changes grouping, not correctness.
     """
     from pyspark.sql import Window as W
 
     h = seeded_md5(F.col(key_col), seed)
     if shards is None:
-        w = W.orderBy(h, F.col(key_col)).rowsBetween(W.unboundedPreceding, -1)
-        before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-        return df.withColumn("bin_id", F.floor(before / budget).cast("long"))
+        before = global_positions(
+            df.withColumn("_h", h), ["_h", key_col], size_col=size_col
+        )
+        return (
+            before.withColumn(
+                "bin_id", F.floor(F.col("_gpos") / budget).cast("long")
+            )
+            .drop("_h", "_gpos")
+        )
     shard = hash_bucket(F.col(key_col), seed + 1) % shards
     out = df.withColumn("_shard", shard)
     w = W.partitionBy("_shard").orderBy(h, F.col(key_col)).rowsBetween(
@@ -225,20 +233,88 @@ def pack_sequences(
     ).drop("_shard")
 
 
+def global_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str | None = None,
+    out_col: str = "_gpos",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global rank / global running sum — the scalable
+    replacement for `Window.orderBy(...)` (which Spark compiles to an
+    Exchange SinglePartition + one-task sort of the ENTIRE input).
+
+    Three steps, all parallel:
+      1. range-repartition on the order columns (sampled boundaries —
+         the same machinery a global ORDER BY uses),
+      2. one pass to count (or sum `size_col`) per range partition —
+         P longs to the driver, cumulative offsets broadcast back,
+      3. a partition-local window adds offset + local position.
+
+    out_col = number of rows (size_col=None) or sum of size_col over all
+    rows strictly BEFORE this row in the total order. Deterministic
+    whenever the order columns form a unique total order: partition
+    boundaries may vary with input layout, but every row's set of
+    predecessors — and hence its position — cannot.
+
+    Scale: two parallel exchanges of the ordered columns replace the
+    single-task sort; the driver sees P longs. The localCheckpoint pins
+    the sampled range partitioning so the counting pass and the window
+    pass cannot disagree (and the expensive child plan runs once).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    P = partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(P, *order_cols).localCheckpoint(eager=False)
+    per_part = (
+        parted.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(
+            (
+                F.count("*") if size_col is None else F.sum(size_col)
+            ).cast("long").alias("_n")
+        )
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in sorted(per_part, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], running))
+        running += r["_n"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    wl = W.partitionBy("_pid").orderBy(*order_cols)
+    local = (
+        (F.row_number().over(wl).cast("long") - 1)
+        if size_col is None
+        else F.coalesce(
+            F.sum(size_col).over(wl.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long")
+    )
+    return (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn(out_col, local)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col(out_col) + F.col("_off")))
+        .drop("_pid", "_off")
+    )
+
+
 def global_shuffle_order(df: DataFrame, key_col: str, seed: int = 0) -> DataFrame:
     """Deterministic training-order shuffle: position = rank of
     md5(seed|key) (key_col tiebreak). Re-runs, engines, and partitionings
     all produce the same permutation; changing the seed gives a fresh
     epoch order with no state.
 
-    One global sort — at 100 TB materialize per shard instead (the
-    pack_sequences shards pattern) or write sorted-by-hash files and let
-    readers stream them in file order.
+    r6: ranks via `global_positions` (range-partitioned distributed
+    rank) — no single-task sort; identical output (the (hash, key) order
+    is a unique total order, so positions are layout-independent).
     """
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(seeded_md5(F.col(key_col), seed), key_col)
-    return df.withColumn("position", F.row_number().over(w).cast("bigint") - 1)
+    ranked = global_positions(
+        df.withColumn("_h", seeded_md5(F.col(key_col), seed)),
+        ["_h", key_col],
+        out_col="position",
+    )
+    return ranked.withColumn("position", F.col("position").cast("bigint")).drop("_h")
 
 
 def priority_sample(
@@ -310,24 +386,27 @@ def negative_pairs(
     and partitionings, which IEEE-random negatives can never be (the
     property that makes embedding-training data AUDITABLE).
 
-    Scale shape: one range-partitioned sort to rank (only (key, hash)
-    pairs move — never payloads), one explode to k rows per anchor, one
-    equi-join on rank. The global row_number is a range exchange Spark
-    parallelizes by sampled boundaries; at 100 TB rank only the KEYS
-    (bigint pairs, ~16 bytes/row) and join payloads back afterwards.
+    Scale shape: ranking via `global_positions` (range-partitioned
+    distributed rank — only (key, hash) pairs enter it, never payloads;
+    no single-task sort anywhere), one explode to k rows per anchor, one
+    equi-join on rank. At 100 TB rank only the KEYS (bigint pairs,
+    ~16 bytes/row) and join payloads back afterwards.
 
     Self-pairs (possible when gcd(stride, N) > 1 collapses an orbit, or
     N <= k*stride wraps onto r) are dropped rather than remapped — the
     count lost is 0 or negligible and remapping would break the
     closed-form oracle.
     """
-    from pyspark.sql import Window as W
-
-    w = W.orderBy("h", key_col)
-    ranked = df.select(
-        F.col(key_col), seeded_hash15(F.col(key_col), seed).alias("h")
-    ).select(
-        key_col, (F.row_number().over(w) - 1).cast("bigint").alias("r")
+    # ranked feeds three consumers (count, anchors, the rank join) —
+    # lazy-checkpoint it so the rank computation runs once.
+    ranked = (
+        global_positions(
+            df.select(F.col(key_col), seeded_hash15(F.col(key_col), seed).alias("h")),
+            ["h", key_col],
+            out_col="r",
+        )
+        .select(key_col, F.col("r").cast("bigint").alias("r"))
+        .localCheckpoint(eager=False)
     )
     n = ranked.groupBy().agg(F.count("*").alias("cnt"))
     anchors = (

@@ -280,6 +280,173 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "c_id")
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT q.doc_id AS q_id, c.doc_id AS c_id, COUNT(*) AS inter
+        FROM sh q JOIN sh c ON q.shingle = c.shingle AND q.doc_id <> c.doc_id
+        WHERE q.doc_id < 10
+        GROUP BY 1, 2)
+    SELECT q_id, c_id,
+           ROUND(CAST(inter AS DOUBLE) / CAST(qs.n AS DOUBLE), 4) AS containment
+    FROM inter JOIN sizes qs ON qs.doc_id = q_id
+    WHERE ROUND(CAST(inter AS DOUBLE) / CAST(qs.n AS DOUBLE), 4) >= 0.05
+    ORDER BY q_id, c_id
+    """,
+    desc="asymmetric n-gram containment c(q->d) = |A∩B|/|A| of query docs "
+    "in corpus docs (Broder 1997's second measure): the quote/excerpt/"
+    "boilerplate-subsumption detector — a paragraph copied into a long "
+    "page scores ~0 Jaccard but containment ~1; inverted shingle index, "
+    "never all-pairs",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py ngram_containment_pairs — same inverted-index
+    shape as ngram_jaccard_pairs; only |A| joins back (broadcast)."""
+    docs = table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < 10)
+    return (
+        D.ngram_containment_pairs(q, docs, threshold=0.05)
+        .select("q_id", "c_id", "containment")
+        .orderBy("q_id", "c_id")
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END)
+               || '://'
+               || (CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                                   WHEN 1 THEN 'example.com'
+                                   ELSE 'WWW.example.com' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+               || '/a/' || CAST(doc_id // 8 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE doc_id % 5 WHEN 0 THEN ''
+                                   WHEN 1 THEN '?utm_source=x'
+                                   WHEN 2 THEN '?id=7&utm_campaign=y'
+                                   WHEN 3 THEN '?id=7'
+                                   ELSE '?utm_medium=z&id=7' END)
+               || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        FROM documents),
+    defrag AS (SELECT doc_id, REGEXP_REPLACE(url, '#.*$', '') AS u FROM raw),
+    split AS (
+        SELECT doc_id,
+               REGEXP_REPLACE(
+                   REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(u, '^[^/]+//[^/?]+')),
+                                  ':80$', ''),
+                   '//www\\.', '//') AS head,
+               SUBSTR(u, LEN(REGEXP_EXTRACT(u, '^[^/]+//[^/?]+')) + 1) AS rest
+        FROM defrag),
+    pq AS (
+        SELECT doc_id, head,
+               REGEXP_REPLACE(CASE WHEN INSTR(rest, '?') > 0
+                    THEN SUBSTR(rest, 1, INSTR(rest, '?') - 1)
+                    ELSE rest END, '/+$', '') AS path,
+               CASE WHEN INSTR(rest, '?') > 0
+                    THEN ARRAY_TO_STRING(
+                        LIST_FILTER(STR_SPLIT(SUBSTR(rest, INSTR(rest, '?') + 1), '&'),
+                                    p -> NOT STARTS_WITH(p, 'utm_')), '&')
+                    ELSE '' END AS q
+        FROM split),
+    canon AS (
+        SELECT doc_id,
+               head || path || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                 AS canonical_url
+        FROM pq)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
+    desc="URL canonicalization + exact dedup — the first pass of every "
+    "web-crawl curation pipeline: lowercase scheme/host, strip default "
+    "port :80, strip www., drop utm_* tracking params (preserving the "
+    "rest of the query string), strip trailing slashes and fragments; "
+    "messy variants are synthesized closed-form from doc_id so the "
+    "oracle rebuilds them bit-identically; returns per-canonical-URL "
+    "variant counts + the kept (min) doc id",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure JVM string expressions end to end — zero UDFs; the only
+    shuffle is the final canonical-URL groupBy. At 100 TB this is a
+    map-side-combinable aggregate over the canonical key."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("Example.COM"))
+        .when(d % 3 == 1, F.lit("example.com"))
+        .otherwise(F.lit("WWW.example.com")),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.concat(F.lit("/a/"), (d / 8).cast("long").cast("string")),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(""))
+        .when(d % 5 == 1, F.lit("?utm_source=x"))
+        .when(d % 5 == 2, F.lit("?id=7&utm_campaign=y"))
+        .when(d % 5 == 3, F.lit("?id=7"))
+        .otherwise(F.lit("?utm_medium=z&id=7")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    u = F.regexp_replace(url, r"#.*$", "")
+    rawhead = F.regexp_extract(u, r"^[^/]+//[^/?]+", 0)
+    head = F.regexp_replace(
+        F.regexp_replace(F.lower(rawhead), r":80$", ""), r"//www\.", "//"
+    )
+    rest = F.expr(
+        "substring(_u, length(regexp_extract(_u, '^[^/]+//[^/?]+', 0)) + 1)"
+    )
+    qpos = F.instr(F.col("_rest"), "?")
+    path = F.regexp_replace(
+        F.when(qpos > 0, F.expr("substring(_rest, 1, instr(_rest, '?') - 1)"))
+        .otherwise(F.col("_rest")),
+        r"/+$",
+        "",
+    )
+    qs = F.when(
+        qpos > 0,
+        F.array_join(
+            F.filter(
+                F.split(F.expr("substring(_rest, instr(_rest, '?') + 1)"), "&"),
+                lambda p: ~p.startswith("utm_"),
+            ),
+            "&",
+        ),
+    ).otherwise(F.lit(""))
+    canon = (
+        docs.withColumn("_u", u)
+        .withColumn("_head", head)
+        .withColumn("_rest", rest)
+        .withColumn("_path", path)
+        .withColumn("_q", qs)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("_head"),
+                F.col("_path"),
+                F.when(F.col("_q") != "", F.concat(F.lit("?"), F.col("_q"))).otherwise(
+                    F.lit("")
+                ),
+            ).alias("canonical_url"),
+        )
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
 _SQL_TEST_BUCKET = _SQL_H15.format(seed="'0'", key="doc_id") + " % 10000 < 1000"
 
 
@@ -4403,6 +4570,303 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding[1:8],
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+    e AS (SELECT vec_id, i, qv[i] AS q FROM v, UNNEST(RANGE(1, 9)) AS t(i)),
+    s AS (SELECT i, SUM(CAST(q AS DECIMAL(38,0))) AS si,
+                 COUNT(*) AS n FROM e GROUP BY i),
+    p AS (SELECT a.i AS i, b.i AS j,
+                 SUM(CAST(a.q AS DECIMAL(38,0)) * b.q) AS sij
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           CAST(sa.n AS BIGINT) AS n,
+           CAST(CAST(p.sij AS DOUBLE) / sa.n
+                - (CAST(sa.si AS DOUBLE) / sa.n)
+                  * (CAST(sb.si AS DOUBLE) / sb.n) AS DOUBLE) AS cov
+    FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+    ORDER BY i, j
+    """,
+    desc="exact covariance matrix of the first 8 embedding dimensions in "
+    "fixed-point micro-units (the PCA/whitening input): integer moment "
+    "sums S_i, S_ij accumulated as exact decimals, cov = S_ij/n - "
+    "(S_i/n)(S_j/n) — a fixed IEEE op sequence on exact operands, "
+    "bit-identical cross-engine; upper triangle, 36 rows",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE narrow aggregate pass computes all 8 first moments + 36 second
+    moments as agg columns (zero explode, zero self-join — the oracle's
+    explode+join is math-equivalent but NOT the 100 TB plan); the result
+    row unpivots driver-side to (i, j, n, cov). At dim=64 the same pass
+    carries 2,080 columns or tiles into a few passes; corpus is scanned
+    once, never shuffled."""
+    emb = table(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        *[
+            F.round(F.element_at("embedding", i).cast("double") * 1000, 0)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(1, 9)
+        ]
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    aggs += [
+        F.sum(F.col(f"q{i}").cast("decimal(38,0)")).alias(f"s{i}")
+        for i in range(1, 9)
+    ]
+    aggs += [
+        F.sum((F.col(f"q{i}").cast("decimal(38,0)") * F.col(f"q{j}")).cast(
+            "decimal(38,0)"
+        )).alias(f"s{i}_{j}")
+        for i in range(1, 9)
+        for j in range(i, 9)
+    ]
+    row = qd.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.col("n").alias("n"),
+                (
+                    F.col(f"s{i}_{j}").cast("double") / F.col("n")
+                    - (F.col(f"s{i}").cast("double") / F.col("n"))
+                    * (F.col(f"s{j}").cast("double") / F.col("n"))
+                ).cast("double").alias("cov"),
+            )
+            for i in range(1, 9)
+            for j in range(i, 9)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.n", "p.cov")
+        .orderBy("i", "j")
+    )
+
+
+def _rs_plane(p: int, dim: int = 64) -> list[int]:
+    """Integer LSH hyperplane for range search: coefficient j of plane p is
+    (int(md5('rs{p}|{j}')[:8], 16) % 2001) - 1000 ∈ [-1000, 1000] — pure
+    integer, so the projection SIGN is exact on both engines (the float
+    hyperplanes in operators/similarity.lsh_project are fine for top-k
+    recall but a sign flip at the boundary would break a hash-exact
+    oracle)."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"rs{p}|{j}".encode()).hexdigest()[:8], 16) % 2001) - 1000
+        for j in range(dim)
+    ]
+
+
+_SQL_RS_COEF = (
+    "((CAST(CONCAT('0x', SUBSTR(MD5('rs' || {p} || '|' || (j - 1)), 1, 8)) AS BIGINT)"
+    " % 2001) - 1000)"
+)
+
+
+@register(
+    "similarity_range_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+        FROM embeddings),
+    b AS (
+        SELECT vec_id, qv,
+               LIST_SUM(LIST_TRANSFORM(RANGE(0, 6), p -> CASE WHEN
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                       j -> qv[j] * {_SQL_RS_COEF.format(p="p")}))
+                   > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM q),
+    pr AS (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                        i -> a.qv[i] * b2.qv[i])) AS dot,
+               LIST_SUM(LIST_TRANSFORM(a.qv, x -> x * x)) AS na,
+               LIST_SUM(LIST_TRANSFORM(b2.qv, x -> x * x)) AS nb
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, CAST(bucket AS BIGINT) AS bucket,
+           ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE))
+                                        * SQRT(CAST(nb AS DOUBLE))), 4)
+             AS cosine_sim
+    FROM pr
+    WHERE dot > 0 AND dot * dot * 100 >= 9 * na * nb
+    ORDER BY id_a, id_b
+    """,
+    desc="range search (radius query): ALL pairs with cosine >= 0.30, "
+    "LSH-bucketed — the similarity-search dual of top-k (near-dup mining "
+    "wants every neighbor in a radius, not a fixed k). 6 integer "
+    "sign-hyperplanes bucket the corpus; candidates meet only inside a "
+    "bucket; the threshold is the pure-integer predicate "
+    "dot^2*100 >= 9*na*nb (no float boundary), cosine reported via "
+    "IEEE-exact sqrt; production tau ~0.9, fixture embeddings are random "
+    "so 0.30 exercises the same plan",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus never cross-joins — the self-join keys on the
+    LSH bucket (~2^planes fan-in cut), the same banded shape as MinHash
+    LSH; integer quantization keeps every predicate exact. Recall < 1 by
+    construction (bucket-blocked, like every LSH method); raise planes /
+    add rotations for precision-recall trade."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 100, 0).cast("long")
+        ).alias("qv"),
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(6):
+        plane = F.array(*[F.lit(c) for c in _rs_plane(p)])
+        proj = F.aggregate(
+            F.zip_with(F.col("qv"), plane, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    b = q.withColumn("bucket", bucket)
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), "bucket"
+    )
+    isum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            isum(F.zip_with("qa", "qb", lambda x, y: x * y)).alias("dot"),
+            isum(F.transform("qa", lambda x: x * x)).alias("na"),
+            isum(F.transform("qb", lambda x: x * x)).alias("nb"),
+        )
+    )
+    return (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 100 >= 9 * F.col("na") * F.col("nb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH w AS (
+        SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    cnts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    top AS (SELECT word, cnt FROM cnts ORDER BY cnt DESC, word LIMIT 256),
+    rk AS (SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)
+                            AS BIGINT) AS rank FROM top),
+    terms AS (
+        SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM rk),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(18,6)) AS sx,
+               CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
+               CAST(ROUND(SUM(x * y), 6) AS DECIMAL(18,6)) AS sxy,
+               CAST(ROUND(SUM(x * x), 6) AS DECIMAL(18,6)) AS sxx
+        FROM terms)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cnts) AS n_types,
+           CAST(n AS BIGINT) AS n_fit,
+           CAST(CAST(ROUND(n * sxy - sx * sy, 6) AS DECIMAL(18,6)) AS DOUBLE)
+           / CAST(CAST(ROUND(n * sxx - sx * sx, 6) AS DECIMAL(18,6)) AS DOUBLE)
+             AS zipf_slope
+    FROM agg
+    """,
+    desc="Zipf-law fit over the corpus frequency spectrum: OLS slope of "
+    "log(freq) on log(rank) for the top-256 types — the classic corpus "
+    "health check (natural text ~ -1; templated/boilerplate corpora "
+    "deviate hard). Rounded-log-term decimal sums (the cross-engine LN "
+    "discipline); slope is one IEEE division of exact decimals",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus touches one explode + one map-side-combinable word count;
+    the fit runs on 256 rows via TakeOrderedAndProject (never a global
+    sort); n_types is the same aggregate reused (lazy checkpoint)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    top = cnts.orderBy(F.desc("cnt"), "word").limit(256)
+    rk = top.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), "word"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    d6 = "decimal(18,6)"
+    terms = rk.select(
+        F.round(F.log(F.col("rank").cast("double")), 6).cast(d6).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).cast(d6).alias("y"),
+    )
+    # Every decimal stays inside (18,6)/(10,0) bounds so no engine hits
+    # its precision-overflow scale-reduction path (Spark reduces scale on
+    # wide products, DuckDB doesn't — the r6 zipf lesson); products are
+    # exact, ROUND(...,6) shrinks the unscaled value below 2^53 before
+    # the only two double casts, and the slope is one IEEE division.
+    agg = terms.agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(18,6)").alias("sx"),
+        F.sum("y").cast("decimal(18,6)").alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).cast("decimal(18,6)").alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).cast("decimal(18,6)").alias("sxx"),
+    )
+    n_types = cnts.agg(F.count("*").cast("bigint").alias("n_types"))
+    num = F.round(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 6).cast(
+        "decimal(18,6)"
+    )
+    den = F.round(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), 6).cast(
+        "decimal(18,6)"
+    )
+    return n_types.crossJoin(agg).select(
+        "n_types",
+        F.col("n").cast("bigint").alias("n_fit"),
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )
+
+
+@register(
     "graph_degree_distribution",
     oracle="""
     WITH items AS (
@@ -5088,6 +5552,58 @@ def multimodal_mulaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return audio_sample_stats(synthesize_wav_mulaw_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_alaw_real",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, 8),
+                              k -> XOR((3 * doc_id + 29 * k) % 256, 85)) AS bs
+        FROM documents),
+    dec AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(bs, a -> CASE
+                   WHEN a >= 128 THEN
+                       CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                            ELSE ((a % 16) * 16 + 264)
+                                 * CAST(POW(2, (a // 16) % 8 - 1) AS BIGINT) END
+                   ELSE
+                       -(CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                              ELSE ((a % 16) * 16 + 264)
+                                   * CAST(POW(2, (a // 16) % 8 - 1) AS BIGINT) END)
+               END) AS xs
+        FROM p)
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN NULL
+                ELSE CAST(8 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 6 = 0 THEN NULL
+                ELSE CAST(LIST_SUM(xs) AS BIGINT) END AS sample_sum,
+           CASE WHEN doc_id % 6 = 0 THEN NULL
+                ELSE CAST(LIST_MIN(xs) AS BIGINT) END AS sample_min,
+           CASE WHEN doc_id % 6 = 0 THEN NULL
+                ELSE CAST(LIST_MAX(xs) AS BIGINT) END AS sample_max
+    FROM dec ORDER BY doc_id
+    """,
+    desc="REAL G.711 A-law decode (ITU-T G.711, wFormatTag 6): XOR-0x55 "
+    "toggled bytes expanded to 13-bit-magnitude linear PCM via the CCITT "
+    "integer formula (seg 0: m*16+8; else (m*16+264)<<(seg-1); sign bit "
+    "SET = positive) — pure integer arithmetic, so the oracle replays "
+    "the expansion in SQL byte for byte; every 6th payload is a "
+    "truncated container exercising the null path (A-law is the E1/"
+    "European telephony estate, the mu-law sibling)",
+)
+def multimodal_alaw_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py _decode_alaw_data: Arrow-batched narrow
+    map; payload bytes never shuffle, only 4 aggregate ints per doc do."""
+    from gearpump_spark.operators.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_alaw_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_sample_stats(synthesize_wav_alaw_payloads(docs)).orderBy("doc_id")
 
 
 @register(

@@ -561,3 +561,67 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("rel_err_pct"),
     )
+
+
+@register(
+    "sketch_hll_sparse",
+    oracle=f"""
+    WITH w AS (
+        SELECT source,
+               UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    regs AS (
+        SELECT source,
+               COUNT(DISTINCT {_SQL_H15.format(seed="'44'", v="word")} % 4096)
+                 AS v_regs,
+               COUNT(DISTINCT word) AS exact_distinct
+        FROM w GROUP BY source)
+    SELECT source,
+           CAST(v_regs AS BIGINT) AS v_regs,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(4096 * CAST(ROUND(LN(4096.0 / (4096 - v_regs)), 6)
+                            AS DECIMAL(18,6)) AS DOUBLE) AS lc_estimate
+    FROM regs ORDER BY source
+    """,
+    desc="HLL++ sparse-mode estimator (Heule et al. 2013 §5.3): below "
+    "~m/4 distinct values HLL++ skips dense registers entirely and "
+    "linear-counts occupied sparse register indices — estimate = "
+    "m*ln(m/(m-V)) with V = occupied registers at p=12 (m=4096). "
+    "Register occupancy derives from the seeded-md5 family so BOTH "
+    "engines build the identical sparse set — the estimate itself is "
+    "hash-exact (unlike the tolerance-gated dense-HLL queries); "
+    "rounded-LN decimal discipline; exact distinct rides along for the "
+    "error audit",
+)
+def sketch_hll_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct words: one explode + one (source, idx)
+    aggregate; at 100 TB the sparse set is a mergeable per-partition
+    structure (partial COUNT DISTINCT over 4096-bounded indices) — the
+    exact-distinct audit column is the expensive side, not the sketch."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    regs = words.groupBy("source").agg(
+        F.countDistinct(seeded_hash15(F.col("word"), 44) % 4096).alias("v_regs"),
+        F.countDistinct("word").alias("exact_distinct"),
+    )
+    return regs.select(
+        "source",
+        F.col("v_regs").cast("bigint").alias("v_regs"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.lit(4096)
+            * F.round(F.log(F.lit(4096.0) / (4096 - F.col("v_regs"))), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("lc_estimate"),
+    ).orderBy("source")

@@ -45,6 +45,58 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_tolerance_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+         m AS (
+        SELECT c.event_id, c.user_id, c.ts AS c_ts,
+               v.ts AS v_ts, v.event_id AS view_event_id
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts >= v.ts)
+    SELECT event_id, user_id,
+           CASE WHEN v_ts >= c_ts - INTERVAL 1 HOUR THEN v_ts END AS view_ts,
+           CASE WHEN v_ts >= c_ts - INTERVAL 1 HOUR
+                THEN CAST(view_event_id AS BIGINT) END AS view_event_id,
+           CASE WHEN v_ts >= c_ts - INTERVAL 1 HOUR
+                THEN EPOCH_US(c_ts) - EPOCH_US(v_ts) END AS gap_us
+    FROM m ORDER BY event_id
+    """,
+    desc="as-of join WITH tolerance: each click matched to the user's "
+    "latest prior view, but only if it happened within the last hour — "
+    "the attribution-window variant (pandas merge_asof tolerance=). "
+    "Stale matches null out rather than attach",
+)
+def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same union/sort/carry-forward machinery as q_asof_join
+    (operators/temporal.py asof_join): ONE user-keyed shuffle, no join
+    operator at all, no row explosion — the 100 TB as-of form. The
+    tolerance is a post-window null-out, not a second pass."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        key="user_id",
+        right_cols=["event_id", "value"],
+        tolerance="1 HOUR",
+        suffix="_v",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_v").alias("view_ts"),
+        F.col("event_id_v").cast("bigint").alias("view_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_v")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@register(
     "q_range_join",
     oracle="""
     SELECT e.event_id, COUNT(p.event_id) AS n_follow,

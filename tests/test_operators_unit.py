@@ -2593,3 +2593,55 @@ def test_weighted_reservoir_is_mergeable(spark, sf_dir):
         for r in half_a.unionAll(half_b).orderBy("k", "doc_id").limit(20).collect()
     ]
     assert merged == full_top
+
+
+# ---------------------------------------------------------------------------
+# r6: global_positions — the distributed global rank / running sum
+# ---------------------------------------------------------------------------
+
+
+def test_global_positions_rank_matches_sequential(spark):
+    """Rank over a unique total order equals the sequential row_number,
+    regardless of input partitioning or range-boundary sampling."""
+    import random
+
+    from gearpump_spark.operators.sampling import global_positions
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(0, 999)) for i in range(1, 501)]
+    rnd.shuffle(rows)
+    for nparts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "id long, v long").repartition(nparts)
+        out = {
+            r["id"]: r["_gpos"]
+            for r in global_positions(df, ["v", "id"]).collect()
+        }
+        expected = {
+            i: pos for pos, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert out == expected, f"nparts={nparts}"
+
+
+def test_global_positions_cumsum_matches_sequential(spark):
+    """size_col mode: position = sum of sizes strictly before the row."""
+    from gearpump_spark.operators.sampling import global_positions
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "id long, sz long").repartition(7)
+    out = {
+        r["id"]: r["_gpos"]
+        for r in global_positions(df, ["id"], size_col="sz").collect()
+    }
+    run = 0
+    for i, sz in sorted(rows):
+        assert out[i] == run, f"id={i}"
+        run += sz
+
+
+def test_global_positions_plan_has_no_single_partition_exchange(spark):
+    from gearpump_spark.operators.sampling import global_positions
+
+    df = spark.range(1000).selectExpr("id", "id % 13 as v")
+    out = global_positions(df, ["v", "id"])
+    p = out._jdf.queryExecution().simpleString()
+    assert "Exchange SinglePartition" not in p

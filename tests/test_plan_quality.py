@@ -997,13 +997,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q_ntile": "exact NTILE needs the total order; customer is dim-sized",
     # windows run over per-(source,tok) aggregate output, not the corpus
     "text_kl_source_drift": "window input is the (source,token) aggregate",
-    # documented shards escape: pack/shuffle default to a single global
-    # order for bit-reproducibility; shards=N is the scale path
-    "sample_pack_sequences": "documented shards=N escape (operator kwarg)",
-    "sample_shuffle_order": "documented shards=N escape (operator kwarg)",
-    # hash-permutation ranking sorts (key, hash) pairs only — payloads
-    # never enter the window; ~16 bytes/row at any scale
-    "sample_negative_pairs": "ranks (key,hash) pairs only, payload-free",
+    # (r6: sample_pack_sequences / sample_shuffle_order /
+    # sample_negative_pairs left this list — they now rank through
+    # operators/sampling.py:global_positions, the range-partitioned
+    # distributed rank, instead of a global window.)
     # windows over n_sources rows (per-source totals)
     "sample_unimax_mix": "window input is per-source totals",
     # running sum over per-day aggregate output (~days rows)
