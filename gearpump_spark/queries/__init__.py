@@ -140,9 +140,15 @@ DRIVER_SAMPLE_WINDOW = [
     "q_window_tumbling",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "similarity_topk",
-    "text_quality",
-    "sample_hash_10pct",
+    # -- new in r6, never verified: the window funnel, integer-threshold
+    #    Poisson bootstrap, and integer CUSUM changepoint (the other 8 r6
+    #    additions registered after these slots filled wait for r7:
+    #    multimodal_alaw_real, dedup_containment, dedup_url_canonical,
+    #    q_asof_tolerance_join, embedding_covariance,
+    #    similarity_range_search, text_zipf_fit, sketch_hll_sparse) --
+    "q_window_funnel",
+    "sample_poisson_bootstrap",
+    "q_cusum_changepoint",
 ]
 
 

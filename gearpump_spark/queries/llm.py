@@ -4049,7 +4049,8 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL SELECT v, u FROM edges),
     deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
     wed AS (SELECT a1.n AS c, a1.nb AS x, a2.nb AS y
-            FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.nb < a2.nb),
+            FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.nb < a2.nb
+            JOIN deg dc ON dc.n = a1.n AND dc.d <= 64),
     cn AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common
            FROM wed GROUP BY x, y),
     cand AS (SELECT cn.* FROM cn
@@ -4068,7 +4069,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over a 1-in-10 order sample of the co-purchase graph: top-20 "
     "UNLINKED part pairs by shared neighbors — the 'customers also "
     "bought' recommender; jaccard = common/(du+dv-common) is one IEEE "
-    "division of bigints, exact cross-engine",
+    "division of bigints, exact cross-engine; degree-64 hub-center cap "
+    "(super-node exclusion, mirrored in the oracle) bounds the wedge "
+    "fan-out — the r5 Jaccard scale lesson applied to its sibling",
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/graph.py link_predict_common_neighbors: salted wedge
@@ -4089,7 +4092,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
-    return link_predict_common_neighbors(edges, k=20)
+    return link_predict_common_neighbors(edges, k=20, max_degree=64)
 
 
 @register(
@@ -4674,14 +4677,19 @@ _SQL_RS_COEF = (
 @register(
     "similarity_range_search",
     oracle=f"""
-    WITH q AS (
+    WITH np AS (
+        SELECT GREATEST(6, LEAST(16,
+                   LEN(BIN(GREATEST((COUNT(*) - 1) // 8, 1))))) AS k
+        FROM embeddings),
+    q AS (
         SELECT vec_id,
                LIST_TRANSFORM(embedding,
                    x -> CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
         FROM embeddings),
     b AS (
         SELECT vec_id, qv,
-               LIST_SUM(LIST_TRANSFORM(RANGE(0, 6), p -> CASE WHEN
+               LIST_SUM(LIST_TRANSFORM(RANGE(0, (SELECT k FROM np)),
+                   p -> CASE WHEN
                    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
                        j -> qv[j] * {_SQL_RS_COEF.format(p="p")}))
                    > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)) AS bucket
@@ -4703,20 +4711,27 @@ _SQL_RS_COEF = (
     """,
     desc="range search (radius query): ALL pairs with cosine >= 0.30, "
     "LSH-bucketed — the similarity-search dual of top-k (near-dup mining "
-    "wants every neighbor in a radius, not a fixed k). 6 integer "
-    "sign-hyperplanes bucket the corpus; candidates meet only inside a "
-    "bucket; the threshold is the pure-integer predicate "
-    "dot^2*100 >= 9*na*nb (no float boundary), cosine reported via "
-    "IEEE-exact sqrt; production tau ~0.9, fixture embeddings are random "
-    "so 0.30 exercises the same plan",
+    "wants every neighbor in a radius, not a fixed k). Integer "
+    "sign-hyperplanes bucket the corpus, with the plane count ADAPTIVE "
+    "in corpus size (clamp(bit_length((n-1)/8), 6, 16) — bucket "
+    "occupancy stays ~8, so candidate pairs stay near-linear; the r6 "
+    "sweep caught the fixed-6-plane form going 9x at the top step); "
+    "candidates meet only inside a bucket; the threshold is the "
+    "pure-integer predicate dot^2*100 >= 9*na*nb (no float boundary), "
+    "cosine reported via IEEE-exact sqrt; production tau ~0.9, fixture "
+    "embeddings are random so 0.30 exercises the same plan",
 )
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the corpus never cross-joins — the self-join keys on the
-    LSH bucket (~2^planes fan-in cut), the same banded shape as MinHash
-    LSH; integer quantization keeps every predicate exact. Recall < 1 by
-    construction (bucket-blocked, like every LSH method); raise planes /
-    add rotations for precision-recall trade."""
+    LSH bucket, the same banded shape as MinHash LSH; plane count grows
+    log2 with the corpus (one eager count — the documented
+    strategy-choice exception), keeping per-bucket occupancy ~8 and the
+    pair explosion linear. Integer quantization keeps every predicate
+    exact. Recall < 1 by construction (bucket-blocked, like every LSH
+    method); raise planes / add rotations for precision-recall trade."""
     emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes = min(16, max(6, (max((n - 1) // 8, 1)).bit_length()))
     q = emb.select(
         "vec_id",
         F.transform(
@@ -4724,7 +4739,7 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     bucket = F.lit(0).cast("long")
-    for p in range(6):
+    for p in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _rs_plane(p)])
         proj = F.aggregate(
             F.zip_with(F.col("qv"), plane, lambda x, c: x * c),

@@ -425,3 +425,93 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+# Poisson(1) inverse-CDF thresholds, pre-scaled to the hash family's 2^60
+# range: weight k when (h15 + 1) <= floor(CDF(k) * 2^60). Pure integer
+# comparison — no exp/float anywhere in EITHER engine's plan, so the
+# bootstrap weights are hash-exact by construction (the thresholds are the
+# only place e^-1 appears, computed once at authoring time).
+_POISSON1_T60 = [
+    424136118829305344,   # P(X<=0) = 0.36787944117144233
+    848272237658610688,   # P(X<=1) = 0.7357588823428847
+    1060340297073263360,  # P(X<=2) = 0.9196986029286058
+    1131029650211480960,  # P(X<=3) = 0.9810118431238463
+    1148701988496035328,  # P(X<=4) = 0.9963401531726563
+    1152236456152946176,  # P(X<=5) = 0.9994058151824183
+]
+
+
+def _sql_poisson_w(h: str) -> str:
+    cases = " ".join(
+        f"WHEN ({h}) + 1 <= {t} THEN {k}" for k, t in enumerate(_POISSON1_T60)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(RANGE(0, 10)) AS rep),
+    w AS (
+        SELECT rep, doc_id, n_chars,
+               {_sql_poisson_w(_SQL_H15.format(seed="CAST(100 + rep AS VARCHAR)", key="doc_id"))} AS w
+        FROM documents, reps)
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_weight,
+           CAST(SUM(w * n_chars) AS BIGINT) AS weighted_chars
+    FROM w GROUP BY rep ORDER BY rep
+    """,
+    desc="deterministic Poisson(1) bootstrap: 10 resampling replicates "
+    "per corpus, each document's replicate weight drawn by inverse-CDF "
+    "over the seeded-md5 uniform with PRE-SCALED INTEGER thresholds "
+    "(floor(CDF*2^60)) — the online-bootstrap trick (Oza & Russell "
+    "2001) that replaces with-replacement resampling at stream scale, "
+    "made bit-reproducible: no exp()/float appears in either engine; "
+    "per-replicate doc counts, weights, and weighted token mass feed "
+    "metric confidence intervals",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow map per replicate (the replicate axis is a 10-element
+    explode — data scans ONCE, weights are scan-local expressions), one
+    map-side-combinable aggregate; at 100 TB this is the only bootstrap
+    that doesn't shuffle the corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(*[F.lit(r) for r in range(10)])).alias("rep"),
+    )
+    # seed = 100 + rep varies per row: build the hash with the rep column
+    # inside the seed string (the hashing helper takes int seeds, so
+    # inline the same md5 form with a column seed).
+    hexpr = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    (F.lit(100) + F.col("rep")).cast("string"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in reversed(range(6)):
+        w = F.when(hexpr + 1 <= _POISSON1_T60[k], F.lit(k)).otherwise(w)
+    return (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_weight"),
+            F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("weighted_chars"),
+        )
+        .select(F.col("rep").cast("bigint").alias("rep"), "n_docs", "total_weight", "weighted_chars")
+        .orderBy("rep")
+    )

@@ -1602,3 +1602,162 @@ def q_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "user_id", "band", "valid_from", "valid_to"
     ).orderBy("event_id")
+
+
+@register(
+    "q_window_funnel",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t4
+           FROM ev e JOIN s1 USING (user_id) JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+    lv AS (
+        SELECT s1.user_id,
+               1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+                 + (s4.user_id IS NOT NULL)::INT AS level
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+                LEFT JOIN s4 USING (user_id))
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY level ORDER BY level
+    """,
+    desc="window funnel (the ClickHouse windowFunnel analog): deepest "
+    "step each user reaches in the strict signup -> view -> click -> "
+    "purchase sequence where every later step lands within 7 days of "
+    "the user's FIRST signup and strictly after the previous step's "
+    "earliest completion; per-level user histogram — THE product-"
+    "analytics conversion query",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user-keyed shuffle: t1..t4 are four chained conditional-min
+    window expressions over the SAME user partition (Spark fuses them
+    into one Window node — no joins, unlike the oracle's readable CTE
+    cascade); the histogram is a bounded aggregate."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
+    )
+    wu = Window.partitionBy("user_id")
+    horizon = F.expr("INTERVAL 7 DAYS")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+    step = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "view")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + horizon),
+            F.col("ts"),
+        )
+    ).over(wu)
+    step = step.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + horizon),
+            F.col("ts"),
+        )
+    ).over(wu)
+    step = step.withColumn("t3", t3)
+    t4 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t3"))
+            & (F.col("ts") <= F.col("t1") + horizon),
+            F.col("ts"),
+        )
+    ).over(wu)
+    step = step.withColumn("t4", t4)
+    per_user = (
+        step.filter(F.col("t1").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.lit(1)
+                + F.max(F.col("t2").isNotNull().cast("int"))
+                + F.max(F.col("t3").isNotNull().cast("int"))
+                + F.max(F.col("t4").isNotNull().cast("int"))
+            ).alias("level")
+        )
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(F.col("level").cast("bigint").alias("level"), "n_users")
+        .orderBy("level")
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+               COUNT(*) AS c
+        FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS d, SUM(c) AS ctot FROM daily),
+    dev AS (
+        SELECT day, c, c * tot.d - tot.ctot AS y
+        FROM daily, tot),
+    pref AS (
+        SELECT day, c, SUM(y) OVER (ORDER BY day) AS prefix FROM dev),
+    pre AS (
+        SELECT day, c, prefix,
+               MIN(prefix) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS minpre
+        FROM pref)
+    SELECT day, CAST(c AS BIGINT) AS n_events,
+           CAST(prefix - minpre AS BIGINT) AS cusum_pos,
+           prefix - minpre = MAX(prefix - minpre) OVER () AS is_peak
+    FROM pre ORDER BY day
+    """,
+    desc="CUSUM changepoint detection over the daily event rate, kept "
+    "ENTIRELY in integers: deviations are scaled by the day count "
+    "(y = c*D - C_total, i.e. (c - mean)*D without division), the "
+    "one-sided CUSUM uses the prefix-minus-running-min identity "
+    "(= the max(0, s+y) recursion, Page 1954), and the peak day flags "
+    "the most likely upward level shift — the pipeline-health monitor "
+    "that catches an ingest-rate regime change",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day aggregate (map-side combinable) + windows over ~days rows
+    (bounded — allowlisted in the plan audit); zero floats anywhere."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").alias("d"), F.sum("c").alias("ctot")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "c", (F.col("c") * F.col("d") - F.col("ctot")).alias("y")
+    )
+    word = Window.orderBy("day")
+    wrun = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = dev.select(
+        "day",
+        "c",
+        F.sum("y").over(word).alias("prefix"),
+    ).withColumn("minpre", F.min("prefix").over(wrun))
+    wall = Window.partitionBy()
+    return pre.select(
+        "day",
+        F.col("c").cast("bigint").alias("n_events"),
+        (F.col("prefix") - F.col("minpre")).cast("bigint").alias("cusum_pos"),
+        (
+            (F.col("prefix") - F.col("minpre"))
+            == F.max(F.col("prefix") - F.col("minpre")).over(wall)
+        ).alias("is_peak"),
+    ).orderBy("day")

@@ -288,6 +288,15 @@ def test_library_decoder_matches_pure_python_tier():
     rz = lib.resize(payload, 4, 3)
     meta = pure.decode_image(rz)
     assert (meta["width"], meta["height"]) == (4, 3)
+    # ...and one real JPEG through the same seam (r5 verdict #8: the PNG
+    # case alone left the libjpeg path unexercised): our own baseline
+    # grayscale encoder emits a spec-conformant stream any reader decodes.
+    gray = [[(7 * x + 13 * y) % 256 for x in range(16)] for y in range(8)]
+    jpayload = MM.PixelDecoder.encode_jpeg_gray(gray)
+    jgot, jwant = lib.decode_image(jpayload), pure.decode_image(jpayload)
+    assert (jgot["format"], jgot["width"], jgot["height"]) == (
+        jwant["format"], jwant["width"], jwant["height"],
+    )
 
 
 # --- Text function edge cases ---------------------------------------------

@@ -1005,6 +1005,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "sample_unimax_mix": "window input is per-source totals",
     # running sum over per-day aggregate output (~days rows)
     "q_running_distinct": "cumulative sum over per-day aggregate",
+    # prefix/running-min/global-max over per-day aggregate output
+    "q_cusum_changepoint": "CUSUM windows over the per-day aggregate",
     # window over the file inventory (files, not rows)
     "q_compaction_plan": "window input is the file-stats inventory",
 }

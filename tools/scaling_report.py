@@ -153,6 +153,27 @@ EXTRA = [
     # r5 fifth wave: per-seed labeled BFS centrality + soft dedup weights
     "graph_harmonic_centrality",
     "dedup_soft_weights",
+    # r6 wave: the A-law Arrow map, inverted-index containment, the
+    # canonical-URL aggregate, the union-window tolerant as-of, the
+    # one-pass covariance moments, LSH-bucketed range search, the
+    # top-256 Zipf fit, sparse-HLL linear counting, and the two
+    # global_positions rewrites (shuffle_order / pack_sequences — the
+    # negative_pairs rewrite re-sweeps via its existing row above)
+    "multimodal_alaw_real",
+    "dedup_containment",
+    "dedup_url_canonical",
+    "q_asof_tolerance_join",
+    "embedding_covariance",
+    "similarity_range_search",
+    "text_zipf_fit",
+    "sketch_hll_sparse",
+    "sample_shuffle_order",
+    "sample_pack_sequences",
+    # r6 second wave: the one-shuffle window funnel, the zero-float
+    # Poisson bootstrap, and the integer CUSUM monitor
+    "q_window_funnel",
+    "sample_poisson_bootstrap",
+    "q_cusum_changepoint",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
@@ -192,6 +213,20 @@ def main() -> None:
 
     times: dict[str, list[float]] = {name: [] for name in sweep}
     for _label, sf_dir in sfs:
+        # r6 (r5 verdict #4): pinned warm-up — one untimed pass over every
+        # table in this sf dir so rows measure the operator, not cold
+        # first-touch IO. graph_triangle_estimate at sf1 was bimodal
+        # (~23 s warm vs ~84 s cold) before this; best-of-2 already
+        # half-warmed most rows, this makes it the protocol.
+        from gearpump_spark.datasets import TABLES, table as _table
+
+        for t in TABLES:
+            try:
+                _table(spark, sf_dir, t).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass
         for name in sweep:
             best = float("inf")
             for _ in range(2):
