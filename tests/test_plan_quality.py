@@ -1057,3 +1057,53 @@ def test_no_undocumented_global_window_sorts(spark):
     assert not stale, (
         f"GLOBAL_WINDOW_ALLOWLIST entries no longer needed: {sorted(stale)}"
     )
+
+
+def test_asof_tolerance_single_user_shuffle(spark, sf_dir):
+    """Tolerant as-of = union/sort/carry-forward: exactly one keyed
+    exchange (user_id), no join operator, no row explosion."""
+    p = plan(QS["q_asof_tolerance_join"](spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_window_funnel_single_window_no_joins(spark, sf_dir):
+    """The four funnel steps run as chained Window nodes that SHARE one
+    user_id clustering — a single keyed exchange, zero joins (the
+    oracle's 4-way CTE join cascade is the readable form, not the
+    plan)."""
+    p = plan(QS["q_window_funnel"](spark, sf_dir))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_poisson_bootstrap_scan_local(spark, sf_dir):
+    """Replicate weights are scan-local expressions: the only exchange
+    feeds the final 10-row aggregate (no corpus shuffle, no UDF)."""
+    p = plan(QS["sample_poisson_bootstrap"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one exchange for the groupBy(rep) partial->final aggregate
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_url_canonical_no_udf_one_exchange(spark, sf_dir):
+    """Canonicalization is pure JVM string expressions; the only shuffle
+    is the canonical-URL aggregate (map-side combinable)."""
+    p = plan(QS["dedup_url_canonical"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p  # partial agg present -> map-side combine
+
+
+def test_range_search_joins_on_bucket_only(spark, sf_dir):
+    """The pair join keys on the LSH bucket — never a cross join."""
+    p = plan(QS["similarity_range_search"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_covariance_single_scan_no_explode(spark, sf_dir):
+    """All 8+36 moments accumulate in ONE aggregate over ONE scan — the
+    oracle's explode+self-join is math-equivalent, not the plan."""
+    p = plan(QS["embedding_covariance"](spark, sf_dir))
+    assert p.count("FileScan parquet") <= 1
+    assert "SortMergeJoin" not in p
