@@ -720,3 +720,52 @@ def test_stream_scd2_enrich_joins_version_valid_at_event_time(spark, tmp_path):
     assert got == {1: None, 2: "bronze", 3: "gold", 4: "gold", 5: "silver"}
     # key column appears once (the dim side's copy is dropped)
     assert [f for f in out.schema.fieldNames()].count("k") == 1
+
+
+def test_continuous_trigger_runs_passthrough(spark):
+    """r6 latency work: this build ships Spark's continuous-processing
+    engine, and the map-only pass-through (the reference's SOL scenario,
+    the one workload class where its 8 ms actor-hop latency applies)
+    runs under Trigger.Continuous. Pins (a) availability, (b) that the
+    query stays alive past several epochs, and (c) the documented gate:
+    Python `foreach` is NOT supported in continuous mode."""
+    import time
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        src.selectExpr("value", "timestamp")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(continuous="200 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(5)
+        assert q.isActive, f"continuous query died: {q.exception()}"
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    # the gate: a Python foreach writer kills a continuous query
+    q2 = (
+        src.writeStream.foreach(lambda row: None)
+        .outputMode("append")
+        .trigger(continuous="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and q2.isActive and q2.exception() is None:
+            time.sleep(0.5)
+        assert (not q2.isActive) or q2.exception() is not None, (
+            "Python foreach unexpectedly works in continuous mode — "
+            "promote it from gate to feature (bench a per-record foreach "
+            "latency measure)"
+        )
+    finally:
+        q2.stop()
