@@ -2654,3 +2654,23 @@ def test_global_positions_plan_has_no_single_partition_exchange(spark):
     out = global_positions(df, ["v", "id"])
     p = out._jdf.queryExecution().simpleString()
     assert "Exchange SinglePartition" not in p
+
+
+def test_global_positions_skewed_first_key_still_parallel(spark):
+    """A heavily-duplicated leading sort key must not collapse the range
+    partitioning: the unique tiebreak column keeps boundaries splittable,
+    so no single partition holds everything (the failure mode that would
+    quietly reintroduce the one-task sort)."""
+    from pyspark.sql import functions as F
+
+    from gearpump_spark.operators.sampling import global_positions
+
+    df = spark.range(50_000).select(F.lit(7).alias("v"), F.col("id"))
+    out = global_positions(df, ["v", "id"], partitions=16)
+    # correctness under total duplication of the first key
+    head = out.orderBy("_gpos").limit(5).collect()
+    assert [r["id"] for r in head] == [0, 1, 2, 3, 4]
+    n_parts = (
+        out.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts > 1, "range partitioner collapsed to one partition"
