@@ -69,6 +69,16 @@ _LOADED = False
 # registry to put them first (remaining queries keep module import order).
 # A name listed here but not registered is a hard error — the curation list
 # cannot silently rot. tests/test_registry_order.py pins family coverage.
+# The round in which DRIVER_SAMPLE_WINDOW below was authored. The
+# staleness ratchet (tests/test_registry_order.py) judges the window
+# against the CORRECTNESS artifacts that existed BEFORE this round —
+# the window's own results landing (CORRECTNESS_r{ROUND}.json, written
+# by the driver AFTER the round's last commit) must not retroactively
+# turn the tree red, which is exactly what happened at the r5/r6
+# boundary (r5 VERDICT "What's wrong" #1). Bump this whenever the
+# window rotates.
+DRIVER_SAMPLE_WINDOW_ROUND = 6
+
 DRIVER_SAMPLE_WINDOW = [
     # ROUND-6 ROTATION. CORRECTNESS_r05 came back 100% green (48 hash-green
     # + 2 rows-only by construction), so the policy holds: (a) the 7

@@ -154,13 +154,16 @@ def test_llm_suite_covered_by_window_or_past_rounds(first_50):
     )
 
 
-def _last_verified_round() -> dict[str, int]:
+def _last_verified_round(before_round: int | None = None) -> dict[str, int]:
     """name -> most recent round whose artifact recorded a check AS STRONG
     as the query's current registration demands: hash-green for
     oracle-backed queries, rows-only-seen for oracle-less ones. A query
     converted from rows-only to oracle-backed therefore counts as
     never-verified — its old rows-only record is weaker than what a
-    window slot would now buy."""
+    window slot would now buy.
+
+    before_round: ignore artifacts from that round onward — used to judge
+    a window against the information available when it was AUTHORED."""
     import glob
     import json
     import pathlib
@@ -174,6 +177,8 @@ def _last_verified_round() -> dict[str, int]:
             rows = json.load(open(path))
         except (OSError, ValueError, json.JSONDecodeError):
             continue
+        if before_round is not None and rnd >= before_round:
+            continue
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue
@@ -186,6 +191,30 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+def test_window_authored_after_latest_artifact():
+    """The window must be (re-)authored every round: its ROUND stamp may
+    trail the newest CORRECTNESS artifact by at most one round (the
+    inter-round gap where the window's own results have just landed).
+    Two or more rounds behind = the rotation was skipped."""
+    import glob
+    import pathlib
+
+    from gearpump_spark.queries import DRIVER_SAMPLE_WINDOW_ROUND
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rounds = [
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in glob.glob(str(root / "CORRECTNESS_r*.json"))
+    ]
+    if rounds:
+        assert DRIVER_SAMPLE_WINDOW_ROUND >= max(rounds), (
+            f"window was authored in round {DRIVER_SAMPLE_WINDOW_ROUND} but "
+            f"CORRECTNESS_r{max(rounds):02d} exists — rotate the window and "
+            "bump DRIVER_SAMPLE_WINDOW_ROUND in gearpump_spark/queries/"
+            "__init__.py."
+        )
+
+
 def test_window_prefers_least_recently_verified(first_50):
     """r3 verdict #6: once every query has a driver record, window slots
     must go to (a) never-verified queries and (b) the OLDEST records —
@@ -193,8 +222,14 @@ def test_window_prefers_least_recently_verified(first_50):
     outside the window lets regressions hide behind stale records.
 
     Mechanically: every windowed query with a past record must be at
-    least as stale as every excluded query's record."""
-    last = _last_verified_round()
+    least as stale as every excluded query's record — judged against the
+    artifacts that existed when the window was AUTHORED
+    (DRIVER_SAMPLE_WINDOW_ROUND), so the window's own results landing
+    after the round's last commit cannot retroactively turn the tree red
+    (the r5/r6 boundary lesson)."""
+    from gearpump_spark.queries import DRIVER_SAMPLE_WINDOW_ROUND
+
+    last = _last_verified_round(before_round=DRIVER_SAMPLE_WINDOW_ROUND)
     registered = set(all_queries())
     in_win = [last[n] for n in first_50 if n in last]
     out_win = [last[n] for n in registered - set(first_50) if n in last]
