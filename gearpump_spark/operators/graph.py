@@ -121,6 +121,134 @@ def pagerank_numpy_reference(edge_list, damping=0.85, max_iter=20, tol=1e-6):
     return {v: float(r[idx[v]]) for v in nodes}
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED SET):
+    teleport mass lands only on `seeds`, so rank measures proximity to
+    the seeds — the recommendation / trust-propagation / seed-expansion
+    variant (Haveliwala 2002, topic-sensitive PageRank; the reference's
+    PageRankWorker restarts uniformly — this is the strict superset
+    with uniform = seeds == all nodes).
+
+    Same BSP loop discipline as `pagerank`: one keyed shuffle per round,
+    lineage cut via localCheckpoint, driver sees one delta scalar per
+    round. Dangling mass restarts to the seed set (the standard RWR
+    convention — walk falls off, teleports home). Float power iteration
+    (order-dependent sums) → rows-only query + numpy golden, like the
+    float `pagerank`.
+    """
+    spark = edges.sparkSession
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    nodes = (
+        edges.select(F.col(src).alias("node_id"))
+        .union(edges.select(F.col(dst).alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return spark.createDataFrame([], "node_id long, rank double")
+    seed_df = F.broadcast(
+        spark.createDataFrame([(int(s),) for s in seeds], "node_id long")
+    )
+    k = len(seeds)
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg")).persist()
+    ranks = nodes.join(seed_df, "node_id", "left_semi").withColumn(
+        "rank", F.lit(1.0 / k)
+    )
+    # nodes outside the seed set start at 0 (the restart distribution)
+    ranks = (
+        nodes.join(ranks, "node_id", "left")
+        .select("node_id", F.coalesce("rank", F.lit(0.0)).alias("rank"))
+        .localCheckpoint()
+    )
+    is_seed = F.col("node_id").isin([int(s) for s in seeds])
+    for _ in range(max_iter):
+        dangling_mass = ranks.join(
+            out_deg, ranks.node_id == out_deg[src], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        contribs = (
+            edges.join(out_deg, src)
+            .join(ranks, F.col(src) == ranks.node_id)
+            .select(
+                F.col(dst).alias("node_id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        new_ranks = (
+            nodes.join(
+                contribs.groupBy("node_id").agg(F.sum("c").alias("in_mass")),
+                "node_id",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling_mass))
+            .select(
+                "node_id",
+                (
+                    F.when(is_seed, F.lit((1.0 - damping) / k)).otherwise(F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.when(
+                        is_seed,
+                        F.lit(damping) * F.col("dangling_mass") / F.lit(float(k)),
+                    ).otherwise(F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            ranks.join(new_ranks.withColumnRenamed("rank", "new_rank"), "node_id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("new_rank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    nodes.unpersist()
+    out_deg.unpersist()
+    return ranks
+
+
+def personalized_pagerank_numpy_reference(
+    edge_list, seeds, damping=0.85, max_iter=20, tol=1e-6
+):
+    """Tiny RWR oracle mirroring personalized_pagerank exactly."""
+    import numpy as np
+
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    k = len(seeds)
+    out_deg = {v: 0 for v in nodes}
+    for a, _ in edge_list:
+        out_deg[a] += 1
+    r = np.zeros(n)
+    for s in seeds:
+        r[idx[s]] = 1.0 / k
+    for _ in range(max_iter):
+        nr = np.zeros(n)
+        for s in seeds:
+            nr[idx[s]] += (1.0 - damping) / k
+        dangling = sum(r[idx[v]] for v in nodes if out_deg[v] == 0)
+        for s in seeds:
+            nr[idx[s]] += damping * dangling / k
+        for a, b in edge_list:
+            nr[idx[b]] += damping * r[idx[a]] / out_deg[a]
+        if np.abs(nr - r).max() < tol:
+            r = nr
+            break
+        r = nr
+    return {v: float(r[idx[v]]) for v in nodes}
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

@@ -1611,6 +1611,46 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_id")
 
 
+@register(
+    "graph_pagerank_personalized",
+    oracle=None,  # iterative float fixpoint — golden-checked against the
+    # NumPy RWR reference in tests/test_operators_unit.py
+    desc="personalized PageRank / random walk with restart to a seed set "
+    "(Haveliwala 2002): rank = proximity to the 5 lowest-id supplier "
+    "seeds over the part->supplier shipment graph — the seed-expansion "
+    "/ 'more like these' recommender; teleport AND dangling mass both "
+    "restart to the seeds",
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BSP superstep loop as graph_pagerank (one dst-keyed shuffle
+    + a broadcast scalar per round, localCheckpoint lineage cuts); the
+    restart vector is the only difference. Returns only nodes with
+    rank above the noise floor (seeds + their neighborhoods) so the
+    output is proximity-ranked, not corpus-sized."""
+    from gearpump_spark.operators.graph import personalized_pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    # BOTH directions: the plain-pagerank digraph points part -> supplier
+    # only, which makes every supplier dangling — a walk restarted AT
+    # suppliers would never leave the seed set. The bipartite
+    # supplier <-> part walk diffuses: seeds -> their parts -> co-supplying
+    # suppliers -> ...
+    ps = li.select(
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).distinct()
+    edges = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = [r[0] for r in ps.select("dst").distinct().orderBy("dst").limit(5).collect()]
+    ranks = personalized_pagerank(edges, seeds, max_iter=10, tol=1e-9)
+    return (
+        ranks.where(F.col("rank") > 1e-9)
+        .select("node_id", F.round("rank", 8).cast("double").alias("rank"))
+        .orderBy("node_id")
+    )
+
+
 def _pagerank_int_oracle(n_iter: int = 10, scale: int = 10**12) -> str:
     """Unrolled n_iter-step CTE chain mirroring operators/graph.py
     pagerank_int exactly — fixed iterations + all-integer arithmetic make

@@ -2674,3 +2674,53 @@ def test_global_positions_skewed_first_key_still_parallel(spark):
         out.select(F.spark_partition_id().alias("p")).distinct().count()
     )
     assert n_parts > 1, "range partitioner collapsed to one partition"
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """RWR golden: the distributed loop matches the sequential reference
+    on a small directed graph with a dangling node, within float-sum
+    reorder tolerance."""
+    from gearpump_spark.operators.graph import (
+        personalized_pagerank,
+        personalized_pagerank_numpy_reference,
+    )
+
+    edge_list = [
+        (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (6, 3), (2, 6),
+        # 7 is dangling (no out-edges)
+        (1, 7),
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = [1, 6]
+    got = {
+        r.node_id: r.rank
+        for r in personalized_pagerank(edges, seeds, max_iter=15, tol=1e-12).collect()
+    }
+    want = personalized_pagerank_numpy_reference(
+        edge_list, seeds, max_iter=15, tol=1e-12
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # restart mass concentrates near the seeds: every seed outranks the
+    # dangling sink
+    assert got[1] > got[7] and got[6] > got[7]
+
+
+def test_personalized_pagerank_uniform_seeds_equals_pagerank(spark):
+    """seeds == all nodes degenerates to plain PageRank (the reference's
+    uniform-restart semantics)."""
+    from gearpump_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    plain = {r.node_id: r.rank for r in pagerank(edges, max_iter=12, tol=0).collect()}
+    pers = {
+        r.node_id: r.rank
+        for r in personalized_pagerank(edges, [1, 2, 3], max_iter=12, tol=0).collect()
+    }
+    for k in plain:
+        assert abs(plain[k] - pers[k]) < 1e-9, (k, plain[k], pers[k])
