@@ -2724,3 +2724,53 @@ def test_personalized_pagerank_uniform_seeds_equals_pagerank(spark):
     }
     for k in plain:
         assert abs(plain[k] - pers[k]) < 1e-9, (k, plain[k], pers[k])
+
+
+def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
+    """Randomized cross-check of the union/sort/carry-forward as-of join
+    (with tolerance) against pandas.merge_asof — an independent,
+    widely-trusted implementation of the same semantics. 200 left rows,
+    120 right rows, 6 keys, integer-second timestamps with deliberate
+    collisions across (but not within) key streams."""
+    import random
+
+    import pandas as pd
+
+    from gearpump_spark.operators.temporal import asof_join
+
+    rnd = random.Random(42)
+    lrows = [
+        (i, rnd.randint(0, 5), rnd.randint(0, 3600)) for i in range(200)
+    ]
+    rrows_raw = {
+        (rnd.randint(0, 5), rnd.randint(0, 3600)): rnd.randint(0, 10**6)
+        for _ in range(120)
+    }
+    rrows = [(k, t, v) for (k, t), v in sorted(rrows_raw.items())]
+    lpdf = pd.DataFrame(lrows, columns=["lid", "k", "t"])
+    rpdf = pd.DataFrame(rrows, columns=["k", "t", "v"])
+    for c in ("t",):
+        lpdf[c] = pd.to_datetime(lpdf[c], unit="s")
+        rpdf[c] = pd.to_datetime(rpdf[c], unit="s")
+
+    want = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"),
+        rpdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        tolerance=pd.Timedelta("600 seconds"),
+        direction="backward",  # latest right with rt <= lt — our semantics
+    ).set_index("lid")["v"]
+
+    left = spark.createDataFrame(lpdf.assign(ts=lpdf.pop("t")))
+    right = spark.createDataFrame(rpdf.assign(ts=rpdf.pop("t")))
+    got_rows = asof_join(
+        left, right, key="k", right_cols=["v"], tolerance="600 SECONDS"
+    ).collect()
+    got = {r["lid"]: r["v_right"] for r in got_rows}
+
+    assert len(got) == len(lpdf)
+    for lid in got:
+        w = want.loc[lid]
+        w = None if pd.isna(w) else int(w)
+        assert got[lid] == w, (lid, got[lid], w)
