@@ -1107,3 +1107,22 @@ def test_covariance_single_scan_no_explode(spark, sf_dir):
     p = plan(QS["embedding_covariance"](spark, sf_dir))
     assert p.count("FileScan parquet") <= 1
     assert "SortMergeJoin" not in p
+
+
+def test_join_family_always_has_equi_keys(spark, sf_dir):
+    """The r6 re-verification cohort's join family: every join in the
+    plan is hash/sort-merge on an equality key — a range or outer
+    predicate must ride ON an equi-join (as a join condition or
+    post-filter), never degrade to a nested loop / cartesian. This is
+    the property that keeps these joins shuffle-bounded at 100 TB."""
+    for name in (
+        "q_range_join",
+        "q_semi_join",
+        "q_anti_join",
+        "q_outer_join_counts",
+        "q_asof_join",
+        "q_copurchase_pairs",
+    ):
+        p = plan(QS[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
