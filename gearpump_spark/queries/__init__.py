@@ -77,88 +77,83 @@ _LOADED = False
 # turn the tree red, which is exactly what happened at the r5/r6
 # boundary (r5 VERDICT "What's wrong" #1). Bump this whenever the
 # window rotates.
-DRIVER_SAMPLE_WINDOW_ROUND = 6
+DRIVER_SAMPLE_WINDOW_ROUND = 7
 
 DRIVER_SAMPLE_WINDOW = [
-    # ROUND-6 ROTATION. CORRECTNESS_r05 came back 100% green (48 hash-green
-    # + 2 rows-only by construction), so the policy holds: (a) the 7
-    # queries registered after the r5 window filled go first (all
-    # oracle-backed, all local-exact + swept to sf1 during r5); (b) every
-    # remaining slot re-verifies the LEAST-recently-verified cohort — the
-    # 34 remaining round-1 records (TPC-H q4/q6-q10, the join family,
-    # rollup/cube/pivot/unpivot, window analytics, the scalar-expression
-    # suite), then the stalest round-2 records fill the last 9 slots.
+    # ROUND-7 ROTATION. CORRECTNESS_r06 came back 50/50 green, so the
+    # policy holds: (a) the 8 first-wave r6 queries that registered after
+    # the r6 window filled go first (all oracle-backed, all local-exact +
+    # swept to sf1 during r6 — the exact backlog the r6 verdict names);
+    # (b) every remaining slot re-verifies the LEAST-recently-verified
+    # cohort, which is now the ENTIRE remaining round-2 record set — the
+    # dedup/text/sampling/sketch flagship suite, exactly 42 queries, so
+    # the window is fully determined this round (8 + 42 = 50).
     # tests/test_registry_order.py::test_window_prefers_least_recently_verified
     # enforces (b) mechanically against the CORRECTNESS_r*.json artifacts.
     #
-    # -- never-sampled, oracle-backed (registered late-r5): the 1-bit
-    #    quantize + Hamming top-k + binary->cosine rerank cascade, MMR
-    #    diversified rerank, capped neighborhood Jaccard, lossless JPEG
-    #    (SOF3), winsorization --
-    "embedding_quantize_binary",
-    "similarity_topk_hamming",
-    "similarity_binary_rerank",
-    "similarity_mmr_rerank",
-    "graph_jaccard_neighbors",
-    "multimodal_jpeg_lossless_real",
-    "q_winsorize",
-    # -- round-1 records, 5 rounds stale: the full remaining r1 cohort.
-    #    TPC-H analog suite first --
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    # -- the join family (the capability the reference entirely lacks,
-    #    SURVEY §2.F) --
-    "q_asof_join",
-    "q_range_join",
-    "q_semi_join",
-    "q_anti_join",
-    "q_outer_join_counts",
-    "q_cross_join_broadcast",
-    "q_copurchase_pairs",
-    # -- grouping/rollup + window analytics --
-    "q_rollup",
-    "q_cube",
-    "q_pivot",
-    "q_unpivot",
-    "q_topk_per_group",
-    "q_window_running",
-    "q_lag_lead",
-    "q_ntile",
-    "q_trailing_1h",
-    "q_sessionize",
-    "q_quantiles",
-    "q_agg_stats",
-    "q_groupby_having",
-    "q_incremental_agg",
-    # -- scalar-expression suite (pure built-in-function plans) --
-    "q_distinct",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_count_distinct",
-    "q_scalar_string_date_math",
-    "q_json_extract",
-    "q_array_ops",
-    # -- round-2 records, next-stalest: flagship per-family picks fill the
-    #    remaining 9 slots --
-    "wordcount",
-    "q_gbk_combine",
-    "q_keyed_route",
-    "q_window_tumbling",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    # -- new in r6, never verified: the window funnel, integer-threshold
-    #    Poisson bootstrap, and integer CUSUM changepoint (the other 8 r6
-    #    additions registered after these slots filled wait for r7:
-    #    multimodal_alaw_real, dedup_containment, dedup_url_canonical,
-    #    q_asof_tolerance_join, embedding_covariance,
-    #    similarity_range_search, text_zipf_fit, sketch_hll_sparse) --
-    "q_window_funnel",
-    "sample_poisson_bootstrap",
-    "q_cusum_changepoint",
+    # -- never-sampled, oracle-backed (registered mid-r6): G.711 A-law,
+    #    n-gram containment dedup, URL canonicalization dedup, as-of join
+    #    with tolerance, exact embedding covariance, adaptive-plane cosine
+    #    range search, Zipf rank-frequency fit, sparse-HLL linear counting --
+    "multimodal_alaw_real",
+    "dedup_containment",
+    "dedup_url_canonical",
+    "q_asof_tolerance_join",
+    "embedding_covariance",
+    "similarity_range_search",
+    "text_zipf_fit",
+    "sketch_hll_sparse",
+    # -- round-2 records, 5 rounds stale: the full remaining r2 cohort.
+    #    Dedup family first --
+    "dedup_chunk_exact",
+    "dedup_clusters",
+    "dedup_contamination",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    # -- text-analysis suite --
+    "text_bm25_topk",
+    "text_boilerplate",
+    "text_chunk_windows",
+    "text_doc_freq",
+    "text_doc_stats",
+    "text_lang_confusion",
+    "text_lang_id",
+    "text_lang_profile",
+    "text_pii_redact",
+    "text_quality",
+    "text_rare_bigram_frac",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "text_vocab_coverage",
+    # -- sampling / mixing suite --
+    "sample_bottom_k",
+    "sample_epochs_mix",
+    "sample_hash_10pct",
+    "sample_k_per_group",
+    "sample_pack_sequences",
+    "sample_shuffle_order",
+    "sample_stratified_mix",
+    "sample_train_test_split",
+    "sample_weighted_priority",
+    # -- sketches --
+    "sketch_approx_quantiles",
+    "sketch_bloom_join",
+    "sketch_bloom_membership",
+    "sketch_hll_distinct",
+    # -- remaining r2 flagships: fingerprinting, similarity, multimodal
+    #    metadata, the end-to-end quality pipeline, and the two r2
+    #    rows-only records (iterative float fixpoints — the ratchet pulls
+    #    them in because their rows-only records are the stalest left) --
+    "doc_fingerprint",
+    "similarity_topk",
+    "multimodal_metadata",
+    "pipeline_quality_dedup_sample",
+    "graph_pagerank",
+    "kmeans_clusters",
 ]
 
 
