@@ -147,6 +147,8 @@ def personalized_pagerank(
     spark = edges.sparkSession
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    if len({int(s) for s in seeds}) != len(seeds):
+        raise ValueError("personalized_pagerank: duplicate seeds")
     nodes = (
         edges.select(F.col(src).alias("node_id"))
         .union(edges.select(F.col(dst).alias("node_id")))
@@ -165,6 +167,18 @@ def personalized_pagerank(
     ranks = nodes.join(seed_df, "node_id", "left_semi").withColumn(
         "rank", F.lit(1.0 / k)
     )
+    # A seed absent from the graph would silently lose restart mass here
+    # (the left_semi drops it) while the numpy golden raises KeyError —
+    # fail loudly on both sides instead of diverging.
+    present = ranks.count()
+    if present != k:
+        known = {r.node_id for r in ranks.select("node_id").collect()}
+        unknown = sorted(int(s) for s in seeds if int(s) not in known)
+        nodes.unpersist()
+        out_deg.unpersist()
+        raise ValueError(
+            f"personalized_pagerank: seeds not present in the graph: {unknown}"
+        )
     # nodes outside the seed set start at 0 (the restart distribution)
     ranks = (
         nodes.join(ranks, "node_id", "left")
@@ -247,6 +261,99 @@ def personalized_pagerank_numpy_reference(
             break
         r = nr
     return {v: float(r[idx[v]]) for v in nodes}
+
+
+def personalized_pagerank_int(
+    edges: DataFrame,
+    seeds: list,
+    n_iter: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BIT-REPRODUCIBLE personalized PageRank (random walk with restart):
+    the integer-micro-unit counterpart of `personalized_pagerank`, exactly
+    as `pagerank_int` is to `pagerank` — ranks are BIGINT micro-units,
+    every step is floor-division integer arithmetic, so the 10-iteration
+    fixpoint hash-matches an unrolled SQL CTE chain across engines,
+    partitionings, and runs (reference restart semantics:
+    examples/pagerank/PageRankController.scala:38-70, restricted to a
+    seed restart vector per Haveliwala 2002).
+
+    Per iteration (all BIGINT, non-negative; k = |seeds|):
+        contrib(e)   = rank[src(e)] DIV out_deg[src(e)]
+        in_mass(v)   = Σ contrib over incoming edges
+        dang_share   = (Σ rank over dangling nodes) DIV k   [seeds only]
+        rank'(v)     = seed(v)·(15·scale) DIV (100·k)
+                       + (85·(in_mass(v) + seed(v)·dang_share)) DIV 100
+
+    Same superstep plan shape as pagerank_int: one dst-keyed shuffle per
+    round, localCheckpoint lineage cuts, the driver never sees per-node
+    data — only the seed list (k ids) crosses the boundary.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank_int needs a non-empty seed set")
+    seeds = [int(s) for s in seeds]
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("personalized_pagerank_int: duplicate seeds")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    k = len(seeds)
+    is_seed = F.col("node_id").isin(seeds)
+    n_seeds_present = nodes.where(is_seed).count()
+    if n_seeds_present != k:
+        known = {r.node_id for r in nodes.where(is_seed).collect()}
+        unknown = sorted(s for s in seeds if s not in known)
+        nodes.unpersist()
+        raise ValueError(
+            f"personalized_pagerank_int: seeds not present in the graph: {unknown}"
+        )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("od")).persist()
+    base = (damping_den - damping_num) * scale // (damping_den * k)
+    ranks = nodes.withColumn(
+        "r", F.when(is_seed, F.lit(scale // k)).otherwise(F.lit(0)).cast("long")
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        dangling = ranks.join(
+            out_deg, ranks.node_id == out_deg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        contribs = (
+            e.join(out_deg, "src")
+            .join(ranks, F.col("src") == ranks.node_id)
+            .select(F.col("dst").alias("node_id"), F.expr("r DIV od").alias("c"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
+                "node_id",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(im, 0L)"
+                        f" + (CASE WHEN {'node_id IN (' + ','.join(map(str, seeds)) + ')'}"
+                        f" THEN dm DIV {k}L ELSE 0L END)))"
+                        f" DIV {damping_den}"
+                    ).cast("long")
+                ).alias("r"),
+            )
+            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
+        )
+    nodes.unpersist()
+    out_deg.unpersist()
+    return ranks
 
 
 def connected_components(

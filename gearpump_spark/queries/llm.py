@@ -1718,6 +1718,92 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, n_iter=10).orderBy("node_id")
 
 
+def _ppr_int_oracle(n_iter: int = 10, scale: int = 10**12, k: int = 5) -> str:
+    """Unrolled CTE chain mirroring operators/graph.py
+    personalized_pagerank_int exactly (fixed iterations + all-integer
+    floor-division arithmetic make the RWR fixpoint SQL-expressible; the
+    float variant graph_pagerank_personalized stays rows-only). Same
+    MATERIALIZED discipline as _pagerank_int_oracle: each pr{{k}} is
+    referenced twice per step, so inlining would re-evaluate 2^n_iter
+    times."""
+    blocks = [
+        f"""
+    ps AS MATERIALIZED (
+        SELECT DISTINCT l_partkey + 1000000 AS src, l_suppkey AS dst
+        FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM ps UNION SELECT dst, src FROM ps),
+    nodes AS MATERIALIZED (
+        SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+    seeds AS MATERIALIZED (
+        SELECT node_id FROM (SELECT DISTINCT dst AS node_id FROM ps)
+        ORDER BY node_id LIMIT {k}),
+    outd AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (
+        SELECT n.node_id,
+               CAST(CASE WHEN s.node_id IS NOT NULL
+                         THEN {scale} // {k} ELSE 0 END AS BIGINT) AS r
+        FROM nodes n LEFT JOIN seeds s ON s.node_id = n.node_id)"""
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f""",
+    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dm FROM pr{i}
+             WHERE node_id NOT IN (SELECT src FROM outd)),
+    c{i} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(p.r // o.od) AS im
+             FROM edges e JOIN outd o ON e.src = o.src
+             JOIN pr{i} p ON p.node_id = e.src GROUP BY e.dst),
+    pr{i + 1} AS MATERIALIZED (
+        SELECT n.node_id,
+               CAST(CASE WHEN s.node_id IS NOT NULL
+                         THEN (15 * {scale}) // (100 * {k}) ELSE 0 END
+                    + (85 * (COALESCE(c.im, 0)
+                             + CASE WHEN s.node_id IS NOT NULL
+                                    THEN d{i}.dm // {k} ELSE 0 END)) // 100
+                 AS BIGINT) AS r
+        FROM nodes n CROSS JOIN d{i}
+        LEFT JOIN c{i} c ON c.node_id = n.node_id
+        LEFT JOIN seeds s ON s.node_id = n.node_id)"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f"\n    SELECT node_id, r FROM pr{n_iter} ORDER BY node_id"
+    )
+
+
+@register(
+    "graph_pagerank_personalized_int",
+    oracle=_ppr_int_oracle(10),
+    desc="BIT-REPRODUCIBLE integer personalized PageRank (random walk "
+    "with restart to the 5 lowest-id supplier seeds, micro-unit ranks, "
+    "floor-division steps) over the bipartite supplier<->part shipment "
+    "graph: same restart semantics as graph_pagerank_personalized but "
+    "every step is integer arithmetic, so the 10-iteration fixpoint "
+    "hash-matches a DuckDB CTE chain exactly — completing the "
+    "bit-reproducible family (pagerank_int, kmeans_int) for the last "
+    "float-only fixpoint",
+)
+def graph_pagerank_personalized_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py personalized_pagerank_int: one dst-keyed
+    shuffle per superstep, localCheckpoint lineage cuts, all-BIGINT
+    arithmetic; only the k seed ids cross the driver boundary."""
+    from gearpump_spark.operators.graph import personalized_pagerank_int
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).distinct()
+    edges = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = [
+        r[0] for r in ps.select("dst").distinct().orderBy("dst").limit(5).collect()
+    ]
+    return personalized_pagerank_int(edges, seeds, n_iter=10).orderBy("node_id")
+
+
 @register(
     "kmeans_clusters",
     oracle=None,  # iterative fixpoint (like graph_pagerank): rows-only check

@@ -580,7 +580,7 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(v_regs AS BIGINT) AS v_regs,
            CAST(exact_distinct AS BIGINT) AS exact_distinct,
-           CAST(4096 * CAST(ROUND(LN(4096.0 / (4096 - v_regs)), 6)
+           CAST(4096 * CAST(ROUND(LN(4096.0 / (4096 - LEAST(v_regs, 4095))), 6)
                             AS DECIMAL(18,6)) AS DOUBLE) AS lc_estimate
     FROM regs ORDER BY source
     """,
@@ -618,9 +618,17 @@ def sketch_hll_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
         (
             F.lit(4096)
-            * F.round(F.log(F.lit(4096.0) / (4096 - F.col("v_regs"))), 6).cast(
-                "decimal(18,6)"
-            )
+            # LEAST(v_regs, 4095): at full saturation (v_regs == 4096, all
+            # registers occupied — unreachable with current fixtures but
+            # possible under a richer generator) the unclamped form divides
+            # by zero, where Spark's decimal cast NULLs +inf while DuckDB
+            # errors — a cross-engine divergence. Sparse mode is invalid at
+            # saturation anyway (HLL++ switches to dense well before m),
+            # so both engines clamp identically.
+            * F.round(
+                F.log(F.lit(4096.0) / (4096 - F.least(F.col("v_regs"), F.lit(4095)))),
+                6,
+            ).cast("decimal(18,6)")
         )
         .cast("double")
         .alias("lc_estimate"),
