@@ -2726,6 +2726,73 @@ def test_personalized_pagerank_uniform_seeds_equals_pagerank(spark):
         assert abs(plain[k] - pers[k]) < 1e-9, (k, plain[k], pers[k])
 
 
+def test_personalized_pagerank_int_matches_pure_python(spark):
+    """Bit-exact golden for the integer RWR: reproduce a pure-python
+    floor-division restart iteration EXACTLY — the hash-checkable
+    counterpart of personalized_pagerank (same contract as
+    pagerank_int vs pagerank)."""
+    from gearpump_spark.operators.graph import personalized_pagerank_int
+
+    edges = [
+        (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (6, 3), (2, 6),
+        (1, 7),  # 7 dangles
+    ]
+    seeds = [1, 6]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node_id: r.r
+        for r in personalized_pagerank_int(edf, seeds, n_iter=10).collect()
+    }
+
+    scale = 10**12
+    k = len(seeds)
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    incoming = {v: [s for s, d in edges if d == v] for v in nodes}
+    r = {v: (scale // k if v in seeds else 0) for v in nodes}
+    for _ in range(10):
+        dm = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: ((15 * scale) // (100 * k) if v in seeds else 0)
+            + (
+                85
+                * (
+                    sum(r[s] // out[s] for s in incoming[v])
+                    + (dm // k if v in seeds else 0)
+                )
+            )
+            // 100
+            for v in nodes
+        }
+    assert got == r
+    # restart mass concentrates near the seeds
+    assert got[1] > got[7] and got[6] > got[7]
+
+
+def test_personalized_pagerank_rejects_unknown_and_duplicate_seeds(spark):
+    """ADVICE r6 #2: a seed absent from the graph used to silently lose
+    its restart mass (left_semi init) while the numpy golden raised —
+    both the float and int operators now fail loudly instead."""
+    import pytest as _pytest
+
+    from gearpump_spark.operators.graph import (
+        personalized_pagerank,
+        personalized_pagerank_int,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="not present"):
+        personalized_pagerank(edges, [1, 99], max_iter=2)
+    with _pytest.raises(ValueError, match="not present"):
+        personalized_pagerank_int(edges, [1, 99], n_iter=2)
+    with _pytest.raises(ValueError, match="duplicate"):
+        personalized_pagerank(edges, [1, 1], max_iter=2)
+    with _pytest.raises(ValueError, match="duplicate"):
+        personalized_pagerank_int(edges, [1, 1], n_iter=2)
+
+
 def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
     """Randomized cross-check of the union/sort/carry-forward as-of join
     (with tolerance) against pandas.merge_asof — an independent,
