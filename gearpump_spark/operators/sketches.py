@@ -320,6 +320,60 @@ def kmv_distinct(
     )
 
 
+def kmv_anotb(
+    a: DataFrame, b: DataFrame, col: str, k: int = 64, seed: int = 4
+) -> DataFrame:
+    """Theta-sketch A-NOT-B (set-difference estimate) from two KMV
+    sketches (the Apache DataSketches AnotB operation re-derived on the
+    KMV form): θ = min(θ_A, θ_B) where θ_X is the kth smallest distinct-
+    element hash of X; the difference sketch keeps A's min-set hashes ≤ θ
+    that do NOT appear in B's min-set; |A∖B| ≈ c·2^60/θ (each surviving
+    hash represents 2^60/θ elements — inverse-probability scaling). Every
+    arithmetic step is deterministic (integer comparisons + ONE IEEE
+    division), so the estimator is DuckDB-oracle-checkable like
+    kmv_overlap above.
+
+    Returns ONE row: (k, theta, c, est_anotb). Scale: each sketch is a
+    distinct agg + global TakeOrdered of k values; the A-NOT-B combine
+    runs on ≤ 2k rows — the retention/churn estimator (what fraction of
+    audience A never appears in B) without materializing either set.
+    """
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    def kmin(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("_v"))
+            .distinct()
+            .select(seeded_hash15(F.col("_v"), seed).alias("h"))
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ha, hb = kmin(a), kmin(b)
+    theta_df = (
+        ha.agg(F.max("h").alias("ta"))
+        .crossJoin(hb.agg(F.max("h").alias("tb")))
+        .select(F.least("ta", "tb").alias("theta"))
+    )
+    c_df = (
+        ha.join(hb, "h", "left_anti")  # k-row anti-join: in A's min-set only
+        .join(F.broadcast(theta_df))
+        .where(F.col("h") <= F.col("theta"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    est = (
+        F.col("c").cast("double")
+        * F.lit(float(1 << 60))
+        / F.col("theta").cast("double")
+    )
+    return theta_df.crossJoin(F.broadcast(c_df)).select(
+        F.lit(k).cast("bigint").alias("k"),
+        "theta",
+        "c",
+        est.alias("est_anotb"),
+    )
+
+
 def kmv_overlap(
     a: DataFrame, b: DataFrame, col: str, k: int = 64, seed: int = 4
 ) -> DataFrame:

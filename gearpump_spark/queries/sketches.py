@@ -452,6 +452,53 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_overlap(a, b, "e", k=64, seed=4)
 
 
+@register(
+    "sketch_theta_anotb",
+    oracle=f"""
+    WITH ae AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+               || CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS e
+        FROM events WHERE event_type = 'view'),
+    be AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+               || CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS e
+        FROM events WHERE event_type = 'purchase'),
+    ha AS (SELECT {_SQL_H15_T.format(seed="'4'", key="e")} AS h FROM ae
+           ORDER BY h LIMIT 64),
+    hb AS (SELECT {_SQL_H15_T.format(seed="'4'", key="e")} AS h FROM be
+           ORDER BY h LIMIT 64),
+    th AS (SELECT LEAST((SELECT MAX(h) FROM ha),
+                        (SELECT MAX(h) FROM hb)) AS theta),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM ha, th
+          WHERE h <= theta AND h NOT IN (SELECT h FROM hb))
+    SELECT CAST(64 AS BIGINT) AS k, theta, c,
+           CAST(c AS DOUBLE) * 1152921504606846976.0
+             / CAST(theta AS DOUBLE) AS est_anotb
+    FROM th, c
+    """,
+    desc="theta-sketch A-NOT-B set difference (DataSketches AnotB on the "
+    "KMV form): estimate of 'view' user-days that never convert to a "
+    "'purchase' — theta = min of the two kth-min hashes, c = A-min-set "
+    "hashes under theta absent from B's min-set, |A\\B| ~ c*2^60/theta; "
+    "one IEEE division, so the estimator hash-matches the oracle (the "
+    "churn/retention counterpart of sketch_theta_overlap)",
+)
+def sketch_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py kmv_anotb: two distinct-agg TakeOrdered
+    sketches + a <=2k-row anti-join combine — the corpus is never
+    joined, and the A\\B estimate never materializes either set."""
+    ev = table(spark, sf_dir, "events")
+    e = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.to_date("ts").cast("string"),
+    ).alias("e")
+    a = ev.where(F.col("event_type") == "view").select(e)
+    b = ev.where(F.col("event_type") == "purchase").select(e)
+    return SK.kmv_anotb(a, b, "e", k=64, seed=4)
+
+
 # ---------------------------------------------------------------------------
 # r5 addition: AMS F2 (second frequency moment) sketch
 # ---------------------------------------------------------------------------
@@ -633,3 +680,123 @@ def sketch_hll_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("lc_estimate"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# r7 addition: HLL++ sparse/dense switchover audit
+# ---------------------------------------------------------------------------
+
+# Raw-HLL numerator alpha_m * m^2 * 2^40, precomputed in Python and injected
+# as the SAME literal into both engines so the dense estimate is ONE IEEE
+# division by an exact integer register sum (the 2^(40-rank) trick: every
+# register term is an integer power of two, so the harmonic-mean denominator
+# is an exact BIGINT — no float summation order anywhere).
+_HLL_SW_M = 512
+_HLL_SW_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_SW_M)
+_HLL_SW_NUM = _HLL_SW_ALPHA * _HLL_SW_M * _HLL_SW_M * float(1 << 40)
+
+
+@register(
+    "sketch_hll_switchover",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, DATE_TRUNC('week', ts) AS wk, user_id,
+               {_SQL_H15_T.format(seed="'45'", key="user_id")} AS h
+        FROM events),
+    r AS (
+        SELECT event_type, wk, h % {_HLL_SW_M} AS idx,
+               MAX(52 - LENGTH(BIN(h // {_HLL_SW_M}))) AS m_rank
+        FROM base GROUP BY event_type, wk, h % {_HLL_SW_M}),
+    agg AS (
+        SELECT event_type, wk,
+               CAST(COUNT(*) AS BIGINT) AS v_regs,
+               CAST(SUM(CAST(1 AS BIGINT) << (40 - LEAST(m_rank, 40)))
+                    AS BIGINT) AS s_occ
+        FROM r GROUP BY event_type, wk),
+    x AS (
+        SELECT event_type, wk,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd
+        FROM base GROUP BY event_type, wk)
+    SELECT a.event_type, a.wk, a.v_regs, x.exact_nd,
+           CASE WHEN a.v_regs * 4 < {_HLL_SW_M} THEN 'sparse'
+                ELSE 'dense' END AS regime,
+           CAST({_HLL_SW_M} * CAST(ROUND(LN({_HLL_SW_M}.0
+                    / ({_HLL_SW_M} - LEAST(a.v_regs, {_HLL_SW_M - 1}))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS lc_estimate,
+           {_HLL_SW_NUM!r} / CAST(a.s_occ
+               + ({_HLL_SW_M} - a.v_regs) * 1099511627776 AS DOUBLE)
+             AS raw_estimate,
+           CASE WHEN a.v_regs * 4 < {_HLL_SW_M}
+                THEN CAST({_HLL_SW_M} * CAST(ROUND(LN({_HLL_SW_M}.0
+                         / ({_HLL_SW_M} - LEAST(a.v_regs, {_HLL_SW_M - 1}))), 6)
+                     AS DECIMAL(18,6)) AS DOUBLE)
+                ELSE {_HLL_SW_NUM!r} / CAST(a.s_occ
+                    + ({_HLL_SW_M} - a.v_regs) * 1099511627776 AS DOUBLE)
+           END AS chosen_estimate
+    FROM agg a JOIN x ON x.event_type = a.event_type AND x.wk = a.wk
+    ORDER BY a.event_type, a.wk
+    """,
+    desc="HLL++ sparse/dense switchover audit (Heule et al. 2013 §5.3): "
+    "per (event_type, week) distinct users at p=9 (m=512) — occupied "
+    "registers v, regime = sparse iff v < m/4, linear-counting estimate "
+    "(rounded-LN decimal discipline), raw dense estimate via the "
+    "integer-power-of-two register sum (every 2^-rank term is a BIGINT "
+    "2^(40-rank), so the harmonic denominator is exact and the estimate "
+    "is ONE IEEE division), and the regime-chosen estimate; fixture "
+    "cardinalities (83-147 users/group) straddle the threshold so BOTH "
+    "regimes appear; exact distinct rides along for the error audit",
+)
+def sketch_hll_switchover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group register table: one (group, idx) shuffle of bounded
+    width (<= m rows per group survive the partial MAX), one group agg;
+    at 100 TB the register table IS the mergeable sketch state — the
+    exact-distinct audit column is the expensive side, not the sketch."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    m = _HLL_SW_M
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("wk"),
+        "user_id",
+        seeded_hash15(F.col("user_id"), 45).alias("h"),
+    )
+    regs = base.groupBy(
+        "event_type", "wk", (F.col("h") % m).alias("idx")
+    ).agg(
+        F.max(F.lit(52) - F.length(F.bin(F.expr(f"h DIV {m}")))).alias("m_rank")
+    )
+    agg = regs.groupBy("event_type", "wk").agg(
+        F.count("*").cast("bigint").alias("v_regs"),
+        F.sum(F.expr("shiftleft(1L, 40 - least(m_rank, 40))"))
+        .cast("bigint")
+        .alias("s_occ"),
+    )
+    exact = base.groupBy("event_type", "wk").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_nd")
+    )
+    sparse = F.col("v_regs") * 4 < m
+    lc = (
+        F.lit(m)
+        * F.round(
+            F.log(F.lit(float(m)) / (m - F.least(F.col("v_regs"), F.lit(m - 1)))),
+            6,
+        ).cast("decimal(18,6)")
+    ).cast("double")
+    raw = F.lit(_HLL_SW_NUM) / (
+        F.col("s_occ") + (m - F.col("v_regs")) * F.lit(1099511627776)
+    ).cast("double")
+    return (
+        agg.join(exact, ["event_type", "wk"])
+        .select(
+            "event_type",
+            "wk",
+            "v_regs",
+            "exact_nd",
+            F.when(sparse, F.lit("sparse")).otherwise(F.lit("dense")).alias("regime"),
+            lc.alias("lc_estimate"),
+            raw.alias("raw_estimate"),
+            F.when(sparse, lc).otherwise(raw).alias("chosen_estimate"),
+        )
+        .orderBy("event_type", "wk")
+    )

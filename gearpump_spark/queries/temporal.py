@@ -342,6 +342,74 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentile_bands",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) - 1 AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rn = (n-1) * 25 // 100 THEN o_totalprice END)
+                AS DOUBLE) AS p25,
+           CAST(MAX(CASE WHEN rn = (n-1) * 50 // 100 THEN o_totalprice END)
+                AS DOUBLE) AS p50,
+           CAST(MAX(CASE WHEN rn = (n-1) * 75 // 100 THEN o_totalprice END)
+                AS DOUBLE) AS p75,
+           CAST(MAX(CASE WHEN rn = (n-1) * 90 // 100 THEN o_totalprice END)
+                AS DOUBLE) AS p90,
+           CAST(MAX(CASE WHEN rn = n - 1 THEN o_totalprice END)
+                AS DOUBLE) AS p100
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    desc="percentile bands as exact ORDER STATISTICS per group (lower "
+    "order statistic at floor((n-1)*p/100) — never interpolated, per the "
+    "order-statistics discipline): p25/p50/p75/p90/max of order value by "
+    "priority — integer rank selection, so the bands hash-match exactly "
+    "(the SLA/spend-band report q_quantiles' interpolated form cannot "
+    "hash-pin)",
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed rank: the window sort is PARTITIONED by group (never
+    a single-partition global sort — the plan-audit rule); one shuffle
+    on the group key, then a conditional agg picks the band rows. At
+    100 TB, groups parallelize across the cluster and each group's sort
+    spills locally."""
+    orders = table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wp = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.row_number().over(wo) - 1).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def band(pct: int, alias: str):
+        idx = F.expr(f"((n - 1) * {pct}) DIV 100") if pct < 100 else F.col("n") - 1
+        return (
+            F.max(F.when(F.col("rn") == idx, F.col("o_totalprice")))
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            band(25, "p25"),
+            band(50, "p50"),
+            band(75, "p75"),
+            band(90, "p90"),
+            band(100, "p100"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q_json_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
