@@ -30,6 +30,15 @@ assert len(rows) > 0
 
 qs = E.queries()
 oracles = E.oracle_sql()
+# Optional targeted run (e.g. the sf1 gate over a round's additions):
+# SPARK_GRAFT_ONLY=name1,name2 restricts the sweep to those queries.
+_only = os.environ.get("SPARK_GRAFT_ONLY")
+if _only:
+    keep = {n.strip() for n in _only.split(",") if n.strip()}
+    missing = keep - set(qs)
+    if missing:
+        raise SystemExit(f"SPARK_GRAFT_ONLY names not registered: {sorted(missing)}")
+    qs = {n: f for n, f in qs.items() if n in keep}
 print(f"queries: {len(qs)}, oracles: {len(oracles)}")
 
 import duckdb
@@ -37,7 +46,12 @@ import duckdb
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
+    # driver fixtures are single files; synthesized sets (tools/make_sf1.py)
+    # are Spark-written directories — glob those for DuckDB
+    path = f"{SF}/{name}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
 
 def value_hash(pdf):
