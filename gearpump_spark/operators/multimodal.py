@@ -2475,6 +2475,142 @@ def synthesize_png_raster_payloads(df: DataFrame, id_col: str = "doc_id") -> Dat
     )
 
 
+# Adam7 pass geometry (PNG spec §8.2): (x0, dx, y0, dy) per pass 1..7.
+ADAM7_PASSES = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def synthesize_png_adam7_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL Adam7-INTERLACED 8-bit RGB PNG bytes per row, same closed-form
+    raster as synthesize_png_raster_payloads (w = 2+id%6, h = 1+id%5,
+    pixel [B,G,R] = [(id+3x+7y)%256, (2id+5x+y)%256, (3id+x+11y)%256]) but
+    stored interlace=1: the seven spec passes in order, empty passes
+    skipped entirely, each pass's scanline y_sub forward-filtered with
+    type (id + y_sub) % 5 against the PASS's own prior line — so a decode
+    exercises the full Adam7 reassembly scatter plus all five filters
+    restarting per pass."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 2 + i % 6, 1 + i % 5
+                raw = bytearray()
+                for x0, dx, y0, dy in ADAM7_PASSES:
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue  # spec: empty passes contribute no bytes
+                    stride = pw * 3
+                    prior = bytearray(stride)
+                    for y_sub in range(ph):
+                        y = y0 + y_sub * dy
+                        line = bytearray()
+                        for x_sub in range(pw):
+                            x = x0 + x_sub * dx
+                            line += bytes(
+                                (
+                                    (3 * i + x + 11 * y) % 256,  # R
+                                    (2 * i + 5 * x + y) % 256,  # G
+                                    (i + 3 * x + 7 * y) % 256,  # B
+                                )
+                            )
+                        ft = (i + y_sub) % 5
+                        out = bytearray(stride)
+                        for k in range(stride):
+                            a = line[k - 3] if k >= 3 else 0
+                            b = prior[k]
+                            c = prior[k - 3] if k >= 3 else 0
+                            if ft == 0:
+                                pred = 0
+                            elif ft == 1:
+                                pred = a
+                            elif ft == 2:
+                                pred = b
+                            elif ft == 3:
+                                pred = (a + b) >> 1
+                            else:
+                                pred = PixelDecoder._paeth(a, b, c)
+                            out[k] = (line[k] - pred) & 0xFF
+                        raw.append(ft)
+                        raw += out
+                        prior = line
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def adam7_pass_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Per-INTERLACE-PASS pixel audit: decode the (possibly interlaced)
+    raster, then recompute each Adam7 pass's membership from pixel
+    coordinates and emit (pass_no, n_px, px_sum) rows for the non-empty
+    passes — if the decoder's pass reassembly scattered ANY pass to the
+    wrong grid positions, that pass's sum diverges from the closed-form
+    oracle. Arrow-batched narrow map; payloads never shuffle; output is
+    ≤7 rows per image."""
+    import numpy as np
+
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, passes, npx, sums = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                img = None if p is None else decoder.decode_pixels_arr(bytes(p))
+                if img is None:
+                    ids.append(i)
+                    passes.append(None)
+                    npx.append(None)
+                    sums.append(None)
+                    continue
+                h, w = img["arr"].shape[:2]
+                yy, xx = np.indices((h, w))
+                for pass_no, (x0, dx, y0, dy) in enumerate(ADAM7_PASSES, start=1):
+                    mask = (
+                        (xx % dx == x0 % dx)
+                        & (yy % dy == y0 % dy)
+                        & (xx >= x0)
+                        & (yy >= y0)
+                    )
+                    if not mask.any():
+                        continue
+                    ids.append(i)
+                    passes.append(pass_no)
+                    npx.append(int(mask.sum()))
+                    sums.append(int(img["arr"][mask].sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "pass_no": passes, "n_px": npx, "px_sum": sums}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", pass_no int, n_px bigint, px_sum bigint"
+    )
+
+
 AUDIO_META_SCHEMA = (
     "byte_len bigint, format string, n_channels int, "
     "sample_rate int, bits_per_sample int"

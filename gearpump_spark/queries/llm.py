@@ -2821,6 +2821,105 @@ def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> ''),
+                   w -> LOWER(w)) AS tk
+        FROM documents),
+    u AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT UNNEST(tk) AS word FROM toks) GROUP BY word),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM u),
+    bi AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM toks, UNNEST(RANGE(1, LEN(tk))) AS r(i)
+           WHERE LEN(tk) >= 2),
+    b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+          FROM bi GROUP BY w1, w2),
+    nb AS (SELECT CAST(SUM(n12) AS BIGINT) AS nbt FROM b),
+    top AS (SELECT w1, w2, n12 FROM b ORDER BY n12 DESC, w1, w2 LIMIT 50)
+    SELECT t.w1, t.w2, t.n12,
+           u1.n AS n1, u2.n AS n2,
+           CAST(CAST(ROUND(LN(t.n12), 6) AS DECIMAL(18,6))
+              + 2 * CAST(ROUND(LN(tot.nu), 6) AS DECIMAL(18,6))
+              - CAST(ROUND(LN(nb.nbt), 6) AS DECIMAL(18,6))
+              - CAST(ROUND(LN(u1.n), 6) AS DECIMAL(18,6))
+              - CAST(ROUND(LN(u2.n), 6) AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+    FROM top t JOIN u u1 ON u1.word = t.w1 JOIN u u2 ON u2.word = t.w2,
+         tot, nb
+    ORDER BY t.n12 DESC, t.w1, t.w2
+    """,
+    desc="PMI collocation extraction (Church & Hanks 1990): pointwise "
+    "mutual information of the corpus's 50 most frequent adjacent word "
+    "pairs — pmi = ln(p(w1,w2)/(p(w1)p(w2))) decomposed into "
+    "ROUNDED-LN DECIMAL TERMS (ln n12 + 2 ln N_u - ln N_b - ln n1 - "
+    "ln n2, each rounded to 6dp before the exact decimal sum) so the "
+    "score hash-matches despite five log terms; deterministic "
+    "(count desc, bigram) tie-break, TakeOrdered top-k",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collocation/multi-word-expression miner (tokenizer-vocab
+    candidates). Shuffle budget: one groupBy on bigram (map-side
+    combined), one on word; the two unigram joins touch only the
+    50-row top-k (broadcast); totals are 1-row cross joins. The top-k
+    plans as TakeOrderedAndProject — never a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    tk = F.transform(TX.tokens(F.col("text")), F.lower)
+    toks = docs.select("doc_id", tk.alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    nu = uni.agg(F.sum("n").cast("long").alias("nu"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("tk"), i).alias("w1"),
+            F.element_at(F.col("tk"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("tk") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    b = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
+    nb = b.agg(F.sum("n12").cast("long").alias("nbt"))
+    top = b.orderBy(F.desc("n12"), "w1", "w2").limit(50)
+
+    def L(c):
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(18,6)")
+
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    return (
+        top.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n2",
+            (
+                L(F.col("n12"))
+                + F.lit(2) * L(F.col("nu"))
+                - L(F.col("nbt"))
+                - L(F.col("n1"))
+                - L(F.col("n2"))
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy(F.desc("n12"), "w1", "w2")
+    )
+
+
+@register(
     "text_rare_bigram_frac",
     oracle="""
     WITH toks AS (
@@ -2997,6 +3096,54 @@ def multimodal_png_pixels_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return pixel_stats(synthesize_png_raster_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_png_adam7_real",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               k % (2 + doc_id % 6) AS x,
+               k // (2 + doc_id % 6) AS y
+        FROM documents, UNNEST(RANGE(0, {_BMP_W} * {_BMP_H})) AS t(k)
+        WHERE k < (2 + doc_id % 6) * (1 + doc_id % 5))
+    SELECT doc_id,
+           CAST(CASE WHEN y % 2 = 1 THEN 7
+                     WHEN x % 2 = 1 THEN 6
+                     WHEN y % 4 = 2 THEN 5
+                     WHEN x % 4 = 2 THEN 4
+                     WHEN y % 8 = 4 THEN 3
+                     WHEN x % 8 = 4 THEN 2
+                     ELSE 1 END AS INT) AS pass_no,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((3 * doc_id + x + 11 * y) % 256
+                  + (2 * doc_id + 5 * x + y) % 256
+                  + (doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, pass_no
+    ORDER BY doc_id, pass_no
+    """,
+    desc="REAL Adam7 interlaced-PNG decode audit (r6 verdict candidate): "
+    "synthesize an interlace=1 PNG per doc (seven spec passes, empty "
+    "passes skipped, filters restart per pass), decode through the full "
+    "Adam7 reassembly scatter, then re-derive each pass's pixel "
+    "membership from coordinates and checksum PER PASS — a misplaced "
+    "pass shows up as that pass's sum diverging from the closed-form "
+    "arithmetic oracle (the whole-image sum of the existing PNG tier "
+    "cannot localize an interlace bug)",
+)
+def multimodal_png_adam7_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py synthesize_png_adam7_payloads +
+    adam7_pass_stats: Arrow-batched narrow maps, payload bytes never
+    shuffle, <=7 output rows per image."""
+    from gearpump_spark.operators.multimodal import (
+        adam7_pass_stats,
+        synthesize_png_adam7_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return adam7_pass_stats(synthesize_png_adam7_payloads(docs)).orderBy(
+        "doc_id", "pass_no"
+    )
 
 
 @register(
