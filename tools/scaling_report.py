@@ -174,6 +174,18 @@ EXTRA = [
     "q_window_funnel",
     "sample_poisson_bootstrap",
     "q_cusum_changepoint",
+    # r7 wave: the fixed-round integer RWR (expect superstep-overhead-
+    # bound, near-flat like pagerank_int), the two TakeOrdered KMV/top-k
+    # shapes, the bounded register/moment audits, the group-partitioned
+    # rank bands, the dim2-bounded scatter-matrix collect, and the two
+    # Arrow-map codec tiers
+    "graph_pagerank_personalized_int",
+    "sketch_theta_anotb",
+    "sketch_hll_switchover",
+    "q_percentile_bands",
+    "embedding_top_pc_int",
+    "multimodal_png_adam7_real",
+    "text_pmi_bigrams",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
