@@ -769,3 +769,75 @@ def test_continuous_trigger_runs_passthrough(spark):
         )
     finally:
         q2.stop()
+
+
+def test_continuous_trigger_reflect_clock_stamps_records(spark):
+    """Pins the r7 bench method (BENCH_NOTES_r7): per-record latency is
+    measured by stamping records INSIDE the continuous pipeline with
+    reflect(System.currentTimeMillis) — the one per-record clock this
+    build allows under Trigger.Continuous (current_timestamp() is
+    rejected by the continuous planner; pinned here so a future build
+    that changes either behavior surfaces immediately). Asserts the
+    stamp is per-record wall-clock: present, non-constant across the
+    run, and >= the record's own event time."""
+    import time
+
+    from pyspark.sql.utils import AnalysisException
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 1)
+        .load()
+    )
+    # the documented rejection: current_timestamp() cannot start
+    try:
+        qbad = (
+            src.selectExpr("value", "current_timestamp() AS now")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .trigger(continuous="200 milliseconds")
+            .start()
+        )
+        qbad.stop()
+        raise AssertionError(
+            "current_timestamp() unexpectedly works in continuous mode — "
+            "bench.py can drop the reflect() escape"
+        )
+    except AnalysisException:
+        pass  # expected: "Continuous processing does not support current time"
+
+    q = (
+        src.selectExpr(
+            "value",
+            "timestamp",
+            "CAST(reflect('java.lang.System','currentTimeMillis')"
+            " AS DOUBLE) AS seen_ms",
+        )
+        .writeStream.format("memory")
+        .queryName("cont_reflect_pin")
+        .outputMode("append")
+        .trigger(continuous="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline and n < 50:
+            time.sleep(1)
+            assert q.exception() is None, f"continuous query died: {q.exception()}"
+            n = spark.sql("SELECT count(*) AS n FROM cont_reflect_pin").collect()[0].n
+        assert n >= 50, f"only {n} records visible after 30s"
+        row = spark.sql(
+            """
+            SELECT count(DISTINCT seen_ms) AS stamps,
+                   min(seen_ms - unix_micros(timestamp)/1000.0) AS min_lat
+            FROM cont_reflect_pin
+            """
+        ).collect()[0]
+        # per-record clock, not a plan-time constant: many distinct stamps
+        assert row.stamps > 5, f"reflect stamp looks constant ({row.stamps} values)"
+        # stamps happen at/after event creation (allow 2ms clock skew)
+        assert row.min_lat >= -2.0, f"stamp precedes event time: {row.min_lat}ms"
+    finally:
+        q.stop()
