@@ -1126,3 +1126,97 @@ def test_join_family_always_has_equi_keys(spark, sf_dir):
         p = plan(QS[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+# ---------------------------------------------------------------------------
+# r7 additions: plan pins for the round's new queries
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_bigrams_topk_takeordered_no_python(spark, sf_dir):
+    """The top-50 collocation pick must plan as TakeOrderedAndProject
+    (per-partition heaps, never a global sort of the bigram vocabulary)
+    and the whole pipeline stays JVM-side."""
+    p = plan(QS["text_pmi_bigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_percentile_bands_window_is_group_partitioned(spark, sf_dir):
+    """The order-statistic rank runs under a window PARTITIONED by the
+    group key — never Exchange SinglePartition (the audit above would
+    catch it too; this pin localizes the failure) — and the band pick is
+    a partial-aggregable conditional agg."""
+    p = plan(QS["q_percentile_bands"](spark, sf_dir))
+    assert "hashpartitioning(o_orderpriority" in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            ctx = "\n".join(lines[i + 1 : i + 6])
+            assert "SinglePartition" not in ctx, "band rank went single-task"
+
+
+def test_theta_anotb_sketches_are_takeordered_corpus_never_joined(spark, sf_dir):
+    """Each KMV min-set is a TakeOrdered of k hashes; the A-NOT-B combine
+    touches only the two 64-row min-sets (anti-join), so no join in the
+    plan carries corpus-sized inputs on both sides."""
+    p = plan(QS["sketch_theta_anotb"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, "min-set combine should broadcast, not SMJ"
+
+
+def test_top_pc_int_single_distributed_agg(spark, sf_dir):
+    """The only distributed work is ONE moment-aggregate pass over ONE
+    scan; the 8x8 power iteration happens on the 45 collected ints. The
+    returned DataFrame is a local createDataFrame (no scan at all)."""
+    from gearpump_spark.datasets import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings", parallelize=False)
+    qd = emb.select(
+        *[
+            F.round(F.element_at("embedding", i).cast("double") * 1000, 0)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(1, 9)
+        ]
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"s{i}_{j}")
+        for i in range(1, 9)
+        for j in range(i, 9)
+    ]
+    p = plan(qd.agg(*aggs))
+    # partial agg -> ONE exchange -> final agg; no join anywhere
+    assert p.count("Exchange") == 1
+    assert p.count("HashAggregate") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_adam7_audit_is_narrow_map(spark, sf_dir):
+    """Synthesize + decode + per-pass stats are Arrow-batched narrow maps:
+    payload bytes never cross an exchange (the only exchange allowed is
+    the final output ordering)."""
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators.multimodal import (
+        adam7_pass_stats,
+        synthesize_png_adam7_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents", parallelize=False).select("doc_id")
+    p = plan(adam7_pass_stats(synthesize_png_adam7_payloads(docs)))
+    assert "Exchange" not in p, "payloads must not shuffle"
+
+
+def test_pagerank_personalized_int_superstep_is_keyed_no_cartesian(spark):
+    """One superstep of the integer RWR: contributions shuffle on the
+    dst key; the dangling-mass scalar rides a 1-row broadcast (the only
+    nested-loop join allowed is that broadcast of ONE row)."""
+    from gearpump_spark.operators.graph import personalized_pagerank_int
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    p = plan(personalized_pagerank_int(edges, seeds=[0, 1], n_iter=1))
+    assert "CartesianProduct" not in p
