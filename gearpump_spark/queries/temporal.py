@@ -410,6 +410,60 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity),
+    r AS (
+        SELECT l_returnflag, l_quantity, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n_vals
+        FROM c)
+    SELECT l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS mode_qty,
+           cnt AS mode_count,
+           CAST(n_vals AS BIGINT) AS n_distinct_vals
+    FROM r WHERE rn = 1 ORDER BY l_returnflag
+    """,
+    desc="exact group-wise MODE with deterministic tie-break (highest "
+    "count, then smallest value): the most frequent order quantity per "
+    "return flag plus its count and the group's distinct-value count — "
+    "the aggregate DuckDB ships as mode() re-derived with an explicit "
+    "tie rule so both engines hash-match",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate: the corpus shuffles ONCE on (group, value) —
+    map-side combined — and the mode pick runs a window over the
+    value-histogram (bounded: |groups| x |distinct values| rows), never
+    over the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "l_quantity")
+    wp = Window.partitionBy("l_returnflag")
+    return (
+        c.select(
+            "l_returnflag",
+            "l_quantity",
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wp).alias("n_vals"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+            F.col("n_vals").cast("bigint").alias("n_distinct_vals"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q_json_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
