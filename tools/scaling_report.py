@@ -186,6 +186,7 @@ EXTRA = [
     "embedding_top_pc_int",
     "multimodal_png_adam7_real",
     "text_pmi_bigrams",
+    "q_mode_per_group",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
