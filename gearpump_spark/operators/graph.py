@@ -356,6 +356,97 @@ def personalized_pagerank_int(
     return ranks
 
 
+def pagerank_weighted_int(
+    edges: DataFrame,
+    n_iter: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """BIT-REPRODUCIBLE WEIGHTED PageRank: `pagerank_int` where each edge
+    carries a positive BIGINT weight and a node's rank splits over its
+    out-edges proportionally to weight instead of uniformly (reference
+    semantics: examples/pagerank/PageRankWorker.scala names its rank
+    messages UpdateWeight — the uniform split is the special case w=1;
+    this is the general transition matrix P(u,v) = w(u,v)/W(u)).
+
+    Per iteration (all BIGINT, non-negative; W(u) = Σ out-weights):
+        contrib(e)   = (rank[src(e)] · w(e)) DIV W[src(e)]
+        in_mass(v)   = Σ contrib over incoming edges
+        dang_share   = (Σ rank over dangling nodes) DIV n
+        rank'(v)     = (15·scale) DIV (100·n)
+                       + (85·(in_mass(v) + dang_share)) DIV 100
+
+    Overflow bound: rank ≤ scale (10^12) and the caller keeps edge
+    weights ≤ ~10^6, so rank·w ≤ 10^18 < 2^63 — inside BIGINT in both
+    engines (the oracle mirrors the same product-then-floor-divide
+    order; floor(r·w / W) is NOT floor(r/W)·w, so the order is part of
+    the contract). Same superstep plan shape as pagerank_int: one
+    dst-keyed shuffle per round, localCheckpoint lineage cuts, no
+    per-node data on the driver. Duplicate (src,dst) edges are the
+    caller's contract to pre-aggregate (parallel edges just add their
+    weights into W and contribute separately — same total mass, but the
+    caller's oracle must mirror whichever form it feeds).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("r", F.lit(0).cast("long"))
+    out_w = e.groupBy("src").agg(
+        F.sum("w").cast("long").alias("tw"), F.count("*").alias("n_out")
+    ).persist()
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long")).localCheckpoint()
+
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(out_w, ranks.node_id == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        contribs = (
+            e.join(out_w, "src")
+            .join(ranks, F.col("src") == ranks.node_id)
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("(r * w) DIV tw").alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
+                "node_id",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(im, 0L) + (dm DIV {n}L)))"
+                        f" DIV {damping_den}"
+                    ).cast("long")
+                ).alias("r"),
+            )
+            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
+        )
+    nodes.unpersist()
+    out_w.unpersist()
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

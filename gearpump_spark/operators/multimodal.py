@@ -728,11 +728,41 @@ class PixelDecoder(HeaderDecoder):
         return bytes(out)
 
     # -- TIFF raster (baseline gray, uncompressed strips) -------------------
+    @staticmethod
+    def _packbits_decode(data: bytes, expected: int) -> "bytes | None":
+        """TIFF 6.0 §9 PackBits: header byte n in [0,127] copies the next
+        n+1 literal bytes; n in [129,255] (two's-complement -1..-127)
+        repeats the next byte 257-n times; 128 (-128) is a no-op a
+        decoder must skip. Stops once `expected` output bytes exist;
+        returns None on a truncated stream."""
+        out = bytearray()
+        i, n = 0, len(data)
+        while len(out) < expected:
+            if i >= n:
+                return None
+            h = data[i]
+            i += 1
+            if h == 128:  # noop, per spec reserved but skippable
+                continue
+            if h < 128:  # literal run of h+1 bytes
+                if i + h + 1 > n:
+                    return None
+                out += data[i : i + h + 1]
+                i += h + 1
+            else:  # replicate run of 257-h copies
+                if i >= n:
+                    return None
+                out += bytes([data[i]]) * (257 - h)
+                i += 1
+        return bytes(out[:expected])
+
     def decode_tiff_arr(self, payload: bytes):
         """{width, height, arr} for a baseline TIFF: classic header (II or
         MM byte order, magic 42), first IFD walked entry by entry (SHORT
         values left-justified in the 4-byte field per spec §2), 8-bit
-        single-sample gray, Compression=1 (none), strips concatenated via
+        single-sample gray, Compression=1 (none) or 32773 (PackBits RLE,
+        spec §9 — each strip an independent stream decoded to exactly
+        width*rows_in_strip bytes), strips assembled via
         StripOffsets/StripByteCounts; PhotometricInterpretation 0
         (WhiteIsZero) inverts, 1 (BlackIsZero) is identity. Gray expands
         to B=G=R like the PNG gray path."""
@@ -778,7 +808,8 @@ class PixelDecoder(HeaderDecoder):
             w, h = val(256), val(257)
             if not w or not h:
                 return None
-            if val(258, 8) != 8 or val(259, 1) != 1 or val(277, 1) != 1:
+            comp = val(259, 1)
+            if val(258, 8) != 8 or comp not in (1, 32773) or val(277, 1) != 1:
                 return None
             photo = val(262, 1)
             offs, cnts = arr_vals(273), arr_vals(279)
@@ -786,7 +817,18 @@ class PixelDecoder(HeaderDecoder):
                 return None
             import numpy as np
 
-            raw = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+            if comp == 1:
+                raw = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+            else:  # PackBits: per-strip streams, expected size from RowsPerStrip
+                rps = val(278, h)
+                parts = []
+                for s, (o, c) in enumerate(zip(offs, cnts)):
+                    rows = min(rps, h - s * rps)
+                    dec = self._packbits_decode(payload[o : o + c], w * rows)
+                    if dec is None:
+                        return None
+                    parts.append(dec)
+                raw = b"".join(parts)
             if len(raw) < w * h:
                 return None
             a = np.frombuffer(raw, dtype=np.uint8, count=w * h).astype(np.int64)
@@ -1474,6 +1516,140 @@ def synthesize_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     arrays = b"".join(v.to_bytes(4, bo) for v in strip_offs)
                     arrays += b"".join(v.to_bytes(4, bo) for v in strip_lens)
                 payloads.append(header + ifd + arrays + gray)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits encoder, one row per stream (the spec's
+    'pack each row separately'): maximal byte runs of length >= 2 become
+    replicate packets (header 257-n, n <= 128), everything else literal
+    packets (header n-1, n <= 128). Never emits the reserved -128
+    header; the decoder must still skip it (synthesize_tiff_packbits_
+    payloads plants one deliberately to pin that path)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and row[j] == row[i] and j - i < 128:
+            j += 1
+        if j - i >= 2:  # replicate run
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+        else:  # literal run up to the next repeat (or 128 bytes)
+            k = i + 1
+            while k < n and k - i < 128:
+                if k + 1 < n and row[k] == row[k + 1]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += row[i:k]
+            i = k
+    return bytes(out)
+
+
+def synthesize_tiff_packbits_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL PackBits-compressed TIFF bytes per row (Compression =
+    32773): 8-bit gray, width = 3 + id%9, height = 1 + id%6,
+    RowsPerStrip = 2, byte order alternating II/MM by parity,
+    WhiteIsZero (stored inverted) every third doc — all as in
+    synthesize_tiff_payloads — and three raster classes chosen to
+    exercise every PackBits packet type:
+      id%3 == 0: constant rows gray(x,y) = (id + 7y) % 256  → full-row
+                 replicate packets;
+      id%3 == 1: gray = (id + 5x + 3y) % 256                → literal
+                 packets (strictly varying);
+      id%3 == 2: gray = (id + 3y + x//2) % 256              → length-2
+                 replicate packets.
+    Docs with id%7 == 0 get a reserved -128 no-op header byte planted at
+    the start of each strip stream (decoders must skip it, spec §9)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 3 + i % 9, 1 + i % 6
+                bo = "little" if i % 2 == 0 else "big"
+                photo = 0 if i % 3 == 0 else 1  # 0 = WhiteIsZero (inverted)
+
+                def gray_at(x: int, y: int) -> int:
+                    if i % 3 == 0:
+                        g = (i + 7 * y) % 256
+                    elif i % 3 == 1:
+                        g = (i + 5 * x + 3 * y) % 256
+                    else:
+                        g = (i + 3 * y + x // 2) % 256
+                    return g if photo == 1 else 255 - g
+
+                rows = [
+                    bytes(gray_at(x, y) for x in range(w)) for y in range(h)
+                ]
+                rps = 2
+                n_strips = (h + rps - 1) // rps
+                strips = []
+                for s in range(n_strips):
+                    enc = b"".join(
+                        _packbits_encode(r) for r in rows[s * rps : (s + 1) * rps]
+                    )
+                    if i % 7 == 0:
+                        enc = b"\x80" + enc  # reserved no-op header
+                    strips.append(enc)
+                strip_lens = [len(s) for s in strips]
+                ifd_off = 8
+                ifd_len = 2 + 10 * 12 + 4
+                arrays_off = ifd_off + ifd_len
+                arrays_len = 0 if n_strips == 1 else 2 * 4 * n_strips
+                data_off = arrays_off + arrays_len
+                strip_offs = []
+                o = data_off
+                for ln in strip_lens:
+                    strip_offs.append(o)
+                    o += ln
+
+                def short_val(v: int) -> bytes:
+                    return v.to_bytes(2, bo) + b"\x00\x00"
+
+                def entry(tag: int, typ: int, cnt: int, valfield: bytes) -> bytes:
+                    return (
+                        tag.to_bytes(2, bo)
+                        + typ.to_bytes(2, bo)
+                        + cnt.to_bytes(4, bo)
+                        + valfield
+                    )
+
+                if n_strips == 1:
+                    so_field = strip_offs[0].to_bytes(4, bo)
+                    sc_field = strip_lens[0].to_bytes(4, bo)
+                else:
+                    so_field = arrays_off.to_bytes(4, bo)
+                    sc_field = (arrays_off + 4 * n_strips).to_bytes(4, bo)
+                entries = (
+                    entry(256, 3, 1, short_val(w))
+                    + entry(257, 3, 1, short_val(h))
+                    + entry(258, 3, 1, short_val(8))
+                    + entry(259, 3, 1, short_val(32773))
+                    + entry(262, 3, 1, short_val(photo))
+                    + entry(266, 3, 1, short_val(1))  # FillOrder, benign extra
+                    + entry(273, 4, n_strips, so_field)
+                    + entry(277, 3, 1, short_val(1))
+                    + entry(278, 3, 1, short_val(rps))
+                    + entry(279, 4, n_strips, sc_field)
+                )
+                ifd = (10).to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+                header = (
+                    (b"II" + (42).to_bytes(2, "little") if bo == "little" else b"MM" + (42).to_bytes(2, "big"))
+                    + ifd_off.to_bytes(4, bo)
+                )
+                arrays = b""
+                if n_strips > 1:
+                    arrays = b"".join(v.to_bytes(4, bo) for v in strip_offs)
+                    arrays += b"".join(v.to_bytes(4, bo) for v in strip_lens)
+                payloads.append(header + ifd + arrays + b"".join(strips))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

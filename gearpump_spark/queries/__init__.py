@@ -80,21 +80,20 @@ _LOADED = False
 DRIVER_SAMPLE_WINDOW_ROUND = 7
 
 DRIVER_SAMPLE_WINDOW = [
-    # ROUND-7 ROTATION. CORRECTNESS_r06 came back 50/50 green, so the
-    # policy holds: (a) the 8 first-wave r6 queries that registered after
-    # the r6 window filled go first (all oracle-backed, all local-exact +
-    # swept to sf1 during r6 — the exact backlog the r6 verdict names);
-    # (b) every remaining slot re-verifies the LEAST-recently-verified
-    # cohort, which is now the ENTIRE remaining round-2 record set — the
-    # dedup/text/sampling/sketch flagship suite, exactly 42 queries, so
-    # the window is fully determined this round (8 + 42 = 50).
-    # tests/test_registry_order.py::test_window_prefers_least_recently_verified
-    # enforces (b) mechanically against the CORRECTNESS_r*.json artifacts.
+    # ROUND-7 ROTATION (re-authored mid-round when the r7 second wave
+    # registered). Policy: every NEVER-verified oracle-backed query gets
+    # a slot before any re-verification — 22 such queries exist now (the
+    # 8 first-wave r6 backlog the r6 verdict names, the 8 r7 first-wave
+    # additions, and the 6 r7 second-wave additions), so the remaining 28
+    # slots re-verify the stalest records, all from round 2. The 14 r2
+    # queries this displaces (the window held the full 42-query r2 cohort
+    # before the second wave landed) keep their round-2 records and are
+    # the head of the r8 rotation — never-verified > stale is exactly the
+    # preference test_window_prefers_least_recently_verified encodes
+    # (never-verified queries have no record to be judged fresher than an
+    # excluded one's).
     #
-    # -- never-sampled, oracle-backed (registered mid-r6): G.711 A-law,
-    #    n-gram containment dedup, URL canonicalization dedup, as-of join
-    #    with tolerance, exact embedding covariance, adaptive-plane cosine
-    #    range search, Zipf rank-frequency fit, sparse-HLL linear counting --
+    # -- never-sampled, oracle-backed (registered mid-r6) --
     "multimodal_alaw_real",
     "dedup_containment",
     "dedup_url_canonical",
@@ -103,44 +102,52 @@ DRIVER_SAMPLE_WINDOW = [
     "similarity_range_search",
     "text_zipf_fit",
     "sketch_hll_sparse",
-    # -- round-2 records, 5 rounds stale: the full remaining r2 cohort.
-    #    Dedup family first --
-    "dedup_chunk_exact",
+    # -- never-sampled, oracle-backed (r7 first wave): integer
+    #    personalized PageRank, theta A-NOT-B, HLL++ switchover audit,
+    #    percentile bands, integer top-PC, Adam7 interlace audit, PMI
+    #    collocations, group-wise mode --
+    "graph_pagerank_personalized_int",
+    "sketch_theta_anotb",
+    "sketch_hll_switchover",
+    "q_percentile_bands",
+    "embedding_top_pc_int",
+    "multimodal_png_adam7_real",
+    "text_pmi_bigrams",
+    "q_mode_per_group",
+    # -- never-sampled, oracle-backed (r7 second wave): weighted integer
+    #    PageRank, HLL intersection w/ error band, Cavnar-Trenkle q-gram
+    #    language distance, longest duplicated n-gram ladder, bottom-k
+    #    rank-error audit, PackBits TIFF decode --
+    "graph_pagerank_weighted_int",
+    "sketch_hll_intersection",
+    "text_qgram_lang_distance",
+    "text_longest_dup_ngram",
+    "sketch_bottomk_rank_error",
+    "multimodal_tiff_packbits_real",
+    # -- round-2 records, 5 rounds stale (28 of the 42-query r2 cohort;
+    #    the other 14 are the head of the r8 rotation). Dedup family --
     "dedup_clusters",
-    "dedup_contamination",
     "dedup_embedding_cosine",
-    "dedup_incremental",
     "dedup_minhash_signature",
     "dedup_ngram_jaccard",
     "dedup_semantic",
     # -- text-analysis suite --
     "text_bm25_topk",
-    "text_boilerplate",
-    "text_chunk_windows",
     "text_doc_freq",
     "text_doc_stats",
-    "text_lang_confusion",
     "text_lang_id",
     "text_lang_profile",
     "text_pii_redact",
     "text_quality",
-    "text_rare_bigram_frac",
     "text_repetition",
     "text_tfidf_topterms",
     "text_token_count",
-    "text_vocab_coverage",
     # -- sampling / mixing suite --
-    "sample_bottom_k",
-    "sample_epochs_mix",
     "sample_hash_10pct",
-    "sample_k_per_group",
     "sample_pack_sequences",
     "sample_shuffle_order",
-    "sample_stratified_mix",
     "sample_train_test_split",
-    "sample_weighted_priority",
     # -- sketches --
-    "sketch_approx_quantiles",
     "sketch_bloom_join",
     "sketch_bloom_membership",
     "sketch_hll_distinct",

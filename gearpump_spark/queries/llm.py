@@ -1804,6 +1804,80 @@ def graph_pagerank_personalized_int(spark: SparkSession, sf_dir: str) -> DataFra
     return personalized_pagerank_int(edges, seeds, n_iter=10).orderBy("node_id")
 
 
+def _pagerank_weighted_int_oracle(n_iter: int = 10, scale: int = 10**12) -> str:
+    """Unrolled CTE chain mirroring operators/graph.py
+    pagerank_weighted_int exactly. Same MATERIALIZED discipline as
+    _pagerank_int_oracle (each pr{{k}} is referenced twice per step).
+    The contribution term keeps the operator's product-then-floor order
+    ((r * w) // tw — floor(r·w/W) != floor(r/W)·w) so the micro-unit
+    truncation is identical across engines."""
+    blocks = [
+        f"""
+    edges AS MATERIALIZED (
+        SELECT l_partkey + 1000000 AS src, l_suppkey AS dst,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+    nodes AS MATERIALIZED (
+        SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT node_id, CAST({scale} // nn.n AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(n_iter):
+        blocks.append(
+            f""",
+    d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dm FROM pr{k}
+             WHERE node_id NOT IN (SELECT src FROM outw)),
+    c{k} AS MATERIALIZED (SELECT e.dst AS node_id,
+                                 SUM((p.r * e.w) // o.tw) AS im
+             FROM edges e JOIN outw o ON e.src = o.src
+             JOIN pr{k} p ON p.node_id = e.src GROUP BY e.dst),
+    pr{k + 1} AS MATERIALIZED (
+        SELECT n.node_id,
+               CAST((15 * {scale}) // (100 * nn.n)
+                    + (85 * (COALESCE(c.im, 0) + d{k}.dm // nn.n)) // 100
+                 AS BIGINT) AS r
+        FROM nodes n CROSS JOIN nn CROSS JOIN d{k}
+        LEFT JOIN c{k} c USING (node_id))"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f"\n    SELECT node_id, r FROM pr{n_iter} ORDER BY node_id"
+    )
+
+
+@register(
+    "graph_pagerank_weighted_int",
+    oracle=_pagerank_weighted_int_oracle(10),
+    desc="BIT-REPRODUCIBLE WEIGHTED PageRank (micro-unit ranks, floor-"
+    "division steps): the part->supplier shipment graph with edge weight "
+    "= total shipped quantity, so rank diffuses proportionally to freight "
+    "volume instead of uniformly — the general transition matrix "
+    "P(u,v)=w(u,v)/W(u) the reference's UpdateWeight messages carry "
+    "(PageRankWorker.scala), with the uniform graph_pagerank_int as the "
+    "w=1 special case; the 10-step fixpoint hash-matches a DuckDB CTE "
+    "chain exactly",
+)
+def graph_pagerank_weighted_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.py pagerank_weighted_int: one dst-keyed shuffle
+    per superstep, localCheckpoint lineage cuts, all-BIGINT arithmetic
+    ((r*w) DIV W stays under 2^63: rank <= 10^12, summed quantity per
+    edge <= ~10^4)."""
+    from gearpump_spark.operators.graph import pagerank_weighted_int
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(
+            (F.col("l_partkey") + F.lit(1_000_000)).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    return pagerank_weighted_int(edges, n_iter=10).orderBy("node_id")
+
+
 @register(
     "kmeans_clusters",
     oracle=None,  # iterative fixpoint (like graph_pagerank): rows-only check
@@ -7300,3 +7374,235 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 second wave: q-gram language distance, longest duplicated n-gram,
+# weighted PageRank (above, next to the int-PageRank family), PackBits TIFF,
+# HLL intersection (queries/sketches.py), bottom-k rank-sketch audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_qgram_lang_distance",
+    oracle="""
+    WITH tok AS (
+        SELECT lang,
+               UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                  w -> w <> '')) AS w
+        FROM documents),
+    tg AS (
+        SELECT lang,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(1, LENGTH('_' || LOWER(w) || '_') - 1),
+                   i -> SUBSTR('_' || LOWER(w) || '_', CAST(i AS INT), 3))) AS g
+        FROM tok),
+    cnt AS (SELECT lang, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    prof AS (
+        SELECT lang, g, rk FROM (
+            SELECT lang, g,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, g) AS rk
+            FROM cnt) WHERE rk <= 40),
+    pairs AS (
+        SELECT a.lang AS lang_a, bl.lang AS lang_b, a.g, a.rk AS rk_a
+        FROM prof a CROSS JOIN (SELECT DISTINCT lang FROM prof) bl
+        WHERE bl.lang <> a.lang)
+    SELECT lang_a, lang_b,
+           CAST(SUM(CASE WHEN b.rk IS NULL THEN 40
+                         ELSE ABS(rk_a - b.rk) END) AS BIGINT) AS oop_distance
+    FROM pairs LEFT JOIN prof b ON b.lang = pairs.lang_b AND b.g = pairs.g
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    desc="Cavnar-Trenkle (1994) q-gram profile distance between language "
+    "corpora: per-language top-40 character-trigram rank profiles "
+    "(word-boundary padded, cnt-desc/lexicographic tie-break) compared "
+    "pairwise by the out-of-place measure (missing trigram costs the "
+    "profile length) — the classic language-ID/typology distance, exact "
+    "integer arithmetic end to end",
+)
+def text_qgram_lang_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses map-side into (lang, trigram) counts —
+    bounded by vocabulary, not corpus size; the rank window partitions by
+    lang (never a single-partition sort) over that bounded table, and the
+    pairwise compare touches only |langs| * 40 profile rows (broadcast)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("w"))
+    pw = F.concat(F.lit("_"), F.lower(F.col("w")), F.lit("_"))
+    tg = tok.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(pw) - F.lit(2)),
+                lambda i: pw.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    cnt = tg.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    )
+    prof = cnt.select("lang", "g", rk.alias("rk")).where(F.col("rk") <= 40)
+    langs = prof.select("lang").distinct().select(F.col("lang").alias("lang_b"))
+    pairs = (
+        prof.select(
+            F.col("lang").alias("lang_a"), "g", F.col("rk").alias("rk_a")
+        )
+        .crossJoin(F.broadcast(langs))
+        .where(F.col("lang_b") != F.col("lang_a"))
+    )
+    b = prof.select(
+        F.col("lang").alias("lb"), F.col("g").alias("g_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        pairs.join(
+            F.broadcast(b),
+            (F.col("lang_b") == F.col("lb")) & (F.col("g") == F.col("g_b")),
+            "left",
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.when(F.col("rk_b").isNull(), F.lit(40)).otherwise(
+                    F.abs(F.col("rk_a") - F.col("rk_b"))
+                )
+            )
+            .cast("bigint")
+            .alias("oop_distance")
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@register(
+    "text_longest_dup_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                           w -> w <> '') AS tk
+        FROM documents),
+    sh AS (
+        SELECT doc_id, s,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - s + 2),
+                   i -> ARRAY_TO_STRING(
+                       LIST_SLICE(tk, CAST(i AS INT), CAST(i + s - 1 AS INT)),
+                       ' '))) AS g
+        FROM toks CROSS JOIN (SELECT UNNEST([2, 3, 4, 6, 8]) AS s)
+        WHERE LEN(tk) >= s),
+    dup AS (
+        SELECT doc_id, s, g, COUNT(*) AS c
+        FROM sh GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+    best AS (
+        SELECT doc_id, s, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, c DESC, g) AS rn
+        FROM dup)
+    SELECT t.doc_id,
+           CAST(COALESCE(b.s, 0) AS BIGINT) AS max_dup_len,
+           b.g AS dup_ngram,
+           CAST(b.c AS BIGINT) AS dup_count
+    FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    ORDER BY doc_id
+    """,
+    desc="longest duplicated word n-gram per document over the size "
+    "ladder {2,3,4,6,8} (the bounded stand-in for suffix-tree "
+    "longest-repeated-substring): reports the max size with any "
+    "shingle occurring twice plus the winning shingle "
+    "(count-desc/lexicographic tie-break) — the span-level repetition "
+    "signal behind Gopher's dup-ngram quality rules",
+)
+def text_longest_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: 5 bounded explodes of the token array (sizes are a fixed
+    ladder, not data-driven), collapsed map-side by (doc, size, shingle);
+    the argmax window partitions by doc_id over already-deduplicated
+    shingle counts. A true suffix-automaton LRS is sequential per doc —
+    the ladder form stays expression-level and mergeable."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    sdf = spark.createDataFrame([(s,) for s in (2, 3, 4, 6, 8)], "s int")
+    sh = (
+        base.crossJoin(F.broadcast(sdf))
+        .where(F.size("tk") >= F.col("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.col("s") + 1),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, F.col("s")), " "),
+                )
+            ).alias("g"),
+        )
+    )
+    dup = (
+        sh.groupBy("doc_id", "s", "g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("s"), F.desc("c"), F.asc("g")
+        )
+    )
+    best = dup.select("doc_id", "s", "g", "c", rn.alias("rn")).where(
+        F.col("rn") == 1
+    )
+    return (
+        base.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("max_dup_len"),
+            F.col("g").alias("dup_ngram"),
+            F.col("c").cast("bigint").alias("dup_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_tiff_packbits_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 9 AS INT) AS width,
+           CAST(1 + doc_id % 6 AS INT) AS height,
+           CAST(3 * LIST_SUM(LIST_TRANSFORM(
+               RANGE(0, (3 + doc_id % 9) * (1 + doc_id % 6)),
+               k -> CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN (doc_id + 7 * (k // (3 + doc_id % 9))) % 256
+                    WHEN 1 THEN (doc_id + 5 * (k % (3 + doc_id % 9))
+                                 + 3 * (k // (3 + doc_id % 9))) % 256
+                    ELSE (doc_id + 3 * (k // (3 + doc_id % 9))
+                          + ((k % (3 + doc_id % 9)) // 2)) % 256 END))
+             AS BIGINT) AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL PackBits-compressed TIFF decode (TIFF 6.0 §9, Compression "
+    "32773): per-strip RLE streams covering every packet type — full-row "
+    "replicate runs (constant rows), literal packets (strict gradients), "
+    "length-2 replicates (pairwise rasters) and the reserved -128 no-op "
+    "header a decoder must skip — in both byte orders with WhiteIsZero "
+    "inversion every third doc; decoded gray rasters checksummed against "
+    "closed-form pixel arithmetic",
+)
+def multimodal_tiff_packbits_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py _packbits_encode / PixelDecoder.
+    _packbits_decode + decode_tiff_arr: sequential per-byte RLE state
+    machine inside an Arrow-batched narrow map (same tier as the QOI op
+    decoder); payloads never shuffle — only (doc_id, width, height,
+    px_sum) rows do. The photometric normalization makes the inverted
+    and direct storage classes hash identically, which is what the
+    oracle checks."""
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_tiff_packbits_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_tiff_packbits_payloads(docs)).orderBy("doc_id")

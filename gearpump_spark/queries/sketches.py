@@ -800,3 +800,225 @@ def sketch_hll_switchover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "wk")
     )
+
+
+@register(
+    "sketch_hll_intersection",
+    oracle=f"""
+    WITH el AS MATERIALIZED (
+        SELECT DISTINCT
+               CASE WHEN event_type = 'view' THEN 'A' ELSE 'B' END AS grp,
+               CAST(user_id AS VARCHAR) || '|'
+                 || CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS e
+        FROM events WHERE event_type IN ('view', 'purchase')),
+    hashed AS (
+        SELECT grp,
+               CAST(CONCAT('0x', SUBSTR(MD5('0' || '|' || e), 1, 15))
+                    AS BIGINT) AS h
+        FROM el),
+    regs AS (
+        SELECT grp, h % 64 AS idx,
+               MAX(CASE WHEN (h >> 6) > 0
+                        THEN 55 - LENGTH(BIN(h >> 6))
+                        ELSE 55 END) AS rho
+        FROM hashed GROUP BY 1, 2),
+    merged AS (
+        SELECT grp, idx, rho FROM regs
+        UNION ALL
+        SELECT 'U' AS grp, idx, MAX(rho) AS rho FROM regs GROUP BY idx),
+    est AS (
+        SELECT grp,
+               ROUND({_HLL_UNION_ALPHA_NUM} / CAST(
+                   CAST(SUM(CAST(1 AS BIGINT) << CAST(60 - rho AS INT)) AS HUGEINT)
+                   + CAST(64 - COUNT(*) AS HUGEINT)
+                     * CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT) AS DOUBLE), 4)
+                 AS est
+        FROM merged GROUP BY grp),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 'A' THEN est END) AS est_a,
+               MAX(CASE WHEN grp = 'B' THEN est END) AS est_b,
+               MAX(CASE WHEN grp = 'U' THEN est END) AS est_union
+        FROM est),
+    xac AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM
+          (SELECT e FROM el WHERE grp = 'A'
+           INTERSECT
+           SELECT e FROM el WHERE grp = 'B'))
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 4) AS est_intersection,
+           exact_intersection,
+           ROUND(0.39 * (est_a + est_b + est_union), 4) AS err_band,
+           ABS(ROUND(est_a + est_b - est_union, 4) - exact_intersection)
+             <= ROUND(0.39 * (est_a + est_b + est_union), 4) AS within_band
+    FROM wide CROSS JOIN xac
+    """,
+    desc="HLL SET INTERSECTION by inclusion-exclusion (|A∩B| ≈ "
+    "|A|+|B|-|A∪B| over register max-merges, Flajolet 2007 §5): "
+    "view-day vs purchase-day audiences with the published error band "
+    "3·1.04/√m·(|A|+|B|+|A∪B|) and an exact-intersection audit column — "
+    "register sums are exact integers (powers of two), so even the float "
+    "estimates are engine-identical (single division + one ROUND each)",
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketches.py hll_register_table + one max-merge: the
+    corpus reduces map-side to <= 3*64 register rows; the intersection
+    estimate is driver-free arithmetic over the three (1-row) estimates.
+    The exact audit column is the expensive side (one distinct-join) and
+    exists only to anchor `within_band` — a production pipeline at
+    100 TB drops it and keeps the O(m) sketch path."""
+    ev = table(spark, sf_dir, "events")
+    e = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.to_date("ts").cast("string"),
+    ).alias("e")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        F.when(F.col("event_type") == "view", F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+        e,
+    )
+    regs = SK.hll_register_table(tagged, "e", group_cols=["grp"], b=6, seed=0)
+    merged = regs.select("grp", "idx", "rho").unionByName(
+        regs.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("U").alias("grp"), "idx", "rho")
+    )
+    inv_term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - rho AS INT))")
+    est = (
+        merged.groupBy("grp")
+        .agg(
+            (
+                F.sum(inv_term.cast("decimal(20,0)"))
+                + (F.lit(64) - F.count("*")).cast("decimal(38,0)")
+                * F.lit(1 << 60).cast("decimal(38,0)")
+            ).alias("inv_sum")
+        )
+        .select(
+            "grp",
+            F.round(
+                F.lit(float(_HLL_UNION_ALPHA_NUM)) / F.col("inv_sum").cast("double"),
+                4,
+            ).alias("est"),
+        )
+    )
+    wide = est.groupBy().agg(
+        F.max(F.when(F.col("grp") == "A", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("est"))).alias("est_b"),
+        F.max(F.when(F.col("grp") == "U", F.col("est"))).alias("est_union"),
+    )
+    a = tagged.where(F.col("grp") == "A").select("e")
+    b = tagged.where(F.col("grp") == "B").select("e")
+    xac = a.intersect(b).agg(
+        F.count("*").cast("bigint").alias("exact_intersection")
+    )
+    est_int = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+    band = F.round(
+        F.lit(0.39) * (F.col("est_a") + F.col("est_b") + F.col("est_union")), 4
+    )
+    return wide.crossJoin(xac).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        est_int.alias("est_intersection"),
+        "exact_intersection",
+        band.alias("err_band"),
+        (F.abs(est_int - F.col("exact_intersection")) <= band).alias("within_band"),
+    )
+
+
+# positions of the q-quantile estimates inside the sorted 256-row bottom-k
+# sample: floor(q * (k-1)) + 1, precomputed in Python so neither engine
+# does float floor arithmetic at plan time
+_BK_K = 256
+_BK_POS = {"q10": 26, "q25": 64, "q50": 128, "q75": 192, "q90": 230}
+_BK_Q = {"q10": 0.1, "q25": 0.25, "q50": 0.5, "q75": 0.75, "q90": 0.9}
+
+
+@register(
+    "sketch_bottomk_rank_error",
+    oracle=f"""
+    WITH ids AS (
+        SELECT l_extendedprice AS v,
+               {_SQL_H15_T.format(seed="'7'", key="CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} AS h
+        FROM lineitem),
+    samp AS (SELECT v, h FROM ids ORDER BY h, v LIMIT {_BK_K}),
+    arr AS (SELECT LIST(v ORDER BY v, h) AS sv FROM samp),
+    est AS (SELECT {", ".join(f"sv[{p}] AS est_{n}" for n, p in _BK_POS.items())}
+            FROM arr),
+    audit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {", ".join(f"ROUND(CAST(SUM(CASE WHEN i.v <= e.est_{n} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS tr_{n}" for n in _BK_POS)}
+        FROM ids i CROSS JOIN est e)
+    SELECT n_rows,
+           {", ".join(f"e.est_{n}, ROUND(ABS(a.tr_{n} - {_BK_Q[n]}), 6) AS rank_err_{n}" for n in _BK_POS)},
+           GREATEST({", ".join(f"ROUND(ABS(a.tr_{n} - {_BK_Q[n]}), 6)" for n in _BK_POS)})
+             AS max_rank_err,
+           GREATEST({", ".join(f"ROUND(ABS(a.tr_{n} - {_BK_Q[n]}), 6)" for n in _BK_POS)})
+             <= 0.1 AS within_bound
+    FROM audit a CROSS JOIN est e
+    """,
+    desc="bottom-k uniform-rank-sample quantile sketch with an EXACT rank-"
+    "error audit: keep the k=256 rows with the smallest seeded row-id "
+    "hashes (mergeable — bottom-k of a union is the bottom-k of the "
+    "merged bottom-k sets, the property GK/t-digest only approximate), "
+    "read the 5 sample order statistics as quantile estimates, and audit "
+    "each against its exact rank in the full table; 3σ bound "
+    "3·0.5/√256 ≈ 0.094 < 0.1 — every arithmetic step one rounding, "
+    "engine-identical",
+)
+def sketch_bottomk_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sketch is a TakeOrdered of k rows on the seeded hash
+    (per-partition heaps, no global sort — same plan family as the KMV
+    sketch); the audit side is one full-scan aggregate against the
+    broadcast 1-row estimate record. At 100 TB the audit column is the
+    optional expensive half; the sketch half never shuffles the corpus."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    li = table(spark, sf_dir, "lineitem")
+    ids = li.select(
+        F.col("l_extendedprice").alias("v"),
+        seeded_hash15(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            7,
+        ).alias("h"),
+    )
+    samp = ids.orderBy("h", "v").limit(_BK_K)
+    arr = samp.agg(
+        F.sort_array(F.collect_list(F.struct("v", "h"))).alias("sv")
+    )
+    est = arr.select(
+        *[F.col("sv")[p - 1]["v"].alias(f"est_{n}") for n, p in _BK_POS.items()]
+    )
+    audit = ids.crossJoin(F.broadcast(est)).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.round(
+                F.sum(
+                    F.when(F.col("v") <= F.col(f"est_{n}"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias(f"tr_{n}")
+            for n in _BK_POS
+        ],
+    )
+    errs = {
+        n: F.round(F.abs(F.col(f"tr_{n}") - F.lit(q)), 6)
+        for n, q in _BK_Q.items()
+    }
+    max_err = F.greatest(*errs.values())
+    return audit.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        *[
+            c
+            for n in _BK_POS
+            for c in (F.col(f"est_{n}"), errs[n].alias(f"rank_err_{n}"))
+        ],
+        max_err.alias("max_rank_err"),
+        (max_err <= 0.1).alias("within_bound"),
+    )

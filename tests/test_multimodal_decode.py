@@ -1654,3 +1654,58 @@ def test_jpeg_lossless_roundtrip_all_predictors_both_precisions():
         assert out is not None and out["width"] == w and out["height"] == h
         exp = np.array(gray) >> (P - 8)
         assert (out["arr"][:, :, 0] == exp).all(), (trial, P, pred)
+
+
+def test_packbits_roundtrip_noop_and_truncation():
+    """PackBits (TIFF 6.0 §9): encoder/decoder round-trip across packet
+    types, replicate runs actually compress, the reserved -128 header is
+    skipped, and truncated streams yield None (never raise)."""
+    from gearpump_spark.operators.multimodal import PixelDecoder, _packbits_encode
+
+    dec = PixelDecoder()
+    rows = [
+        b"\x05" * 300,                 # long replicate runs (chunked at 128)
+        bytes(range(200)),             # pure literals (chunked at 128)
+        b"aabbccddee",                 # length-2 replicates
+        b"abcddddddefg",               # literal/run/literal boundary
+        b"\x01",                       # single byte
+    ]
+    for row in rows:
+        enc = _packbits_encode(row)
+        assert dec._packbits_decode(enc, len(row)) == row
+    assert len(_packbits_encode(b"\x05" * 300)) < 300  # RLE really happened
+    # reserved no-op header is skipped mid-stream
+    enc = _packbits_encode(b"xyz")
+    assert dec._packbits_decode(b"\x80" + enc, 3) == b"xyz"
+    # truncated replicate and literal streams -> None
+    assert dec._packbits_decode(b"\xfe", 3) is None
+    assert dec._packbits_decode(b"\x04ab", 5) is None
+    assert dec._packbits_decode(b"", 1) is None
+
+
+def test_tiff_packbits_decode_matches_formula(spark):
+    """End-to-end: synthesized PackBits TIFFs decode back to the
+    closed-form raster for all three raster classes, both byte orders,
+    the WhiteIsZero inversion, and the planted no-op header (id 0 and 42
+    are %7 == 0)."""
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_tiff_packbits_payloads,
+    )
+
+    ids = list(range(12)) + [42]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: (r.width, r.height, r.px_sum)
+        for r in pixel_stats(synthesize_tiff_packbits_payloads(df)).collect()
+    }
+    for i in ids:
+        w, h = 3 + i % 9, 1 + i % 6
+        if i % 3 == 0:
+            g = lambda x, y: (i + 7 * y) % 256
+        elif i % 3 == 1:
+            g = lambda x, y: (i + 5 * x + 3 * y) % 256
+        else:
+            g = lambda x, y: (i + 3 * y + x // 2) % 256
+        want = 3 * sum(g(x, y) for y in range(h) for x in range(w))
+        assert got[i] == (w, h, want), i

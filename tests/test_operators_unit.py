@@ -2841,3 +2841,58 @@ def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
         w = want.loc[lid]
         w = None if pd.isna(w) else int(w)
         assert got[lid] == w, (lid, got[lid], w)
+
+
+def test_pagerank_weighted_int_matches_pure_python(spark):
+    """Bit-exact golden: weighted integer PageRank must reproduce a
+    pure-python floor-division power iteration with weight-proportional
+    splits EXACTLY — and collapse to pagerank_int when every weight is
+    equal (w=c scales numerator and denominator alike; (r*c) DIV (c*od)
+    == r DIV od only when c divides evenly, so the equal-weight check
+    uses w=1 where the identity is exact)."""
+    from gearpump_spark.operators.graph import pagerank_int, pagerank_weighted_int
+
+    edges = [(1, 2, 7), (1, 3, 3), (2, 3, 5), (3, 4, 2), (5, 1, 9)]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {r.node_id: r.r for r in pagerank_weighted_int(edf, n_iter=10).collect()}
+
+    scale = 10**12
+    nodes = sorted({u for s, d, _ in edges for u in (s, d)})
+    n = len(nodes)
+    tw = {}
+    for s, _, w in edges:
+        tw[s] = tw.get(s, 0) + w
+    incoming = {v: [(s, w) for s, d, w in edges if d == v] for v in nodes}
+    r = {v: scale // n for v in nodes}
+    for _ in range(10):
+        dm = sum(r[v] for v in nodes if v not in tw)
+        r = {
+            v: (15 * scale) // (100 * n)
+            + (85 * (sum((r[s] * w) // tw[s] for s, w in incoming[v]) + dm // n)) // 100
+            for v in nodes
+        }
+    assert got == r
+
+    ones = spark.createDataFrame(
+        [(s, d, 1) for s, d, _ in edges], "src bigint, dst bigint, w bigint"
+    )
+    plain = spark.createDataFrame(
+        [(s, d) for s, d, _ in edges], "src bigint, dst bigint"
+    )
+    got_ones = {r.node_id: r.r for r in pagerank_weighted_int(ones, n_iter=6).collect()}
+    got_plain = {r.node_id: r.r for r in pagerank_int(plain, n_iter=6).collect()}
+    assert got_ones == got_plain
+
+
+def test_bottomk_sample_is_mergeable():
+    """The property the rank-error audit sells: the bottom-k of a union
+    equals the bottom-k of the merged per-part bottom-k sets — exact
+    mergeability, where GK/t-digest only bound their drift."""
+    import random
+
+    rng = random.Random(11)
+    k = 32
+    a = [(rng.randrange(10**9), i) for i in range(500)]
+    b = [(rng.randrange(10**9), 500 + i) for i in range(700)]
+    bk = lambda rows: sorted(rows)[:k]
+    assert bk(a + b) == bk(bk(a) + bk(b))
