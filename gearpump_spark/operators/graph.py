@@ -447,6 +447,103 @@ def pagerank_weighted_int(
     return ranks
 
 
+def personalized_pagerank_weighted_int(
+    edges: DataFrame,
+    seeds: list,
+    n_iter: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """BIT-REPRODUCIBLE weighted personalized PageRank — the composition
+    of `pagerank_weighted_int` (rank splits over out-edges proportionally
+    to weight, contrib = (r·w) DIV W) and `personalized_pagerank_int`
+    (teleport + dangling mass restart to the seed set): the random walk
+    with restart over a weighted graph, i.e. item/account
+    recommendation scoring where edge strength matters. All-BIGINT
+    floor-division supersteps; hash-matches an unrolled SQL CTE chain.
+
+    Same validation contract as personalized_pagerank_int (non-empty,
+    duplicate-free, in-graph seeds) and the same overflow bound as
+    pagerank_weighted_int (rank·w stays under 2^63 for weights ≤ ~10^6).
+    One dst-keyed shuffle per superstep, localCheckpoint lineage cuts;
+    only the k seed ids cross the driver boundary.
+    """
+    if not seeds:
+        raise ValueError(
+            "personalized_pagerank_weighted_int needs a non-empty seed set"
+        )
+    seeds = [int(s) for s in seeds]
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("personalized_pagerank_weighted_int: duplicate seeds")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    k = len(seeds)
+    is_seed = F.col("node_id").isin(seeds)
+    n_seeds_present = nodes.where(is_seed).count()
+    if n_seeds_present != k:
+        known = {r.node_id for r in nodes.where(is_seed).collect()}
+        unknown = sorted(s for s in seeds if s not in known)
+        nodes.unpersist()
+        raise ValueError(
+            "personalized_pagerank_weighted_int: seeds not present in the "
+            f"graph: {unknown}"
+        )
+    out_w = e.groupBy("src").agg(F.sum("w").cast("long").alias("tw")).persist()
+    base = (damping_den - damping_num) * scale // (damping_den * k)
+    ranks = nodes.withColumn(
+        "r", F.when(is_seed, F.lit(scale // k)).otherwise(F.lit(0)).cast("long")
+    ).localCheckpoint()
+    seed_pred = "node_id IN (" + ",".join(map(str, seeds)) + ")"
+
+    for _ in range(n_iter):
+        dangling = ranks.join(
+            out_w, ranks.node_id == out_w.src, "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        contribs = (
+            e.join(out_w, "src")
+            .join(ranks, F.col("src") == ranks.node_id)
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("(r * w) DIV tw").alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
+                "node_id",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(im, 0L)"
+                        f" + (CASE WHEN {seed_pred}"
+                        f" THEN dm DIV {k}L ELSE 0L END)))"
+                        f" DIV {damping_den}"
+                    ).cast("long")
+                ).alias("r"),
+            )
+            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
+        )
+    nodes.unpersist()
+    out_w.unpersist()
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

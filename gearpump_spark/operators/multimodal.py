@@ -595,6 +595,8 @@ class PixelDecoder(HeaderDecoder):
             h_raw = int.from_bytes(payload[22:26], "little", signed=True)
             bpp = int.from_bytes(payload[28:30], "little")
             compression = int.from_bytes(payload[30:34], "little")
+            if bpp == 8 and compression == 1 and w > 0 and h_raw > 0:
+                return self._decode_bmp_rle8(payload, offset, w, h_raw)
             if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
                 return None
             h = abs(h_raw)
@@ -609,6 +611,65 @@ class PixelDecoder(HeaderDecoder):
             if h_raw > 0:  # bottom-up storage unless height is negative
                 raster = raster[::-1]
             arr = raster.reshape(h, w, 3).astype(np.int64)
+            return {"width": w, "height": h, "arr": arr}
+        except (IndexError, ValueError):
+            return None
+
+    def _decode_bmp_rle8(self, payload: bytes, offset: int, w: int, h: int):
+        """8-bit palette BMP with BI_RLE8 compression (Windows BMP spec):
+        encoded mode (count, index), absolute mode (0x00, n>=3, n indices,
+        word-padded), and the three escapes — 0x00 0x00 end-of-line,
+        0x00 0x01 end-of-bitmap, 0x00 0x02 dx dy delta (pixels skipped by
+        EOL/delta/early-EOB are defined as palette index 0, the de facto
+        decoder convention). RLE BMPs are bottom-up by spec (h > 0), so
+        the assembled index raster flips vertically; indices map through
+        the palette's blue channel (gray palettes: B == G == R) and
+        expand to B=G=R like the gray PNG/TIFF paths."""
+        try:
+            import numpy as np
+
+            # palette sits between the 54-byte headers and the pixel data
+            n_colors = int.from_bytes(payload[46:50], "little") or 256
+            pal_off = 54
+            if pal_off + 4 * n_colors > offset:
+                return None
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+            ).reshape(n_colors, 4)
+            idx = np.zeros((h, w), dtype=np.uint8)  # row 0 = BOTTOM row
+            i, x, y = offset, 0, 0
+            n = len(payload)
+            while True:
+                if i + 2 > n or y >= h:
+                    return None  # truncated stream / run past the top row
+                c, v = payload[i], payload[i + 1]
+                i += 2
+                if c > 0:  # encoded mode: c copies of index v
+                    if x + c > w:
+                        return None
+                    idx[y, x : x + c] = v
+                    x += c
+                elif v == 0:  # end of line
+                    x, y = 0, y + 1
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta: move right dx, up dy (bottom-up)
+                    if i + 2 > n:
+                        return None
+                    x, y = x + payload[i], y + payload[i + 1]
+                    i += 2
+                    if x > w or y > h:
+                        return None
+                else:  # absolute mode: v literal indices, word-padded
+                    if x + v > w or i + v > n:
+                        return None
+                    idx[y, x : x + v] = np.frombuffer(
+                        payload, dtype=np.uint8, count=v, offset=i
+                    )
+                    x += v
+                    i += v + (v & 1)
+            gray = pal[np.minimum(idx, n_colors - 1), 0].astype(np.int64)
+            arr = np.repeat(gray[::-1].reshape(h, w, 1), 3, axis=2)
             return {"width": w, "height": h, "arr": arr}
         except (IndexError, ValueError):
             return None
@@ -1725,6 +1786,88 @@ def synthesize_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for y in range(h)
                 ]
                 payloads.append(PixelDecoder.encode_bmp(rows))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_bmp_rle8_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL RLE8-compressed 8-bit palette BMP bytes per row
+    (BI_RLE8, grayscale palette entry j = (j,j,j,0)): width = 4 + id%8,
+    height = 1 + id%5, bottom-up rows, EOL after every row and EOB at
+    the end. Four raster classes exercise every RLE8 construct:
+      id%4 == 0: constant rows g = (id + 9y) % 256   → encoded-mode runs
+      id%4 == 1: g = (id + 5x + 3y) % 256            → absolute mode
+                 (word-padded when width is odd)
+      id%4 == 2: g = (id + 3y + x//2) % 256          → length-2 runs
+      id%4 == 3: pixel 0 encoded, a 0x00 0x02 DELTA skips x=1..2 (those
+                 pixels are defined 0), then x >= 3 follows
+                 g = (id + 7x + 3y) % 256 (absolute when >= 3 pixels
+                 remain, count-1 encoded pairs otherwise)
+    y here is the BOTTOM-UP row index (the storage order), so the
+    closed-form oracle indexes the decoded top-down raster at
+    y_top = h - 1 - y."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 8, 1 + i % 5
+                cls = i % 4
+                stream = bytearray()
+                for y in range(h):  # bottom-up storage rows
+                    if cls == 0:
+                        stream += bytes([w, (i + 9 * y) % 256])
+                    elif cls == 1:
+                        px = bytes((i + 5 * x + 3 * y) % 256 for x in range(w))
+                        stream += bytes([0, w]) + px
+                        if w & 1:
+                            stream += b"\x00"
+                    elif cls == 2:
+                        x = 0
+                        while x < w:
+                            n = min(2, w - x)
+                            stream += bytes([n, (i + 3 * y + x // 2) % 256])
+                            x += n
+                    else:
+                        stream += bytes([1, (i + 11 * y) % 256])
+                        stream += bytes([0, 2, 2, 0])  # delta: skip x=1..2
+                        rest = bytes(
+                            (i + 7 * x + 3 * y) % 256 for x in range(3, w)
+                        )
+                        if len(rest) >= 3:
+                            stream += bytes([0, len(rest)]) + rest
+                            if len(rest) & 1:
+                                stream += b"\x00"
+                        else:
+                            for b in rest:
+                                stream += bytes([1, b])
+                    stream += b"\x00\x00" if y < h - 1 else b"\x00\x01"
+                palette = b"".join(bytes([j, j, j, 0]) for j in range(256))
+                data_off = 14 + 40 + len(palette)
+                header = (
+                    b"BM"
+                    + (data_off + len(stream)).to_bytes(4, "little")
+                    + b"\x00\x00\x00\x00"
+                    + data_off.to_bytes(4, "little")
+                )
+                dib = (
+                    (40).to_bytes(4, "little")
+                    + w.to_bytes(4, "little", signed=True)
+                    + h.to_bytes(4, "little", signed=True)  # positive: bottom-up
+                    + (1).to_bytes(2, "little")
+                    + (8).to_bytes(2, "little")
+                    + (1).to_bytes(4, "little")  # BI_RLE8
+                    + len(stream).to_bytes(4, "little")
+                    + (2835).to_bytes(4, "little")
+                    + (2835).to_bytes(4, "little")
+                    + (256).to_bytes(4, "little")
+                    + (0).to_bytes(4, "little")
+                )
+                payloads.append(header + dib + palette + bytes(stream))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(

@@ -82,13 +82,13 @@ DRIVER_SAMPLE_WINDOW_ROUND = 7
 DRIVER_SAMPLE_WINDOW = [
     # ROUND-7 ROTATION (re-authored mid-round when the r7 second wave
     # registered). Policy: every NEVER-verified oracle-backed query gets
-    # a slot before any re-verification — 22 such queries exist now (the
+    # a slot before any re-verification — 30 such queries exist now (the
     # 8 first-wave r6 backlog the r6 verdict names, the 8 r7 first-wave
-    # additions, and the 6 r7 second-wave additions), so the remaining 28
-    # slots re-verify the stalest records, all from round 2. The 14 r2
-    # queries this displaces (the window held the full 42-query r2 cohort
-    # before the second wave landed) keep their round-2 records and are
-    # the head of the r8 rotation — never-verified > stale is exactly the
+    # additions, and the 14 r7 second/third/fourth-wave additions), so
+    # the remaining 20 slots re-verify the stalest records, all from
+    # round 2. The 22 r2 queries this displaces (the window held the full
+    # 42-query r2 cohort before the new waves landed) keep their round-2
+    # records and head the r8 rotation — never-verified > stale is the
     # preference test_window_prefers_least_recently_verified encodes
     # (never-verified queries have no record to be judged fresher than an
     # excluded one's).
@@ -124,29 +124,34 @@ DRIVER_SAMPLE_WINDOW = [
     "text_longest_dup_ngram",
     "sketch_bottomk_rank_error",
     "multimodal_tiff_packbits_real",
-    # -- round-2 records, 5 rounds stale (28 of the 42-query r2 cohort;
-    #    the other 14 are the head of the r8 rotation). Dedup family --
+    # -- never-sampled, oracle-backed (r7 third wave): time-decayed
+    #    counts, curriculum ordering, feature hashing, BMP RLE8 decode --
+    "q_decay_counts",
+    "sample_curriculum_order",
+    "text_hashed_ngram_features",
+    "multimodal_bmp_rle8_real",
+    # -- never-sampled, oracle-backed (r7 fourth wave): weighted
+    #    personalized PageRank, Cavnar-Trenkle language attribution,
+    #    day-of-month activity bitmaps, bigram-LM perplexity --
+    "graph_pagerank_weighted_personalized_int",
+    "text_lang_attribution",
+    "q_activity_bitmaps",
+    "text_bigram_lm_perplexity",
+    # -- round-2 records, 5 rounds stale (20 of the 42-query r2 cohort;
+    #    the other 22 are the head of the r8 rotation). Dedup family --
     "dedup_clusters",
-    "dedup_embedding_cosine",
     "dedup_minhash_signature",
-    "dedup_ngram_jaccard",
     "dedup_semantic",
     # -- text-analysis suite --
     "text_bm25_topk",
-    "text_doc_freq",
     "text_doc_stats",
-    "text_lang_id",
-    "text_lang_profile",
     "text_pii_redact",
     "text_quality",
     "text_repetition",
-    "text_tfidf_topterms",
-    "text_token_count",
     # -- sampling / mixing suite --
     "sample_hash_10pct",
     "sample_pack_sequences",
     "sample_shuffle_order",
-    "sample_train_test_split",
     # -- sketches --
     "sketch_bloom_join",
     "sketch_bloom_membership",

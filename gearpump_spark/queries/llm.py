@@ -7606,3 +7606,484 @@ def multimodal_tiff_packbits_real(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return pixel_stats(synthesize_tiff_packbits_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "sample_curriculum_order",
+    oracle="""
+    WITH sc AS (
+        SELECT doc_id,
+               CAST(CASE WHEN LEN(tk) = 0 THEN 0
+                    ELSE (1000000 * LEN(LIST_DISTINCT(tk))) // LEN(tk) END
+                 AS BIGINT) AS score
+        FROM (SELECT doc_id,
+                     LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                 w -> w <> '') AS tk
+              FROM documents))
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT)
+             AS curriculum_pos
+    FROM sc ORDER BY doc_id
+    """,
+    desc="curriculum ordering for training (easy -> hard by lexical "
+    "diversity): every document gets its global 1-based position in the "
+    "(score, doc_id) total order, score = micro-unit distinct-token "
+    "ratio — the curriculum-learning schedule (Bengio 2009) as a "
+    "data-prep pass; exact integer arithmetic end to end",
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.py global_positions: the global rank is a
+    range-repartition + per-partition offsets (two parallel exchanges, P
+    longs to the driver) — never a single-task Window.orderBy; the score
+    itself is a narrow map."""
+    from gearpump_spark.operators.sampling import global_positions
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    score = (
+        F.when(F.size("tk") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(1000000 * size(array_distinct(tk))) DIV size(tk)")
+        )
+        .cast("long")
+    )
+    sc = base.select("doc_id", score.alias("score"))
+    return (
+        global_positions(sc, ["score", "doc_id"])
+        .select(
+            "doc_id",
+            "score",
+            (F.col("_gpos") + 1).cast("bigint").alias("curriculum_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_hashed_ngram_features",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, LOWER(w) AS w FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                      t -> t <> '')) AS w
+            FROM documents)),
+    h AS (
+        SELECT doc_id,
+               {_SQL_H15.format(seed="'9'", key="w")} % 64 AS bucket,
+               CASE WHEN {_SQL_H15.format(seed="'10'", key="w")} % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM tok)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(s) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0
+    ORDER BY doc_id, bucket
+    """,
+    desc="feature hashing (the hashing trick, Weinberger 2009): 64-bucket "
+    "signed unigram count vectors per document — bucket and sign from "
+    "two independent seeded hashes, zero entries dropped — the "
+    "fixed-width featurization fast quality/topic classifiers train on "
+    "when a vocabulary is too big to materialize",
+)
+def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: tokens collapse map-side into (doc, bucket) partial sums —
+    the shuffle carries at most 64 rows per document regardless of
+    document length; no vocabulary table exists anywhere (the trick's
+    whole point)."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w0")
+    ).select("doc_id", F.lower(F.col("w0")).alias("w"))
+    h = tok.select(
+        "doc_id",
+        (seeded_hash15(F.col("w"), 9) % 64).alias("bucket"),
+        F.when(seeded_hash15(F.col("w"), 10) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("val"))
+        .where(F.col("val") != 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("val").cast("bigint").alias("val"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+@register(
+    "multimodal_bmp_rle8_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           CAST(3 * LIST_SUM(LIST_TRANSFORM(
+               RANGE(0, (4 + doc_id % 8) * (1 + doc_id % 5)),
+               k -> CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN (doc_id + 9 * (k // (4 + doc_id % 8))) % 256
+                    WHEN 1 THEN (doc_id + 5 * (k % (4 + doc_id % 8))
+                                 + 3 * (k // (4 + doc_id % 8))) % 256
+                    WHEN 2 THEN (doc_id + 3 * (k // (4 + doc_id % 8))
+                                 + ((k % (4 + doc_id % 8)) // 2)) % 256
+                    ELSE CASE
+                         WHEN k % (4 + doc_id % 8) IN (1, 2) THEN 0
+                         WHEN k % (4 + doc_id % 8) = 0
+                           THEN (doc_id + 11 * (k // (4 + doc_id % 8))) % 256
+                         ELSE (doc_id + 7 * (k % (4 + doc_id % 8))
+                               + 3 * (k // (4 + doc_id % 8))) % 256
+                         END END))
+             AS BIGINT) AS px_sum
+    FROM documents ORDER BY doc_id
+    """,
+    desc="REAL RLE8-compressed palette BMP decode (Windows BI_RLE8): "
+    "encoded runs, word-padded absolute mode, end-of-line / end-of-"
+    "bitmap escapes AND the 0x00 0x02 delta jump (skipped pixels defined "
+    "as index 0) over a grayscale palette, bottom-up rows — decoded "
+    "rasters checksummed against closed-form pixel arithmetic (the "
+    "Windows-side RLE twin of the TIFF PackBits path)",
+)
+def multimodal_bmp_rle8_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py synthesize_bmp_rle8_payloads /
+    PixelDecoder._decode_bmp_rle8: per-byte RLE state machine with a
+    2-D cursor (delta jumps) inside an Arrow-batched narrow map;
+    payloads never shuffle. px_sum is storage-order-invariant, so the
+    bottom-up flip cancels out of the oracle."""
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_bmp_rle8_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return pixel_stats(synthesize_bmp_rle8_payloads(docs)).orderBy("doc_id")
+
+
+def _ppr_weighted_int_oracle(n_iter: int = 10, scale: int = 10**12, k: int = 5) -> str:
+    """Unrolled CTE chain mirroring operators/graph.py
+    personalized_pagerank_weighted_int exactly — the _ppr_int_oracle
+    template with weight-proportional contributions ((r·w) // W, the
+    product-then-floor order of the weighted family). Same MATERIALIZED
+    discipline: each pr{{k}} is referenced twice per step."""
+    blocks = [
+        f"""
+    ps AS MATERIALIZED (
+        SELECT l_partkey + 1000000 AS src, l_suppkey AS dst,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+    edges AS MATERIALIZED (
+        SELECT src, dst, w FROM ps
+        UNION ALL SELECT dst, src, w FROM ps),
+    nodes AS MATERIALIZED (
+        SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+    seeds AS MATERIALIZED (
+        SELECT node_id FROM (SELECT DISTINCT dst AS node_id FROM ps)
+        ORDER BY node_id LIMIT {k}),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (
+        SELECT n.node_id,
+               CAST(CASE WHEN s.node_id IS NOT NULL
+                         THEN {scale} // {k} ELSE 0 END AS BIGINT) AS r
+        FROM nodes n LEFT JOIN seeds s ON s.node_id = n.node_id)"""
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f""",
+    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dm FROM pr{i}
+             WHERE node_id NOT IN (SELECT src FROM outw)),
+    c{i} AS MATERIALIZED (SELECT e.dst AS node_id,
+                                 SUM((p.r * e.w) // o.tw) AS im
+             FROM edges e JOIN outw o ON e.src = o.src
+             JOIN pr{i} p ON p.node_id = e.src GROUP BY e.dst),
+    pr{i + 1} AS MATERIALIZED (
+        SELECT n.node_id,
+               CAST(CASE WHEN s.node_id IS NOT NULL
+                         THEN (15 * {scale}) // (100 * {k}) ELSE 0 END
+                    + (85 * (COALESCE(c.im, 0)
+                             + CASE WHEN s.node_id IS NOT NULL
+                                    THEN d{i}.dm // {k} ELSE 0 END)) // 100
+                 AS BIGINT) AS r
+        FROM nodes n CROSS JOIN d{i}
+        LEFT JOIN c{i} c ON c.node_id = n.node_id
+        LEFT JOIN seeds s ON s.node_id = n.node_id)"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f"\n    SELECT node_id, r FROM pr{n_iter} ORDER BY node_id"
+    )
+
+
+@register(
+    "graph_pagerank_weighted_personalized_int",
+    oracle=_ppr_weighted_int_oracle(10),
+    desc="BIT-REPRODUCIBLE weighted personalized PageRank (random walk "
+    "with restart over the shipment-volume-weighted supplier<->part "
+    "graph, seeds = 5 lowest supplier ids): the recommendation-scoring "
+    "walk where edge strength matters — completes the integer-PageRank "
+    "matrix (uniform/weighted x global/personalized), every cell "
+    "hash-matching a DuckDB CTE chain",
+)
+def graph_pagerank_weighted_personalized_int(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """operators/graph.py personalized_pagerank_weighted_int: one
+    dst-keyed shuffle per superstep, localCheckpoint lineage cuts,
+    all-BIGINT (r*w) DIV W arithmetic; only the k seed ids cross the
+    driver boundary."""
+    from gearpump_spark.operators.graph import personalized_pagerank_weighted_int
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    edges = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = [
+        r[0] for r in ps.select("dst").distinct().orderBy("dst").limit(5).collect()
+    ]
+    return personalized_pagerank_weighted_int(edges, seeds, n_iter=10).orderBy(
+        "node_id"
+    )
+
+
+@register(
+    "text_lang_attribution",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                  w -> w <> '')) AS w
+        FROM documents),
+    tg AS (
+        SELECT doc_id, lang,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(1, LENGTH('_' || LOWER(w) || '_') - 1),
+                   i -> SUBSTR('_' || LOWER(w) || '_', CAST(i AS INT), 3))) AS g
+        FROM tok),
+    lcnt AS (SELECT lang, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    lprof AS (
+        SELECT lang, g, rk FROM (
+            SELECT lang, g,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, g) AS rk
+            FROM lcnt) WHERE rk <= 40),
+    dcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    dprof AS (
+        SELECT doc_id, g, rk FROM (
+            SELECT doc_id, g,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rk
+            FROM dcnt) WHERE rk <= 20),
+    dist AS (
+        SELECT d.doc_id, l.cand,
+               SUM(CASE WHEN p.rk IS NULL THEN 40
+                        ELSE ABS(d.rk - p.rk) END) AS dist
+        FROM dprof d
+        CROSS JOIN (SELECT DISTINCT lang AS cand FROM documents) l
+        LEFT JOIN lprof p ON p.lang = l.cand AND p.g = d.g
+        GROUP BY 1, 2),
+    pick AS (
+        SELECT doc_id, cand, dist,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY dist, cand) AS rn
+        FROM dist)
+    SELECT dd.doc_id, dd.lang, p.cand AS pred_lang,
+           CAST(p.dist AS BIGINT) AS oop_distance,
+           (p.cand = dd.lang) AS correct
+    FROM documents dd
+    LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (doc_id)
+    ORDER BY dd.doc_id
+    """,
+    desc="Cavnar-Trenkle language ATTRIBUTION (the 1994 classifier, not "
+    "just the profile distance): each document's top-20 trigram rank "
+    "profile scored against every language's top-40 corpus profile by "
+    "the out-of-place measure, argmin wins (distance then lang "
+    "tie-break), with a correctness flag vs the fixture's lang tag — "
+    "the n-gram language-ID used for corpus routing at crawl scale",
+)
+def text_lang_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: trigram counts collapse map-side by (lang, g) and (doc, g);
+    the doc-profile rank windows by doc_id, the lang profile (|langs|*40
+    rows) broadcasts into the scoring join — per doc the compare touches
+    20*|langs| rows, linear in corpus size."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    pw = F.concat(F.lit("_"), F.lower(F.col("w")), F.lit("_"))
+    tg = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(pw) - F.lit(2)),
+                lambda i: pw.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    lcnt = tg.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    lrk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    )
+    lprof = (
+        lcnt.select("lang", "g", lrk.alias("rk"))
+        .where(F.col("rk") <= 40)
+        .select(
+            F.col("lang").alias("pl"), F.col("g").alias("pg"),
+            F.col("rk").alias("prk"),
+        )
+    )
+    dcnt = tg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    drk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    )
+    dprof = dcnt.select("doc_id", "g", drk.alias("rk")).where(F.col("rk") <= 20)
+    langs = docs.select("lang").distinct().select(F.col("lang").alias("cand"))
+    dist = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(lprof),
+            (F.col("cand") == F.col("pl")) & (F.col("g") == F.col("pg")),
+            "left",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.when(F.col("prk").isNull(), F.lit(40)).otherwise(
+                    F.abs(F.col("rk") - F.col("prk"))
+                )
+            ).alias("dist")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("cand"))
+    )
+    pick = dist.select("doc_id", "cand", "dist", rn.alias("rn")).where(
+        F.col("rn") == 1
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pick, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("pred_lang"),
+            F.col("dist").cast("bigint").alias("oop_distance"),
+            (F.col("cand") == F.col("lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bigram_lm_perplexity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                          w -> w <> ''), w -> LOWER(w)) AS tk
+        FROM documents),
+    ucnt AS (SELECT w, COUNT(*) AS cu
+             FROM (SELECT UNNEST(tk) AS w FROM tok) GROUP BY w),
+    vv AS (SELECT COUNT(*) AS v FROM ucnt),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                   i -> tk[CAST(i AS INT)] || ' '
+                        || tk[CAST(i + 1 AS INT)])) AS b
+        FROM tok WHERE LEN(tk) >= 2),
+    bcnt AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(LN(CAST(bc.cb + 1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(LN(CAST(uc.cu + vv.v AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS t
+        FROM bg g
+        JOIN bcnt bc ON bc.b = g.b
+        JOIN ucnt uc ON uc.w = SPLIT_PART(g.b, ' ', 1)
+        CROSS JOIN vv),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(t) AS ll
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(a.ll AS DOUBLE), 6) AS sum_logprob,
+           ROUND(EXP(-CAST(a.ll AS DOUBLE) / a.n_bigrams), 4) AS perplexity
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="add-one-smoothed bigram language-model perplexity per document "
+    "(LM trained on the whole corpus): P(w2|w1) = (c12+1)/(c1+V), each "
+    "log term ROUND(LN,6)-decimal before the exact decimal sum (the "
+    "rounded-log-term discipline), one EXP at the end — the classic "
+    "fluency/quality score data pipelines gate training text on",
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bigram and unigram counts collapse map-side (vocabulary-
+    bounded); the scoring join shuffles doc bigrams on the bigram key —
+    linear in corpus tokens; V rides a 1-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
+    )
+    ucnt = (
+        base.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    vv = ucnt.agg(F.count("*").alias("v"))
+    bg = base.where(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, CAST(i AS INT)), ' ',"
+                " element_at(tk, CAST(i + 1 AS INT))))"
+            )
+        ).alias("b"),
+    )
+    bcnt = bg.groupBy("b").agg(F.count("*").alias("cb"))
+    scored = (
+        bg.join(bcnt, "b")
+        .join(
+            ucnt, F.split(F.col("b"), " ").getItem(0) == F.col("w"), "inner"
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            (
+                F.round(F.log((F.col("cb") + 1).cast("double")), 6).cast(
+                    "decimal(18,6)"
+                )
+                - F.round(
+                    F.log((F.col("cu") + F.col("v")).cast("double")), 6
+                ).cast("decimal(18,6)")
+            ).alias("t"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("t").alias("ll")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.round(F.col("ll").cast("double"), 6).alias("sum_logprob"),
+            F.round(
+                F.exp(-F.col("ll").cast("double") / F.col("n_bigrams")), 4
+            ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )

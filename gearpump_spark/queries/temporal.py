@@ -1883,3 +1883,120 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.col("prefix") - F.col("minpre")).over(wall)
         ).alias("is_peak"),
     ).orderBy("day")
+
+
+@register(
+    "q_decay_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(1::BIGINT << CAST(40 - LEAST(GREATEST(
+                    DATEDIFF('day', CAST(ts AS DATE), DATE '2024-02-01'),
+                    0), 40) AS INT)) AS BIGINT) AS decay_num,
+           ROUND(CAST(SUM(1::BIGINT << CAST(40 - LEAST(GREATEST(
+                    DATEDIFF('day', CAST(ts AS DATE), DATE '2024-02-01'),
+                    0), 40) AS INT)) AS DOUBLE) / 1099511627776.0, 6)
+             AS decayed_count
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    desc="exponentially time-decayed event counts (half-life 1 day, "
+    "anchored at 2024-02-01): each event contributes 2^-age — the "
+    "trending/freshness score streaming counters maintain — computed as "
+    "an EXACT integer numerator sum of 2^(40-age) (every term a power "
+    "of two, so no float summation order exists) divided once at the "
+    "end; age clamps to [0,40] so the numerator stays inside BIGINT",
+)
+def q_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combined groupBy over |event_types| keys; the
+    decayed count is mergeable across partitions/days exactly like a
+    plain count (integer addition), which is why the decay lives in the
+    numerator instead of a per-row float multiply."""
+    ev = table(spark, sf_dir, "events")
+    term = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(40 - LEAST(GREATEST("
+        "datediff(DATE'2024-02-01', to_date(ts)), 0), 40) AS INT))"
+    )
+    num = F.sum(term).cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            num.alias("decay_num"),
+            F.round(num.cast("double") / F.lit(float(1 << 40)), 6).alias(
+                "decayed_count"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_activity_bitmaps",
+    oracle="""
+    SELECT user_id,
+           CAST(BIT_OR(CASE WHEN event_type = 'view'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END) AS BIGINT) AS view_mask,
+           CAST(BIT_OR(CASE WHEN event_type = 'purchase'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END) AS BIGINT) AS purchase_mask,
+           CAST(BIT_COUNT(BIT_OR(CASE WHEN event_type = 'view'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END)) AS BIGINT) AS days_view,
+           CAST(BIT_COUNT(BIT_OR(CASE WHEN event_type = 'purchase'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END)) AS BIGINT) AS days_purchase,
+           CAST(BIT_COUNT(BIT_OR(CASE WHEN event_type = 'view'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END) & BIT_OR(CASE WHEN event_type = 'purchase'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END)) AS BIGINT) AS days_both,
+           BIT_COUNT(BIT_OR(CASE WHEN event_type = 'view'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END) & BIT_OR(CASE WHEN event_type = 'purchase'
+                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                ELSE 0 END)) > 0 AS same_day_conversion
+    FROM events WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id ORDER BY user_id
+    """,
+    desc="per-user day-of-month activity BITMAPS (the poor man's Roaring "
+    "bitmap — a month fits one BIGINT): view and purchase masks built by "
+    "BIT_OR, popcounts, and the mask INTERSECTION answering 'did the "
+    "user view and purchase on the same day' with one AND — the bitmap-"
+    "index pattern OLAP engines use for behavioral segmentation, as "
+    "pure integer expressions",
+)
+def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combined groupBy(user_id) — the masks are
+    BIT_OR-mergeable monoids like counts; downstream set algebra (AND /
+    OR / popcount) touches one long per user per behavior, never the
+    raw events again."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def mask(t: str):
+        return F.bit_or(
+            F.when(
+                F.col("event_type") == t,
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(dayofmonth(ts) - 1 AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+
+    mv, mp = mask("view"), mask("purchase")
+    both = F.bit_count(mv.bitwiseAND(mp)).cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            mv.cast("bigint").alias("view_mask"),
+            mp.cast("bigint").alias("purchase_mask"),
+            F.bit_count(mv).cast("bigint").alias("days_view"),
+            F.bit_count(mp).cast("bigint").alias("days_purchase"),
+            both.alias("days_both"),
+            (F.bit_count(mv.bitwiseAND(mp)) > 0).alias("same_day_conversion"),
+        )
+        .orderBy("user_id")
+    )

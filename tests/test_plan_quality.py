@@ -1221,3 +1221,169 @@ def test_pagerank_personalized_int_superstep_is_keyed_no_cartesian(spark):
     )
     p = plan(personalized_pagerank_int(edges, seeds=[0, 1], n_iter=1))
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# r7 second/third wave: plan pins for the round's late additions
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_rank_error_takeordered_broadcast_audit(spark, sf_dir):
+    """The k=256 sample is a TakeOrdered on the seeded hash (per-partition
+    heaps, never a global sort); the audit side joins the 1-row estimate
+    record by broadcast — no sort-merge join anywhere, all JVM-side."""
+    p = plan(QS["sketch_bottomk_rank_error"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_qgram_distance_rank_window_lang_partitioned_profiles_broadcast(
+    spark, sf_dir
+):
+    """The trigram rank window partitions by lang (never a single-task
+    sort of the count table), and the pairwise profile compare runs as
+    broadcast joins over the |langs|*40-row profiles."""
+    p = plan(QS["text_qgram_lang_distance"](spark, sf_dir))
+    assert "hashpartitioning(lang" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            ctx = "\n".join(lines[i + 1 : i + 6])
+            assert "SinglePartition" not in ctx, "profile rank went single-task"
+
+
+def test_longest_dup_ngram_argmax_window_doc_partitioned(spark, sf_dir):
+    """The winning-shingle argmax windows over (doc_id)-partitioned,
+    already-aggregated shingle counts — never Exchange SinglePartition —
+    and the ladder explode stays JVM-side."""
+    p = plan(QS["text_longest_dup_ngram"](spark, sf_dir))
+    assert "hashpartitioning(doc_id" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            ctx = "\n".join(lines[i + 1 : i + 6])
+            assert "SinglePartition" not in ctx, "dup argmax went single-task"
+
+
+def test_hll_intersection_no_corpus_join(spark, sf_dir):
+    """Register merge and estimate arithmetic touch only <=3*64-row
+    sketch tables; the one corpus-sized join is the exact-audit
+    intersection (a keyed equi-join) — no sort-merge combine of sketch
+    rows, no Python anywhere."""
+    p = plan(QS["sketch_hll_intersection"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decay_counts_partial_agg_single_pass(spark, sf_dir):
+    """One map-side-combined aggregate pass: the decayed numerator is an
+    integer SUM, so it partial-aggregates exactly like COUNT — partial +
+    final HashAggregate over one scan, no Python, no join."""
+    p = plan(QS["q_decay_counts"](spark, sf_dir))
+    # formatted plans repeat each node in the details; count tree nodes only
+    assert p.count("+- HashAggregate") == 2
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_curriculum_order_never_single_partition(spark, sf_dir):
+    """The global rank routes through global_positions (range
+    repartition + per-partition offsets): no Exchange SinglePartition
+    may appear anywhere in the plan."""
+    p = plan(QS["sample_curriculum_order"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" in p
+
+
+def test_hashed_features_partial_agg_keyed(spark, sf_dir):
+    """The signed-count aggregation shuffles once on (doc_id, bucket)
+    with map-side partial sums; everything is JVM expressions (no
+    vocabulary table, no Python)."""
+    p = plan(QS["text_hashed_ngram_features"](spark, sf_dir))
+    assert "hashpartitioning(doc_id" in p
+    # formatted plans repeat each node in the details; count tree nodes only
+    assert p.count("+- HashAggregate") == 2
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rle_codec_paths_are_narrow_maps(spark, sf_dir):
+    """PackBits-TIFF and RLE8-BMP synthesize+decode+stats pipelines are
+    Arrow-batched narrow maps: payload bytes never cross an exchange."""
+    from gearpump_spark.datasets import table
+    from gearpump_spark.operators.multimodal import (
+        pixel_stats,
+        synthesize_bmp_rle8_payloads,
+        synthesize_tiff_packbits_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents", parallelize=False).select("doc_id")
+    for synth in (synthesize_tiff_packbits_payloads, synthesize_bmp_rle8_payloads):
+        p = plan(pixel_stats(synth(docs)))
+        assert "Exchange" not in p, "payloads must not shuffle"
+
+
+def test_pagerank_weighted_int_superstep_keyed_no_cartesian(spark):
+    """One superstep of the weighted integer PageRank: contributions
+    shuffle on the dst key; the dangling-mass scalar rides a 1-row
+    broadcast (the only nested-loop join allowed is that broadcast of
+    ONE row)."""
+    from gearpump_spark.operators.graph import pagerank_weighted_int
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50, 1 + i % 5) for i in range(200)],
+        "src long, dst long, w long",
+    )
+    p = plan(pagerank_weighted_int(edges, n_iter=1))
+    assert "CartesianProduct" not in p
+
+
+def test_lang_attribution_windows_partitioned_profiles_broadcast(spark, sf_dir):
+    """Doc and lang profile ranks window over partitioned keys (doc_id /
+    lang, never SinglePartition); the lang profile broadcasts into the
+    scoring join; all JVM-side."""
+    p = plan(QS["text_lang_attribution"](spark, sf_dir))
+    assert "hashpartitioning(doc_id" in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            ctx = "\n".join(lines[i + 1 : i + 6])
+            assert "SinglePartition" not in ctx, "profile rank went single-task"
+
+
+def test_activity_bitmaps_single_agg_pass(spark, sf_dir):
+    """The six mask/popcount outputs share ONE map-side-combined
+    groupBy(user_id) — BIT_OR is a monoid like COUNT — partial + final
+    HashAggregate over one scan, no join, no Python."""
+    p = plan(QS["q_activity_bitmaps"](spark, sf_dir))
+    # formatted plans repeat each node in the details; count tree nodes only
+    assert p.count("+- HashAggregate") == 2
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bigram_lm_perplexity_keyed_joins_jvm_side(spark, sf_dir):
+    """LM scoring joins shuffle on the bigram/unigram keys (equi-joins
+    only — no cartesian beyond the 1-row V broadcast) and the whole
+    pipeline stays JVM-side."""
+    p = plan(QS["text_bigram_lm_perplexity"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_weighted_personalized_int_superstep_no_cartesian(spark):
+    """One superstep of the weighted RWR: dst-keyed contribution shuffle;
+    the dangling-mass scalar rides a 1-row broadcast."""
+    from gearpump_spark.operators.graph import personalized_pagerank_weighted_int
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50, 1 + i % 5) for i in range(200)],
+        "src long, dst long, w long",
+    )
+    p = plan(personalized_pagerank_weighted_int(edges, seeds=[0, 1], n_iter=1))
+    assert "CartesianProduct" not in p

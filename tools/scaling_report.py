@@ -187,6 +187,26 @@ EXTRA = [
     "multimodal_png_adam7_real",
     "text_pmi_bigrams",
     "q_mode_per_group",
+    # r7 second/third wave: the weighted integer RWR (same superstep
+    # shape), three bounded-sketch shapes (register merge, TakeOrdered
+    # bottom-k, single-pass decay agg), two RLE codec Arrow maps, the
+    # map-side-collapsed profile/ladder/feature-hash text ops, and the
+    # global_positions curriculum rank
+    "graph_pagerank_weighted_int",
+    "sketch_hll_intersection",
+    "sketch_bottomk_rank_error",
+    "q_decay_counts",
+    "multimodal_tiff_packbits_real",
+    "multimodal_bmp_rle8_real",
+    "text_qgram_lang_distance",
+    "text_longest_dup_ngram",
+    "text_hashed_ngram_features",
+    "sample_curriculum_order",
+    # r7 fourth wave
+    "graph_pagerank_weighted_personalized_int",
+    "text_lang_attribution",
+    "q_activity_bitmaps",
+    "text_bigram_lm_perplexity",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
