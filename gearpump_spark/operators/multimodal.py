@@ -628,6 +628,16 @@ class PixelDecoder(HeaderDecoder):
         try:
             import numpy as np
 
+            # Adversarial-header guard: RLE8 legitimately allows a 2-byte
+            # end-of-bitmap stream for ANY declared dimensions (skipped
+            # pixels are just zero), so unlike the uncompressed path the
+            # payload length does NOT bound w*h — a 100-byte payload can
+            # declare a 65535x65535 raster and make the decoder allocate
+            # gigabytes (hypothesis found exactly this). Cap the raster at
+            # 2^26 pixels; real RLE8 assets this tier handles are tiny,
+            # and a production decoder would stream rows instead.
+            if w * h > (1 << 26):
+                return None
             # palette sits between the 54-byte headers and the pixel data
             n_colors = int.from_bytes(payload[46:50], "little") or 256
             pal_off = 54

@@ -82,13 +82,13 @@ DRIVER_SAMPLE_WINDOW_ROUND = 7
 DRIVER_SAMPLE_WINDOW = [
     # ROUND-7 ROTATION (re-authored mid-round when the r7 second wave
     # registered). Policy: every NEVER-verified oracle-backed query gets
-    # a slot before any re-verification — 30 such queries exist now (the
+    # a slot before any re-verification — 31 such queries exist now (the
     # 8 first-wave r6 backlog the r6 verdict names, the 8 r7 first-wave
-    # additions, and the 14 r7 second/third/fourth-wave additions), so
-    # the remaining 20 slots re-verify the stalest records, all from
-    # round 2. The 22 r2 queries this displaces (the window held the full
-    # 42-query r2 cohort before the new waves landed) keep their round-2
-    # records and head the r8 rotation — never-verified > stale is the
+    # additions, and the 15 r7 second..fifth-wave additions), so the
+    # remaining 19 slots re-verify the stalest records, all from round 2.
+    # The 23 r2 queries this displaces (the window held the full 42-query
+    # r2 cohort before the new waves landed) keep their round-2 records
+    # and head the r8 rotation — never-verified > stale is the
     # preference test_window_prefers_least_recently_verified encodes
     # (never-verified queries have no record to be judged fresher than an
     # excluded one's).
@@ -137,8 +137,11 @@ DRIVER_SAMPLE_WINDOW = [
     "text_lang_attribution",
     "q_activity_bitmaps",
     "text_bigram_lm_perplexity",
-    # -- round-2 records, 5 rounds stale (20 of the 42-query r2 cohort;
-    #    the other 22 are the head of the r8 rotation). Dedup family --
+    # -- never-sampled, oracle-backed (r7 fifth wave): the LSH banding
+    #    S-curve audit with the scale-adaptive sample rate --
+    "dedup_lsh_scurve",
+    # -- round-2 records, 5 rounds stale (19 of the 42-query r2 cohort;
+    #    the other 23 are the head of the r8 rotation). Dedup family --
     "dedup_clusters",
     "dedup_minhash_signature",
     "dedup_semantic",
@@ -147,7 +150,6 @@ DRIVER_SAMPLE_WINDOW = [
     "text_doc_stats",
     "text_pii_redact",
     "text_quality",
-    "text_repetition",
     # -- sampling / mixing suite --
     "sample_hash_10pct",
     "sample_pack_sequences",

@@ -8087,3 +8087,157 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_lsh_scurve",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    nn AS (SELECT LEAST(10000, 1500000 // COUNT(*)) AS rate FROM documents),
+    samp AS (SELECT doc_id FROM documents CROSS JOIN nn
+             WHERE CAST(CONCAT('0x', SUBSTR(MD5('11' || '|' || doc_id), 1, 15))
+                   AS BIGINT) % 10000 < nn.rate),
+    sh AS (SELECT DISTINCT s.doc_id, s.shingle FROM shingled s
+           JOIN samp USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT sa.doc_id AS a, sb.doc_id AS b,
+               COALESCE(i.i, 0) AS i,
+               za.n + zb.n - COALESCE(i.i, 0) AS u
+        FROM samp sa JOIN samp sb ON sa.doc_id < sb.doc_id
+        JOIN sizes za ON za.doc_id = sa.doc_id
+        JOIN sizes zb ON zb.doc_id = sb.doc_id
+        LEFT JOIN inter i ON i.a = sa.doc_id AND i.b = sb.doc_id),
+    sig AS (
+        SELECT doc_id,
+               MIN(MD5('0|' || shingle)) AS h0, MIN(MD5('1|' || shingle)) AS h1,
+               MIN(MD5('2|' || shingle)) AS h2, MIN(MD5('3|' || shingle)) AS h3,
+               MIN(MD5('4|' || shingle)) AS h4, MIN(MD5('5|' || shingle)) AS h5
+        FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, bi.band_idx,
+               CASE bi.band_idx
+                    WHEN 0 THEN MD5(h0 || '|' || h1)
+                    WHEN 1 THEN MD5(h2 || '|' || h3)
+                    ELSE MD5(h4 || '|' || h5) END AS band_key
+        FROM sig
+        CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS band_idx) bi),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id),
+    scored AS (
+        SELECT CAST((10 * p.i) // p.u AS BIGINT) AS bucket,
+               (c.a IS NOT NULL) AS hit,
+               CAST(ROUND(
+                   CAST(p.u*p.u*p.u*p.u*p.u*p.u
+                        - (p.u*p.u - p.i*p.i) * (p.u*p.u - p.i*p.i)
+                          * (p.u*p.u - p.i*p.i) AS DOUBLE)
+                   / CAST(p.u*p.u*p.u*p.u*p.u*p.u AS DOUBLE), 6)
+                 AS DECIMAL(18,6)) AS pt
+        FROM pairs p LEFT JOIN cand c ON c.a = p.a AND c.b = p.b)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collisions,
+           ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS emp_rate,
+           ROUND(CAST(SUM(pt) AS DOUBLE) / COUNT(*), 6) AS avg_theory
+    FROM scored GROUP BY bucket ORDER BY bucket
+    """,
+    desc="LSH banding S-CURVE audit (Leskovec MMDS ch.3): over every pair "
+    "of a 10% hash-stable doc sample, the EMPIRICAL banded-collision "
+    "rate per exact-Jaccard decile next to the theoretical curve "
+    "1-(1-s^r)^b (b=3, r=2) — the theory term computed as the exact "
+    "integer rational (u^6 - (u^2-i^2)^3)/u^6, one IEEE division per "
+    "pair — the tuning table that tells a dedup operator which "
+    "similarity mass their band/row choice will catch or leak; the "
+    "sample rate adapts as min(10000, 1500000//n_docs) basis points "
+    "(~150 docs at every scale), the same integer formula in both "
+    "engines",
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-pair ground truth is inherently quadratic, so it runs on
+    a bounded hash-stable sample like dedup_lsh_recall (independent
+    seed), with the rate SHRINKING as the corpus grows — rate_bp =
+    min(10000, 1500000 // n_docs) holds the sampled set at ~150 docs at
+    every scale, so the all-pairs cross join is a CONSTANT ~11k tiny
+    rows whether the corpus is 500 docs or 500 billion (the advice
+    dedup_lsh_recall documents, mechanized per the adaptive-parameter
+    discipline: the oracle mirrors the same integer formula). Exact
+    intersections ride the inverted shingle index; the LSH side reuses
+    minhash_signatures/lsh_candidate_pairs unchanged; curve variance
+    depends on |S|, not corpus size."""
+    from gearpump_spark.operators import sampling as SP2
+
+    all_docs = table(spark, sf_dir, "documents")
+    rate_bp = min(10000, 1_500_000 // all_docs.count())
+    docs = SP2.hash_sample(all_docs, "doc_id", rate_bp, seed=11)
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count("*").alias("i"))
+    )
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("pa"))
+        .crossJoin(ids.select(F.col("doc_id").alias("pb")))
+        .where(F.col("pa") < F.col("pb"))
+        .join(sizes.select(F.col("doc_id").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(sizes.select(F.col("doc_id").alias("pb"), F.col("n").alias("nb")), "pb")
+        .join(
+            inter,
+            (F.col("pa") == F.col("ia")) & (F.col("pb") == F.col("ib")),
+            "left",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.coalesce(F.col("i"), F.lit(0)).alias("i"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))).alias("u"),
+        )
+    )
+    sig = D.minhash_signatures(docs, k=6)
+    cand = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2).select(
+        F.col("a").alias("ca"), F.col("b").alias("cb"), F.lit(True).alias("hit")
+    )
+    u, i = F.col("u"), F.col("i")
+    u6 = u * u * u * u * u * u
+    q3 = (u * u - i * i) * (u * u - i * i) * (u * u - i * i)
+    pt = F.round((u6 - q3).cast("double") / u6.cast("double"), 6).cast(
+        "decimal(18,6)"
+    )
+    scored = pairs.join(
+        cand, (F.col("pa") == F.col("ca")) & (F.col("pb") == F.col("cb")), "left"
+    ).select(
+        F.expr("(10 * i) DIV u").cast("bigint").alias("bucket"),
+        F.coalesce(F.col("hit"), F.lit(False)).alias("hit"),
+        pt.alias("pt"),
+    )
+    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            hits.cast("bigint").alias("n_collisions"),
+            F.round(hits.cast("double") / F.count("*"), 6).alias("emp_rate"),
+            F.round(F.sum("pt").cast("double") / F.count("*"), 6).alias(
+                "avg_theory"
+            ),
+        )
+        .orderBy("bucket")
+    )

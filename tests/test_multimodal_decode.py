@@ -1777,3 +1777,27 @@ def test_bmp_rle8_malformed_streams_yield_none():
     assert (
         dec.decode_pixels_arr(bmp(b"\x00\x00\x00\x00\x02\x07\x00\x01")) is None
     )  # EOL past top row then more data
+
+
+def test_bmp_rle8_giant_header_rejected_fast():
+    """RLE8 allows a 2-byte end-of-bitmap stream for ANY declared
+    dimensions (skipped pixels are zero), so payload length does not
+    bound w*h — a 100-byte payload declaring a 65535x65535 raster must
+    be rejected by the 2^26-pixel cap, not decoded into gigabytes
+    (hypothesis found this as a multi-GB allocation)."""
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    palette = b"".join(bytes([j, j, j, 0]) for j in range(256))
+    stream = b"\x00\x01"  # immediate EOB: a legal stream for any w*h
+    off = 54 + len(palette)
+    payload = (
+        b"BM" + (off + len(stream)).to_bytes(4, "little")
+        + b"\x00" * 4 + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (65535).to_bytes(4, "little", signed=True)
+        + (65535).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + len(stream).to_bytes(4, "little")
+        + b"\x00" * 16 + palette + stream
+    )
+    assert PixelDecoder().decode_pixels_arr(payload) is None

@@ -202,7 +202,8 @@ EXTRA = [
     "text_longest_dup_ngram",
     "text_hashed_ngram_features",
     "sample_curriculum_order",
-    # r7 fourth wave
+    # r7 fourth/fifth wave
+    "dedup_lsh_scurve",
     "graph_pagerank_weighted_personalized_int",
     "text_lang_attribution",
     "q_activity_bitmaps",
