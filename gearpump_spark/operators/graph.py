@@ -263,6 +263,106 @@ def personalized_pagerank_numpy_reference(
     return {v: float(r[idx[v]]) for v in nodes}
 
 
+def _pagerank_int_loop(
+    e: DataFrame,
+    seeds: "list[int] | None",
+    n_iter: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared superstep loop behind the four BIT-REPRODUCIBLE PageRank
+    variants (uniform/weighted × global/personalized). ``e`` is the
+    normalized (src, dst, w) edge frame — the uniform wrappers pass
+    w = 1, which makes contrib (r·1) DIV tw bit-identical to
+    r DIV out_deg; ``seeds`` is None for the global teleport (restart
+    set = all nodes, kk = n) or the seed list (restart set = seeds,
+    kk = k, validated here against the node set). Every arithmetic step
+    is the one documented on the public wrappers; this function exists
+    only to keep the four loops from drifting apart.
+    """
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0 and seeds is None:
+        nodes.unpersist()
+        return nodes.withColumn("r", F.lit(0).cast("long"))
+    if seeds is None:
+        kk = n
+        is_seed = F.lit(True)
+        seed_share = f"dm DIV {n}L"
+    else:
+        kk = len(seeds)
+        is_seed = F.col("node_id").isin(seeds)
+        if nodes.where(is_seed).count() != kk:
+            known = {r.node_id for r in nodes.where(is_seed).collect()}
+            unknown = sorted(s for s in seeds if s not in known)
+            nodes.unpersist()
+            raise ValueError(
+                f"{op_name}: seeds not present in the graph: {unknown}"
+            )
+        seed_pred = "node_id IN (" + ",".join(map(str, seeds)) + ")"
+        seed_share = f"CASE WHEN {seed_pred} THEN dm DIV {kk}L ELSE 0L END"
+    out_w = e.groupBy("src").agg(F.sum("w").cast("long").alias("tw")).persist()
+    base = (damping_den - damping_num) * scale // (damping_den * kk)
+    ranks = nodes.withColumn(
+        "r", F.when(is_seed, F.lit(scale // kk)).otherwise(F.lit(0)).cast("long")
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        dangling = ranks.join(
+            out_w, ranks.node_id == out_w.src, "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        contribs = (
+            e.join(out_w, "src")
+            .join(ranks, F.col("src") == ranks.node_id)
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("(r * w) DIV tw").alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
+                "node_id",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(im, 0L) + ({seed_share})))"
+                        f" DIV {damping_den}"
+                    ).cast("long")
+                ).alias("r"),
+            )
+            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
+        )
+    nodes.unpersist()
+    out_w.unpersist()
+    return ranks
+
+
+def _with_unit_weight(e: DataFrame) -> DataFrame:
+    return e.withColumn("w", F.lit(1).cast("long"))
+
+
+def _validated_seeds(seeds: list, op_name: str) -> "list[int]":
+    if not seeds:
+        raise ValueError(f"{op_name} needs a non-empty seed set")
+    seeds = [int(s) for s in seeds]
+    if len(set(seeds)) != len(seeds):
+        raise ValueError(f"{op_name}: duplicate seeds")
+    return seeds
+
+
 def personalized_pagerank_int(
     edges: DataFrame,
     seeds: list,
@@ -293,67 +393,12 @@ def personalized_pagerank_int(
     round, localCheckpoint lineage cuts, the driver never sees per-node
     data — only the seed list (k ids) crosses the boundary.
     """
-    if not seeds:
-        raise ValueError("personalized_pagerank_int needs a non-empty seed set")
-    seeds = [int(s) for s in seeds]
-    if len(set(seeds)) != len(seeds):
-        raise ValueError("personalized_pagerank_int: duplicate seeds")
+    seeds = _validated_seeds(seeds, "personalized_pagerank_int")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-        .persist()
+    return _pagerank_int_loop(
+        _with_unit_weight(e), seeds, n_iter, scale, damping_num, damping_den,
+        "personalized_pagerank_int",
     )
-    k = len(seeds)
-    is_seed = F.col("node_id").isin(seeds)
-    n_seeds_present = nodes.where(is_seed).count()
-    if n_seeds_present != k:
-        known = {r.node_id for r in nodes.where(is_seed).collect()}
-        unknown = sorted(s for s in seeds if s not in known)
-        nodes.unpersist()
-        raise ValueError(
-            f"personalized_pagerank_int: seeds not present in the graph: {unknown}"
-        )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("od")).persist()
-    base = (damping_den - damping_num) * scale // (damping_den * k)
-    ranks = nodes.withColumn(
-        "r", F.when(is_seed, F.lit(scale // k)).otherwise(F.lit(0)).cast("long")
-    ).localCheckpoint()
-
-    for _ in range(n_iter):
-        dangling = ranks.join(
-            out_deg, ranks.node_id == out_deg.src, "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-        contribs = (
-            e.join(out_deg, "src")
-            .join(ranks, F.col("src") == ranks.node_id)
-            .select(F.col("dst").alias("node_id"), F.expr("r DIV od").alias("c"))
-        )
-        ranks = (
-            nodes.join(
-                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
-                "node_id",
-                "left",
-            )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node_id",
-                (
-                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
-                    + F.expr(
-                        f"({damping_num} * (coalesce(im, 0L)"
-                        f" + (CASE WHEN {'node_id IN (' + ','.join(map(str, seeds)) + ')'}"
-                        f" THEN dm DIV {k}L ELSE 0L END)))"
-                        f" DIV {damping_den}"
-                    ).cast("long")
-                ).alias("r"),
-            )
-            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
-        )
-    nodes.unpersist()
-    out_deg.unpersist()
-    return ranks
 
 
 def pagerank_weighted_int(
@@ -394,57 +439,9 @@ def pagerank_weighted_int(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     )
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-        .persist()
+    return _pagerank_int_loop(
+        e, None, n_iter, scale, damping_num, damping_den, "pagerank_weighted_int"
     )
-    n = nodes.count()
-    if n == 0:
-        nodes.unpersist()
-        return nodes.withColumn("r", F.lit(0).cast("long"))
-    out_w = e.groupBy("src").agg(
-        F.sum("w").cast("long").alias("tw"), F.count("*").alias("n_out")
-    ).persist()
-    base = (damping_den - damping_num) * scale // (damping_den * n)
-    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long")).localCheckpoint()
-
-    for _ in range(n_iter):
-        dangling = (
-            ranks.join(out_w, ranks.node_id == out_w.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-        )
-        contribs = (
-            e.join(out_w, "src")
-            .join(ranks, F.col("src") == ranks.node_id)
-            .select(
-                F.col("dst").alias("node_id"),
-                F.expr("(r * w) DIV tw").alias("c"),
-            )
-        )
-        ranks = (
-            nodes.join(
-                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
-                "node_id",
-                "left",
-            )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node_id",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * (coalesce(im, 0L) + (dm DIV {n}L)))"
-                        f" DIV {damping_den}"
-                    ).cast("long")
-                ).alias("r"),
-            )
-            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
-        )
-    nodes.unpersist()
-    out_w.unpersist()
-    return ranks
 
 
 def personalized_pagerank_weighted_int(
@@ -472,76 +469,14 @@ def personalized_pagerank_weighted_int(
     One dst-keyed shuffle per superstep, localCheckpoint lineage cuts;
     only the k seed ids cross the driver boundary.
     """
-    if not seeds:
-        raise ValueError(
-            "personalized_pagerank_weighted_int needs a non-empty seed set"
-        )
-    seeds = [int(s) for s in seeds]
-    if len(set(seeds)) != len(seeds):
-        raise ValueError("personalized_pagerank_weighted_int: duplicate seeds")
+    seeds = _validated_seeds(seeds, "personalized_pagerank_weighted_int")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     )
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-        .persist()
+    return _pagerank_int_loop(
+        e, seeds, n_iter, scale, damping_num, damping_den,
+        "personalized_pagerank_weighted_int",
     )
-    k = len(seeds)
-    is_seed = F.col("node_id").isin(seeds)
-    n_seeds_present = nodes.where(is_seed).count()
-    if n_seeds_present != k:
-        known = {r.node_id for r in nodes.where(is_seed).collect()}
-        unknown = sorted(s for s in seeds if s not in known)
-        nodes.unpersist()
-        raise ValueError(
-            "personalized_pagerank_weighted_int: seeds not present in the "
-            f"graph: {unknown}"
-        )
-    out_w = e.groupBy("src").agg(F.sum("w").cast("long").alias("tw")).persist()
-    base = (damping_den - damping_num) * scale // (damping_den * k)
-    ranks = nodes.withColumn(
-        "r", F.when(is_seed, F.lit(scale // k)).otherwise(F.lit(0)).cast("long")
-    ).localCheckpoint()
-    seed_pred = "node_id IN (" + ",".join(map(str, seeds)) + ")"
-
-    for _ in range(n_iter):
-        dangling = ranks.join(
-            out_w, ranks.node_id == out_w.src, "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-        contribs = (
-            e.join(out_w, "src")
-            .join(ranks, F.col("src") == ranks.node_id)
-            .select(
-                F.col("dst").alias("node_id"),
-                F.expr("(r * w) DIV tw").alias("c"),
-            )
-        )
-        ranks = (
-            nodes.join(
-                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
-                "node_id",
-                "left",
-            )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node_id",
-                (
-                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
-                    + F.expr(
-                        f"({damping_num} * (coalesce(im, 0L)"
-                        f" + (CASE WHEN {seed_pred}"
-                        f" THEN dm DIV {k}L ELSE 0L END)))"
-                        f" DIV {damping_den}"
-                    ).cast("long")
-                ).alias("r"),
-            )
-            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
-        )
-    nodes.unpersist()
-    out_w.unpersist()
-    return ranks
 
 
 def connected_components(
@@ -975,54 +910,11 @@ def pagerank_int(
     tested graph. Same superstep plan shape as `pagerank`: one shuffle
     per round, localCheckpoint lineage cuts, driver sees no per-node data.
     """
-    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-        .persist()
+    return _pagerank_int_loop(
+        _with_unit_weight(e), None, n_iter, scale, damping_num, damping_den,
+        "pagerank_int",
     )
-    n = nodes.count()
-    if n == 0:
-        nodes.unpersist()
-        return nodes.withColumn("r", F.lit(0).cast("long"))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("od")).persist()
-    base = (damping_den - damping_num) * scale // (damping_den * n)
-    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long")).localCheckpoint()
-
-    for _ in range(n_iter):
-        dangling = (
-            ranks.join(out_deg, ranks.node_id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-        )
-        contribs = (
-            e.join(out_deg, "src")
-            .join(ranks, F.col("src") == ranks.node_id)
-            .select(F.col("dst").alias("node_id"), F.expr("r DIV od").alias("c"))
-        )
-        ranks = (
-            nodes.join(
-                contribs.groupBy("node_id").agg(F.sum("c").alias("im")),
-                "node_id",
-                "left",
-            )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node_id",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * (coalesce(im, 0L) + (dm DIV {n}L)))"
-                        f" DIV {damping_den}"
-                    ).cast("long")
-                ).alias("r"),
-            )
-            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
-        )
-    nodes.unpersist()
-    out_deg.unpersist()
-    return ranks
 
 
 def kcore(

@@ -703,6 +703,13 @@ class PixelDecoder(HeaderDecoder):
             channels = payload[12]
             if w <= 0 or h <= 0 or channels not in (3, 4) or payload[13] > 1:
                 return None
+            # Adversarial-header guard (same class as the RLE8/TIFF caps):
+            # w and h are attacker-controlled 32-bit fields and the output
+            # raster is allocated BEFORE the op walk, so a 30-byte payload
+            # could demand a 100 GB np.empty. A RUN op covers <= 62 px per
+            # byte, so the payload length bounds any decodable raster.
+            if w * h > 62 * len(payload):
+                return None
             import numpy as np
 
             n_px = w * h
@@ -869,7 +876,12 @@ class PixelDecoder(HeaderDecoder):
                     return None
                 typ, cnt, voff = tags[tag]
                 size = {3: 2, 4: 4}.get(typ)
-                if size is None:
+                # cnt is attacker-controlled (4 header bytes, up to 2^32):
+                # an unbounded list comprehension here is a multi-GB
+                # allocation from a 100-byte payload — same adversarial-
+                # header class as the RLE8 raster cap. 4096 strips is far
+                # beyond anything this tier decodes.
+                if size is None or cnt > 4096:
                     return None
                 if cnt * size <= 4:
                     return [rd(voff + j * size, size) for j in range(cnt)]

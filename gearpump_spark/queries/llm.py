@@ -7383,6 +7383,23 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _padded_trigrams(tok: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., g): word-boundary-padded character trigrams of column
+    ``w`` — the Cavnar-Trenkle profile unit shared by the language
+    distance and attribution queries (their oracles carry the same
+    RANGE/SUBSTR form)."""
+    pw = F.concat(F.lit("_"), F.lower(F.col("w")), F.lit("_"))
+    return tok.select(
+        *keys,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(pw) - F.lit(2)),
+                lambda i: pw.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+
+
 @register(
     "text_qgram_lang_distance",
     oracle="""
@@ -7430,16 +7447,7 @@ def text_qgram_lang_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("w"))
-    pw = F.concat(F.lit("_"), F.lower(F.col("w")), F.lit("_"))
-    tg = tok.select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(pw) - F.lit(2)),
-                lambda i: pw.substr(i, F.lit(3)),
-            )
-        ).alias("g"),
-    )
+    tg = _padded_trigrams(tok, "lang")
     cnt = tg.groupBy("lang", "g").agg(F.count("*").alias("c"))
     rk = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
@@ -7918,17 +7926,7 @@ def text_lang_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
     )
-    pw = F.concat(F.lit("_"), F.lower(F.col("w")), F.lit("_"))
-    tg = tok.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(pw) - F.lit(2)),
-                lambda i: pw.substr(i, F.lit(3)),
-            )
-        ).alias("g"),
-    )
+    tg = _padded_trigrams(tok, "doc_id", "lang")
     lcnt = tg.groupBy("lang", "g").agg(F.count("*").alias("c"))
     lrk = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))

@@ -1933,31 +1933,24 @@ def q_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_activity_bitmaps",
     oracle="""
+    WITH m AS (
+        SELECT user_id,
+               BIT_OR(CASE WHEN event_type = 'view'
+                    THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                    ELSE 0 END) AS mv,
+               BIT_OR(CASE WHEN event_type = 'purchase'
+                    THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
+                    ELSE 0 END) AS mp
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id)
     SELECT user_id,
-           CAST(BIT_OR(CASE WHEN event_type = 'view'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END) AS BIGINT) AS view_mask,
-           CAST(BIT_OR(CASE WHEN event_type = 'purchase'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END) AS BIGINT) AS purchase_mask,
-           CAST(BIT_COUNT(BIT_OR(CASE WHEN event_type = 'view'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END)) AS BIGINT) AS days_view,
-           CAST(BIT_COUNT(BIT_OR(CASE WHEN event_type = 'purchase'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END)) AS BIGINT) AS days_purchase,
-           CAST(BIT_COUNT(BIT_OR(CASE WHEN event_type = 'view'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END) & BIT_OR(CASE WHEN event_type = 'purchase'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END)) AS BIGINT) AS days_both,
-           BIT_COUNT(BIT_OR(CASE WHEN event_type = 'view'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END) & BIT_OR(CASE WHEN event_type = 'purchase'
-                THEN 1::BIGINT << CAST(DAYOFMONTH(ts) - 1 AS INT)
-                ELSE 0 END)) > 0 AS same_day_conversion
-    FROM events WHERE event_type IN ('view', 'purchase')
-    GROUP BY user_id ORDER BY user_id
+           CAST(mv AS BIGINT) AS view_mask,
+           CAST(mp AS BIGINT) AS purchase_mask,
+           CAST(BIT_COUNT(mv) AS BIGINT) AS days_view,
+           CAST(BIT_COUNT(mp) AS BIGINT) AS days_purchase,
+           CAST(BIT_COUNT(mv & mp) AS BIGINT) AS days_both,
+           BIT_COUNT(mv & mp) > 0 AS same_day_conversion
+    FROM m ORDER BY user_id
     """,
     desc="per-user day-of-month activity BITMAPS (the poor man's Roaring "
     "bitmap — a month fits one BIGINT): view and purchase masks built by "

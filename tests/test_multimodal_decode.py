@@ -1276,7 +1276,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=200, deadline=None)
+# derandomize: a random example stream twice found pathological decoder
+# inputs mid-CI (multi-GB header-driven allocations, since capped) — a
+# FIXED example stream keeps this suite's runtime and memory reproducible;
+# exploration happens in dev runs (HYPOTHESIS_PROFILE), not the gate.
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.binary(max_size=400))
 def test_decoders_never_raise_on_arbitrary_bytes(data):
     """Every sniffer/decoder returns a value or None for ANY byte string
@@ -1333,7 +1337,7 @@ def _fuzz_fixture(kind: str) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(
     st.sampled_from(["bmp", "png", "gif", "jpeg", "jpeg12", "prog", "wav", "mp4"]),
     st.integers(0, 3_000),
@@ -1799,5 +1803,57 @@ def test_bmp_rle8_giant_header_rejected_fast():
         + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
         + (1).to_bytes(4, "little") + len(stream).to_bytes(4, "little")
         + b"\x00" * 16 + palette + stream
+    )
+    assert PixelDecoder().decode_pixels_arr(payload) is None
+
+
+def test_tiff_giant_strip_count_rejected_fast():
+    """A TIFF IFD can declare a 4-byte StripOffsets count up to 2^32;
+    materializing that array is a multi-GB Python list from a 100-byte
+    payload. The 4096-entry cap must reject it instantly."""
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    bo = "little"
+
+    def entry(tag, typ, cnt, valfield):
+        return (
+            tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+            + cnt.to_bytes(4, bo) + valfield
+        )
+
+    def short_val(v):
+        return v.to_bytes(2, bo) + b"\x00\x00"
+
+    entries = (
+        entry(256, 3, 1, short_val(4))
+        + entry(257, 3, 1, short_val(2))
+        + entry(258, 3, 1, short_val(8))
+        + entry(259, 3, 1, short_val(1))
+        + entry(262, 3, 1, short_val(1))
+        + entry(273, 4, 0xFFFFFF, (200).to_bytes(4, bo))  # giant count
+        + entry(277, 3, 1, short_val(1))
+        + entry(278, 3, 1, short_val(2))
+        + entry(279, 4, 0xFFFFFF, (204).to_bytes(4, bo))
+    )
+    ifd = (9).to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+    payload = b"II*\x00" + (8).to_bytes(4, bo) + ifd + b"\x00" * 64
+    import time
+
+    t0 = time.time()
+    assert PixelDecoder().decode_tiff_arr(payload) is None
+    assert time.time() - t0 < 1.0
+
+
+def test_qoi_giant_header_rejected_fast():
+    """QOI w/h are 32-bit header fields and the raster is allocated
+    before the op walk — a RUN op covers <= 62 px/byte, so any raster
+    bigger than 62*len(payload) is undecodable and must be rejected
+    before allocation."""
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    payload = (
+        b"qoif"
+        + (65535).to_bytes(4, "big") + (65535).to_bytes(4, "big")
+        + bytes([3, 0]) + b"\x00" * 16 + b"\x00" * 7 + b"\x01"
     )
     assert PixelDecoder().decode_pixels_arr(payload) is None

@@ -1228,6 +1228,19 @@ def test_pagerank_personalized_int_superstep_is_keyed_no_cartesian(spark):
 # ---------------------------------------------------------------------------
 
 
+def _assert_no_single_partition_windows(p: str, what: str) -> None:
+    """Every Window node in the formatted plan must sit over a partitioned
+    exchange, never Exchange SinglePartition (the per-query pin twin of
+    the full-registry audit above — localizes the failure)."""
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            ctx = "\n".join(lines[i + 1 : i + 6])
+            assert "SinglePartition" not in ctx, what
+
+
+
+
 def test_bottomk_rank_error_takeordered_broadcast_audit(spark, sf_dir):
     """The k=256 sample is a TakeOrdered on the seeded hash (per-partition
     heaps, never a global sort); the audit side joins the 1-row estimate
@@ -1248,11 +1261,7 @@ def test_qgram_distance_rank_window_lang_partitioned_profiles_broadcast(
     assert "hashpartitioning(lang" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
-    lines = p.splitlines()
-    for i, ln in enumerate(lines):
-        if "Window" in ln and "WindowGroupLimit" not in ln:
-            ctx = "\n".join(lines[i + 1 : i + 6])
-            assert "SinglePartition" not in ctx, "profile rank went single-task"
+    _assert_no_single_partition_windows(p, "profile rank went single-task")
 
 
 def test_longest_dup_ngram_argmax_window_doc_partitioned(spark, sf_dir):
@@ -1262,11 +1271,7 @@ def test_longest_dup_ngram_argmax_window_doc_partitioned(spark, sf_dir):
     p = plan(QS["text_longest_dup_ngram"](spark, sf_dir))
     assert "hashpartitioning(doc_id" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    lines = p.splitlines()
-    for i, ln in enumerate(lines):
-        if "Window" in ln and "WindowGroupLimit" not in ln:
-            ctx = "\n".join(lines[i + 1 : i + 6])
-            assert "SinglePartition" not in ctx, "dup argmax went single-task"
+    _assert_no_single_partition_windows(p, "dup argmax went single-task")
 
 
 def test_hll_intersection_no_corpus_join(spark, sf_dir):
@@ -1349,11 +1354,7 @@ def test_lang_attribution_windows_partitioned_profiles_broadcast(spark, sf_dir):
     assert "hashpartitioning(doc_id" in p
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    lines = p.splitlines()
-    for i, ln in enumerate(lines):
-        if "Window" in ln and "WindowGroupLimit" not in ln:
-            ctx = "\n".join(lines[i + 1 : i + 6])
-            assert "SinglePartition" not in ctx, "profile rank went single-task"
+    _assert_no_single_partition_windows(p, "profile rank went single-task")
 
 
 def test_activity_bitmaps_single_agg_pass(spark, sf_dir):
