@@ -77,97 +77,78 @@ _LOADED = False
 # turn the tree red, which is exactly what happened at the r5/r6
 # boundary (r5 VERDICT "What's wrong" #1). Bump this whenever the
 # window rotates.
-DRIVER_SAMPLE_WINDOW_ROUND = 7
+DRIVER_SAMPLE_WINDOW_ROUND = 8
 
 DRIVER_SAMPLE_WINDOW = [
-    # ROUND-7 ROTATION (re-authored mid-round when the r7 second wave
-    # registered). Policy: every NEVER-verified oracle-backed query gets
-    # a slot before any re-verification — 31 such queries exist now (the
-    # 8 first-wave r6 backlog the r6 verdict names, the 8 r7 first-wave
-    # additions, and the 15 r7 second..fifth-wave additions), so the
-    # remaining 19 slots re-verify the stalest records, all from round 2.
-    # The 23 r2 queries this displaces (the window held the full 42-query
-    # r2 cohort before the new waves landed) keep their round-2 records
-    # and head the r8 rotation — never-verified > stale is the
-    # preference test_window_prefers_least_recently_verified encodes
-    # (never-verified queries have no record to be judged fresher than an
-    # excluded one's).
+    # ROUND-8 ROTATION (r7 verdict "Next round" #1 and #4). After r7,
+    # every oracle-backed query has a cumulative driver hash-green record;
+    # the job now is evidence FRESHNESS. Policy unchanged: never-verified
+    # first, then the stalest records, and no slots re-spent on rows-only
+    # queries that already have a rows-only record (r7 verdict "What's
+    # wrong" #2) — with ONE deliberate exception, below.
     #
-    # -- never-sampled, oracle-backed (registered mid-r6) --
-    "multimodal_alaw_real",
-    "dedup_containment",
-    "dedup_url_canonical",
-    "q_asof_tolerance_join",
-    "embedding_covariance",
-    "similarity_range_search",
-    "text_zipf_fit",
-    "sketch_hll_sparse",
-    # -- never-sampled, oracle-backed (r7 first wave): integer
-    #    personalized PageRank, theta A-NOT-B, HLL++ switchover audit,
-    #    percentile bands, integer top-PC, Adam7 interlace audit, PMI
-    #    collocations, group-wise mode --
-    "graph_pagerank_personalized_int",
-    "sketch_theta_anotb",
-    "sketch_hll_switchover",
-    "q_percentile_bands",
-    "embedding_top_pc_int",
-    "multimodal_png_adam7_real",
-    "text_pmi_bigrams",
-    "q_mode_per_group",
-    # -- never-sampled, oracle-backed (r7 second wave): weighted integer
-    #    PageRank, HLL intersection w/ error band, Cavnar-Trenkle q-gram
-    #    language distance, longest duplicated n-gram ladder, bottom-k
-    #    rank-error audit, PackBits TIFF decode --
-    "graph_pagerank_weighted_int",
-    "sketch_hll_intersection",
-    "text_qgram_lang_distance",
-    "text_longest_dup_ngram",
-    "sketch_bottomk_rank_error",
-    "multimodal_tiff_packbits_real",
-    # -- never-sampled, oracle-backed (r7 third wave): time-decayed
-    #    counts, curriculum ordering, feature hashing, BMP RLE8 decode --
-    "q_decay_counts",
-    "sample_curriculum_order",
-    "text_hashed_ngram_features",
-    "multimodal_bmp_rle8_real",
-    # -- never-sampled, oracle-backed (r7 fourth wave): weighted
-    #    personalized PageRank, Cavnar-Trenkle language attribution,
-    #    day-of-month activity bitmaps, bigram-LM perplexity --
-    "graph_pagerank_weighted_personalized_int",
-    "text_lang_attribution",
-    "q_activity_bitmaps",
-    "text_bigram_lm_perplexity",
-    # -- never-sampled, oracle-backed (r7 fifth wave): the LSH banding
-    #    S-curve audit with the scale-adaptive sample rate --
-    "dedup_lsh_scurve",
-    # -- round-2 records, 5 rounds stale (19 of the 42-query r2 cohort;
-    #    the other 23 are the head of the r8 rotation). Dedup family --
-    "dedup_clusters",
-    "dedup_minhash_signature",
-    "dedup_semantic",
-    # -- text-analysis suite --
-    "text_bm25_topk",
-    "text_doc_stats",
-    "text_pii_redact",
-    "text_quality",
-    # -- sampling / mixing suite --
-    "sample_hash_10pct",
-    "sample_pack_sequences",
-    "sample_shuffle_order",
-    # -- sketches --
-    "sketch_bloom_join",
-    "sketch_bloom_membership",
-    "sketch_hll_distinct",
-    # -- remaining r2 flagships: fingerprinting, similarity, multimodal
-    #    metadata, the end-to-end quality pipeline, and the two r2
-    #    rows-only records (iterative float fixpoints — the ratchet pulls
-    #    them in because their rows-only records are the stalest left) --
-    "doc_fingerprint",
-    "similarity_topk",
-    "multimodal_metadata",
-    "pipeline_quality_dedup_sample",
-    "graph_pagerank",
-    "kmeans_clusters",
+    # -- the single never-sampled registrant (rows-only float PPR; its
+    #    bit-reproducible integer twin went oracle-green in r7). One slot
+    #    closes the "every registrant has a driver record" invariant
+    #    permanently (r7 verdict #4). --
+    "graph_pagerank_personalized",
+    # -- the 23 round-2 records, 6 rounds stale: the dedup/text/sampling
+    #    flagship cohort the r7 late waves displaced. --
+    "dedup_chunk_exact",
+    "dedup_contamination",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "sample_bottom_k",
+    "sample_epochs_mix",
+    "sample_k_per_group",
+    "sample_stratified_mix",
+    "sample_train_test_split",
+    "sample_weighted_priority",
+    "sketch_approx_quantiles",
+    "text_boilerplate",
+    "text_chunk_windows",
+    "text_doc_freq",
+    "text_lang_confusion",
+    "text_lang_id",
+    "text_lang_profile",
+    "text_rare_bigram_frac",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "text_vocab_coverage",
+    # -- 26 of the 47 oracle-backed round-3 records, 5 rounds stale
+    #    (similarity_topk_ivf and text_bpe_tokens are rows-only r3
+    #    records and stay out per the no-rows-only-re-spend policy; the
+    #    remaining 21 oracle-backed r3 records head the r9 rotation).
+    #    Weighted toward the decode family and the flagship pipelines —
+    #    the largest hand-built code mass at risk of silent drift. --
+    "dedup_clusters_twophase",
+    "dedup_lsh_recall",
+    "embedding_outliers",
+    "graph_triangle_count",
+    "graph_triangle_estimate",
+    "multimodal_audio_dedup",
+    "multimodal_image_dedup",
+    "multimodal_jpeg_pixels_real",
+    "multimodal_jpeg_progressive_real",
+    "multimodal_png_pixels_real",
+    "multimodal_video_stsd",
+    "pipeline_chunk_pack",
+    "q_cohort_retention",
+    "q_complexdag_lineage",
+    "q_corr_qty_price",
+    "q_funnel_conversion",
+    "q_grouping_sets",
+    "q_latest_by_key",
+    "q_session_window",
+    "q_upsert_merge",
+    "q_window_topk_trending",
+    "sample_temperature_mix",
+    "sketch_countmin_words",
+    "text_bm25_topk_and",
+    "text_phrase_match",
+    "text_strip_html",
 ]
 
 
