@@ -363,6 +363,26 @@ def _validated_seeds(seeds: list, op_name: str) -> "list[int]":
     return seeds
 
 
+def _validated_weights(e: DataFrame, op_name: str) -> DataFrame:
+    """Weight positivity is part of the (r·w) DIV W contract, enforced
+    like the seed validation, not just documented (ADVICE r7 #3): a zero
+    or negative aggregated out-weight W makes `(r * w) DIV W` NULL in
+    Spark (silently dropped from the in-mass sum — leaked rank mass)
+    while a SQL oracle errors on the division — a silent cross-engine
+    divergence. Checking every individual weight > 0 is strictly
+    stronger (a sum of positives is positive) and catches the
+    negative-weight-positive-total case the aggregate check would miss.
+    Cost: one map-side MIN aggregation returning a single scalar."""
+    mn = e.agg(F.min("w").alias("mn")).collect()[0].mn
+    if mn is not None and mn <= 0:
+        raise ValueError(
+            f"{op_name}: edge weights must be positive (min weight = {mn});"
+            " rank mass splits as (r * w) DIV W and a non-positive total"
+            " out-weight makes the floor division undefined"
+        )
+    return e
+
+
 def personalized_pagerank_int(
     edges: DataFrame,
     seeds: list,
@@ -436,8 +456,13 @@ def pagerank_weighted_int(
     weights into W and contribute separately — same total mass, but the
     caller's oracle must mirror whichever form it feeds).
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    e = _validated_weights(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).alias("w"),
+        ),
+        "pagerank_weighted_int",
     )
     return _pagerank_int_loop(
         e, None, n_iter, scale, damping_num, damping_den, "pagerank_weighted_int"
@@ -470,8 +495,13 @@ def personalized_pagerank_weighted_int(
     only the k seed ids cross the driver boundary.
     """
     seeds = _validated_seeds(seeds, "personalized_pagerank_weighted_int")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    e = _validated_weights(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).alias("w"),
+        ),
+        "personalized_pagerank_weighted_int",
     )
     return _pagerank_int_loop(
         e, seeds, n_iter, scale, damping_num, damping_den,

@@ -649,18 +649,25 @@ class PixelDecoder(HeaderDecoder):
             idx = np.zeros((h, w), dtype=np.uint8)  # row 0 = BOTTOM row
             i, x, y = offset, 0, 0
             n = len(payload)
+            # The cursor is ALLOWED to rest at y == h: common Windows
+            # encoders emit an end-of-line escape after every row
+            # including the last (or a delta may land exactly on y == h)
+            # before the end-of-bitmap marker. Only a pixel-WRITING packet
+            # (encoded/absolute) arriving there is an error.
             while True:
-                if i + 2 > n or y >= h:
-                    return None  # truncated stream / run past the top row
+                if i + 2 > n:
+                    return None  # truncated stream
                 c, v = payload[i], payload[i + 1]
                 i += 2
                 if c > 0:  # encoded mode: c copies of index v
-                    if x + c > w:
+                    if y >= h or x + c > w:
                         return None
                     idx[y, x : x + c] = v
                     x += c
                 elif v == 0:  # end of line
                     x, y = 0, y + 1
+                    if y > h:
+                        return None  # a second EOL past the top row
                 elif v == 1:  # end of bitmap
                     break
                 elif v == 2:  # delta: move right dx, up dy (bottom-up)
@@ -671,7 +678,7 @@ class PixelDecoder(HeaderDecoder):
                     if x > w or y > h:
                         return None
                 else:  # absolute mode: v literal indices, word-padded
-                    if x + v > w or i + v > n:
+                    if y >= h or x + v > w or i + v > n:
                         return None
                     idx[y, x : x + v] = np.frombuffer(
                         payload, dtype=np.uint8, count=v, offset=i

@@ -8129,16 +8129,16 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bands x JOIN bands y
           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
              AND x.doc_id < y.doc_id),
-    scored AS (
+    scored0 AS (
         SELECT CAST((10 * p.i) // p.u AS BIGINT) AS bucket,
                (c.a IS NOT NULL) AS hit,
-               CAST(ROUND(
-                   CAST(p.u*p.u*p.u*p.u*p.u*p.u
-                        - (p.u*p.u - p.i*p.i) * (p.u*p.u - p.i*p.i)
-                          * (p.u*p.u - p.i*p.i) AS DOUBLE)
-                   / CAST(p.u*p.u*p.u*p.u*p.u*p.u AS DOUBLE), 6)
+               CAST(p.i AS DOUBLE) / CAST(p.u AS DOUBLE) AS q
+        FROM pairs p LEFT JOIN cand c ON c.a = p.a AND c.b = p.b),
+    scored AS (
+        SELECT bucket, hit,
+               CAST(ROUND(1 - (1 - q*q) * (1 - q*q) * (1 - q*q), 6)
                  AS DECIMAL(18,6)) AS pt
-        FROM pairs p LEFT JOIN cand c ON c.a = p.a AND c.b = p.b)
+        FROM scored0)
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
@@ -8151,12 +8151,14 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="LSH banding S-CURVE audit (Leskovec MMDS ch.3): over every pair "
     "of a 10% hash-stable doc sample, the EMPIRICAL banded-collision "
     "rate per exact-Jaccard decile next to the theoretical curve "
-    "1-(1-s^r)^b (b=3, r=2) — the theory term computed as the exact "
-    "integer rational (u^6 - (u^2-i^2)^3)/u^6, one IEEE division per "
-    "pair — the tuning table that tells a dedup operator which "
+    "1-(1-s^r)^b (b=3, r=2) — the theory term computed in IEEE double "
+    "as 1-(1-(i/u)^2)^3 with the identical operation order in both "
+    "engines (the r7 integer rational u^6 wrapped BIGINT past u~1448, "
+    "a silent Spark-side divergence for long documents — ADVICE r7 #2) "
+    "— the tuning table that tells a dedup operator which "
     "similarity mass their band/row choice will catch or leak; the "
     "sample rate adapts as min(10000, 1500000//n_docs) basis points "
-    "(~150 docs at every scale), the same integer formula in both "
+    "(~150 docs at every scale), the same double formula in both "
     "engines",
 )
 def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8167,7 +8169,7 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     every scale, so the all-pairs cross join is a CONSTANT ~11k tiny
     rows whether the corpus is 500 docs or 500 billion (the advice
     dedup_lsh_recall documents, mechanized per the adaptive-parameter
-    discipline: the oracle mirrors the same integer formula). Exact
+    discipline: the oracle mirrors the same double formula). Exact
     intersections ride the inverted shingle index; the LSH side reuses
     minhash_signatures/lsh_candidate_pairs unchanged; curve variance
     depends on |S|, not corpus size."""
@@ -8213,12 +8215,15 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.lsh_candidate_pairs(sig, k=6, rows_per_band=2).select(
         F.col("a").alias("ca"), F.col("b").alias("cb"), F.lit(True).alias("hit")
     )
-    u, i = F.col("u"), F.col("i")
-    u6 = u * u * u * u * u * u
-    q3 = (u * u - i * i) * (u * u - i * i) * (u * u - i * i)
-    pt = F.round((u6 - q3).cast("double") / u6.cast("double"), 6).cast(
-        "decimal(18,6)"
-    )
+    # Theory term 1-(1-s^2)^3 with s = i/u computed entirely in IEEE
+    # double — identical op order to the oracle (q*q, then three-way
+    # left-assoc product), so the engines agree bit-for-bit and nothing
+    # overflows for ANY shingle-set size. The r7 form multiplied u^6 in
+    # BIGINT, which wraps silently past u ~ 1448 while DuckDB raises
+    # (ADVICE r7 #2).
+    q = F.col("i").cast("double") / F.col("u").cast("double")
+    t = F.lit(1.0) - q * q
+    pt = F.round(F.lit(1.0) - t * t * t, 6).cast("decimal(18,6)")
     scored = pairs.join(
         cand, (F.col("pa") == F.col("ca")) & (F.col("pb") == F.col("cb")), "left"
     ).select(

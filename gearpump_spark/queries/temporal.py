@@ -1890,39 +1890,48 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(1::BIGINT << CAST(40 - LEAST(GREATEST(
+           CAST(SUM(CAST(1::BIGINT << CAST(30 - LEAST(GREATEST(
                     DATEDIFF('day', CAST(ts AS DATE), DATE '2024-02-01'),
-                    0), 40) AS INT)) AS BIGINT) AS decay_num,
-           ROUND(CAST(SUM(1::BIGINT << CAST(40 - LEAST(GREATEST(
+                    0), 30) AS INT) AS HUGEINT)) AS VARCHAR) AS decay_num,
+           ROUND(CAST(SUM(1::BIGINT << CAST(30 - LEAST(GREATEST(
                     DATEDIFF('day', CAST(ts AS DATE), DATE '2024-02-01'),
-                    0), 40) AS INT)) AS DOUBLE) / 1099511627776.0, 6)
+                    0), 30) AS INT)) AS DOUBLE) / 1073741824.0, 6)
              AS decayed_count
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     desc="exponentially time-decayed event counts (half-life 1 day, "
     "anchored at 2024-02-01): each event contributes 2^-age — the "
     "trending/freshness score streaming counters maintain — computed as "
-    "an EXACT integer numerator sum of 2^(40-age) (every term a power "
+    "an EXACT integer numerator sum of 2^(30-age) (every term a power "
     "of two, so no float summation order exists) divided once at the "
-    "end; age clamps to [0,40] so the numerator stays inside BIGINT",
+    "end; the numerator ACCUMULATES in decimal(38,0)/HUGEINT and "
+    "surfaces as a digit string, so no group cardinality can overflow "
+    "it (the r7 2^40-scale BIGINT sum wrapped silently past ~8.4M "
+    "recent events per group — ADVICE r7 #4)",
 )
 def q_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one map-side-combined groupBy over |event_types| keys; the
     decayed count is mergeable across partitions/days exactly like a
     plain count (integer addition), which is why the decay lives in the
-    numerator instead of a per-row float multiply."""
+    numerator instead of a per-row float multiply. Overflow discipline
+    (ADVICE r7 #4): terms max at 2^30 and the sum runs in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB) — headroom ~10^28 events per group — and
+    the exact numerator column is a STRING because a 64-bit surface
+    would re-introduce the ceiling the accumulator just removed (the
+    decimal-output lesson from text_bigram_lm_perplexity: DuckDB's
+    client returns DECIMAL as float64, strings stay exact)."""
     ev = table(spark, sf_dir, "events")
     term = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(40 - LEAST(GREATEST("
-        "datediff(DATE'2024-02-01', to_date(ts)), 0), 40) AS INT))"
+        "shiftleft(CAST(1 AS BIGINT), CAST(30 - LEAST(GREATEST("
+        "datediff(DATE'2024-02-01', to_date(ts)), 0), 30) AS INT))"
     )
-    num = F.sum(term).cast("bigint")
+    num = F.sum(term.cast("decimal(38,0)"))
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            num.alias("decay_num"),
-            F.round(num.cast("double") / F.lit(float(1 << 40)), 6).alias(
+            num.cast("string").alias("decay_num"),
+            F.round(num.cast("double") / F.lit(float(1 << 30)), 6).alias(
                 "decayed_count"
             ),
         )

@@ -1783,6 +1783,52 @@ def test_bmp_rle8_malformed_streams_yield_none():
     )  # EOL past top row then more data
 
 
+def test_bmp_rle8_trailing_eol_before_eob_is_legal():
+    """Common Windows encoders emit an end-of-line escape after EVERY row
+    including the last, then the end-of-bitmap marker — the cursor rests
+    at y == h when EOB arrives. A delta may also land exactly on y == h.
+    Both are spec-legal and must decode (r7 ADVICE #1: the old loop-top
+    y >= h check rejected them)."""
+    from gearpump_spark.operators.multimodal import PixelDecoder
+
+    dec = PixelDecoder()
+    palette = b"".join(bytes([j, j, j, 0]) for j in range(256))
+
+    def bmp(stream: bytes, w: int = 4, h: int = 2) -> bytes:
+        off = 54 + len(palette)
+        return (
+            b"BM" + (off + len(stream)).to_bytes(4, "little")
+            + b"\x00" * 4 + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + len(stream).to_bytes(4, "little")
+            + b"\x00" * 16 + palette + stream
+        )
+
+    # EOL after every row including the last, then EOB.
+    res = dec.decode_pixels_arr(
+        bmp(b"\x04\x07\x00\x00\x04\x09\x00\x00\x00\x01")
+    )
+    assert res is not None and (res["width"], res["height"]) == (4, 2)
+    assert int(res["arr"].sum()) == 3 * 4 * (7 + 9)
+    # Delta landing exactly on y == h, then EOB (skipped pixels zero).
+    res = dec.decode_pixels_arr(bmp(b"\x04\x07\x00\x02\x00\x01\x00\x01"))
+    assert res is not None and int(res["arr"].sum()) == 3 * 4 * 7
+    # But a pixel-writing packet AT y == h still fails (encoded + absolute),
+    # and a second EOL past the top row still fails.
+    assert dec.decode_pixels_arr(
+        bmp(b"\x04\x07\x00\x00\x04\x09\x00\x00\x01\x07\x00\x01")
+    ) is None
+    assert dec.decode_pixels_arr(
+        bmp(b"\x04\x07\x00\x00\x04\x09\x00\x00\x00\x03abc\x00\x01")
+    ) is None
+    assert dec.decode_pixels_arr(
+        bmp(b"\x04\x07\x00\x00\x04\x09\x00\x00\x00\x00\x00\x01")
+    ) is None
+
+
 def test_bmp_rle8_giant_header_rejected_fast():
     """RLE8 allows a 2-byte end-of-bitmap stream for ANY declared
     dimensions (skipped pixels are zero), so payload length does not

@@ -2970,3 +2970,35 @@ def test_personalized_pagerank_weighted_int_matches_pure_python(spark):
         personalized_pagerank_weighted_int(edf, [1, 1])
     with pytest.raises(ValueError, match="not present"):
         personalized_pagerank_weighted_int(edf, [99])
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    """ADVICE r7 #3: a zero/negative out-weight total turns (r·w) DIV W
+    into NULL in Spark — rank mass silently leaks from the in-mass sum
+    while a SQL oracle errors. Positivity is now enforced like the seed
+    contract, on BOTH weighted variants, before any superstep runs."""
+    import pytest
+
+    from gearpump_spark.operators.graph import (
+        pagerank_weighted_int,
+        personalized_pagerank_weighted_int,
+    )
+
+    zero_w = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 0)], "src bigint, dst bigint, w bigint"
+    )
+    neg_cancel = spark.createDataFrame(
+        # individual negatives whose per-source TOTAL is positive — the
+        # case an aggregate-only check would miss
+        [(1, 2, 5), (1, 3, -2)], "src bigint, dst bigint, w bigint"
+    )
+    for bad in (zero_w, neg_cancel):
+        with pytest.raises(ValueError, match="positive"):
+            pagerank_weighted_int(bad, n_iter=2)
+        with pytest.raises(ValueError, match="positive"):
+            personalized_pagerank_weighted_int(bad, [1], n_iter=2)
+    # all-positive weights still run
+    ok = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 4)], "src bigint, dst bigint, w bigint"
+    )
+    assert pagerank_weighted_int(ok, n_iter=2).count() == 2
