@@ -48,6 +48,59 @@ def wait_for_idle_machine() -> float:
         load = os.getloadavg()[0]
     return load
 
+def cpu_calibration() -> dict:
+    """Fixed-work CPU probe stamped into the artifact (r8): the isolation
+    guard sees this guest's load average but NOT host-level noise (steal,
+    neighboring VMs, thermal state), and round-over-round comparisons
+    were silently assuming a constant-speed host. Measured r8: the same
+    commit's graph_triangle_count swung 6.6-14.6 s across serial
+    same-JVM runs while guest load was ~0 — host noise, not engine
+    regression. Two deterministic probes, ~1.5 s total, run BEFORE the
+    SparkSession exists: a BLAS matmul (FP/memory throughput, threads)
+    and a pure-Python loop (scalar integer speed, single core). Compare
+    these across rounds before reading a headline delta as real."""
+    import numpy as np
+
+    a = np.full((2000, 2000), 0.5)
+    t0 = time.perf_counter()
+    a @ a
+    matmul = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    pyloop = time.perf_counter() - t0
+    return {"matmul_2000_sec": round(matmul, 3), "pyloop_1e7_sec": round(pyloop, 3)}
+
+
+def warm_page_cache(*dirs: str) -> None:
+    """Untimed sequential read of every byte of the headline tier's input
+    files (r7 verdict "What's wrong" #1): the isolation guard catches CPU
+    contention but cannot see an EVICTED PAGE CACHE — a bench started
+    right after a filesystem-scanning or memory-hungry process reads the
+    IO-heavy tier ~10-20% high (BENCH_NOTES_r7 final-tree series: 36.1 s
+    immediately after a cache-evicting process vs 21.8 s steady-state,
+    with graph_triangle_count and text_bm25_topk carrying most of it).
+    A resident engine on a real cluster serves from hot data; reading
+    the parquet once before the timed loop makes the official artifact
+    converge to that steady-state number instead of landing 10% above
+    it. ~1 GB at sf0.1 — a few seconds, outside every timer."""
+    import glob as _glob
+
+    for d in dirs:
+        if not d or not os.path.isdir(d):
+            continue
+        for path in sorted(
+            _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        ):
+            try:
+                with open(path, "rb", buffering=0) as f:
+                    while f.read(1 << 24):
+                        pass
+            except OSError:
+                pass
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -82,6 +135,7 @@ SUPERLINEAR = {"graph_triangle_count"}
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     load_at_start = wait_for_idle_machine()
+    calib = cpu_calibration()
     isolation = "clean" if load_at_start <= IDLE_LOAD_MAX else "contaminated"
     if isolation == "contaminated":
         print(
@@ -173,6 +227,15 @@ def main() -> None:
                 qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:
                 pass
+
+    # Page-cache warm-up (untimed): the target-SF parquet plus the
+    # spark-warehouse persisted indexes (the BM25 inverted index lives
+    # there). Runs AFTER the sf0.001 codegen warmup so the bytes are hot
+    # when the timed loop starts.
+    warm_page_cache(
+        SF_DIR,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"),
+    )
 
     timings: dict[str, float] = {}
     # Best-of-2 at the target SF: run 1 still pays parquet footer reads and
@@ -482,6 +545,10 @@ def main() -> None:
         # engine regression.
         "load_avg_at_start": round(load_at_start, 2),
         "isolation": isolation,
+        # Host-speed stamp (r8): normalize cross-round headline deltas by
+        # these before calling anything a regression — the guest cannot
+        # see hypervisor-level contention any other way.
+        "cpu_calibration": calib,
     }
     line = json.dumps(out)
     # Belt and braces for the driver handoff: (1) persist the artifact to a

@@ -2155,6 +2155,94 @@ def ahash_fingerprints(
     )
 
 
+_PHASH_INT_SHIFT = 11  # fixed-point basis scale 2^11 (overflow headroom below)
+
+
+def _phash_int_basis() -> "list[list[int]]":
+    """Rows 0..7 of the 32-point DCT-II basis in 2^11 fixed point:
+    B[k][n] = round(cos((2n+1)·k·π/64) · 2048). Generated, not hand-typed
+    — the SAME Python expression builds the oracle's VALUES table, so the
+    operator and the SQL share constants by construction."""
+    import math
+
+    n = 32
+    s = 1 << _PHASH_INT_SHIFT
+    return [
+        [round(math.cos((2 * x + 1) * k * math.pi / (2 * n)) * s) for x in range(n)]
+        for k in range(8)
+    ]
+
+
+def phash63_int(rows) -> int:
+    """63-bit INTEGER perceptual hash — the bit-reproducible counterpart
+    of phash64 (same pipeline: luminance → 32x32 nearest-neighbor
+    resample → 2D DCT-II → 8x8 low block minus DC, thresholded at the
+    median), with every float replaced by exact integer arithmetic so
+    the full decode→hash pipeline is SQL-checkable like ahash63:
+
+    - gray g = (B+G+R) // 3 per resampled pixel (integers 0..255),
+    - EXACT mean removal g' = 1024·g − Σg (cross-multiplied, so a
+      uniform brightness shift s cancels identically: 1024·s − 1024·s;
+      the float pHash only gets this approximately by dropping DC),
+    - fixed-point DCT: dct = B @ g' @ Bᵀ with B = round(cos·2^11)
+      (integer matmul; |dct| ≤ 32·2048·(1024·255)·32·2048 ≈ 1.1e18 < 2^63),
+    - DC is exactly 0 after mean removal; the other 63 coefficients
+      threshold at their median = the 32nd order statistic of 63 ints
+      (odd count — an exact element, no averaging), bit i set when
+      c_i > med, i = 8·k1 + k2 − 1 ∈ [0, 62] → always a positive long.
+    """
+    import numpy as np
+
+    arr = np.asarray(rows, dtype=np.int64)
+    h, w = arr.shape[0], arr.shape[1]
+    sub = arr[np.ix_(np.arange(32) * h // 32, np.arange(32) * w // 32)]
+    g = sub.sum(axis=2) // 3
+    gp = 1024 * g - int(g.sum())
+    basis = np.asarray(_phash_int_basis(), dtype=np.int64)  # 8x32
+    dct = basis @ gp @ basis.T
+    low = dct.flatten()[1:]
+    med = int(np.sort(low)[31])
+    bits = 0
+    for i, c in enumerate(low):
+        if int(c) > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash_int_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """(id, width, height, phash): integer-DCT perceptual hashes — same
+    narrow Arrow-map shape and banding contract as phash_fingerprints,
+    but hash-exact across engines (multimodal_phash_int), closing the
+    gap the float DCT left goldened-only."""
+    decoder = decoder or PixelDecoder()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].values,
+                "width": [],
+                "height": [],
+                "phash": [],
+            }
+            for p in pdf[payload_col]:
+                img = None if p is None else decoder.decode_pixels_arr(bytes(p))
+                if img is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["phash"].append(None)
+                else:
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["phash"].append(phash63_int(img["arr"]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, _id_field(df, id_col) + ", width int, height int, phash bigint"
+    )
+
+
 def synthesize_noise_pair_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup fixture for pHash: every 2 consecutive doc_ids share one
     deterministic LCG-noise pattern (group = doc_id // 2 seeds the

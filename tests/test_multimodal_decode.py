@@ -1421,6 +1421,64 @@ def test_ahash63_brightness_invariance_and_pairing(spark):
     assert got == {(2 * g, 2 * g + 1): 0 for g in range(20)}
 
 
+def test_phash63_int_shift_invariance_and_twin_pairing(spark):
+    """phash63_int must (a) be EXACTLY invariant under a uniform
+    brightness shift (cross-multiplied mean removal cancels it
+    identically — not just approximately like the float pHash's DC
+    drop), (b) stay inside a signed 63-bit long, (c) separate the LCG
+    noise groups while pairing twins at Hamming 0, and (d) agree with a
+    from-scratch pure-python reimplementation (independent of numpy
+    matmul) on the fixture."""
+    import math
+
+    from gearpump_spark.operators.multimodal import (
+        _phash_int_basis,
+        phash63_int,
+        phash_int_fingerprints,
+        synthesize_noise_pair_payloads,
+    )
+
+    base = [[[40 + (i * 37 + j * 11) % 160] * 3 for j in range(24)] for i in range(16)]
+    shifted = [[[v + 8 for v in px] for px in row] for row in base]
+    assert phash63_int(base) == phash63_int(shifted)
+    assert 0 <= phash63_int(base) < 1 << 63
+
+    # (d) independent pure-python mirror (exact big-int arithmetic)
+    def mirror(rows):
+        h, w = len(rows), len(rows[0])
+        sub = [
+            [rows[y * h // 32][x * w // 32] for x in range(32)] for y in range(32)
+        ]
+        g = [[sum(px) // 3 for px in row] for row in sub]
+        tot = sum(sum(row) for row in g)
+        gp = [[1024 * v - tot for v in row] for row in g]
+        B = _phash_int_basis()
+        t1 = [
+            [sum(B[k][y] * gp[y][x] for y in range(32)) for x in range(32)]
+            for k in range(8)
+        ]
+        dct = [
+            [sum(B[k2][x] * t1[k1][x] for x in range(32)) for k2 in range(8)]
+            for k1 in range(8)
+        ]
+        low = [dct[i][j] for i in range(8) for j in range(8)][1:]
+        med = sorted(low)[31]
+        return sum(1 << i for i, c in enumerate(low) if c > med)
+
+    assert phash63_int(base) == mirror(base)
+    # basis sanity: row 0 is the constant 2^11 row (cos 0 = 1 exactly)
+    assert _phash_int_basis()[0] == [2048] * 32
+    assert _phash_int_basis()[1][0] == round(math.cos(math.pi / 64) * 2048)
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    fps = phash_int_fingerprints(synthesize_noise_pair_payloads(docs))
+    rows = {r.doc_id: r.phash for r in fps.collect()}
+    for g in range(20):
+        assert rows[2 * g] == rows[2 * g + 1], g  # twins collide exactly
+    distinct = {rows[2 * g] for g in range(20)}
+    assert len(distinct) == 20  # groups separate
+
+
 def test_mp4_stts_multi_run_fps_walk():
     """stts extension: multi-run (count, delta) tables round-trip — the
     walker's video_stts_duration is Σ count·delta; counts that disagree

@@ -3002,3 +3002,23 @@ def test_weighted_pagerank_rejects_nonpositive_weights(spark):
         [(1, 2, 3), (2, 1, 4)], "src bigint, dst bigint, w bigint"
     )
     assert pagerank_weighted_int(ok, n_iter=2).count() == 2
+
+
+def test_quality_lr_int_actually_learns(spark):
+    """text_quality_lr_int is only worth its oracle row if the training
+    loop LEARNS: train accuracy must clearly beat the majority class
+    (63% at sf0.01) and approach the float-LR ceiling measured on the
+    same features (87.8%). Also pins the fixed hyperparameters' health:
+    a learning-rate regression that stalls or oscillates the loop shows
+    up here as an accuracy drop, not as a silent hash change."""
+    from gearpump_spark.queries import all_queries
+
+    out = all_queries()["text_quality_lr_int"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    n = len(out)
+    assert n == 500
+    acc = sum(1 for r in out if r.pred == r.label) / n
+    majority = max(sum(r.label for r in out), n - sum(r.label for r in out)) / n
+    assert acc >= 0.80, f"classifier failed to train: acc={acc}"
+    assert acc >= majority + 0.10, (majority, acc)

@@ -1388,3 +1388,27 @@ def test_pagerank_weighted_personalized_int_superstep_no_cartesian(spark):
     )
     p = plan(personalized_pagerank_weighted_int(edges, seeds=[0, 1], n_iter=1))
     assert "CartesianProduct" not in p
+
+
+def test_phash_int_narrow_map_keyed_twin_join(spark, sf_dir):
+    """Integer-pHash fingerprints are an Arrow-batched narrow map
+    (payload bytes never cross an exchange — only 8-byte hashes do) and
+    the twin pairing is a doc_id-keyed equi-join, never a cartesian."""
+    p = plan(QS["multimodal_phash_int"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the only Python in the plan is the Arrow decode/hash map
+    assert "BatchEvalPython" not in p
+    # payloads stay on the map side: the exchange inputs carry hash/int
+    # columns only (no binary payload column crosses a shuffle)
+    assert "payload" not in p.split("Exchange", 1)[1].split("+- ", 1)[0] if "Exchange" in p else True
+
+
+def test_quality_lr_scoring_pass_keyed_broadcast_weights(spark, sf_dir):
+    """One scoring pass of the trained integer LR: features aggregate
+    map-side per (doc_id, bucket), the 65-row weight vector rides a
+    broadcast join (never a shuffle on the corpus side for weights), and
+    nothing drops to row-at-a-time Python."""
+    p = plan(QS["text_quality_lr_int"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
