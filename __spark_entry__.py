@@ -6,9 +6,12 @@
 ``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for
                   genuinely non-reproducible ops: iterative fixpoints
                   with order-dependent float math — PageRank, k-means,
-                  Lloyd-refined IVF — plus BPE merge chains and pHash
-                  DCT pairing; SimHash, LSH top-k and seeded IVF are
-                  deterministic and oracle-backed as of r4).
+                  Lloyd-refined IVF, float top-PCs — plus the byte-level
+                  BPE chain and float-DCT pHash pairing; every one of
+                  those has an oracle-backed integer/greedy twin as of
+                  r8 — pagerank_int family, kmeans_clusters_int,
+                  similarity_topk_ivf_seeded, embedding_top_pc_int,
+                  text_bpe_tokens/text_bpe_exact, multimodal_phash_int).
 
 Implementation lives in gearpump_spark/ — see gearpump_spark/queries/.
 """

@@ -2794,15 +2794,155 @@ def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(docs, ("merge", "stream"))
 
 
+def _bpe_train_blocks(
+    n_merges: int, min_freq: int, byte_level: bool = False
+) -> "list[str]":
+    """The unrolled BPE-trainer CTE chain shared by _bpe_exact_oracle and
+    _bpe_greedy_oracle: bpe_words, v0, then per round k the pair counts
+    p{k}, the 0-or-1-row argmax b{k}, and the rewritten vocab v{k+1}.
+    byte_level mirrors bpe_train_bytes: case-PRESERVED word types whose
+    base symbols are the uppercase hex byte pairs of the word's UTF-8
+    encoding (HEX(ENCODE(w)) in DuckDB == F.hex(F.encode(w)) in Spark),
+    instead of lowercased character symbols."""
+    U = "chr(31)"
+    word_expr = "w" if byte_level else "LOWER(w)"
+    base_expr = (
+        f"regexp_replace(HEX(ENCODE(word)), '(..)', {U} || '\\1' || {U}, 'g')"
+        if byte_level
+        else f"regexp_replace(word, '(.)', {U} || '\\1' || {U}, 'g')"
+    )
+    blocks = [
+        f"""
+    bpe_words AS MATERIALIZED (
+      SELECT doc_id, {word_expr} AS word
+      FROM documents,
+           UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                              x -> x <> '')) AS t(w)),
+    v0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             {base_expr} AS s
+      FROM bpe_words GROUP BY word)"""
+    ]
+    for k in range(n_merges):
+        blocks.append(
+            f""",
+    p{k} AS MATERIALIZED (
+      SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS freq
+      FROM (SELECT cnt, UNNEST(list_zip(lst, lst[2:])) AS pr
+            FROM (SELECT cnt,
+                         string_split(trim(s, {U}), {U} || {U}) AS lst
+                  FROM v{k}))
+      WHERE pr[2] IS NOT NULL
+      GROUP BY 1, 2),
+    b{k} AS MATERIALIZED (
+      SELECT l, r FROM p{k} WHERE freq >= {min_freq}
+      ORDER BY freq DESC, l, r LIMIT 1),
+    v{k + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+             CASE WHEN b.l IS NULL THEN v.s
+                  ELSE replace(v.s, {U} || b.l || {U} || {U} || b.r || {U},
+                               {U} || b.l || b.r || {U}) END AS s
+      FROM v{k} v LEFT JOIN b{k} b ON TRUE)"""
+        )
+    return blocks
+
+
+def _bpe_greedy_oracle(
+    n_merges: int = 16,
+    min_freq: int = 2,
+    n_apply: int = 12,
+    byte_level: bool = False,
+) -> str:
+    """Unrolled mirror of the GREEDY BEST-RANK BPE encoder
+    (operators/bpe.py _apply_merges — the real-world tokenizer API for
+    unseen text, rows-only until r8): first the shared trainer chain
+    derives the ranked merges b0..b{k}, then every word TYPE runs
+    n_apply unrolled steps of "merge the minimum-(rank, index) adjacent
+    pair" over a symbol LIST — the rank lookup is a MAP column
+    (MAP_FROM_ENTRIES over the b{k} rows) probed inside a list lambda,
+    the splice is list slicing, and a step with no rankable pair is a
+    pass-through (so extra steps are no-ops, exactly the while-loop's
+    exit). pick = rank*100000 + index reproduces min((rank, i)) as long
+    as words stay under 100k symbols. n_apply bounds merges per word at
+    len(word)-1; the fixture's longest word type is 8 chars, and a word
+    needing more than n_apply merges would hash-mismatch LOUDLY in the
+    gate rather than silently truncate (greedy differs from the
+    trainer's sequential-exhaustive segmentation — text_bpe_exact — on
+    words where a later merge's output feeds an earlier-ranked pair,
+    which is why this needed its own unroll instead of reusing v16)."""
+    U = "chr(31)"
+    blocks = _bpe_train_blocks(n_merges, min_freq, byte_level)
+    merge_rows = " UNION ALL ".join(
+        f"SELECT l, r, {k} AS rk FROM b{k}" for k in range(n_merges)
+    )
+    g0_expr = (
+        "LIST_TRANSFORM(RANGE(1, LEN(HEX(ENCODE(word))) // 2 + 1),"
+        " i -> SUBSTR(HEX(ENCODE(word)), CAST(2 * i - 1 AS INT), 2))"
+        if byte_level
+        else "LIST_TRANSFORM(RANGE(1, LEN(word) + 1),"
+        " i -> SUBSTR(word, CAST(i AS INT), 1))"
+    )
+    blocks.append(
+        f""",
+    mp AS MATERIALIZED (
+      SELECT MAP_FROM_ENTRIES(LIST((l || {U} || r, rk))) AS m
+      FROM ({merge_rows})),
+    wt AS MATERIALIZED (SELECT DISTINCT word FROM bpe_words),
+    g0 AS MATERIALIZED (
+      SELECT word, {g0_expr} AS syms
+      FROM wt)"""
+    )
+    pick_expr = (
+        "LIST_MIN(LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(syms)), i -> "
+        f"CASE WHEN ELEMENT_AT(m, syms[CAST(i AS INT)] || {U} || "
+        "syms[CAST(i AS INT) + 1])[1] IS NOT NULL THEN "
+        f"ELEMENT_AT(m, syms[CAST(i AS INT)] || {U} || "
+        "syms[CAST(i AS INT) + 1])[1] * 100000 + i END), "
+        "x -> x IS NOT NULL))"
+    )
+    for t in range(n_apply):
+        blocks.append(
+            f""",
+    g{t + 1} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN pick IS NULL THEN syms
+                  ELSE syms[1:CAST(pick % 100000 AS INT) - 1]
+                       || [syms[CAST(pick % 100000 AS INT)]
+                           || syms[CAST(pick % 100000 AS INT) + 1]]
+                       || syms[CAST(pick % 100000 AS INT) + 2:LEN(syms)]
+             END AS syms
+      FROM (SELECT word, syms, {pick_expr} AS pick FROM g{t}, mp))"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f""",
+    gsizes AS MATERIALIZED (
+      SELECT word, CAST(LEN(syms) AS BIGINT) AS n_syms FROM g{n_apply}),
+    agg AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+             CAST(SUM(n_syms) AS BIGINT) AS n_bpe
+      FROM bpe_words w JOIN gsizes USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_ws, 0) AS n_ws_tokens,
+           COALESCE(a.n_bpe, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    )
+
+
 @register(
     "text_bpe_tokens",
-    oracle=None,  # iterative trainer (argmax per round) — golden-tested
+    oracle=_bpe_greedy_oracle(),
     desc="REAL BPE (Sennrich 2016): train a 16-merge table over word-type "
     "counts (one corpus shuffle; per-iteration pair aggregation over the "
     "distributed vocabulary, driver sees 1 row/round), then tokenize via "
     "an Arrow-batched greedy encoder with a Zipf-friendly word cache — "
     "upgrades the regex BPE-ish pre-segmentation to the actual algorithm; "
-    "pinned against a pure-python trainer golden in tests/test_bpe.py",
+    "ORACLE-BACKED as of r8 (the r1-r7 'rank-priority loop is not "
+    "SQL-expressible' claim fell to a MAP-probed list-splice unroll: "
+    "trainer chain -> rank map -> 12 unrolled min-(rank,index) merge "
+    "steps per word type), shrinking the rows-only cohort to 8; still "
+    "pinned against the pure-python golden in tests/test_bpe.py",
 )
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus BPE compression stats per document. Deterministic:
@@ -2821,12 +2961,15 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_bytes",
-    oracle=None,  # iterative trainer (argmax per round) — golden-tested
+    oracle=_bpe_greedy_oracle(byte_level=True),
     desc="BYTE-level BPE (the GPT-2 family setup): 256-byte UTF-8 "
     "alphabet as hex-pair symbols, so any string — accents, CJK, emoji — "
     "tokenizes with zero OOV and tokens spell their exact byte runs "
     "(lossless round-trip pinned in tests/test_bpe.py against a "
-    "pure-python golden); same one-job-per-merge trainer cost model",
+    "pure-python golden); same one-job-per-merge trainer cost model; "
+    "ORACLE-BACKED as of r8 via the byte-level variant of the greedy "
+    "MAP-probed list-splice unroll (hex-pair base symbols, case "
+    "preserved) — rows-only cohort down to 7",
 )
 def text_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE compression stats per document (case-preserving;
@@ -4154,39 +4297,7 @@ def _bpe_exact_oracle(n_merges: int = 16, min_freq: int = 2) -> str:
     stop (best freq < min_freq) a vocab pass-through. MATERIALIZED
     everywhere — each round references the previous twice."""
     U = "chr(31)"
-    blocks = [
-        f"""
-    bpe_words AS MATERIALIZED (
-      SELECT doc_id, LOWER(w) AS word
-      FROM documents,
-           UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
-                              x -> x <> '')) AS t(w)),
-    v0 AS MATERIALIZED (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-             regexp_replace(word, '(.)', {U} || '\\1' || {U}, 'g') AS s
-      FROM bpe_words GROUP BY word)"""
-    ]
-    for k in range(n_merges):
-        blocks.append(
-            f""",
-    p{k} AS MATERIALIZED (
-      SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS freq
-      FROM (SELECT cnt, UNNEST(list_zip(lst, lst[2:])) AS pr
-            FROM (SELECT cnt,
-                         string_split(trim(s, {U}), {U} || {U}) AS lst
-                  FROM v{k}))
-      WHERE pr[2] IS NOT NULL
-      GROUP BY 1, 2),
-    b{k} AS MATERIALIZED (
-      SELECT l, r FROM p{k} WHERE freq >= {min_freq}
-      ORDER BY freq DESC, l, r LIMIT 1),
-    v{k + 1} AS MATERIALIZED (
-      SELECT word, cnt,
-             CASE WHEN b.l IS NULL THEN v.s
-                  ELSE replace(v.s, {U} || b.l || {U} || {U} || b.r || {U},
-                               {U} || b.l || b.r || {U}) END AS s
-      FROM v{k} v LEFT JOIN b{k} b ON TRUE)"""
-        )
+    blocks = _bpe_train_blocks(n_merges, min_freq)
     return (
         "WITH"
         + "".join(blocks)
@@ -8419,6 +8530,121 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ll").cast("double"), 6).alias("sum_logprob"),
             F.round(
                 F.exp(-F.col("ll").cast("double") / F.col("n_bigrams")), 4
+            ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_trigram_lm_perplexity",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                          t -> t <> ''), t -> LOWER(t)) AS tk
+        FROM documents),
+    ucnt AS (SELECT UNNEST(tk) AS w FROM base),
+    vv AS (SELECT COUNT(DISTINCT w) AS v FROM ucnt),
+    tg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                   i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]
+                        || ' ' || tk[CAST(i + 2 AS INT)])) AS g
+        FROM base WHERE LEN(tk) >= 3),
+    tcnt AS (SELECT g, COUNT(*) AS ct FROM tg GROUP BY g),
+    ctx AS (SELECT SPLIT_PART(g, ' ', 1) || ' ' || SPLIT_PART(g, ' ', 2) AS c,
+                   COUNT(*) AS cc
+            FROM tg GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(LN(CAST(tc.ct + 1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(LN(CAST(cx.cc + vv.v AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS t
+        FROM tg t
+        JOIN tcnt tc ON tc.g = t.g
+        JOIN ctx cx ON cx.c = SPLIT_PART(t.g, ' ', 1) || ' '
+                              || SPLIT_PART(t.g, ' ', 2)
+        CROSS JOIN vv),
+    agg AS (SELECT doc_id, COUNT(*) AS n_trigrams, SUM(t) AS ll
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           ROUND(CAST(a.ll AS DOUBLE), 6) AS sum_logprob,
+           ROUND(EXP(-CAST(a.ll AS DOUBLE) / a.n_trigrams), 4) AS perplexity
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="add-one-smoothed TRIGRAM language-model perplexity per document "
+    "(the r7 bigram LM extended one order, the roadmap candidate): "
+    "P(w3|w1w2) = (c123+1)/(c12+V) with the context count taken over "
+    "trigram prefixes (so probabilities normalize per context), every "
+    "log term ROUND(LN,6)-decimal before the exact decimal sum — LN "
+    "args stay integral per the bigram lesson (LN of a quotient is not "
+    "cross-engine stable at 6dp)",
+)
+def text_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: trigram and context counts collapse map-side (vocabulary-
+    bounded); the scoring join shuffles doc trigrams on the trigram key —
+    linear in corpus tokens; V rides a 1-row broadcast. Same plan shape
+    as text_bigram_lm_perplexity with one extra keyed join."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
+    )
+    vv = (
+        base.select(F.explode("tk").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    tg = base.where(F.size("tk") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> concat(element_at(tk, CAST(i AS INT)), ' ',"
+                " element_at(tk, CAST(i + 1 AS INT)), ' ',"
+                " element_at(tk, CAST(i + 2 AS INT))))"
+            )
+        ).alias("g"),
+    )
+    tcnt = tg.groupBy("g").agg(F.count("*").alias("ct"))
+    ctx_key = F.concat_ws(
+        " ", F.split(F.col("g"), " ").getItem(0), F.split(F.col("g"), " ").getItem(1)
+    )
+    ctx = tg.select(ctx_key.alias("c")).groupBy("c").agg(
+        F.count("*").alias("cc")
+    )
+    scored = (
+        tg.join(tcnt, "g")
+        .join(ctx, ctx_key == F.col("c"), "inner")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            (
+                F.round(F.log((F.col("ct") + 1).cast("double")), 6).cast(
+                    "decimal(18,6)"
+                )
+                - F.round(
+                    F.log((F.col("cc") + F.col("v")).cast("double")), 6
+                ).cast("decimal(18,6)")
+            ).alias("t"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"), F.sum("t").alias("ll")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            F.round(F.col("ll").cast("double"), 6).alias("sum_logprob"),
+            F.round(
+                F.exp(-F.col("ll").cast("double") / F.col("n_trigrams")), 4
             ).alias("perplexity"),
         )
         .orderBy("doc_id")

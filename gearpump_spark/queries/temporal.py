@@ -2002,3 +2002,81 @@ def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_activity_bitmaps_weekly",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                 AS week_idx,
+               BIT_OR(CASE WHEN event_type = 'view'
+                    THEN 1::BIGINT << CAST((DATEDIFF('day', DATE '1970-01-01',
+                         CAST(ts AS DATE)) + 4) % 7 AS INT)
+                    ELSE 0 END) AS mv,
+               BIT_OR(CASE WHEN event_type = 'purchase'
+                    THEN 1::BIGINT << CAST((DATEDIFF('day', DATE '1970-01-01',
+                         CAST(ts AS DATE)) + 4) % 7 AS INT)
+                    ELSE 0 END) AS mp
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id, week_idx)
+    SELECT user_id, CAST(week_idx AS BIGINT) AS week_idx,
+           CAST(mv AS BIGINT) AS view_mask,
+           CAST(mp AS BIGINT) AS purchase_mask,
+           CAST(BIT_COUNT(mv | mp) AS BIGINT) AS days_active,
+           CAST(BIT_COUNT(mv & COALESCE(LAG(mv) OVER w, 0)) AS BIGINT)
+             AS habit_days,
+           (LAG(mv) OVER w IS NOT NULL) AS retained
+    FROM m WINDOW w AS (PARTITION BY user_id ORDER BY week_idx)
+    ORDER BY user_id, week_idx
+    """,
+    desc="per-user WEEKLY activity bitmaps — the array-of-masks shape a "
+    "Roaring bitmap index takes (one small mask per time bucket instead "
+    "of one giant one): 7-bit day-of-week view/purchase masks per "
+    "(user, week), then mask ALGEBRA ACROSS buckets via LAG — "
+    "week-over-week retention and 'same weekday habit' overlap as one "
+    "AND+popcount per adjacent-week pair; week index and weekday derive "
+    "from epoch-day integer arithmetic ((d+4)%7, 1970-01-01 = Thursday) "
+    "so no engine's DOW convention is in the loop",
+)
+def q_activity_bitmaps_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combined groupBy(user_id, week) builds the
+    masks (BIT_OR monoid); the cross-bucket algebra is a user-partitioned
+    window over ~weeks-per-user rows — after the first agg, data volume
+    is |users|x|weeks| longs, never the raw events again (the reason
+    time-bucketed bitmap indexes beat per-event storage at 100 TB)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    week_idx = F.expr("datediff(to_date(ts), DATE'1970-01-01') DIV 7")
+
+    def mask(t: str):
+        return F.bit_or(
+            F.when(
+                F.col("event_type") == t,
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST((datediff(to_date(ts),"
+                    " DATE'1970-01-01') + 4) % 7 AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+
+    m = ev.groupBy(
+        "user_id", week_idx.cast("long").alias("week_idx")
+    ).agg(mask("view").alias("mv"), mask("purchase").alias("mp"))
+    w = Window.partitionBy("user_id").orderBy("week_idx")
+    prev = F.lag("mv").over(w)
+    return m.select(
+        "user_id",
+        F.col("week_idx").cast("bigint").alias("week_idx"),
+        F.col("mv").cast("bigint").alias("view_mask"),
+        F.col("mp").cast("bigint").alias("purchase_mask"),
+        F.bit_count(F.col("mv").bitwiseOR(F.col("mp")))
+        .cast("bigint")
+        .alias("days_active"),
+        F.bit_count(F.col("mv").bitwiseAND(F.coalesce(prev, F.lit(0))))
+        .cast("bigint")
+        .alias("habit_days"),
+        prev.isNotNull().alias("retained"),
+    ).orderBy("user_id", "week_idx")

@@ -1412,3 +1412,22 @@ def test_quality_lr_scoring_pass_keyed_broadcast_weights(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_trigram_lm_keyed_joins_jvm_side(spark, sf_dir):
+    """Trigram LM scoring joins shuffle on the trigram/context keys
+    (equi-joins only — no cartesian beyond the 1-row V broadcast); the
+    whole pipeline stays JVM-side. Same pin as the bigram twin."""
+    p = plan(QS["text_trigram_lm_perplexity"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weekly_bitmaps_group_partitioned_window(spark, sf_dir):
+    """Weekly masks build in ONE map-side-combined groupBy(user, week);
+    the cross-week LAG algebra windows over user partitions — never
+    Exchange SinglePartition; no Python anywhere."""
+    p = plan(QS["q_activity_bitmaps_weekly"](spark, sf_dir))
+    _assert_no_single_partition_windows(p, "weekly mask window went single-task")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p

@@ -99,6 +99,18 @@ for name, fn in sorted(qs.items()):
     if not ok_hash:
         fails.append((name, f"rows {len(s_)} vs {len(d_)}, hash mismatch"))
     print(f"  {name}: {status} ({len(s_)} rows, {dt:.1f}s)")
+    # Drop blocks the finished query left behind. localCheckpoint blocks
+    # are PINNED (truncated lineage cannot be recomputed, so the unified
+    # memory manager will not evict them): at sf1 block sizes, ~36
+    # queries' leftovers exhausted the 16g pool mid-sweep (r8:
+    # UNABLE_TO_ACQUIRE_MEMORY in stage 734, then a dead JVM). A real
+    # driver runs one query per session; a sweep must clean between.
+    try:
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:
+        pass
 
 print(f"\n{len(fails)} failures")
 for f in fails:
