@@ -8066,96 +8066,15 @@ def text_quality_lr_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; weights stay micro-unit bounded because the hard sigmoid's
     saturated examples contribute zero gradient. fx/lab materialize once
     (localCheckpoint) and serve all 33 passes."""
-    from gearpump_spark.operators.hashing import seeded_hash15
+    from gearpump_spark.operators import classify as CL
 
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w0")
-    ).select("doc_id", F.lower(F.col("w0")).alias("w"))
-    fx = (
-        tok.select(
-            "doc_id",
-            (seeded_hash15(F.col("w"), 9) % 64).alias("j"),
-            F.when(seeded_hash15(F.col("w"), 10) % 2 == 0, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("s"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("s").cast("long").alias("x"))
-        .where(F.col("x") != 0)
-        .select("doc_id", F.col("j").cast("long").alias("j"), "x")
-        .unionByName(
-            docs.select(
-                "doc_id",
-                F.lit(64).cast("long").alias("j"),
-                F.lit(1).cast("long").alias("x"),
-            )
-        )
-        .localCheckpoint(eager=False)
+    fx = CL.hashed_features(docs).localCheckpoint(eager=False)
+    lab = CL.keyword_teacher_labels(docs).localCheckpoint(eager=False)
+    w = CL.train_lr_int(spark, fx, lab, n_steps=16, lr_den=3)
+    wdf = spark.createDataFrame(
+        [(j, w[j]) for j in range(CL.N_BUCKETS + 1)], "j long, w long"
     )
-    counts = tok.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("w").isin("spark", "table"), 1).otherwise(0)).alias(
-            "pos"
-        ),
-        F.sum(F.when(F.col("w").isin("row", "batch"), 1).otherwise(0)).alias(
-            "neg"
-        ),
-    )
-    lab = (
-        docs.select("doc_id")
-        .join(counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(
-                F.coalesce(F.col("pos"), F.lit(0))
-                > F.coalesce(F.col("neg"), F.lit(0)),
-                1,
-            )
-            .otherwise(0)
-            .cast("long")
-            .alias("y"),
-        )
-        .localCheckpoint(eager=False)
-    )
-
-    def sdiv(x: int, d: int) -> int:
-        # sign-magnitude floor division — the embedding_top_pc_int idiom
-        return -((-x) // d) if x < 0 else x // d
-
-    S = 1_000_000
-    xs = {
-        int(r.j): max(int(r.xs), 1)
-        for r in fx.groupBy("j")
-        .agg(F.sum(F.col("x") * F.col("x")).alias("xs"))
-        .collect()
-    }
-    sigmoid = F.expr(
-        f"least(greatest(CASE WHEN z < 0 THEN -((-z) DIV 4) ELSE z DIV 4 END"
-        f" + {S // 2}, 0), {S})"
-    )
-    w = {j: 0 for j in range(65)}
-    for _t in range(16):
-        wdf = spark.createDataFrame(
-            [(j, w[j]) for j in range(65)], "j long, w long"
-        )
-        z = (
-            fx.join(F.broadcast(wdf), "j")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
-        )
-        e = z.join(lab, "doc_id").select(
-            "doc_id", (F.col("y") * S - sigmoid).alias("e")
-        )
-        grads = (
-            fx.join(e, "doc_id")
-            .groupBy("j")
-            .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
-            .collect()
-        )
-        gm = {int(r.j): int(r.g) for r in grads}
-        for j in range(65):
-            w[j] += sdiv(gm.get(j, 0), 3 * xs.get(j, 1))
-    wdf = spark.createDataFrame([(j, w[j]) for j in range(65)], "j long, w long")
     zf = (
         fx.join(F.broadcast(wdf), "j")
         .groupBy("doc_id")

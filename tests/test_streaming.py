@@ -841,3 +841,44 @@ def test_continuous_trigger_reflect_clock_stamps_records(spark):
         assert row.min_lat >= -2.0, f"stamp precedes event time: {row.min_lat}ms"
     finally:
         q.stop()
+
+
+def test_streaming_lr_scored_emission_matches_batch(spark, tmp_path):
+    """Scored emission (the reference's wordcount->Sum pipeline extended
+    to carry a model): train the integer LR once in batch, then score a
+    document STREAM with lr_margin_expr — a stateless narrow map, so it
+    runs under append mode with no state store — and every streamed
+    (margin, pred) must equal the batch pipeline's bit for bit (the
+    row-local token fold equals the (doc, bucket)-aggregated Σ w·x by
+    integer linearity)."""
+    from gearpump_spark.operators import classify as CL
+
+    rows = [
+        (1, "spark table spark join fast"),
+        (2, "row batch row batch slow"),
+        (3, "table scan table merge"),
+        (4, ""),
+        (5, "batch window row"),
+        (6, "spark spark table table table"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fx = CL.hashed_features(docs)
+    lab = CL.keyword_teacher_labels(docs)
+    w = CL.train_lr_int(spark, fx, lab, n_steps=6, lr_den=3)
+
+    batch = {
+        r.doc_id: (r.margin, r.pred)
+        for r in CL.score_documents(docs, w).collect()
+    }
+    # the teacher rule itself must be learnable here: spark/table docs
+    # positive, row/batch docs negative (sanity that training moved)
+    assert batch[6][1] == 1 and batch[2][1] == 0
+
+    path = str(tmp_path / "score_docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = run_to_completion(
+        CL.score_documents(stream, w), "lr_scored_stream"
+    ).collect()
+    got = {r.doc_id: (r.margin, r.pred) for r in out}
+    assert got == batch

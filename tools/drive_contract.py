@@ -12,12 +12,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 # Driver-style session: plain defaults, 200 shuffle partitions, no UTC pin.
-spark = (
+# SPARK_GRAFT_SIM_DRIVER_MEM sizes the heap for large-SF gate runs only —
+# the default (unset -> Spark's 1g) keeps sf0.01 runs faithful to the real
+# driver, but the sf1 gate runs 100x the data through the same JVM and the
+# wedge-heavy tier (graph_triangle_count) legitimately needs a real heap
+# there (r8: AGGREGATE_OUT_OF_MEMORY at sf1 under the 1g default).
+_builder = (
     SparkSession.builder.master("local[8]")
     .appName("driver-sim")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+_sim_mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
+if _sim_mem:
+    _builder = _builder.config("spark.driver.memory", _sim_mem)
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E

@@ -208,6 +208,18 @@ EXTRA = [
     "text_lang_attribution",
     "q_activity_bitmaps",
     "text_bigram_lm_perplexity",
+    # r8 wave: the integer-DCT pHash Arrow map + keyed twin join, the
+    # 16-step integer LR (expect near-flat: 33 bounded agg passes
+    # dominate until the data term catches up, like pagerank_int), the
+    # trigram LM (one more keyed join than its bigram twin), the weekly
+    # bitmap window, and the two greedy-BPE tokenizers (word-TYPE-bounded
+    # encode; corpus term only in the word-count shuffle)
+    "multimodal_phash_int",
+    "text_quality_lr_int",
+    "text_trigram_lm_perplexity",
+    "q_activity_bitmaps_weekly",
+    "text_bpe_tokens",
+    "text_bpe_bytes",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
