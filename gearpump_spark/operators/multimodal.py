@@ -2197,6 +2197,18 @@ def phash63_int(rows) -> int:
     h, w = arr.shape[0], arr.shape[1]
     sub = arr[np.ix_(np.arange(32) * h // 32, np.arange(32) * w // 32)]
     g = sub.sum(axis=2) // 3
+    # The int64 overflow bound (|dct| <= 32*2048*(1024*gmax)*32*2048) holds
+    # only for 8-bit luminance: a 12-bit raster (gmax 4095) would push the
+    # matmul past 2^63 and numpy wraps SILENTLY. Validate, don't document
+    # (the weighted-PageRank weight lesson) — deep-bit rasters must be
+    # rescaled to 8 bits before hashing.
+    gmax = int(g.max()) if g.size else 0
+    if gmax > 255:
+        raise ValueError(
+            f"phash63_int needs 8-bit luminance (max gray {gmax}); rescale "
+            "deep-bit rasters first — the fixed-point DCT would overflow "
+            "int64 silently"
+        )
     gp = 1024 * g - int(g.sum())
     basis = np.asarray(_phash_int_basis(), dtype=np.int64)  # 8x32
     dct = basis @ gp @ basis.T

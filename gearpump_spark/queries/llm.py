@@ -2847,10 +2847,13 @@ def _bpe_train_blocks(
     return blocks
 
 
+BPE_ORACLE_N_APPLY = 48  # unrolled greedy steps; queries GUARD word length
+
+
 def _bpe_greedy_oracle(
     n_merges: int = 16,
     min_freq: int = 2,
-    n_apply: int = 12,
+    n_apply: int = BPE_ORACLE_N_APPLY,
     byte_level: bool = False,
 ) -> str:
     """Unrolled mirror of the GREEDY BEST-RANK BPE encoder
@@ -2863,10 +2866,12 @@ def _bpe_greedy_oracle(
     the splice is list slicing, and a step with no rankable pair is a
     pass-through (so extra steps are no-ops, exactly the while-loop's
     exit). pick = rank*100000 + index reproduces min((rank, i)) as long
-    as words stay under 100k symbols. n_apply bounds merges per word at
-    len(word)-1; the fixture's longest word type is 8 chars, and a word
-    needing more than n_apply merges would hash-mismatch LOUDLY in the
-    gate rather than silently truncate (greedy differs from the
+    as words stay under 100k symbols. A word can need up to len(word)-1
+    merges (repetitive words chain the same merge), so the QUERIES guard
+    max token length <= n_apply + 1 and raise rather than let the
+    unrolled oracle silently truncate where the Spark encoder runs to
+    fixpoint (the r8 self-audit's ADVICE-class find; corpora with longer
+    tokens need a bigger n_apply) (greedy differs from the
     trainer's sequential-exhaustive segmentation — text_bpe_exact — on
     words where a later merge's output feeds an earlier-ranked pair,
     which is why this needed its own unroll instead of reusing v16)."""
@@ -2930,6 +2935,26 @@ def _bpe_greedy_oracle(
     )
 
 
+def _guard_bpe_token_length(docs, chars: bool) -> None:
+    """The greedy encoder applies up to len(word)-1 merges; the unrolled
+    oracle applies exactly BPE_ORACLE_N_APPLY. Enforce the sufficient
+    bound (max token length <= n_apply + 1) LOUDLY instead of letting a
+    long repetitive token make Spark run to fixpoint while the oracle
+    silently truncates — one tiny agg, the r7 weight-validation
+    discipline applied to an oracle parameter. ``chars`` picks the
+    symbol count: characters (char-level) or UTF-8 octets (byte-level).
+    """
+    w = F.explode(TX.tokens(F.col("text"))).alias("w")
+    length = F.length("w") if chars else F.octet_length("w")
+    mx = docs.select(w).agg(F.max(length).alias("mx")).collect()[0].mx or 0
+    if mx - 1 > BPE_ORACLE_N_APPLY:
+        raise ValueError(
+            f"corpus has a token of {mx} symbols; the unrolled greedy "
+            f"oracle applies at most {BPE_ORACLE_N_APPLY} merges per word "
+            "— raise n_apply in _bpe_greedy_oracle or pre-truncate tokens"
+        )
+
+
 @register(
     "text_bpe_tokens",
     oracle=_bpe_greedy_oracle(),
@@ -2951,6 +2976,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators.bpe import bpe_tokenize, bpe_train
 
     docs = table(spark, sf_dir, "documents")
+    _guard_bpe_token_length(docs, chars=True)
     merges = bpe_train(docs, n_merges=16)
     return (
         bpe_tokenize(docs, merges)
@@ -2977,6 +3003,7 @@ def text_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators.bpe import bpe_tokenize_bytes, bpe_train_bytes
 
     docs = table(spark, sf_dir, "documents")
+    _guard_bpe_token_length(docs, chars=False)
     merges = bpe_train_bytes(docs, n_merges=16)
     return (
         bpe_tokenize_bytes(docs, merges)

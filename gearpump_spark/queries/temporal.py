@@ -2009,15 +2009,15 @@ def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT user_id,
-               DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
-                 AS week_idx,
+               (DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                + 728000) // 7 - 104000 AS week_idx,
                BIT_OR(CASE WHEN event_type = 'view'
                     THEN 1::BIGINT << CAST((DATEDIFF('day', DATE '1970-01-01',
-                         CAST(ts AS DATE)) + 4) % 7 AS INT)
+                         CAST(ts AS DATE)) + 728000 + 4) % 7 AS INT)
                     ELSE 0 END) AS mv,
                BIT_OR(CASE WHEN event_type = 'purchase'
                     THEN 1::BIGINT << CAST((DATEDIFF('day', DATE '1970-01-01',
-                         CAST(ts AS DATE)) + 4) % 7 AS INT)
+                         CAST(ts AS DATE)) + 728000 + 4) % 7 AS INT)
                     ELSE 0 END) AS mp
         FROM events WHERE event_type IN ('view', 'purchase')
         GROUP BY user_id, week_idx)
@@ -2038,7 +2038,12 @@ def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "week-over-week retention and 'same weekday habit' overlap as one "
     "AND+popcount per adjacent-week pair; week index and weekday derive "
     "from epoch-day integer arithmetic ((d+4)%7, 1970-01-01 = Thursday) "
-    "so no engine's DOW convention is in the loop",
+    "so no engine's DOW convention is in the loop — with d shifted by "
+    "+728000 days (a multiple of 7, > any date back to year 1) so the "
+    "divisions and moduli only ever see NON-NEGATIVE operands: Spark "
+    "DIV truncates while DuckDB // floors, so a pre-1970 timestamp "
+    "would otherwise be a silent cross-engine divergence (the "
+    "sign-magnitude discipline, applied to calendar arithmetic)",
 )
 def q_activity_bitmaps_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one map-side-combined groupBy(user_id, week) builds the
@@ -2049,7 +2054,13 @@ def q_activity_bitmaps_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
-    week_idx = F.expr("datediff(to_date(ts), DATE'1970-01-01') DIV 7")
+    # +728000 (a multiple of 7 exceeding year-1..1970 in days) keeps the
+    # DIV / % operands non-negative for any representable date, where the
+    # engines' integer division semantics agree; -104000 restores the
+    # 1970-epoch week numbering.
+    week_idx = F.expr(
+        "(datediff(to_date(ts), DATE'1970-01-01') + 728000) DIV 7 - 104000"
+    )
 
     def mask(t: str):
         return F.bit_or(
@@ -2057,7 +2068,7 @@ def q_activity_bitmaps_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type") == t,
                 F.expr(
                     "shiftleft(CAST(1 AS BIGINT), CAST((datediff(to_date(ts),"
-                    " DATE'1970-01-01') + 4) % 7 AS INT))"
+                    " DATE'1970-01-01') + 728000 + 4) % 7 AS INT))"
                 ),
             ).otherwise(F.lit(0).cast("bigint"))
         )

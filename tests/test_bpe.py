@@ -291,3 +291,35 @@ def test_train_vocab_final_syms_is_the_tokenization(spark):
         assert bpe_encode_word(w, ranks) == syms, w
     # merge list identical to the plain trainer's
     assert merges == bpe_train(docs, n_merges=12)
+
+
+def test_bpe_query_guards_long_tokens(spark):
+    """The unrolled greedy oracle applies at most BPE_ORACLE_N_APPLY
+    merges per word while the Spark encoder runs to fixpoint — a long
+    repetitive token would be a SILENT cross-engine divergence, so the
+    queries enforce max-token-length <= n_apply + 1 loudly (r8
+    self-audit find)."""
+    import pytest
+
+    from gearpump_spark.queries.llm import (
+        BPE_ORACLE_N_APPLY,
+        _guard_bpe_token_length,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "ab " * 5 + "cd")], "doc_id bigint, text string"
+    )
+    _guard_bpe_token_length(ok, chars=True)  # short tokens pass
+    long_tok = spark.createDataFrame(
+        [(1, "ab" * (BPE_ORACLE_N_APPLY // 2 + 2))],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="merges per word"):
+        _guard_bpe_token_length(long_tok, chars=True)
+    # byte-level counts UTF-8 octets: a multi-byte char trips it sooner
+    wide = spark.createDataFrame(
+        [(1, "é" * (BPE_ORACLE_N_APPLY // 2 + 2))],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="merges per word"):
+        _guard_bpe_token_length(wide, chars=False)

@@ -1469,6 +1469,13 @@ def test_phash63_int_shift_invariance_and_twin_pairing(spark):
     # basis sanity: row 0 is the constant 2^11 row (cos 0 = 1 exactly)
     assert _phash_int_basis()[0] == [2048] * 32
     assert _phash_int_basis()[1][0] == round(math.cos(math.pi / 64) * 2048)
+    # deep-bit rasters must fail LOUDLY (the int64 bound assumes 8-bit
+    # luminance; numpy would wrap silently past it)
+    import pytest
+
+    deep = [[[4095] * 3 for _ in range(24)] for _ in range(16)]
+    with pytest.raises(ValueError, match="8-bit"):
+        phash63_int(deep)
 
     docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
     fps = phash_int_fingerprints(synthesize_noise_pair_payloads(docs))
