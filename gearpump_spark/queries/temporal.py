@@ -1181,9 +1181,10 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN n >= 30 AND
                          CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
-                    THEN (CAST(n AS DOUBLE) * value - CAST(s AS DOUBLE))
+                    THEN ROUND((CAST(n AS DOUBLE) * value - CAST(s AS DOUBLE))
                          / SQRT(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+                         + 0.0
                     ELSE NULL END AS z
         FROM f)
     SELECT event_id, event_type, value, n, z,
@@ -1195,8 +1196,13 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n*s2 - s^2 computed in decimal, so partial-sum order can't move "
     "the variance); z = (n*x - s)/sqrt(n*s2 - s^2), the population "
     "(x - mean)/std rearranged to ONE division and one "
-    "correctly-rounded sqrt; warm-up (< 30 prior events) yields NULL, "
-    "never a cold-start false alarm",
+    "correctly-rounded sqrt, the result ROUND(z, 6) — found by the r8 "
+    "full-registry sf1 gate: DuckDB's decimal->double cast double-rounds "
+    "(int128 to double, then /10^scale) where Spark's BigDecimal cast "
+    "rounds once, so a RAW double z diverged by 1 ULP on 354 of 1M rows "
+    "— the rounded-term discipline applies to every surfaced float, not "
+    "just sums; warm-up (< 30 prior events) yields NULL, never a "
+    "cold-start false alarm",
 )
 def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One keyed shuffle (the event_type window); the frame excludes the
@@ -1224,9 +1230,15 @@ def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double"),
     )
     disc = n * s2 - s * s
+    # ROUND(z, 6): the raw double diverged 1 ULP on ~0.03% of rows at sf1
+    # because DuckDB's decimal->double cast double-rounds while Spark's
+    # rounds once (r8 gate find) — surfaced floats are always rounded.
+    # + 0.0 normalizes IEEE negative zero: DuckDB ROUND keeps -0.0 where
+    # Spark's returns +0.0 — repr-level hash divergence on any z that
+    # rounds to zero from below (one row in a million at sf1).
     z = F.when(
         (F.col("n") >= 30) & (disc > 0),
-        (n * F.col("value") - s) / F.sqrt(disc),
+        F.round((n * F.col("value") - s) / F.sqrt(disc), 6) + F.lit(0.0),
     ).otherwise(F.lit(None).cast("double"))
     out = f.select("event_id", "event_type", "value", "n", z.alias("z"))
     return out.select(
