@@ -107,6 +107,63 @@ def keyword_teacher_labels(
     )
 
 
+def keyword_teacher_multiclass(
+    docs: DataFrame,
+    class_words: tuple = (
+        ("spark", "table"),
+        ("row", "batch"),
+        ("scan", "filter"),
+        ("join", "group"),
+    ),
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, label): the k-class keyword teacher — label = argmax over
+    per-class marker-word counts, ties to the SMALLEST class id (via
+    array_position's first-occurrence semantics, which DuckDB's
+    list_position mirrors exactly). The CCNet/fastText bootstrap pattern
+    extended to k classes; a doc with no marker words lands in class 0."""
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col(text_col))).alias("w0")
+    ).select("doc_id", F.lower(F.col("w0")).alias("w"))
+    counts = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*ws), 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, ws in enumerate(class_words)
+        ]
+    )
+    cnts = F.array(
+        *[
+            F.coalesce(F.col(f"c{i}"), F.lit(0).cast("long"))
+            for i in range(len(class_words))
+        ]
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.array_position(cnts, F.array_max(cnts)) - 1)
+            .cast("long")
+            .alias("label"),
+        )
+    )
+
+
+def one_vs_rest_labels(cls: DataFrame, n_classes: int) -> DataFrame:
+    """(doc_id, c, y): fan the k-class label out to k one-vs-rest binary
+    labels — a bounded k-way fan-out (crossJoin with a k-row literal
+    frame), never a shuffle of the corpus."""
+    spark = cls.sparkSession
+    cdf = spark.createDataFrame([(c,) for c in range(n_classes)], "c long")
+    return cls.crossJoin(F.broadcast(cdf)).select(
+        "doc_id",
+        "c",
+        (F.col("label") == F.col("c")).cast("long").alias("y"),
+    )
+
+
 def train_lr_int(
     spark: SparkSession,
     fx: DataFrame,
@@ -150,6 +207,59 @@ def train_lr_int(
         gm = {int(r.j): int(r.g) for r in grads}
         for j in range(N_BUCKETS + 1):
             w[j] += sdiv(gm.get(j, 0), lr_den * xs.get(j, 1))
+    return w
+
+
+def train_lr_multiclass_int(
+    spark: SparkSession,
+    fx: DataFrame,
+    labs: DataFrame,
+    n_classes: int,
+    n_steps: int = 16,
+    lr_den: int = 3,
+) -> "dict[tuple[int, int], int]":
+    """One-vs-rest integer LR trained JOINTLY: the class id is a group
+    key, not an outer loop, so every step stays ONE doc×class-keyed
+    margin agg + ONE (class, feature)-keyed gradient agg regardless of
+    k — the single-agg-per-step plan of train_lr_int with a class
+    dimension. k·65 gradient ints cross the driver boundary per step
+    (260 at k=4); weights ride back as one broadcast. The Σx²
+    preconditioner is per-feature and shared by every class (the data
+    matrix is the same; only the labels differ). Returns
+    {(c, j): weight} micro-unit ints."""
+    xs = {
+        int(r.j): max(int(r.xs), 1)
+        for r in fx.groupBy("j")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("xs"))
+        .collect()
+    }
+    sigmoid = F.expr(
+        f"least(greatest(CASE WHEN z < 0 THEN -((-z) DIV 4) ELSE z DIV 4 END"
+        f" + {SCALE // 2}, 0), {SCALE})"
+    )
+    w = {(c, j): 0 for c in range(n_classes) for j in range(N_BUCKETS + 1)}
+    for _t in range(n_steps):
+        wdf = spark.createDataFrame(
+            [(c, j, w[(c, j)]) for (c, j) in sorted(w)],
+            "c long, j long, w long",
+        )
+        z = (
+            fx.join(F.broadcast(wdf), "j")
+            .groupBy("doc_id", "c")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
+        )
+        e = z.join(labs, ["doc_id", "c"]).select(
+            "doc_id", "c", (F.col("y") * SCALE - sigmoid).alias("e")
+        )
+        grads = (
+            fx.join(e, "doc_id")
+            .groupBy("c", "j")
+            .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
+            .collect()
+        )
+        gm = {(int(r.c), int(r.j)): int(r.g) for r in grads}
+        for key in w:
+            w[key] += sdiv(gm.get(key, 0), lr_den * xs.get(key[1], 1))
     return w
 
 

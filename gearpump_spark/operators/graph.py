@@ -372,13 +372,25 @@ def _validated_weights(e: DataFrame, op_name: str) -> DataFrame:
     divergence. Checking every individual weight > 0 is strictly
     stronger (a sum of positives is positive) and catches the
     negative-weight-positive-total case the aggregate check would miss.
-    Cost: one map-side MIN aggregation returning a single scalar."""
-    mn = e.agg(F.min("w").alias("mn")).collect()[0].mn
-    if mn is not None and mn <= 0:
+    NULL weights are rejected too (ADVICE r8 #2): F.min skips NULLs, so
+    a NULL weight would pass a min-only check and still produce the
+    NULL (r·w) DIV W mass leak this guard exists to catch. Both checks
+    share ONE map-side aggregation returning a single row."""
+    row = e.agg(
+        F.min("w").alias("mn"),
+        (F.count("*") - F.count("w")).alias("n_null"),
+    ).collect()[0]
+    if row.n_null:
         raise ValueError(
-            f"{op_name}: edge weights must be positive (min weight = {mn});"
-            " rank mass splits as (r * w) DIV W and a non-positive total"
-            " out-weight makes the floor division undefined"
+            f"{op_name}: {row.n_null} edge(s) have NULL weight; NULL w"
+            " makes (r * w) DIV W NULL and silently leaks rank mass"
+        )
+    if row.mn is not None and row.mn <= 0:
+        raise ValueError(
+            f"{op_name}: edge weights must be positive (min weight ="
+            f" {row.mn}); rank mass splits as (r * w) DIV W and a"
+            " non-positive total out-weight makes the floor division"
+            " undefined"
         )
     return e
 

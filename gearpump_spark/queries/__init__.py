@@ -77,78 +77,78 @@ _LOADED = False
 # turn the tree red, which is exactly what happened at the r5/r6
 # boundary (r5 VERDICT "What's wrong" #1). Bump this whenever the
 # window rotates.
-DRIVER_SAMPLE_WINDOW_ROUND = 8
+DRIVER_SAMPLE_WINDOW_ROUND = 9
 
 DRIVER_SAMPLE_WINDOW = [
-    # ROUND-8 ROTATION (r7 verdict "Next round" #1 and #4). After r7,
-    # every oracle-backed query has a cumulative driver hash-green record;
-    # the job now is evidence FRESHNESS. Policy unchanged: never-verified
-    # first, then the stalest records, and no slots re-spent on rows-only
-    # queries that already have a rows-only record (r7 verdict "What's
-    # wrong" #2) — with ONE deliberate exception, below.
+    # ROUND-9 ROTATION (r8 verdict "Next round" #1 and #2). Policy
+    # unchanged: never-driver-oracle-verified first, then the stalest
+    # records; no slots re-spent on rows-only queries that already have a
+    # rows-only record (the "every registrant sampled" invariant closed
+    # in r8 — similarity_topk_ivf and the float fixpoints stay out).
     #
-    # -- the single never-sampled registrant (rows-only float PPR; its
-    #    bit-reproducible integer twin went oracle-green in r7). One slot
-    #    closes the "every registrant has a driver record" invariant
-    #    permanently (r7 verdict #4). --
-    "graph_pagerank_personalized",
-    # -- the 23 round-2 records, 6 rounds stale: the dedup/text/sampling
-    #    flagship cohort the r7 late waves displaced. --
-    "dedup_chunk_exact",
-    "dedup_contamination",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "sample_bottom_k",
-    "sample_epochs_mix",
-    "sample_k_per_group",
-    "sample_stratified_mix",
-    "sample_train_test_split",
-    "sample_weighted_priority",
-    "sketch_approx_quantiles",
-    "text_boilerplate",
-    "text_chunk_windows",
-    "text_doc_freq",
-    "text_lang_confusion",
-    "text_lang_id",
-    "text_lang_profile",
-    "text_rare_bigram_frac",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "text_token_count",
-    "text_vocab_coverage",
-    # -- 26 of the 47 oracle-backed round-3 records, 5 rounds stale
-    #    (similarity_topk_ivf and text_bpe_tokens are rows-only r3
-    #    records and stay out per the no-rows-only-re-spend policy; the
-    #    remaining 21 oracle-backed r3 records head the r9 rotation).
-    #    Weighted toward the decode family and the flagship pipelines —
-    #    the largest hand-built code mass at risk of silent drift. --
-    "dedup_clusters_twophase",
-    "dedup_lsh_recall",
-    "embedding_outliers",
-    "graph_triangle_count",
-    "graph_triangle_estimate",
-    "multimodal_audio_dedup",
-    "multimodal_image_dedup",
-    "multimodal_jpeg_pixels_real",
-    "multimodal_jpeg_progressive_real",
-    "multimodal_png_pixels_real",
-    "multimodal_video_stsd",
-    "pipeline_chunk_pack",
-    "q_cohort_retention",
-    "q_complexdag_lineage",
-    "q_corr_qty_price",
-    "q_funnel_conversion",
-    "q_grouping_sets",
-    "q_latest_by_key",
-    "q_session_window",
-    "q_upsert_merge",
-    "q_window_topk_trending",
-    "sample_temperature_mix",
-    "sketch_countmin_words",
-    "text_bm25_topk_and",
-    "text_phrase_match",
-    "text_strip_html",
+    # -- the six oracle-backed queries with NO driver-oracle record: the
+    #    four r8 additions never sampled, plus both BPE tokenizers whose
+    #    r3/r4 driver rows predate their r8 oracles (`no_oracle` rows —
+    #    the MAP-probed unroll has never run under the driver). --
+    # -- the three r9 additions (never sampled by construction): the
+    #    one-vs-rest classifier, the streaming scored-emission query,
+    #    and the composed quality->dedup->pack pipeline. --
+    "text_quality_lr_multiclass",
+    "text_quality_lr_stream_score",
+    "pipeline_quality_dedup_pack",
+    "multimodal_phash_int",
+    "text_quality_lr_int",
+    "text_trigram_lm_perplexity",
+    "q_activity_bitmaps_weekly",
+    "text_bpe_tokens",
+    "text_bpe_bytes",
+    # -- the 21 oracle-backed round-3 records, 6 rounds stale: the
+    #    decode `*_real` cohort plus the dataflow/streaming flagships. --
+    "multimodal_audio_real",
+    "multimodal_audio_samples_real",
+    "multimodal_gif_frames_real",
+    "multimodal_gif_pixels_real",
+    "multimodal_image_real",
+    "multimodal_jpeg_420_real",
+    "multimodal_jpeg_422_real",
+    "multimodal_jpeg_color_real",
+    "multimodal_jpeg_dri_real",
+    "multimodal_jpeg_refined_real",
+    "multimodal_pixels_real",
+    "multimodal_png_resize_real",
+    "multimodal_resize_real",
+    "multimodal_video_real",
+    "q_flatten_union",
+    "q_lifetime_filter",
+    "q_multi_output_tags",
+    "q_sol_passthrough",
+    "q_timestamp_filter",
+    "q_user_value_outliers",
+    "q_window_sliding",
+    # -- 23 of the 50 round-4 records, 5 rounds stale, weighted toward
+    #    the largest hand-built code mass (codecs, graph fixpoints,
+    #    quantization) — the rest of the r4 cohort heads the r10
+    #    rotation. --
+    "multimodal_jpeg12_real",
+    "multimodal_jpeg_411_real",
+    "multimodal_ahash_neardup",
+    "multimodal_phash_neardup",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_video_fps",
+    "graph_pagerank_int",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "graph_khop_reach",
+    "kmeans_clusters_int",
+    "similarity_topk_ivf_seeded",
+    "similarity_topk_lsh",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "sketch_hll_union",
+    "sketch_theta_overlap",
 ]
 
 

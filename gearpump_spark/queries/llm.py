@@ -2943,9 +2943,14 @@ def _guard_bpe_token_length(docs, chars: bool) -> None:
     silently truncates — one tiny agg, the r7 weight-validation
     discipline applied to an oracle parameter. ``chars`` picks the
     symbol count: characters (char-level) or UTF-8 octets (byte-level).
+    Measured on the LOWERED token (ADVICE r8 #1): the trainer/encoder
+    lowercase before segmenting, and lowercase-expanding codepoints
+    (U+0130 'İ' -> 'i̇', 1 char -> 2, 2 octets -> 3) would otherwise let
+    a token pass the guard yet exceed the oracle's unroll depth.
     """
     w = F.explode(TX.tokens(F.col("text"))).alias("w")
-    length = F.length("w") if chars else F.octet_length("w")
+    low = F.lower("w")
+    length = F.length(low) if chars else F.octet_length(low)
     mx = docs.select(w).agg(F.max(length).alias("mx")).collect()[0].mx or 0
     if mx - 1 > BPE_ORACLE_N_APPLY:
         raise ValueError(
@@ -2965,8 +2970,9 @@ def _guard_bpe_token_length(docs, chars: bool) -> None:
     "upgrades the regex BPE-ish pre-segmentation to the actual algorithm; "
     "ORACLE-BACKED as of r8 (the r1-r7 'rank-priority loop is not "
     "SQL-expressible' claim fell to a MAP-probed list-splice unroll: "
-    "trainer chain -> rank map -> 12 unrolled min-(rank,index) merge "
-    "steps per word type), shrinking the rows-only cohort to 8; still "
+    "trainer chain -> rank map -> BPE_ORACLE_N_APPLY unrolled "
+    "min-(rank,index) merge steps per word type), shrinking the "
+    "rows-only cohort to 8; still "
     "pinned against the pure-python golden in tests/test_bpe.py",
 )
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7986,7 +7992,19 @@ def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_lr_oracle(n_steps: int = 16, lr_den: int = 3) -> str:
+def _quality_lr_blocks(n_steps: int = 16, lr_den: int = 3) -> str:
+    """The trainer CTE chain of _quality_lr_oracle WITHOUT the final
+    select, ending at w{n_steps} — reusable by composed-pipeline oracles
+    that score with the trained weights and keep going."""
+    return _quality_lr_oracle(n_steps, lr_den, final_select=False)
+
+
+def _quality_lr_oracle(
+    n_steps: int = 16,
+    lr_den: int = 3,
+    include_label: bool = True,
+    final_select: bool = True,
+) -> str:
     """Unrolled CTE chain mirroring the integer logistic-regression
     trainer in text_quality_lr_int step for step: hashed features +
     bias, the keyword-teacher label, the per-feature Σx² preconditioner,
@@ -8050,14 +8068,16 @@ def _quality_lr_oracle(n_steps: int = 16, lr_den: int = 3) -> str:
                           ELSE COALESCE(g.g, 0) // ({lr_den} * x.xs) END AS w
         FROM w{t} w LEFT JOIN g{t} g USING (j) JOIN xs x USING (j))"""
         )
+    if not final_select:
+        return "WITH" + "".join(blocks)
+    label_col = ",\n           CAST(l.y AS BIGINT) AS label" if include_label else ""
     blocks.append(
         f""",
     zf AS (
         SELECT f.doc_id, SUM(w.w * f.x) AS z
         FROM fx f JOIN w{n_steps} w USING (j) GROUP BY f.doc_id)
     SELECT l.doc_id, CAST(z.z AS BIGINT) AS margin,
-           CAST(CASE WHEN z.z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
-           CAST(l.y AS BIGINT) AS label
+           CAST(CASE WHEN z.z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred{label_col}
     FROM zf z JOIN lab l USING (doc_id) ORDER BY l.doc_id"""
     )
     return "WITH" + "".join(blocks)
@@ -8116,6 +8136,306 @@ def text_quality_lr_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("bigint").alias("label"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_lr_stream_score",
+    oracle=_quality_lr_oracle(n_steps=8, include_label=False),
+    desc="STREAMING scored emission, end to end under the driver gate "
+    "(r8 verdict 'Next round' #4: promote score_documents from "
+    "operator+test to a registered query): train the integer LR batch-"
+    "side (8 preconditioned gradient steps, same discipline as "
+    "text_quality_lr_int), then score the corpus through a REAL "
+    "Structured Streaming micro-batch pipeline — file source -> "
+    "row-local lr_margin_expr narrow map -> memory sink, availableNow "
+    "trigger — and return the drained sink. Exact because scoring is "
+    "linear in integer arithmetic: the streamed margin equals the batch "
+    "Σ w_j·x_j bit for bit regardless of batch boundaries, so the "
+    "8-step unrolled CTE oracle hash-matches a result that actually "
+    "flowed through the streaming engine (the reference's scored-"
+    "emission Task, examples/streaming/wordcount/.../Sum.scala:26-60, "
+    "without a state store)",
+)
+def text_quality_lr_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: training is the bounded part (65 ints/step to the driver);
+    the streaming scorer is a STATELESS narrow map — no shuffle, no
+    state store, no watermark — so it runs identically under
+    micro-batch or Trigger.Continuous and backpressures on source read
+    alone. The memory sink here is the test harness; production sinks
+    (parquet/kafka) take the same writeStream."""
+    import uuid
+
+    from gearpump_spark.operators import classify as CL
+    from gearpump_spark.streaming.core import run_to_completion
+
+    docs = table(spark, sf_dir, "documents")
+    fx = CL.hashed_features(docs).localCheckpoint(eager=False)
+    lab = CL.keyword_teacher_labels(docs).localCheckpoint(eager=False)
+    w = CL.train_lr_int(spark, fx, lab, n_steps=8, lr_den=3)
+    # FileStreamSource derives basePath from the path and requires a
+    # directory; a single-char glob makes it resolve the parent dir while
+    # still matching exactly the one fixture file.
+    stream = spark.readStream.schema(docs.schema).parquet(
+        f"{sf_dir}/documents.parque[t]"
+    )
+    scored = CL.score_documents(stream, w).select("doc_id", "margin", "pred")
+    out = run_to_completion(
+        scored, f"lr_stream_score_{uuid.uuid4().hex[:8]}"
+    )
+    return out.orderBy("doc_id")
+
+
+_MC_CLASS_WORDS = (
+    ("spark", "table"),
+    ("row", "batch"),
+    ("scan", "filter"),
+    ("join", "group"),
+)
+_MC_N_STEPS = 12
+
+
+def _quality_lr_multiclass_oracle(
+    n_steps: int = _MC_N_STEPS, lr_den: int = 3
+) -> str:
+    """Unrolled CTE chain mirroring train_lr_multiclass_int step for
+    step: the _quality_lr_oracle template with the class id as a GROUP
+    KEY — one z/e/g/w CTE quartet per step covers all k classes at once,
+    exactly like the joint Spark plan. The k-class teacher label is the
+    argmax over marker-word counts with first-occurrence tie-break
+    (DuckDB list_position == Spark array_position semantics)."""
+    h9 = _SQL_H15.format(seed="'9'", key="w")
+    h10 = _SQL_H15.format(seed="'10'", key="w")
+    k = len(_MC_CLASS_WORDS)
+    cnt_cols = ", ".join(
+        "COUNT(*) FILTER (WHERE w IN ({})) AS c{}".format(
+            ", ".join(f"'{w}'" for w in ws), i
+        )
+        for i, ws in enumerate(_MC_CLASS_WORDS)
+    )
+    cnt_list = ", ".join(f"COALESCE(c.c{i}, 0)" for i in range(k))
+    blocks = [
+        f"""
+    tok AS (
+        SELECT doc_id, LOWER(w) AS w FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                      t -> t <> '')) AS w
+            FROM documents)),
+    fx AS MATERIALIZED (
+        SELECT doc_id, CAST({h9} % 64 AS BIGINT) AS j,
+               CAST(SUM(CASE WHEN {h10} % 2 = 0 THEN 1 ELSE -1 END)
+                    AS BIGINT) AS x
+        FROM tok GROUP BY 1, 2
+        HAVING SUM(CASE WHEN {h10} % 2 = 0 THEN 1 ELSE -1 END) <> 0
+        UNION ALL
+        SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+    cls AS MATERIALIZED (
+        SELECT d.doc_id,
+               CAST(LIST_POSITION([{cnt_list}],
+                    LIST_MAX([{cnt_list}])) - 1 AS BIGINT) AS label
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, {cnt_cols}
+            FROM tok GROUP BY doc_id) c USING (doc_id)),
+    cl AS (SELECT CAST(UNNEST(RANGE(0, {k})) AS BIGINT) AS c),
+    lab AS MATERIALIZED (
+        SELECT s.doc_id, cl.c,
+               CASE WHEN s.label = cl.c THEN 1 ELSE 0 END AS y
+        FROM cls s CROSS JOIN cl),
+    xs AS MATERIALIZED (
+        SELECT j, GREATEST(CAST(SUM(x * x) AS BIGINT), 1) AS xs
+        FROM fx GROUP BY j),
+    w0 AS (SELECT cl.c, jj.j, CAST(0 AS BIGINT) AS w FROM cl CROSS JOIN
+           (SELECT CAST(UNNEST(RANGE(0, 65)) AS BIGINT) AS j) jj)"""
+    ]
+    for t in range(n_steps):
+        blocks.append(
+            f""",
+    z{t} AS MATERIALIZED (
+        SELECT f.doc_id, w.c, SUM(w.w * f.x) AS z
+        FROM fx f JOIN w{t} w USING (j) GROUP BY f.doc_id, w.c),
+    e{t} AS MATERIALIZED (
+        SELECT z.doc_id, z.c,
+               l.y * 1000000 - LEAST(GREATEST(
+                   CASE WHEN z.z < 0 THEN -((-z.z) // 4) ELSE z.z // 4 END
+                   + 500000, 0), 1000000) AS e
+        FROM z{t} z JOIN lab l ON l.doc_id = z.doc_id AND l.c = z.c),
+    g{t} AS (
+        SELECT e.c, f.j, SUM(f.x * e.e) AS g
+        FROM fx f JOIN e{t} e USING (doc_id) GROUP BY e.c, f.j),
+    w{t + 1} AS MATERIALIZED (
+        SELECT w.c, w.j,
+               w.w + CASE WHEN COALESCE(g.g, 0) < 0
+                          THEN -((-COALESCE(g.g, 0)) // ({lr_den} * x.xs))
+                          ELSE COALESCE(g.g, 0) // ({lr_den} * x.xs) END AS w
+        FROM w{t} w LEFT JOIN g{t} g ON g.c = w.c AND g.j = w.j
+        JOIN xs x ON x.j = w.j)"""
+        )
+    blocks.append(
+        f""",
+    zf AS (
+        SELECT f.doc_id, w.c, SUM(w.w * f.x) AS z
+        FROM fx f JOIN w{n_steps} w USING (j) GROUP BY f.doc_id, w.c),
+    rk AS (
+        SELECT doc_id, c, z,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY z DESC, c ASC) AS rn
+        FROM zf)
+    SELECT r.doc_id, CAST(r.c AS BIGINT) AS pred,
+           CAST(r.z AS BIGINT) AS margin,
+           CAST(s.label AS BIGINT) AS label,
+           CAST(CASE WHEN r.c = s.label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM rk r JOIN cls s USING (doc_id) WHERE r.rn = 1
+    ORDER BY r.doc_id"""
+    )
+    return "WITH" + "".join(blocks)
+
+
+@register(
+    "text_quality_lr_multiclass",
+    oracle=_quality_lr_multiclass_oracle(),
+    desc="BIT-REPRODUCIBLE multi-class document classifier (r8 verdict "
+    "'Next round' #4): one-vs-rest integer logistic regression over the "
+    "64-bucket signed hashed-unigram features + bias, distilled from a "
+    "4-class keyword-teacher argmax rule (marker-word groups, ties to "
+    "the smallest class id) — trained JOINTLY with the class id as a "
+    "group key, so each of the 12 gradient steps is still ONE "
+    "doc×class-keyed margin agg + ONE (class, feature)-keyed gradient "
+    "agg regardless of k; k·65 = 260 gradient ints to the driver per "
+    "step, same Σx² preconditioning / hard-sigmoid / sign-magnitude "
+    "floor-division discipline as text_quality_lr_int, and the whole "
+    "12-step fixpoint plus the final argmax prediction hash-matches an "
+    "unrolled DuckDB CTE chain (reference analog: the wordcount "
+    "Split->Sum scored-emission pipeline, "
+    "examples/streaming/wordcount/.../Sum.scala:26-60, one score per "
+    "class)",
+)
+def text_quality_lr_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: fx collapses map-side to ≤65 rows/doc and is shared by all
+    classes; the k-way fan-out touches only the ≤65-row feature frame
+    joined with a BROADCAST weight table (k·65 rows), never the corpus;
+    per step exactly two distributed aggs run (margins, gradients) with
+    map-side partial combine on both. Prediction is one row_number
+    window over k rows per doc. fx/cls/labs materialize once
+    (localCheckpoint) and serve all 2·12+1 passes."""
+    from pyspark.sql import Window as W
+
+    from gearpump_spark.operators import classify as CL
+
+    k = len(_MC_CLASS_WORDS)
+    docs = table(spark, sf_dir, "documents")
+    fx = CL.hashed_features(docs).localCheckpoint(eager=False)
+    cls = CL.keyword_teacher_multiclass(
+        docs, class_words=_MC_CLASS_WORDS
+    ).localCheckpoint(eager=False)
+    labs = CL.one_vs_rest_labels(cls, k).localCheckpoint(eager=False)
+    w = CL.train_lr_multiclass_int(
+        spark, fx, labs, n_classes=k, n_steps=_MC_N_STEPS, lr_den=3
+    )
+    wdf = spark.createDataFrame(
+        [(c, j, w[(c, j)]) for (c, j) in sorted(w)], "c long, j long, w long"
+    )
+    zf = (
+        fx.join(F.broadcast(wdf), "j")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("z").desc(), F.col("c").asc())
+    rk = zf.withColumn("rn", F.row_number().over(win)).where(F.col("rn") == 1)
+    return (
+        rk.join(cls, "doc_id")
+        .select(
+            "doc_id",
+            F.col("c").cast("bigint").alias("pred"),
+            F.col("z").cast("bigint").alias("margin"),
+            F.col("label").cast("bigint").alias("label"),
+            (F.col("c") == F.col("label")).cast("bigint").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_quality_dedup_pack",
+    oracle=_quality_lr_blocks(n_steps=8)
+    + """,
+    zq AS (
+        SELECT f.doc_id, SUM(w.w * f.x) AS z
+        FROM fx f JOIN w8 w USING (j) GROUP BY f.doc_id),
+    surv AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+            SELECT d.doc_id, d.text,
+                   MIN(d.doc_id) OVER (PARTITION BY
+                       MD5(TRIM(REGEXP_REPLACE(LOWER(d.text), '\\s+', ' ',
+                                               'g')))) AS keeper
+            FROM documents d JOIN zq ON zq.doc_id = d.doc_id AND zq.z >= 0)
+        WHERE doc_id = keeper),
+    toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), w -> w <> '') AS tk
+        FROM surv),
+    st AS (
+        SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, LEN(tk) - 1, 32)) AS start
+        FROM toks WHERE LEN(tk) > 0),
+    chunks AS (
+        SELECT doc_id,
+               CAST(start // 32 AS BIGINT) AS chunk_idx,
+               CAST(LEN(tk[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+               doc_id || ':' || CAST(start // 32 AS BIGINT) AS key
+        FROM st),
+    packed AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST(CONCAT('0x', SUBSTR(MD5('1' || '|' || key), 1, 15)) AS BIGINT)
+                 % 10000 % 8 AS shard,
+               MD5('0' || '|' || key) AS h, key
+        FROM chunks),
+    binned AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               shard * 1099511627776
+                 + CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY h, key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 128) AS BIGINT) AS bin_id
+        FROM packed)
+    SELECT doc_id, chunk_idx, n_tokens, bin_id
+    FROM binned ORDER BY doc_id, chunk_idx
+    """,
+    desc="the COMPOSED training-data pipeline, one registered query (r8 "
+    "verdict 'Next round' #8): ingest -> trained-quality-LR score (8 "
+    "integer gradient steps, then the row-local margin expression) -> "
+    "keep docs the classifier accepts -> exact dedup among survivors "
+    "(normalized-content fingerprint, min-id keeper) -> 32-token "
+    "chunking -> 8-way sharded 128-token sequence packing; every stage "
+    "is an operator this engine already ships, chained end to end, and "
+    "the whole thing — trained weights included — hash-matches one "
+    "DuckDB CTE chain",
+)
+def pipeline_quality_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'this is a data-pipeline engine, not a query zoo' query.
+    Scale shape per stage: training is the lr_int loop (two aggs/step,
+    65 ints to the driver); scoring is a ROW-LOCAL narrow map (no fx
+    join needed — by integer linearity the token fold equals the batch
+    margin); dedup shuffles (fingerprint, id) only, bodies never move;
+    chunking is a bounded narrow fan-out; packing is one window pass per
+    shard, shards independent. No stage holds state the next stage
+    re-derives — the corpus flows through once."""
+    from gearpump_spark.operators import chunking as CH
+    from gearpump_spark.operators import classify as CL
+
+    docs = table(spark, sf_dir, "documents")
+    fx = CL.hashed_features(docs).localCheckpoint(eager=False)
+    lab = CL.keyword_teacher_labels(docs).localCheckpoint(eager=False)
+    w = CL.train_lr_int(spark, fx, lab, n_steps=8, lr_den=3)
+    qual = docs.where(CL.lr_margin_expr(w) >= 0)
+    keep = D.exact_dedup(qual).select(F.col("keep_id").alias("doc_id"))
+    surv = qual.join(keep, "doc_id").select("doc_id", "text")
+    chunks = CH.chunk_by_tokens(surv, size=32, stride=32).withColumn(
+        "key", F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"))
+    )
+    packed = SP.pack_sequences(chunks, "key", "n_tokens", budget=128, shards=8)
+    return packed.select("doc_id", "chunk_idx", "n_tokens", "bin_id").orderBy(
+        "doc_id", "chunk_idx"
     )
 
 

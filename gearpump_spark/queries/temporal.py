@@ -2037,9 +2037,9 @@ def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(mv AS BIGINT) AS view_mask,
            CAST(mp AS BIGINT) AS purchase_mask,
            CAST(BIT_COUNT(mv | mp) AS BIGINT) AS days_active,
-           CAST(BIT_COUNT(mv & COALESCE(LAG(mv) OVER w, 0)) AS BIGINT)
-             AS habit_days,
-           (LAG(mv) OVER w IS NOT NULL) AS retained
+           CAST(BIT_COUNT(mv & CASE WHEN LAG(week_idx) OVER w = week_idx - 1
+                THEN LAG(mv) OVER w ELSE 0 END) AS BIGINT) AS habit_days,
+           COALESCE(LAG(week_idx) OVER w = week_idx - 1, FALSE) AS retained
     FROM m WINDOW w AS (PARTITION BY user_id ORDER BY week_idx)
     ORDER BY user_id, week_idx
     """,
@@ -2048,7 +2048,10 @@ def q_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of one giant one): 7-bit day-of-week view/purchase masks per "
     "(user, week), then mask ALGEBRA ACROSS buckets via LAG — "
     "week-over-week retention and 'same weekday habit' overlap as one "
-    "AND+popcount per adjacent-week pair; week index and weekday derive "
+    "AND+popcount per adjacent-week pair — GATED on calendar adjacency "
+    "(LAG(week_idx) = week_idx - 1, ADVICE r8 #3), so a user active in "
+    "weeks 1 and 5 is NOT 'retained' across the gap; week index and "
+    "weekday derive "
     "from epoch-day integer arithmetic ((d+4)%7, 1970-01-01 = Thursday) "
     "so no engine's DOW convention is in the loop — with d shifted by "
     "+728000 days (a multiple of 7, > any date back to year 1) so the "
@@ -2089,7 +2092,11 @@ def q_activity_bitmaps_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", week_idx.cast("long").alias("week_idx")
     ).agg(mask("view").alias("mv"), mask("purchase").alias("mp"))
     w = Window.partitionBy("user_id").orderBy("week_idx")
-    prev = F.lag("mv").over(w)
+    # Calendar-adjacency gate (ADVICE r8 #3): retention/habit only count
+    # when the previous OBSERVED week is literally week_idx - 1 — a user
+    # active in weeks 1 and 5 is not "retained" across the gap.
+    adjacent = F.lag("week_idx").over(w) == F.col("week_idx") - 1
+    prev = F.when(adjacent, F.lag("mv").over(w)).otherwise(F.lit(0))
     return m.select(
         "user_id",
         F.col("week_idx").cast("bigint").alias("week_idx"),
@@ -2098,8 +2105,8 @@ def q_activity_bitmaps_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("mv").bitwiseOR(F.col("mp")))
         .cast("bigint")
         .alias("days_active"),
-        F.bit_count(F.col("mv").bitwiseAND(F.coalesce(prev, F.lit(0))))
+        F.bit_count(F.col("mv").bitwiseAND(prev))
         .cast("bigint")
         .alias("habit_days"),
-        prev.isNotNull().alias("retained"),
+        F.coalesce(adjacent, F.lit(False)).alias("retained"),
     ).orderBy("user_id", "week_idx")

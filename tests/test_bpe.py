@@ -323,3 +323,16 @@ def test_bpe_query_guards_long_tokens(spark):
     )
     with pytest.raises(ValueError, match="merges per word"):
         _guard_bpe_token_length(wide, chars=False)
+    # ADVICE r8 #1: the trainer lowercases first, and some codepoints
+    # EXPAND under lowering (U+0130 'İ' -> 'i' + COMBINING DOT ABOVE:
+    # 1 char -> 2, 2 octets -> 3). The guard must measure the LOWERED
+    # token or a raw-length check under-counts what the oracle segments.
+    dotted = spark.createDataFrame(
+        [(1, "İ" * (BPE_ORACLE_N_APPLY // 2 + 1))],
+        "doc_id bigint, text string",
+    )
+    # raw length = N/2+1 chars (passes a raw check); lowered = N+2 chars
+    with pytest.raises(ValueError, match="merges per word"):
+        _guard_bpe_token_length(dotted, chars=True)
+    with pytest.raises(ValueError, match="merges per word"):
+        _guard_bpe_token_length(dotted, chars=False)

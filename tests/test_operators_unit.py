@@ -2997,6 +2997,15 @@ def test_weighted_pagerank_rejects_nonpositive_weights(spark):
             pagerank_weighted_int(bad, n_iter=2)
         with pytest.raises(ValueError, match="positive"):
             personalized_pagerank_weighted_int(bad, [1], n_iter=2)
+    # ADVICE r8 #2: F.min skips NULLs, so a NULL weight would sail past a
+    # min-only check yet still produce the NULL (r·w) DIV W mass leak.
+    null_w = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, None)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pagerank_weighted_int(null_w, n_iter=2)
+    with pytest.raises(ValueError, match="NULL"):
+        personalized_pagerank_weighted_int(null_w, [1], n_iter=2)
     # all-positive weights still run
     ok = spark.createDataFrame(
         [(1, 2, 3), (2, 1, 4)], "src bigint, dst bigint, w bigint"
@@ -3022,3 +3031,27 @@ def test_quality_lr_int_actually_learns(spark):
     majority = max(sum(r.label for r in out), n - sum(r.label for r in out)) / n
     assert acc >= 0.80, f"classifier failed to train: acc={acc}"
     assert acc >= majority + 0.10, (majority, acc)
+
+
+def test_quality_lr_multiclass_actually_learns(spark):
+    """The one-vs-rest extension must LEARN, not just hash-match: train
+    accuracy has to clearly beat the majority class of the 4-class
+    keyword-teacher labels (~30% at sf0.01). Measured 64% at 12 steps —
+    pin with margin so a stalled or oscillating joint loop fails loudly
+    rather than silently shipping argmax-over-noise."""
+    from collections import Counter
+
+    from gearpump_spark.queries import all_queries
+
+    out = all_queries()["text_quality_lr_multiclass"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    n = len(out)
+    assert n == 500
+    # every prediction is a valid class id and `correct` is consistent
+    assert all(0 <= r.pred <= 3 and 0 <= r.label <= 3 for r in out)
+    assert all(r.correct == int(r.pred == r.label) for r in out)
+    acc = sum(r.correct for r in out) / n
+    majority = Counter(r.label for r in out).most_common(1)[0][1] / n
+    assert acc >= 0.55, f"multi-class classifier failed to train: acc={acc}"
+    assert acc >= majority + 0.15, (majority, acc)

@@ -1414,6 +1414,31 @@ def test_quality_lr_scoring_pass_keyed_broadcast_weights(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_quality_lr_multiclass_scoring_keyed_broadcast_weights(spark, sf_dir):
+    """One joint scoring pass of the multi-class LR: the k·65-row weight
+    table rides a broadcast join against the ≤65-row/doc feature frame
+    (the corpus never fans out k ways), prediction is a doc-partitioned
+    row_number window, and nothing drops to Python. The one crossJoin in
+    the pipeline is the bounded k-row one-vs-rest label fan-out."""
+    p = plan(QS["text_quality_lr_multiclass"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    _assert_no_single_partition_windows(p, "multiclass argmax went single-task")
+
+
+def test_pipeline_quality_dedup_pack_stage_shapes(spark, sf_dir):
+    """The composed pipeline keeps each stage's scale shape: LR scoring
+    is a row-local expression (no Python, no corpus-side weight
+    shuffle), dedup shuffles (fingerprint, id) only, packing windows are
+    shard-partitioned (never Exchange SinglePartition), and no stage
+    introduces a cartesian."""
+    p = plan(QS["pipeline_quality_dedup_pack"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    _assert_no_single_partition_windows(p, "pack window went single-task")
+
+
 def test_trigram_lm_keyed_joins_jvm_side(spark, sf_dir):
     """Trigram LM scoring joins shuffle on the trigram/context keys
     (equi-joins only — no cartesian beyond the 1-row V broadcast); the

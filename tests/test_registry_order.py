@@ -231,8 +231,17 @@ def test_window_prefers_least_recently_verified(first_50):
 
     last = _last_verified_round(before_round=DRIVER_SAMPLE_WINDOW_ROUND)
     registered = set(all_queries())
+    oracle_backed = set(all_oracles())
     in_win = [last[n] for n in first_50 if n in last]
-    out_win = [last[n] for n in registered - set(first_50) if n in last]
+    # Oracle-less queries whose rows-only record already exists never
+    # force a slot (r7 verdict "What's wrong" #2 / r8 "Next round" #2:
+    # a rows-only re-sample buys no new signal — the no-re-spend
+    # policy). Their staleness therefore doesn't bound the window.
+    out_win = [
+        last[n]
+        for n in registered - set(first_50)
+        if n in last and n in oracle_backed
+    ]
     if not in_win or not out_win:
         return  # nothing to compare (e.g. fresh clone without artifacts)
     assert max(in_win) <= min(out_win), (
