@@ -549,6 +549,12 @@ def main() -> None:
         # these before calling anything a regression — the guest cannot
         # see hypervisor-level contention any other way.
         "cpu_calibration": calib,
+        # Second stamp AFTER the timed work (r9): the start stamp cannot
+        # see a mid-run host collapse — BENCH_NOTES_r9 t3 started at
+        # 0.423 s matmul and still read 26.8 s because the host degraded
+        # DURING the run. A fast start + fast end brackets the timed
+        # loop; either stamp slow = the headline is a host artifact.
+        "cpu_calibration_end": cpu_calibration(),
     }
     line = json.dumps(out)
     # Belt and braces for the driver handoff: (1) persist the artifact to a

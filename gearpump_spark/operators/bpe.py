@@ -342,3 +342,109 @@ def bpe_tokenize_bytes(
         f"{id_col} {id_type}, n_ws_tokens bigint, n_bpe_tokens bigint, "
         "bpe_tokens array<string>",
     )
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> "list[str]":
+    """The BPE-trained-vocab / WordPiece-encode setup (how BERT-family
+    tokenizers are commonly assembled): vocabulary = every single
+    character of the lowered corpus plus every bpe_train merge product.
+    Returns a sorted list — deterministic, alphabet + n_merges bounded,
+    so collecting it to the driver is O(|Σ| + k), never corpus-sized."""
+    merges = bpe_train(
+        docs, n_merges=n_merges, text_col=text_col, min_freq=min_freq
+    )
+    chars = (
+        docs.select(
+            F.explode(F.transform(TX.tokens(F.col(text_col)), F.lower)).alias(
+                "w"
+            )
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, CAST(i AS INT), 1))"
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted({r.c for r in chars} | {a + b for a, b in merges})
+
+
+def wordpiece_encode_word(word: str, vocab: "set[str]") -> "list[str]":
+    """MAXIMAL-MUNCH segmentation (the WordPiece/BERT encode loop,
+    Devlin 2019 §A / Song 2021 'Fast WordPiece Tokenization'): repeatedly
+    take the LONGEST vocabulary entry prefixing the unconsumed suffix.
+    A single character absent from the vocabulary still consumes one
+    position (the UNK path), so the loop always terminates in <= len(word)
+    steps — the bound the unrolled SQL oracle is sized to."""
+    pieces: list[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        j = n - pos
+        while j > 1 and word[pos : pos + j] not in vocab:
+            j -= 1
+        pieces.append(word[pos : pos + j])
+        pos += j
+    return pieces
+
+
+def wordpiece_tokenize(
+    docs: DataFrame,
+    vocab: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_ws_tokens, n_wp_tokens, wp_tokens): maximal-munch tokenize
+    each document against the trained vocabulary. Same narrow
+    Arrow-batched map and Zipf word cache as bpe_tokenize — payload text
+    never shuffles; the vocab rides into the closure (bounded, see
+    wordpiece_vocab)."""
+    import re
+
+    V = set(vocab)
+    ws = re.compile(TX.WS_RE)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> "list[str]":
+            out = cache.get(w)
+            if out is None:
+                out = wordpiece_encode_word(w, V)
+                cache[w] = out
+            return out
+
+        for pdf in batches:
+            ids, n_ws, n_wp, toks = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws.split(str(text or "").lower()) if w]
+                pieces: list[str] = []
+                for w in words:
+                    pieces.extend(enc(w))
+                ids.append(i)
+                n_ws.append(len(words))
+                n_wp.append(len(pieces))
+                toks.append(pieces)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_ws_tokens": n_ws,
+                    "n_wp_tokens": n_wp,
+                    "wp_tokens": toks,
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, n_ws_tokens bigint, n_wp_tokens bigint, "
+        "wp_tokens array<string>",
+    )

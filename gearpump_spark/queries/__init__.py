@@ -96,6 +96,8 @@ DRIVER_SAMPLE_WINDOW = [
     "text_quality_lr_multiclass",
     "text_quality_lr_stream_score",
     "pipeline_quality_dedup_pack",
+    "text_backoff_lm_score",
+    "text_wordpiece_tokens",
     "multimodal_phash_int",
     "text_quality_lr_int",
     "text_trigram_lm_perplexity",
@@ -147,8 +149,6 @@ DRIVER_SAMPLE_WINDOW = [
     "similarity_topk_lsh",
     "embedding_quantize_int8",
     "embedding_random_projection",
-    "sketch_hll_union",
-    "sketch_theta_overlap",
 ]
 
 

@@ -3018,6 +3018,104 @@ def text_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WP_ORACLE_N_STEPS = BPE_ORACLE_N_APPLY + 1  # 1 char/step worst case
+
+
+def _wordpiece_oracle(
+    n_merges: int = 16,
+    min_freq: int = 2,
+    n_steps: int = WP_ORACLE_N_STEPS,
+) -> str:
+    """Unrolled mirror of the MAXIMAL-MUNCH WordPiece encoder
+    (operators/bpe.py wordpiece_encode_word): the shared BPE trainer
+    chain builds the vocabulary (corpus characters + merge products as a
+    membership MAP), then every word TYPE runs n_steps unrolled rounds
+    of 'consume the longest vocab prefix of the unconsumed suffix' —
+    the prefix probe is LIST_MAX over a LIST_FILTER of candidate
+    lengths, each probed against the MAP column; a round that finds no
+    match consumes 1 (the UNK path) and a fully-consumed word is a
+    pass-through, so extra rounds are no-ops. Worst case is one
+    character per round, hence n_steps = max guarded token length
+    (the queries reuse _guard_bpe_token_length)."""
+    blocks = _bpe_train_blocks(n_merges, min_freq, byte_level=False)
+    merge_rows = " UNION ALL ".join(
+        f"SELECT l || r AS p FROM b{k}" for k in range(n_merges)
+    )
+    blocks.append(
+        f""",
+    wt AS MATERIALIZED (SELECT DISTINCT word FROM bpe_words),
+    vm AS MATERIALIZED (
+      SELECT MAP_FROM_ENTRIES(LIST((p, 1))) AS m FROM (
+        SELECT DISTINCT p FROM (
+          SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word) + 1),
+                        i -> SUBSTR(word, CAST(i AS INT), 1))) AS p
+          FROM wt
+          UNION ALL
+          {merge_rows}))),
+    s0 AS MATERIALIZED (SELECT word, 1 AS pos, 0 AS n FROM wt)"""
+    )
+    probe = (
+        "LIST_MAX(LIST_FILTER(RANGE(1, LEN(word) - pos + 2), j -> "
+        "ELEMENT_AT(m, SUBSTR(word, CAST(pos AS INT), CAST(j AS INT)))[1]"
+        " IS NOT NULL))"
+    )
+    for t in range(n_steps):
+        blocks.append(
+            f""",
+    s{t + 1} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN pos > LEN(word) THEN pos
+                  ELSE pos + COALESCE(best, 1) END AS pos,
+             CASE WHEN pos > LEN(word) THEN n ELSE n + 1 END AS n
+      FROM (SELECT word, pos, n, {probe} AS best FROM s{t}, vm))"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f""",
+    gsz AS MATERIALIZED (
+      SELECT word, CAST(n AS BIGINT) AS n_wp FROM s{n_steps}),
+    agg AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+             CAST(SUM(n_wp) AS BIGINT) AS n_wp
+      FROM bpe_words w JOIN gsz USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_ws, 0) AS n_ws_tokens,
+           COALESCE(a.n_wp, 0) AS n_wp_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "text_wordpiece_tokens",
+    oracle=_wordpiece_oracle(),
+    desc="WordPiece-style MAXIMAL-MUNCH tokenizer (the BERT-family "
+    "encode loop: longest vocabulary prefix wins, single-char UNK "
+    "fallback) over the BPE-trained vocabulary (corpus characters + "
+    "merge products — the standard trained-vocab/greedy-encode "
+    "assembly), completing the tokenizer triad next to the char- and "
+    "byte-level greedy-BPE encoders; oracle-backed from birth via a "
+    "MAP-probed longest-prefix unroll (one round per consumed position, "
+    "depth = the guarded max token length)",
+)
+def text_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace vs WordPiece token counts. Scale: the
+    vocabulary is alphabet + n_merges bounded (collected once, rides
+    into the Arrow map's closure); encoding is the same narrow
+    mapInPandas + Zipf word cache as BPE — text never shuffles; the
+    trainer is bpe_train's one-argmax-row-per-merge loop."""
+    from gearpump_spark.operators.bpe import wordpiece_tokenize, wordpiece_vocab
+
+    docs = table(spark, sf_dir, "documents")
+    _guard_bpe_token_length(docs, chars=True)
+    vocab = wordpiece_vocab(docs, n_merges=16)
+    return (
+        wordpiece_tokenize(docs, vocab)
+        .select("doc_id", "n_ws_tokens", "n_wp_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "pipeline_chunk_pack",
     oracle="""
@@ -8912,6 +9010,228 @@ def text_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.exp(-F.col("ll").cast("double") / F.col("n_trigrams")), 4
             ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_backoff_lm_score",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                          t -> t <> ''), t -> LOWER(t)) AS tk
+        FROM documents),
+    trn AS (SELECT doc_id, tk FROM base WHERE doc_id % 2 = 0),
+    n_tok AS (SELECT CAST(SUM(LEN(tk)) AS BIGINT) AS n FROM trn),
+    vsz AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT UNNEST(tk) AS w FROM trn)),
+    tgt AS (
+        SELECT s['w1'] AS w1, s['w2'] AS w2, s['w3'] AS w3 FROM (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                i -> {'w1': tk[CAST(i AS INT)], 'w2': tk[CAST(i + 1 AS INT)],
+                      'w3': tk[CAST(i + 2 AS INT)]})) AS s
+            FROM trn WHERE LEN(tk) >= 3)),
+    tga AS (
+        SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2, s['w3'] AS w3 FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                i -> {'w1': tk[CAST(i AS INT)], 'w2': tk[CAST(i + 1 AS INT)],
+                      'w3': tk[CAST(i + 2 AS INT)]})) AS s
+            FROM base WHERE LEN(tk) >= 3)),
+    tcnt AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tgt GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, COUNT(*) AS cc FROM tgt GROUP BY 1, 2),
+    bgt AS (
+        SELECT s['b1'] AS b1, s['b2'] AS b2 FROM (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                i -> {'b1': tk[CAST(i AS INT)],
+                      'b2': tk[CAST(i + 1 AS INT)]})) AS s
+            FROM trn WHERE LEN(tk) >= 2)),
+    bcnt AS (SELECT b1, b2, COUNT(*) AS bc FROM bgt GROUP BY 1, 2),
+    c2 AS (SELECT b1 AS h1, COUNT(*) AS hc FROM bgt GROUP BY 1),
+    ucnt AS (SELECT w, COUNT(*) AS uc
+             FROM (SELECT UNNEST(tk) AS w FROM trn) GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               CASE WHEN tc.ct IS NOT NULL THEN 2
+                    WHEN bc.bc IS NOT NULL THEN 1 ELSE 0 END AS tier,
+               CASE WHEN tc.ct IS NOT NULL THEN
+                      CAST(ROUND(LN(CAST(tc.ct AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))
+                    - CAST(ROUND(LN(CAST(cx.cc AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))
+                    WHEN bc.bc IS NOT NULL THEN
+                      CAST(-0.916291 AS DECIMAL(18,6))
+                    + CAST(ROUND(LN(CAST(bc.bc AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))
+                    - CAST(ROUND(LN(CAST(h.hc AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))
+                    ELSE
+                      CAST(-1.832582 AS DECIMAL(18,6))
+                    + CAST(ROUND(LN(CAST(COALESCE(u.uc, 0) + 1 AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))
+                    - CAST(ROUND(LN(CAST(n.n + v.v AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))
+               END AS t
+        FROM tga t
+        LEFT JOIN tcnt tc ON tc.w1 = t.w1 AND tc.w2 = t.w2 AND tc.w3 = t.w3
+        LEFT JOIN c12 cx ON cx.w1 = t.w1 AND cx.w2 = t.w2
+        LEFT JOIN bcnt bc ON bc.b1 = t.w2 AND bc.b2 = t.w3
+        LEFT JOIN c2 h ON h.h1 = t.w2
+        LEFT JOIN ucnt u ON u.w = t.w3
+        CROSS JOIN n_tok n CROSS JOIN vsz v),
+    agg AS (SELECT doc_id, COUNT(*) AS n_scored, SUM(t) AS ll,
+                   SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS tri,
+                   SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS bi,
+                   SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS uni
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+           CAST(COALESCE(a.tri, 0) AS BIGINT) AS n_tri_hits,
+           CAST(COALESCE(a.bi, 0) AS BIGINT) AS n_bi_hits,
+           CAST(COALESCE(a.uni, 0) AS BIGINT) AS n_uni_floor,
+           ROUND(CAST(a.ll AS DOUBLE), 6) AS sum_logscore,
+           ROUND(EXP(-CAST(a.ll AS DOUBLE) / a.n_scored), 4) AS score_ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """,
+    desc="STUPID-BACKOFF trigram scoring (Brants 2007 'Large Language "
+    "Models in Machine Translation' — the LM smoothing DESIGNED for "
+    "distributed count stores: no normalization pass, just counts and a "
+    "fixed 0.4 backoff factor): n-gram counts train on the even-doc_id "
+    "HALF of the corpus and score ALL docs, so the bigram/unigram "
+    "backoff tiers actually fire on held-out text (self-trained "
+    "counts would make backoff vacuous); per trigram position score = "
+    "ln c123 - ln c12, else ln0.4 + ln c23 - ln c2, else 2ln0.4 + "
+    "ln(c3+1) - ln(N+V) — every LN arg integral, every term a "
+    "ROUND(LN,6) decimal, ln0.4 a shared 6dp literal, per-tier hit "
+    "counts surfaced as exact integers",
+)
+def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale (why Google built stupid backoff this way): counts are
+    map-side-combined groupBys, never normalized — no second pass over
+    the count store; scoring shuffles doc trigrams on their n-gram keys
+    (5 keyed equi-joins, each against a vocabulary-bounded count table);
+    N and V ride 1-row broadcasts. The train/score split is a narrow
+    filter, not a shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
+    )
+    train = base.where(F.col("doc_id") % 2 == 0)
+    n_tok = train.agg(F.sum(F.size("tk")).cast("long").alias("n"))
+    vsz = train.select(F.explode("tk").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+
+    def tri(df: DataFrame, with_doc: bool) -> DataFrame:
+        cols = (["doc_id"] if with_doc else []) + ["s.w1", "s.w2", "s.w3"]
+        return (
+            df.where(F.size("tk") >= 3)
+            .select(
+                *(["doc_id"] if with_doc else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2), i -> struct("
+                        "element_at(tk, CAST(i AS INT)) AS w1,"
+                        " element_at(tk, CAST(i + 1 AS INT)) AS w2,"
+                        " element_at(tk, CAST(i + 2 AS INT)) AS w3))"
+                    )
+                ).alias("s"),
+            )
+            .select(*cols)
+        )
+
+    tgt = tri(train, with_doc=False)
+    tga = tri(base, with_doc=True)
+    tcnt = tgt.groupBy("w1", "w2", "w3").agg(F.count("*").alias("ct"))
+    c12 = tgt.groupBy("w1", "w2").agg(F.count("*").alias("cc"))
+    big = (
+        train.where(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), i -> struct("
+                    "element_at(tk, CAST(i AS INT)) AS b1,"
+                    " element_at(tk, CAST(i + 1 AS INT)) AS b2))"
+                )
+            ).alias("s")
+        )
+        .select("s.b1", "s.b2")
+    )
+    bcnt = big.groupBy("b1", "b2").agg(F.count("*").alias("bc"))
+    c2 = big.groupBy("b1").agg(F.count("*").alias("hc")).withColumnRenamed(
+        "b1", "h1"
+    )
+    ucnt = (
+        train.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("uc"))
+    )
+
+    def rln(c):  # ROUND(LN(int), 6) as an exact decimal term
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(18,6)")
+
+    ln04 = F.lit("-0.916291").cast("decimal(18,6)")
+    ln04x2 = F.lit("-1.832582").cast("decimal(18,6)")
+    scored = (
+        tga.join(tcnt, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(
+            bcnt,
+            (F.col("b1") == F.col("w2")) & (F.col("b2") == F.col("w3")),
+            "left",
+        )
+        .join(c2, F.col("h1") == F.col("w2"), "left")
+        .join(ucnt, F.col("w") == F.col("w3"), "left")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.when(F.col("ct").isNotNull(), 2)
+            .when(F.col("bc").isNotNull(), 1)
+            .otherwise(0)
+            .alias("tier"),
+            F.when(F.col("ct").isNotNull(), rln(F.col("ct")) - rln(F.col("cc")))
+            .when(
+                F.col("bc").isNotNull(),
+                ln04 + rln(F.col("bc")) - rln(F.col("hc")),
+            )
+            .otherwise(
+                ln04x2
+                + rln(F.coalesce(F.col("uc"), F.lit(0)) + 1)
+                - rln(F.col("n") + F.col("v"))
+            )
+            .alias("t"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum("t").alias("ll"),
+        F.sum(F.when(F.col("tier") == 2, 1).otherwise(0)).alias("tri"),
+        F.sum(F.when(F.col("tier") == 1, 1).otherwise(0)).alias("bi"),
+        F.sum(F.when(F.col("tier") == 0, 1).otherwise(0)).alias("uni"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("bigint").alias(
+                "n_scored"
+            ),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias(
+                "n_tri_hits"
+            ),
+            F.coalesce(F.col("bi"), F.lit(0)).cast("bigint").alias("n_bi_hits"),
+            F.coalesce(F.col("uni"), F.lit(0)).cast("bigint").alias(
+                "n_uni_floor"
+            ),
+            F.round(F.col("ll").cast("double"), 6).alias("sum_logscore"),
+            F.round(
+                F.exp(-F.col("ll").cast("double") / F.col("n_scored")), 4
+            ).alias("score_ppl"),
         )
         .orderBy("doc_id")
     )

@@ -336,3 +336,58 @@ def test_bpe_query_guards_long_tokens(spark):
         _guard_bpe_token_length(dotted, chars=True)
     with pytest.raises(ValueError, match="merges per word"):
         _guard_bpe_token_length(dotted, chars=False)
+
+
+def test_wordpiece_maximal_munch_semantics():
+    """Hand-checked maximal munch: longest vocab prefix wins at every
+    position; a single char absent from the vocab still consumes one
+    position (UNK path) so the loop terminates in <= len(word) steps."""
+    from gearpump_spark.operators.bpe import wordpiece_encode_word
+
+    vocab = {"a", "b", "c", "ab", "abc"}
+    assert wordpiece_encode_word("abcab", vocab) == ["abc", "ab"]
+    assert wordpiece_encode_word("abca", vocab) == ["abc", "a"]
+    assert wordpiece_encode_word("ba", vocab) == ["b", "a"]
+    # greedy is NOT optimal: "aab" with vocab {aa, ab, a} -> [aa, UNK-b]
+    assert wordpiece_encode_word("aab", {"aa", "ab", "a"}) == ["aa", "b"]
+    # UNK fallback consumes exactly one position
+    assert wordpiece_encode_word("xy", {"x"}) == ["x", "y"]
+    assert wordpiece_encode_word("", vocab) == []
+
+
+def test_wordpiece_tokenize_matches_pure_python(spark):
+    """Distributed WordPiece == pure-python maximal munch over the same
+    trained vocab, word for word (the wp_tokens column, not just
+    counts)."""
+    import re
+
+    from gearpump_spark.functions import text as TXF
+    from gearpump_spark.operators.bpe import (
+        wordpiece_encode_word,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "low new lowest newest"),
+            (4, "zq zq unseen"),
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = wordpiece_vocab(docs, n_merges=8)
+    V = set(vocab)
+    ws = re.compile(TXF.WS_RE)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_wp_tokens, list(r.wp_tokens))
+        for r in wordpiece_tokenize(docs, vocab).collect()
+    }
+    for doc_id, text in [(1, "low lower lowest low low"),
+                         (2, "new newer newest new"),
+                         (3, "low new lowest newest"),
+                         (4, "zq zq unseen")]:
+        words = [w for w in ws.split(text.lower()) if w]
+        pieces = [p for w in words for p in wordpiece_encode_word(w, V)]
+        assert got[doc_id] == (len(words), len(pieces), pieces), doc_id

@@ -3033,6 +3033,33 @@ def test_quality_lr_int_actually_learns(spark):
     assert acc >= majority + 0.10, (majority, acc)
 
 
+def test_keyword_teacher_multiclass_argmax_semantics(spark):
+    """The k-class teacher's argmax must break ties to the SMALLEST
+    class id (array_position first-occurrence — the DuckDB list_position
+    mirror), and a doc with zero marker words lands in class 0."""
+    from gearpump_spark.operators.classify import (
+        keyword_teacher_multiclass,
+        one_vs_rest_labels,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table spark"),  # c0 wins outright
+            (2, "row batch scan filter"),  # tie c1=c2 -> smallest (1)
+            (3, "join group join group scan"),  # c3 wins
+            (4, "nothing relevant here"),  # no markers -> class 0
+            (5, "spark row scan join"),  # 4-way tie -> class 0
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.label for r in keyword_teacher_multiclass(docs).collect()}
+    assert got == {1: 0, 2: 1, 3: 3, 4: 0, 5: 0}
+    labs = one_vs_rest_labels(keyword_teacher_multiclass(docs), 4).collect()
+    assert len(labs) == 20  # 5 docs x 4 classes
+    for r in labs:
+        assert r.y == int(got[r.doc_id] == r.c)
+
+
 def test_quality_lr_multiclass_actually_learns(spark):
     """The one-vs-rest extension must LEARN, not just hash-match: train
     accuracy has to clearly beat the majority class of the 4-class

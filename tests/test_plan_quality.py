@@ -1439,6 +1439,15 @@ def test_pipeline_quality_dedup_pack_stage_shapes(spark, sf_dir):
     _assert_no_single_partition_windows(p, "pack window went single-task")
 
 
+def test_backoff_lm_keyed_joins_jvm_side(spark, sf_dir):
+    """Stupid-backoff scoring shuffles doc trigrams on n-gram keys only
+    (5 keyed equi-joins against vocabulary-bounded count tables; the two
+    1-row N/V attachments ride broadcasts) and stays JVM-side."""
+    p = plan(QS["text_backoff_lm_score"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_trigram_lm_keyed_joins_jvm_side(spark, sf_dir):
     """Trigram LM scoring joins shuffle on the trigram/context keys
     (equi-joins only — no cartesian beyond the 1-row V broadcast); the

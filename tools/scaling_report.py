@@ -220,6 +220,18 @@ EXTRA = [
     "q_activity_bitmaps_weekly",
     "text_bpe_tokens",
     "text_bpe_bytes",
+    # r9 wave: the joint one-vs-rest LR (2 bounded aggs x 12 steps —
+    # near-flat like its binary twin until the data term dominates), the
+    # streaming scored emission (source read + narrow map; micro-batch
+    # fixed cost dominates at small sf), and the composed pipeline
+    # (LR train + fingerprint shuffle + chunk/pack windows)
+    "text_quality_lr_multiclass",
+    "text_quality_lr_stream_score",
+    "pipeline_quality_dedup_pack",
+    # stupid backoff: 5 keyed joins against vocabulary-bounded counts
+    "text_backoff_lm_score",
+    # WordPiece maximal munch: same word-TYPE-bounded Arrow-map tier as BPE
+    "text_wordpiece_tokens",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
