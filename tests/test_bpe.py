@@ -391,3 +391,85 @@ def test_wordpiece_tokenize_matches_pure_python(spark):
         words = [w for w in ws.split(text.lower()) if w]
         pieces = [p for w in words for p in wordpiece_encode_word(w, V)]
         assert got[doc_id] == (len(words), len(pieces), pieces), doc_id
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(WORD, min_size=1, max_size=8), min_size=1, max_size=4))
+def test_wordpiece_property_matches_reference(spark, corpora):
+    """Property: distributed WordPiece (trained vocab + Arrow-map encode)
+    equals the pure-python maximal munch on arbitrary tiny-alphabet
+    corpora — the same adversarial surface as the BPE trainer property
+    (max ties, repeated substrings)."""
+    import re
+
+    from gearpump_spark.functions import text as TXF
+    from gearpump_spark.operators.bpe import (
+        wordpiece_encode_word,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    texts = [" ".join(ws) for ws in corpora]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    vocab = wordpiece_vocab(docs, n_merges=4)
+    V = set(vocab)
+    ws_re = re.compile(TXF.WS_RE)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_wp_tokens)
+        for r in wordpiece_tokenize(docs, vocab).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in ws_re.split(t.lower()) if w]
+        pieces = [p for w in words for p in wordpiece_encode_word(w, V)]
+        assert got[i] == (len(words), len(pieces)), (i, t)
+
+
+def test_wordpiece_oracle_at_unroll_boundary(spark):
+    """The unrolled SQL oracle must agree with the engine on a word at
+    EXACTLY the guarded maximum length (WP_ORACLE_N_STEPS chars, worst
+    case one char consumed per round) — the boundary where one fewer
+    unroll step would silently truncate. Uses an alphabet of distinct
+    chars so no merge fires and every round takes the 1-char path."""
+    from gearpump_spark.queries.llm import (
+        WP_ORACLE_N_STEPS,
+        _guard_bpe_token_length,
+        _wordpiece_oracle,
+    )
+    from gearpump_spark.operators.bpe import wordpiece_tokenize, wordpiece_vocab
+
+    # 49 distinct characters -> 49 single-char pieces, needs all rounds
+    import string
+
+    alphabet = string.ascii_lowercase + string.digits + "éàüßñçøå_-+=*&"
+    word = alphabet[:WP_ORACLE_N_STEPS]
+    assert len(word) == WP_ORACLE_N_STEPS
+    docs = spark.createDataFrame(
+        [(1, word + " " + word), (2, "ab ab ab")], "doc_id bigint, text string"
+    )
+    _guard_bpe_token_length(docs, chars=True)  # boundary passes the guard
+    vocab = wordpiece_vocab(docs, n_merges=4)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_wp_tokens)
+        for r in wordpiece_tokenize(docs, vocab)
+        .select("doc_id", "n_ws_tokens", "n_wp_tokens")
+        .collect()
+    }
+    assert got[1][1] >= WP_ORACLE_N_STEPS  # worst-case path actually taken
+    import duckdb
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(1, word + " " + word), (2, "ab ab ab")], "doc_id bigint, text string"
+    ).toPandas()
+    con.register("documents", df)
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(_wordpiece_oracle(n_merges=4)).fetchall()
+    }
+    assert got == want
