@@ -98,6 +98,7 @@ DRIVER_SAMPLE_WINDOW = [
     "pipeline_quality_dedup_pack",
     "text_backoff_lm_score",
     "text_wordpiece_tokens",
+    "q_window_tumbling_stream",
     "multimodal_phash_int",
     "text_quality_lr_int",
     "text_trigram_lm_perplexity",
@@ -148,7 +149,6 @@ DRIVER_SAMPLE_WINDOW = [
     "similarity_topk_ivf_seeded",
     "similarity_topk_lsh",
     "embedding_quantize_int8",
-    "embedding_random_projection",
 ]
 
 

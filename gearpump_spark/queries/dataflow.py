@@ -114,6 +114,103 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_tumbling_stream",
+    oracle=f"""
+    SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) * 1000000)
+             AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, event_type
+    ORDER BY window_start, event_type
+    """,
+    desc="the q_window_tumbling aggregation run through a REAL "
+    "Structured Streaming pipeline under the driver oracle gate: file "
+    "source + a far-future flush-sentinel source (the reference's "
+    "Watermark.MAX, source/Watermark.scala:29-36) unioned into one "
+    "stream, watermarked 5-minute tumbling windows, APPEND-mode "
+    "final panes drained to a memory sink — the STATEFUL streaming "
+    "path (windowed GroupByKey), complementing the stateless "
+    "text_quality_lr_stream_score map; exact because count and the "
+    "decimal value sum are order/batch-boundary-free monoids, so the "
+    "drained panes hash-match the batch SQL",
+)
+def q_window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical shuffle shape to the batch twin (map-side partial
+    aggs per (window, key) into the state store); the sentinel is one
+    row; the memory sink holds |windows|x|event types| rows, never the
+    events. Append mode means each pane is emitted exactly once, when
+    the watermark passes its end — the reference's final-pane-only
+    GroupByKey contract (GroupByKeyTranslator.java:67-79)."""
+    import tempfile
+    import uuid
+
+    from gearpump_spark.streaming.core import (
+        FLUSH_EPOCH_SEC,
+        run_to_completion,
+        windowed_aggregate,
+    )
+
+    import os
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.simpleString() == "bigint"
+    # Driver fixtures are single FILES (FileStreamSource needs a dir to
+    # derive basePath — the one-char glob makes it resolve the parent);
+    # synthesized sets (tools/make_sf1.py) are Spark-written DIRECTORIES,
+    # which the file source takes directly.
+    ev_path = f"{sf_dir}/events.parquet"
+    if not os.path.isdir(ev_path):
+        ev_path = f"{sf_dir}/events.parque[t]"
+    data = spark.readStream.schema(raw_schema).parquet(ev_path)
+    # Sentinel source: one far-future row in a session temp dir — the
+    # fixture dir is read-only, so Watermark.MAX arrives via a second
+    # file source unioned in. Built schema-generically (ts may surface
+    # as raw epoch nanos under nanosAsLong or as a native timestamp,
+    # depending on the session's read path); non-ts fields ride NULL —
+    # the sentinel advances the clock and is dropped before aggregation.
+    def _sent_col(field):
+        if field.name == "ts":
+            c = (
+                F.lit(FLUSH_EPOCH_SEC * 1_000_000_000).cast("bigint")
+                if ts_is_long
+                else F.timestamp_seconds(F.lit(FLUSH_EPOCH_SEC)).cast(
+                    field.dataType
+                )
+            )
+        else:
+            c = F.lit(None).cast(field.dataType)
+        return c.alias(field.name)
+
+    sent_dir = tempfile.mkdtemp(prefix="flush_sentinel_")
+    spark.range(1).select(*[_sent_col(f) for f in raw_schema.fields]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(sent_dir)
+    sentinel = spark.readStream.schema(raw_schema).parquet(sent_dir)
+    ev = data.union(sentinel)
+    if ts_is_long:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_aggregate(
+        ev,
+        "ts",
+        "5 minutes",
+        None,
+        ["event_type"],
+        [F.count("*").alias("n"), dsum("value").alias("total_value")],
+        drop_flush_sentinel=True,
+    )
+    out = run_to_completion(
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        ),
+        f"window_tumbling_stream_{uuid.uuid4().hex[:8]}",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
     "q_window_sliding",
     oracle=f"""
     SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 300) * 300 - o.off AS BIGINT) * 1000000)

@@ -232,6 +232,10 @@ EXTRA = [
     "text_backoff_lm_score",
     # WordPiece maximal munch: same word-TYPE-bounded Arrow-map tier as BPE
     "text_wordpiece_tokens",
+    # stateful streaming windowed agg: micro-batch fixed cost dominates;
+    # the data term is the same (window, key) partial-agg shuffle as the
+    # batch twin
+    "q_window_tumbling_stream",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
