@@ -3,15 +3,16 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()``   — every implemented operator from SURVEY.md §2 (+ the
                   LLM-pipeline extensions), as (spark, sf_dir) -> DataFrame.
-``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for
-                  genuinely non-reproducible ops: iterative fixpoints
-                  with order-dependent float math — PageRank, k-means,
-                  Lloyd-refined IVF, float top-PCs — plus the byte-level
-                  BPE chain and float-DCT pHash pairing; every one of
-                  those has an oracle-backed integer/greedy twin as of
-                  r8 — pagerank_int family, kmeans_clusters_int,
-                  similarity_topk_ivf_seeded, embedding_top_pc_int,
-                  text_bpe_tokens/text_bpe_exact, multimodal_phash_int).
+``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for the
+                  7 genuinely non-reproducible ops: iterative fixpoints
+                  with order-dependent float math — float PageRank ×2,
+                  k-means, float top-PCs ×2, Lloyd-refined IVF — plus
+                  the float-DCT pHash pairing; every one has an
+                  oracle-backed integer/greedy twin — the pagerank_int
+                  family, kmeans_clusters_int, embedding_top_pc_int,
+                  similarity_topk_ivf_seeded, multimodal_phash_int.
+                  Both BPE tokenizers and the WordPiece encoder are
+                  fully oracle-backed as of r8/r9).
 
 Implementation lives in gearpump_spark/ — see gearpump_spark/queries/.
 """

@@ -99,6 +99,7 @@ DRIVER_SAMPLE_WINDOW = [
     "text_backoff_lm_score",
     "text_wordpiece_tokens",
     "q_window_tumbling_stream",
+    "sample_domain_reweight_int",
     "multimodal_phash_int",
     "text_quality_lr_int",
     "text_trigram_lm_perplexity",
@@ -148,7 +149,6 @@ DRIVER_SAMPLE_WINDOW = [
     "kmeans_clusters_int",
     "similarity_topk_ivf_seeded",
     "similarity_topk_lsh",
-    "embedding_quantize_int8",
 ]
 
 

@@ -3033,6 +3033,28 @@ def test_quality_lr_int_actually_learns(spark):
     assert acc >= majority + 0.10, (majority, acc)
 
 
+def test_domain_reweight_semantics(spark):
+    """The DoReMi-lite loop must (a) apportion exactly the budget, (b)
+    move AWAY from uniform, and (c) preserve loss order in the final
+    weights — the multiplicative update is monotone in loss at every
+    step (same weighted mean for all domains), so a higher-surprisal
+    domain can never end below a lower-surprisal one."""
+    from gearpump_spark.queries import all_queries
+
+    out = all_queries()["sample_domain_reweight_int"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(out) == 20
+    assert sum(r.n_alloc for r in out) == 1_000_000
+    assert len({r.weight for r in out}) > 1  # moved off uniform
+    by_loss = sorted(out, key=lambda r: (r.loss_micro, r.domain))
+    for a, b in zip(by_loss, by_loss[1:]):
+        assert a.weight <= b.weight or a.loss_micro == b.loss_micro, (
+            a.domain,
+            b.domain,
+        )
+
+
 def test_keyword_teacher_multiclass_argmax_semantics(spark):
     """The k-class teacher's argmax must break ties to the SMALLEST
     class id (array_position first-occurrence — the DuckDB list_position

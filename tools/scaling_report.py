@@ -236,6 +236,8 @@ EXTRA = [
     # the data term is the same (window, key) partial-agg shuffle as the
     # batch twin
     "q_window_tumbling_stream",
+    # DoReMi-lite: one corpus pass for domain losses, then 20-row steps
+    "sample_domain_reweight_int",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
