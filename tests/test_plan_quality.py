@@ -1009,6 +1009,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q_cusum_changepoint": "CUSUM windows over the per-day aggregate",
     # window over the file inventory (files, not rows)
     "q_compaction_plan": "window input is the file-stats inventory",
+    # largest-remainder apportionment ranks |domains| rows (20) — the
+    # corpus never reaches the window; a global rank over a
+    # domain-cardinality frame is the apportionment's semantics
+    "sample_domain_reweight_int": "window input is the per-domain weight frame",
 }
 
 
