@@ -121,7 +121,7 @@ def bpe_train_vocab(
         .select("word", "cnt", chars.alias("syms"))
         .localCheckpoint()
     )
-    merges, vocab = _train_merges_keep(vocab, n_merges, min_freq)
+    merges, vocab, _ = _train_merges_keep(vocab, n_merges, min_freq)
     return merges, vocab
 
 
@@ -131,12 +131,15 @@ def _train_merges(vocab: DataFrame, n_merges: int, min_freq: int) -> list[tuple[
 
 def _train_merges_keep(
     vocab: DataFrame, n_merges: int, min_freq: int
-) -> tuple[list[tuple[str, str]], DataFrame]:
+) -> tuple[list[tuple[str, str]], DataFrame, list[int]]:
     """The shared merge loop: (cnt, syms array) vocab → ranked merges +
-    the final rewritten vocab.
+    the final rewritten vocab + each merge's selection-time weighted
+    frequency (the adjacent-pair count when it won the argmax — the
+    natural corpus-count estimate for the merge product as a piece).
     One Spark job + 1-row argmax collect per merge (sequential by
     nature); narrow rewrite + lineage cut keeps the plan O(1)/round."""
     merges: list[tuple[str, str]] = []
+    freqs: list[int] = []
     for _ in range(n_merges):
         pairs = (
             vocab.select(
@@ -156,8 +159,9 @@ def _train_merges_keep(
             break
         a, b = best[0]["p"]["l"], best[0]["p"]["r"]
         merges.append((a, b))
+        freqs.append(int(best[0]["freq"]))
         vocab = vocab.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
-    return merges, vocab
+    return merges, vocab, freqs
 
 
 def bpe_train_bytes(
@@ -447,4 +451,187 @@ def wordpiece_tokenize(
         op,
         f"{id_col} {id_type}, n_ws_tokens bigint, n_wp_tokens bigint, "
         "wp_tokens array<string>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece-style UNIGRAM-LM segmentation (Kudo 2018, "Subword
+# Regularization"): a trained piece inventory with log-probabilities,
+# Viterbi-decoded per word — completing the tokenizer quartet next to the
+# char/byte greedy-BPE and WordPiece maximal-munch encoders. The piece
+# inventory is seeded the way SentencePiece seeds its unigram trainer:
+# from frequent-substring candidates — here the BPE merge products (each
+# scored by its selection-time weighted pair frequency) plus the corpus
+# alphabet (scored by weighted character counts). Scores are integer
+# MICRO-ln-units: s(p) = ROUND(ln f_p, 6)·1e6 − ROUND(ln Σf, 6)·1e6 —
+# every LN arg integral, the rounded-decimal discipline, so the Spark
+# encoder and the unrolled SQL oracle agree bit for bit.
+# ---------------------------------------------------------------------------
+
+# (score, n_pieces) lexicographic packing for the Viterbi DP: maximize the
+# summed score, tie-break on FEWER pieces. key = score_micro·1024 − n is
+# order-isomorphic as long as n < 1024 (guarded word length ≤ 49) and
+# distinct score sums differ by ≥ 1 micro-unit (integers). A candidate
+# extension is then key[pos−j] + s(piece)·1024 − 1 — one bigint per
+# position, which is what lets the SQL oracle carry the whole DP as a
+# single LIST<BIGINT> column.
+UNIGRAM_TIE_BASE = 1024
+
+
+def _ln_micro(x: int) -> int:
+    """ROUND(ln x, 6) in integer micro-units, HALF_UP on the exact binary
+    double — bit-compatible with DuckDB's ROUND(LN(CAST(x AS DOUBLE)), 6)
+    (CPython math.log and DuckDB std::log resolve to the same platform
+    libm, and both engines round half away from zero)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(math.log(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        * 1_000_000
+    )
+
+
+def unigram_vocab_scores(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> "dict[str, int]":
+    """Train the unigram-LM piece inventory: {piece: score_micro}.
+
+    Pieces = corpus alphabet (weighted char counts over word types) +
+    BPE merge products (selection-time pair frequencies); two merges
+    producing the same string sum their counts. Driver traffic is
+    alphabet + n_merges bounded: one argmax row per merge (bpe_train's
+    cost model) plus one |Σ|-row char-count collect."""
+    chars = F.filter(F.split("word", "(?!^)"), lambda x: x != "")
+    vocab = (
+        _word_counts(docs, text_col)
+        .select("word", "cnt", chars.alias("syms"))
+        .localCheckpoint()
+    )
+    merges, _, freqs = _train_merges_keep(
+        vocab.select("cnt", "syms"), n_merges, min_freq
+    )
+    char_rows = (
+        vocab.select("cnt", F.explode("syms").alias("c"))
+        .groupBy("c")
+        .agg(F.sum("cnt").alias("f"))
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    for r in char_rows:
+        counts[r.c] = counts.get(r.c, 0) + int(r.f)
+    for (a, b), f in zip(merges, freqs):
+        p = a + b
+        counts[p] = counts.get(p, 0) + f
+    total = sum(counts.values())
+    ln_tot = _ln_micro(total)
+    return {p: _ln_micro(f) - ln_tot for p, f in counts.items()}
+
+
+def unigram_encode_word(
+    word: str, scores: "dict[str, int]"
+) -> "tuple[list[str], int]":
+    """Viterbi decode: the segmentation maximizing the summed piece
+    score, tie-broken to the fewest pieces (both encoded in the packed
+    key — see UNIGRAM_TIE_BASE); among equal (score, n) paths the last
+    piece prefers longer (output-invariant: surfaced counts and score
+    are equal by definition of the tie). Returns (pieces, key) where
+    key = score_micro·1024 − n_pieces. Raises on a character outside
+    the inventory — impossible for corpus-trained scores (the alphabet
+    is in the inventory), loud instead of silent if violated."""
+    L = len(word)
+    best: list[int | None] = [None] * (L + 1)
+    back = [0] * (L + 1)
+    best[0] = 0
+    for pos in range(1, L + 1):
+        k_best: int | None = None
+        j_best = 0
+        for j in range(1, pos + 1):
+            prev = best[pos - j]
+            if prev is None:
+                continue
+            s = scores.get(word[pos - j : pos])
+            if s is None:
+                continue
+            cand = prev + s * UNIGRAM_TIE_BASE - 1
+            if k_best is None or cand > k_best or (cand == k_best and j > j_best):
+                k_best, j_best = cand, j
+        best[pos] = k_best
+        back[pos] = j_best
+    if best[L] is None:
+        raise ValueError(
+            f"word {word!r} has a character outside the trained piece "
+            "inventory — unigram scores must be trained on the same corpus"
+        )
+    pieces: list[str] = []
+    pos = L
+    while pos > 0:
+        j = back[pos]
+        pieces.append(word[pos - j : pos])
+        pos -= j
+    pieces.reverse()
+    return pieces, best[L]
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    scores: "dict[str, int]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_ws_tokens, n_sp_tokens, logprob_micro, sp_tokens): Viterbi
+    unigram-LM tokenization against a trained piece inventory. Same
+    narrow Arrow-batched map and Zipf word cache as the other encoders —
+    payload text never shuffles; the inventory (alphabet + n_merges
+    bounded) rides into the closure. logprob_micro is the EXACT integer
+    sum of piece scores over the document's best segmentations."""
+    import re
+
+    ws = re.compile(TX.WS_RE)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[list[str], int]] = {}
+
+        def enc(w: str) -> "tuple[list[str], int]":
+            out = cache.get(w)
+            if out is None:
+                out = unigram_encode_word(w, scores)
+                cache[w] = out
+            return out
+
+        for pdf in batches:
+            ids, n_ws, n_sp, lp, toks = [], [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws.split(str(text or "").lower()) if w]
+                pieces: list[str] = []
+                score = 0
+                for w in words:
+                    ps, key = enc(w)
+                    pieces.extend(ps)
+                    # key = score·1024 − n with score ≤ 0, so −key ≥ 0 and
+                    # sign-magnitude unpacking is exact in both engines
+                    score += -((-key) // UNIGRAM_TIE_BASE)
+                ids.append(i)
+                n_ws.append(len(words))
+                n_sp.append(len(pieces))
+                lp.append(score)
+                toks.append(pieces)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_ws_tokens": n_ws,
+                    "n_sp_tokens": n_sp,
+                    "logprob_micro": lp,
+                    "sp_tokens": toks,
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, n_ws_tokens bigint, n_sp_tokens bigint, "
+        "logprob_micro bigint, sp_tokens array<string>",
     )

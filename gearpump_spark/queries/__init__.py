@@ -77,78 +77,75 @@ _LOADED = False
 # turn the tree red, which is exactly what happened at the r5/r6
 # boundary (r5 VERDICT "What's wrong" #1). Bump this whenever the
 # window rotates.
-DRIVER_SAMPLE_WINDOW_ROUND = 9
+DRIVER_SAMPLE_WINDOW_ROUND = 10
 
 DRIVER_SAMPLE_WINDOW = [
-    # ROUND-9 ROTATION (r8 verdict "Next round" #1 and #2). Policy
-    # unchanged: never-driver-oracle-verified first, then the stalest
-    # records; no slots re-spent on rows-only queries that already have a
-    # rows-only record (the "every registrant sampled" invariant closed
-    # in r8 — similarity_topk_ivf and the float fixpoints stay out).
+    # ROUND-10 ROTATION (r9 verdict "Next round" #2). Policy unchanged:
+    # never-driver-oracle-verified first, then the stalest records; ZERO
+    # slots on rows-only queries — a rows-only re-sample buys no new
+    # signal once a rows-only record exists (the r9 window's one lapse,
+    # multimodal_phash_neardup, is exactly what this list must not
+    # repeat; the staleness ratchet in tests/test_registry_order.py
+    # encodes the policy).
     #
-    # -- the six oracle-backed queries with NO driver-oracle record: the
-    #    four r8 additions never sampled, plus both BPE tokenizers whose
-    #    r3/r4 driver rows predate their r8 oracles (`no_oracle` rows —
-    #    the MAP-probed unroll has never run under the driver). --
-    # -- the three r9 additions (never sampled by construction): the
-    #    one-vs-rest classifier, the streaming scored-emission query,
-    #    and the composed quality->dedup->pack pipeline. --
-    "text_quality_lr_multiclass",
-    "text_quality_lr_stream_score",
-    "pipeline_quality_dedup_pack",
-    "text_backoff_lm_score",
-    "text_wordpiece_tokens",
-    "q_window_tumbling_stream",
-    "sample_domain_reweight_int",
-    "multimodal_phash_int",
-    "text_quality_lr_int",
-    "text_trigram_lm_perplexity",
-    "q_activity_bitmaps_weekly",
-    "text_bpe_tokens",
-    "text_bpe_bytes",
-    # -- the 21 oracle-backed round-3 records, 6 rounds stale: the
-    #    decode `*_real` cohort plus the dataflow/streaming flagships. --
-    "multimodal_audio_real",
-    "multimodal_audio_samples_real",
-    "multimodal_gif_frames_real",
-    "multimodal_gif_pixels_real",
-    "multimodal_image_real",
-    "multimodal_jpeg_420_real",
-    "multimodal_jpeg_422_real",
-    "multimodal_jpeg_color_real",
-    "multimodal_jpeg_dri_real",
-    "multimodal_jpeg_refined_real",
-    "multimodal_pixels_real",
-    "multimodal_png_resize_real",
-    "multimodal_resize_real",
-    "multimodal_video_real",
-    "q_flatten_union",
-    "q_lifetime_filter",
-    "q_multi_output_tags",
-    "q_sol_passthrough",
-    "q_timestamp_filter",
-    "q_user_value_outliers",
-    "q_window_sliding",
-    # -- 23 of the 50 round-4 records, 5 rounds stale, weighted toward
-    #    the largest hand-built code mass (codecs, graph fixpoints,
-    #    quantization) — the rest of the r4 cohort heads the r10
-    #    rotation. --
-    "multimodal_jpeg12_real",
-    "multimodal_jpeg_411_real",
-    "multimodal_ahash_neardup",
-    "multimodal_phash_neardup",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_video_fps",
-    "graph_pagerank_int",
-    "graph_kcore",
-    "graph_label_propagation",
-    "graph_link_prediction",
-    "graph_khop_reach",
-    "kmeans_clusters_int",
-    "similarity_topk_ivf_seeded",
-    "similarity_topk_lsh",
+    # -- the two r10 additions (never sampled by construction): the
+    #    unigram-LM Viterbi segmenter and the sliding-window streaming
+    #    query. --
+    "text_sentencepiece_tokens",
+    "q_window_sliding_stream",
+    # -- the full remaining round-4 cohort (33 oracle-backed queries
+    #    whose newest green is CORRECTNESS_r04, 6 rounds stale — the
+    #    16 other r4 records were re-greened in the r9 window). --
+    "dedup_canonical_pick",
+    "dedup_simhash",
+    "dedup_fuzzy_names",
+    "dedup_cdc_chunks",
+    "embedding_quantize_pq",
+    "embedding_quantize_int8",
+    "embedding_quantize_int4",
+    "embedding_random_projection",
+    "embedding_matryoshka",
+    "similarity_topk_pq_adc",
+    "similarity_topk_ivfpq",
+    "similarity_hard_negatives",
+    "text_gopher_rules",
+    "text_length_band_filter",
+    "text_blocklist_filter",
+    "text_bpe_exact",
+    "text_hybrid_rrf",
+    "text_oov_rate",
+    "sample_cluster_split",
+    "sample_negative_pairs",
+    "sample_unimax_mix",
+    "graph_degree_distribution",
+    "sketch_hll_registers",
+    "sketch_hll_union",
+    "sketch_kmv_distinct",
+    "sketch_theta_overlap",
+    "q_merge_into",
+    "q_scd2_history",
+    "q_ohlc_downsample",
+    "q_gap_detection",
+    "q_first_touch_attribution",
+    "q_zorder_layout",
+    "q_compaction_plan",
+    # -- 15 of the 48 round-5 records (5 rounds stale), registration
+    #    order; the remaining 33 head the r11 rotation. --
+    "dedup_duplicate_spans",
+    "multimodal_jfif_real",
+    "dedup_savings_report",
+    "text_retrieval_eval",
+    "multimodal_exif_real",
+    "text_unigram_logprob",
+    "text_char_entropy",
+    "graph_clustering_coeff",
+    "similarity_ivf_recall",
+    "multimodal_mulaw_real",
+    "embedding_center_project",
+    "multimodal_qoi_real",
+    "multimodal_tiff_pixels_real",
+    "graph_assortativity",
+    "q_psi_drift",
 ]
 
 

@@ -3116,6 +3116,131 @@ def text_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_oracle(
+    n_merges: int = 16,
+    min_freq: int = 2,
+    n_steps: int = WP_ORACLE_N_STEPS,
+) -> str:
+    """Unrolled mirror of the UNIGRAM-LM VITERBI segmenter
+    (operators/bpe.py unigram_encode_word): the shared BPE trainer chain
+    seeds the piece inventory (corpus alphabet with weighted char counts
+    + each merge product with its selection-time pair frequency, summed
+    on string collision), scores become integer micro-ln-units
+    s(p) = ROUND(LN f,6)·1e6 − ROUND(LN Σf,6)·1e6 (LN args integral),
+    and every word TYPE runs n_steps unrolled DP rounds — one per
+    character position, the r9 verdict's 'best-segmentation-so-far per
+    position unrolls the same way' — carrying the whole Viterbi table as
+    ONE LIST<BIGINT> column of packed keys (score·1024 − n_pieces, see
+    UNIGRAM_TIE_BASE): round t appends
+    max_j ks[t−j] + s(word[t−j+1 .. t])·1024 − 1 over vocab pieces
+    probed in a MAP column; positions past the word are pass-throughs.
+    The packed key makes max-score/min-pieces ONE integer max, so
+    LIST_MAX decides ties identically in both engines."""
+    blocks = _bpe_train_blocks(n_merges, min_freq, byte_level=False)
+    merge_rows = " UNION ALL ".join(
+        f"SELECT b.l || b.r AS p, pk.freq AS f FROM b{k} b "
+        f"JOIN p{k} pk ON pk.l = b.l AND pk.r = b.r"
+        for k in range(n_merges)
+    )
+    lnm = (
+        "CAST(CAST(ROUND(LN(CAST({x} AS DOUBLE)), 6) AS DECIMAL(18,6))"
+        " * 1000000 AS BIGINT)"
+    )
+    blocks.append(
+        f""",
+    cc AS (
+      SELECT c AS p, SUM(cnt) AS f FROM (
+        SELECT cnt, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word) + 1),
+                    i -> SUBSTR(word, CAST(i AS INT), 1))) AS c
+        FROM v0) GROUP BY 1),
+    pc AS MATERIALIZED (
+      SELECT p, CAST(SUM(f) AS BIGINT) AS f
+      FROM (SELECT p, f FROM cc UNION ALL {merge_rows}) GROUP BY p),
+    ptot AS (SELECT CAST(SUM(f) AS BIGINT) AS tot FROM pc),
+    vm AS MATERIALIZED (
+      SELECT MAP_FROM_ENTRIES(LIST((p, s))) AS m FROM (
+        SELECT p, {lnm.format(x='f')} - {lnm.format(x='t.tot')} AS s
+        FROM pc CROSS JOIN ptot t)),
+    wt AS MATERIALIZED (SELECT DISTINCT word FROM bpe_words),
+    s0 AS MATERIALIZED (SELECT word, [CAST(0 AS BIGINT)] AS ks FROM wt)"""
+    )
+    probe = (
+        "ELEMENT_AT(m, SUBSTR(word, CAST({t} - j + 1 AS INT),"
+        " CAST(j AS INT)))[1]"
+    )
+    for t in range(1, n_steps + 1):
+        pr = probe.format(t=t)
+        blocks.append(
+            f""",
+    s{t} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN {t} > LEN(word) THEN ks
+                  ELSE LIST_APPEND(ks, cand) END AS ks
+      FROM (SELECT word, ks,
+                   LIST_MAX(LIST_FILTER(LIST_TRANSFORM(RANGE(1, {t} + 1),
+                     j -> CASE WHEN {pr} IS NOT NULL
+                               THEN ks[CAST({t} - j + 1 AS INT)]
+                                    + {pr} * 1024 - 1 END),
+                     x -> x IS NOT NULL)) AS cand
+            FROM s{t - 1}, vm))"""
+        )
+    return (
+        "WITH"
+        + "".join(blocks)
+        + f""",
+    gsz AS MATERIALIZED (
+      SELECT word,
+             CAST((0 - ks[CAST(LEN(word) + 1 AS INT)]) % 1024 AS BIGINT)
+               AS n_sp,
+             0 - ((0 - ks[CAST(LEN(word) + 1 AS INT)]) // 1024) AS sc
+      FROM s{n_steps}),
+    agg AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+             CAST(SUM(n_sp) AS BIGINT) AS n_sp,
+             CAST(SUM(sc) AS BIGINT) AS lp
+      FROM bpe_words w JOIN gsz USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_ws, 0) AS BIGINT) AS n_ws_tokens,
+           CAST(COALESCE(a.n_sp, 0) AS BIGINT) AS n_sp_tokens,
+           CAST(COALESCE(a.lp, 0) AS BIGINT) AS logprob_micro
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "text_sentencepiece_tokens",
+    oracle=_unigram_oracle(),
+    desc="SentencePiece-style UNIGRAM-LM segmentation (Kudo 2018): a "
+    "trained piece inventory with integer micro-ln log-probabilities "
+    "(BPE merge products at their selection-time frequencies + the "
+    "corpus alphabet at weighted char counts — how SentencePiece seeds "
+    "its unigram trainer from frequent substrings), Viterbi-decoded per "
+    "word to the max-score / fewest-pieces segmentation; completes the "
+    "tokenizer QUARTET (greedy BPE char + byte, WordPiece maximal "
+    "munch, unigram Viterbi); oracle-backed from birth via a MAP-probed "
+    "unroll carrying the DP table as one packed-key LIST<BIGINT> "
+    "column (one round per character position, depth = the guarded max "
+    "token length); exact decimal score surfaced as logprob_micro",
+)
+def text_sentencepiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace vs unigram-piece token counts plus the
+    exact integer segmentation log-prob. Scale: the inventory is
+    alphabet + n_merges bounded (one argmax row per merge plus one
+    |alphabet|-row collect to the driver); encoding is the same narrow
+    Arrow map + Zipf word cache as the other three encoders — text
+    never shuffles, the DP is O(len²) per CACHED word type."""
+    from gearpump_spark.operators.bpe import unigram_tokenize, unigram_vocab_scores
+
+    docs = table(spark, sf_dir, "documents")
+    _guard_bpe_token_length(docs, chars=True)
+    scores = unigram_vocab_scores(docs, n_merges=16)
+    return (
+        unigram_tokenize(docs, scores)
+        .select("doc_id", "n_ws_tokens", "n_sp_tokens", "logprob_micro")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "pipeline_chunk_pack",
     oracle="""
@@ -8265,17 +8390,17 @@ def text_quality_lr_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from gearpump_spark.operators import classify as CL
-    from gearpump_spark.streaming.core import run_to_completion
+    from gearpump_spark.streaming.core import run_to_completion, stream_source_path
 
     docs = table(spark, sf_dir, "documents")
     fx = CL.hashed_features(docs).localCheckpoint(eager=False)
     lab = CL.keyword_teacher_labels(docs).localCheckpoint(eager=False)
     w = CL.train_lr_int(spark, fx, lab, n_steps=8, lr_den=3)
-    # FileStreamSource derives basePath from the path and requires a
-    # directory; a single-char glob makes it resolve the parent dir while
-    # still matching exactly the one fixture file.
+    # stream_source_path handles both fixture shapes: driver single-file
+    # fixtures (one-char glob so FileStreamSource derives basePath from
+    # the parent dir) and Spark-written directory fixtures (direct path).
     stream = spark.readStream.schema(docs.schema).parquet(
-        f"{sf_dir}/documents.parque[t]"
+        stream_source_path(f"{sf_dir}/documents.parquet")
     )
     scored = CL.score_documents(stream, w).select("doc_id", "margin", "pred")
     out = run_to_completion(
@@ -9091,8 +9216,7 @@ def text_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(a.tri, 0) AS BIGINT) AS n_tri_hits,
            CAST(COALESCE(a.bi, 0) AS BIGINT) AS n_bi_hits,
            CAST(COALESCE(a.uni, 0) AS BIGINT) AS n_uni_floor,
-           ROUND(CAST(a.ll AS DOUBLE), 6) AS sum_logscore,
-           ROUND(EXP(-CAST(a.ll AS DOUBLE) / a.n_scored), 4) AS score_ppl
+           ROUND(CAST(a.ll AS DOUBLE), 6) AS sum_logscore
     FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
     """,
     desc="STUPID-BACKOFF trigram scoring (Brants 2007 'Large Language "
@@ -9105,7 +9229,10 @@ def text_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln c123 - ln c12, else ln0.4 + ln c23 - ln c2, else 2ln0.4 + "
     "ln(c3+1) - ln(N+V) — every LN arg integral, every term a "
     "ROUND(LN,6) decimal, ln0.4 a shared 6dp literal, per-tier hit "
-    "counts surfaced as exact integers",
+    "counts surfaced as exact integers. The gated score is the exact-"
+    "decimal sum_logscore (ADVICE r9 #3: no EXP of a non-integral arg "
+    "under the hash gate — perplexity is display-derivable as "
+    "exp(-sum_logscore/n_scored))",
 )
 def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale (why Google built stupid backoff this way): counts are
@@ -9229,9 +9356,6 @@ def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_uni_floor"
             ),
             F.round(F.col("ll").cast("double"), 6).alias("sum_logscore"),
-            F.round(
-                F.exp(-F.col("ll").cast("double") / F.col("n_scored")), 4
-            ).alias("score_ppl"),
         )
         .orderBy("doc_id")
     )

@@ -5,6 +5,7 @@ from gearpump_spark.streaming.core import (
     FLUSH_EPOCH_SEC,
     FLUSH_TS,
     assign_windows,
+    before_flush,
     replay_parquet_stream,
     run_to_completion,
     running_aggregate,
@@ -25,6 +26,7 @@ __all__ = [
     "FLUSH_EPOCH_SEC",
     "FLUSH_TS",
     "assign_windows",
+    "before_flush",
     "replay_parquet_stream",
     "run_to_completion",
     "running_aggregate",

@@ -55,10 +55,91 @@ def replay_parquet_stream(
 # Predicates on the watermark column itself are not pushed below the
 # watermark node, so `ts < FLUSH_TS` is safe.
 FLUSH_EPOCH_SEC = 7_000_000_000  # 2191-10-27T12:26:40Z — beyond any real ts
-# The SAME instant as FLUSH_EPOCH_SEC: `ts < FLUSH_TS` keeps every
-# legitimate row and drops exactly the sentinel (the two constants MUST
-# name one boundary — a gap between them would silently discard real data).
+# The SAME instant as FLUSH_EPOCH_SEC, for display/docs: the two constants
+# MUST name one boundary — a gap between them would silently discard real
+# data. Predicates compare against timestamp_seconds(FLUSH_EPOCH_SEC)
+# (a timezone-independent instant), NEVER a cast of this wall-clock string:
+# under a non-UTC session timezone the string parses to a different instant
+# and the sentinel would survive the filter, emitting a spurious NULL pane.
 FLUSH_TS = "2191-10-27 12:26:40"
+
+
+def before_flush(ts_col: str) -> Column:
+    """`ts < Watermark.MAX` as a timezone-independent instant comparison —
+    keeps every legitimate row and drops exactly the flush sentinel.
+    Safe placement: predicates on the watermark column are not pushed
+    below the EventTimeWatermark node (see PITFALL above)."""
+    return F.col(ts_col) < F.timestamp_seconds(F.lit(FLUSH_EPOCH_SEC))
+
+
+def stream_source_path(path: str) -> str:
+    """Normalize a fixture path for FileStreamSource, which needs a
+    DIRECTORY to derive its basePath: Spark-written fixtures are
+    directories (taken directly); driver fixtures are single FILES,
+    where a one-char glob on the last character makes the source resolve
+    the parent directory while still matching exactly that one file.
+    Shared by every registered streaming query so both fixture shapes
+    work everywhere (ADVICE r9 #2)."""
+    import os
+
+    if os.path.isdir(path):
+        return path
+    return f"{path[:-1]}[{path[-1]}]"
+
+
+_SENTINEL_ROOT: str | None = None
+
+
+def _sentinel_root() -> str:
+    """One process-scoped temp root for flush-sentinel fixtures, removed
+    at interpreter exit — registered queries must leave no filesystem
+    residue across repeated full-registry runs (ADVICE r9 #1)."""
+    global _SENTINEL_ROOT
+    if _SENTINEL_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SENTINEL_ROOT = tempfile.mkdtemp(prefix="gearpump_flush_sentinel_")
+        atexit.register(shutil.rmtree, _SENTINEL_ROOT, ignore_errors=True)
+    return _SENTINEL_ROOT
+
+
+def flush_sentinel_source(
+    spark: SparkSession, schema: Any, ts_col: str = "ts", ts_is_long: bool = False
+) -> DataFrame:
+    """Watermark.MAX as a second file source: one far-future row matching
+    ``schema`` (non-ts fields ride NULL), written ONCE per process per
+    schema under the session-scoped temp root and streamed back. Union it
+    into the real source to advance the event clock past every open
+    window, then drop it with before_flush() after the watermark operator
+    (reference: streaming/.../source/Watermark.scala:29-36).
+
+    ts_is_long: the ts field is raw epoch NANOS (nanosAsLong read path)
+    rather than a native timestamp."""
+    import hashlib
+    import os
+
+    def _sent_col(field):
+        if field.name == ts_col:
+            c = (
+                F.lit(FLUSH_EPOCH_SEC * 1_000_000_000).cast("bigint")
+                if ts_is_long
+                else F.timestamp_seconds(F.lit(FLUSH_EPOCH_SEC)).cast(field.dataType)
+            )
+        else:
+            c = F.lit(None).cast(field.dataType)
+        return c.alias(field.name)
+
+    key = hashlib.md5(
+        f"{ts_col}|{ts_is_long}|{schema.simpleString()}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_sentinel_root(), key)
+    if not os.path.isdir(path):
+        spark.range(1).select(*[_sent_col(f) for f in schema.fields]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def windowed_aggregate(
@@ -85,7 +166,7 @@ def windowed_aggregate(
     redefining the watermark downstream."""
     s = stream.withWatermark(ts_col, watermark_delay) if set_watermark else stream
     if drop_flush_sentinel:
-        s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
+        s = s.filter(before_flush(ts_col))
     w = F.window(F.col(ts_col), size, step) if step else F.window(F.col(ts_col), size)
     return s.groupBy(w.alias("window"), *keys).agg(*aggs)
 
@@ -160,7 +241,14 @@ def run_to_completion(
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
-    return spark.table(query_name)
+    # Re-base the result on a checkpointed plan so the uuid-named sink
+    # view can be dropped immediately — repeated full-registry runs must
+    # not accumulate one driver-held memory sink per invocation (ADVICE
+    # r9 #1). localCheckpoint stays JVM-side (no Python round-trip); the
+    # harnesses' unpersist-between-queries discipline reclaims the blocks.
+    out = spark.table(query_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    return out
 
 
 def replace_and_restart(running_query, start_replacement, timeout_sec: float = 60.0):
@@ -237,7 +325,7 @@ def session_window_aggregate(
     it can no longer grow. Batch equivalent: operators/temporal.sessionize."""
     s = stream.withWatermark(ts_col, watermark_delay)
     if drop_flush_sentinel:
-        s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
+        s = s.filter(before_flush(ts_col))
     return s.groupBy(
         F.session_window(F.col(ts_col), gap).alias("session"), *keys
     ).agg(*aggs)
@@ -431,7 +519,7 @@ def monoid_windowed_state(
 
     s = stream.withWatermark(ts_col, watermark_delay)
     if drop_flush_sentinel:
-        s = s.filter(F.col(ts_col) < F.lit(FLUSH_TS).cast("timestamp"))
+        s = s.filter(before_flush(ts_col))
     return (
         s.withColumnRenamed(key_col, "key")
         .groupBy("key")

@@ -473,3 +473,152 @@ def test_wordpiece_oracle_at_unroll_boundary(spark):
         for r in con.execute(_wordpiece_oracle(n_merges=4)).fetchall()
     }
     assert got == want
+
+
+def test_unigram_viterbi_semantics():
+    """Hand-checked Viterbi: unigram-LM segmentation is GLOBALLY optimal
+    (unlike WordPiece's greedy munch), ties break to fewer pieces, and
+    the packed key encodes (score, n) exactly."""
+    from gearpump_spark.operators.bpe import (
+        UNIGRAM_TIE_BASE,
+        unigram_encode_word,
+    )
+
+    # greedy would munch "aa" first; Viterbi sees ["a","ab"] scores higher
+    scores = {"a": -2_000_000, "b": -2_000_000, "aa": -3_000_000,
+              "ab": -100_000}
+    pieces, key = unigram_encode_word("aab", scores)
+    assert pieces == ["a", "ab"]
+    assert key == (-2_100_000) * UNIGRAM_TIE_BASE - 2
+    assert (-key) % UNIGRAM_TIE_BASE == 2  # n_pieces unpack
+    assert -((-key) // UNIGRAM_TIE_BASE) == -2_100_000  # score unpack
+    # equal total score -> fewer pieces wins
+    scores = {"a": -10, "aa": -20}
+    pieces, key = unigram_encode_word("aa", scores)
+    assert pieces == ["aa"]
+    assert key == -20 * UNIGRAM_TIE_BASE - 1
+    # a character outside the inventory is loud, never silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside the trained piece"):
+        unigram_encode_word("ax", {"a": -1})
+
+
+def test_unigram_tokenize_matches_pure_python(spark):
+    """Distributed unigram tokenize == pure-python Viterbi over the same
+    trained inventory, piece for piece and score for score."""
+    import re
+
+    from gearpump_spark.functions import text as TXF
+    from gearpump_spark.operators.bpe import (
+        UNIGRAM_TIE_BASE,
+        unigram_encode_word,
+        unigram_tokenize,
+        unigram_vocab_scores,
+    )
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low new lowest newest"),
+        (4, "zq zq unseen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    scores = unigram_vocab_scores(docs, n_merges=8)
+    ws = re.compile(TXF.WS_RE)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_sp_tokens, r.logprob_micro,
+                   list(r.sp_tokens))
+        for r in unigram_tokenize(docs, scores).collect()
+    }
+    for doc_id, text in rows:
+        words = [w for w in ws.split(text.lower()) if w]
+        pieces, total = [], 0
+        for w in words:
+            ps, key = unigram_encode_word(w, scores)
+            pieces.extend(ps)
+            total += -((-key) // UNIGRAM_TIE_BASE)
+        assert got[doc_id] == (len(words), len(pieces), total, pieces), doc_id
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(WORD, min_size=1, max_size=8), min_size=1, max_size=4))
+def test_unigram_property_matches_reference(spark, corpora):
+    """Property: distributed unigram Viterbi (trained inventory + Arrow
+    map) equals the pure-python decode on arbitrary tiny-alphabet corpora
+    (max score ties, repeated substrings — the adversarial surface for
+    the packed-key tie-break)."""
+    import re
+
+    from gearpump_spark.functions import text as TXF
+    from gearpump_spark.operators.bpe import (
+        UNIGRAM_TIE_BASE,
+        unigram_encode_word,
+        unigram_tokenize,
+        unigram_vocab_scores,
+    )
+
+    texts = [" ".join(ws) for ws in corpora]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    scores = unigram_vocab_scores(docs, n_merges=4)
+    ws_re = re.compile(TXF.WS_RE)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_sp_tokens, r.logprob_micro)
+        for r in unigram_tokenize(docs, scores).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in ws_re.split(t.lower()) if w]
+        pieces, total = [], 0
+        for w in words:
+            ps, key = unigram_encode_word(w, scores)
+            pieces.extend(ps)
+            total += -((-key) // UNIGRAM_TIE_BASE)
+        assert got[i] == (len(words), len(pieces), total), (i, t)
+
+
+def test_unigram_oracle_at_unroll_boundary(spark):
+    """The unrolled Viterbi oracle must agree with the engine on a word
+    at EXACTLY the guarded maximum length (one DP round per character
+    position) — the boundary where one fewer round would leave the final
+    position uncomputed."""
+    import string
+
+    import duckdb
+
+    from gearpump_spark.operators.bpe import (
+        unigram_tokenize,
+        unigram_vocab_scores,
+    )
+    from gearpump_spark.queries.llm import (
+        WP_ORACLE_N_STEPS,
+        _guard_bpe_token_length,
+        _unigram_oracle,
+    )
+
+    alphabet = string.ascii_lowercase + string.digits + "éàüßñçøå_-+=*&"
+    word = alphabet[:WP_ORACLE_N_STEPS]
+    assert len(word) == WP_ORACLE_N_STEPS
+    rows = [(1, word + " " + word), (2, "ab ab ab")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    _guard_bpe_token_length(docs, chars=True)  # boundary passes the guard
+    scores = unigram_vocab_scores(docs, n_merges=4)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_sp_tokens, r.logprob_micro)
+        for r in unigram_tokenize(docs, scores)
+        .select("doc_id", "n_ws_tokens", "n_sp_tokens", "logprob_micro")
+        .collect()
+    }
+    assert got[1][1] >= WP_ORACLE_N_STEPS  # all-distinct chars: 1/round
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in con.execute(_unigram_oracle(n_merges=4)).fetchall()
+    }
+    assert got == want

@@ -344,7 +344,7 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     # sentinel rows before they ever reach the EventTimeWatermark operator
     # (the watermark would never advance). Predicates on the watermark
     # column itself are not pushed below the watermark node.
-    flush = F.lit(FLUSH_TS).cast("timestamp")
+    flush = F.timestamp_seconds(F.lit(FLUSH_EPOCH_SEC))
     joined = stream_stream_interval_join(
         buys, clicks, key="k", left_ts="buy_ts", right_ts="ts",
         lower="10 seconds", upper="0 seconds", how="left_outer",
@@ -424,6 +424,40 @@ def test_flush_constants_name_one_instant():
 
     instant = datetime.fromtimestamp(FLUSH_EPOCH_SEC, tz=timezone.utc)
     assert instant.strftime("%Y-%m-%d %H:%M:%S") == FLUSH_TS
+
+
+def test_before_flush_timezone_independent(spark):
+    """ADVICE r9 #4: the sentinel-drop predicate must name the
+    FLUSH_EPOCH_SEC *instant*, not a wall-clock string — under a
+    positive-offset session timezone a string cast parses to a different
+    instant and the sentinel survives the filter (a spurious NULL pane)."""
+    from gearpump_spark.streaming.core import FLUSH_EPOCH_SEC, before_flush
+
+    df = spark.createDataFrame(
+        [(FLUSH_EPOCH_SEC,), (FLUSH_EPOCH_SEC - 1,)], "sec long"
+    ).select(F.timestamp_seconds("sec").alias("ts"), "sec")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            kept = [r.sec for r in df.filter(before_flush("ts")).collect()]
+            assert kept == [FLUSH_EPOCH_SEC - 1], tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stream_source_path_shapes(tmp_path):
+    """Both fixture shapes resolve: a single FILE becomes a one-char glob
+    (FileStreamSource derives basePath from the parent dir), a
+    Spark-written DIRECTORY passes through untouched (ADVICE r9 #2)."""
+    from gearpump_spark.streaming.core import stream_source_path
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    assert stream_source_path(str(d)) == str(d)
+    f = tmp_path / "docs.parquet"
+    f.write_bytes(b"x")
+    assert stream_source_path(str(f)) == str(tmp_path / "docs.parque[t]")
 
 
 def test_dedup_then_window_pipeline(spark, tmp_path):
