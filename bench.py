@@ -131,6 +131,35 @@ HEADLINE = [
 # fifteen queries (r3 verdict item #3).
 SUPERLINEAR = {"graph_triangle_count"}
 
+# In-run contention canary (r10, r9 verdict "Next round" #1): the load
+# guard and the CPU stamps are NECESSARY but demonstrably NOT SUFFICIENT —
+# the official r9 artifact read 25.5 s with BOTH stamps fast because the
+# host has a contention mode (IO/scheduler bursts, hypervisor steal) the
+# scalar stamp cannot see, while identical code hit 21.8 s in a clean
+# window. The one signal that reliably tracks a clean window is the
+# engine's own per-query figures, so: after the first three linear-tier
+# queries, compare their best-of-2 sum against the archived stamped-best
+# (docs/bench_trials_r9/t9.json — both calibration stamps <= 0.3 s, every
+# tier at record level simultaneously). If > CANARY_TOLERANCE over, the
+# window is contended: ABORT the attempt, wait for idle, retry — every
+# attempt (aborted or not) is logged into the artifact so a miss leaves
+# a verifiable trail instead of a silently-high headline.
+CANARY_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+]
+CANARY_BEST_SEC = {  # docs/bench_trials_r9/t9.json, the r9 stamped best
+    "q1_pricing_summary": 0.897,
+    "q3_shipping_priority": 0.996,
+    "q5_local_supplier_volume": 1.067,
+}
+CANARY_TOLERANCE = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_TOL", "1.20"))
+CANARY_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_ATTEMPTS", "3"))
+CANARY_RETRY_WAIT_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_CANARY_RETRY_WAIT", "45")
+)
+
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -237,19 +266,72 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"),
     )
 
-    timings: dict[str, float] = {}
-    # Best-of-2 at the target SF: run 1 still pays parquet footer reads and
-    # any codegen the sf0.001 warmup missed; run 2 is the steady-state cost
-    # a resident engine pays per query. Data is NOT cached (noop sink, no
-    # .cache() anywhere) — both runs do the full scan+shuffle+agg.
-    for name in HEADLINE:
+    def run_best_of_2(name: str) -> float:
+        # Best-of-2 at the target SF: run 1 still pays parquet footer reads
+        # and any codegen the sf0.001 warmup missed; run 2 is the
+        # steady-state cost a resident engine pays per query. Data is NOT
+        # cached (noop sink, no .cache() anywhere) — both runs do the full
+        # scan+shuffle+agg.
         best = float("inf")
         for _ in range(2):
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    canary_ref = round(sum(CANARY_BEST_SEC.values()), 3)
+    canary_attempts: list[dict] = []
+    for attempt in range(1, CANARY_MAX_ATTEMPTS + 1):
+        timings = {}
+        aborted = False
+        for name in HEADLINE:
+            timings[name] = run_best_of_2(name)
+            if name != CANARY_QUERIES[-1]:
+                continue
+            # Canary checkpoint: first three linear-tier queries are in.
+            got = round(sum(timings[c] for c in CANARY_QUERIES), 3)
+            ratio = round(got / canary_ref, 3)
+            rec = {
+                "attempt": attempt,
+                "canary_sec": got,
+                "canary_queries": {c: timings[c] for c in CANARY_QUERIES},
+                "ratio_vs_stamped_best": ratio,
+                "load_avg": round(os.getloadavg()[0], 2),
+            }
+            if ratio <= CANARY_TOLERANCE:
+                rec["verdict"] = "clean"
+                canary_attempts.append(rec)
+                continue
+            if attempt < CANARY_MAX_ATTEMPTS:
+                rec["verdict"] = "abort_contended"
+                canary_attempts.append(rec)
+                print(
+                    f"bench: canary {got:.2f}s is {ratio:.2f}x the stamped "
+                    f"best ({canary_ref:.2f}s) > {CANARY_TOLERANCE}x — host "
+                    f"contended; aborting attempt {attempt}, waiting "
+                    f"{CANARY_RETRY_WAIT_SEC:.0f}s for a clean window...",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                time.sleep(CANARY_RETRY_WAIT_SEC)
+                wait_for_idle_machine()
+                aborted = True
+                break
+            # Final attempt: finish regardless — an artifact with a logged
+            # contended-trail beats no artifact — but say so loudly.
+            rec["verdict"] = "proceed_contended_final_attempt"
+            canary_attempts.append(rec)
+            print(
+                f"bench: canary still {ratio:.2f}x on the final attempt; "
+                "proceeding — headline is stamped contended in the canary "
+                "trail.",
+                file=sys.stderr,
+                flush=True,
+            )
+        if not aborted:
+            break
 
     # Streaming throughput = rows / trigger busy-time over steady-state
     # batches. rate-micro-batch (unlike `rate`, which couples batch size to
@@ -545,6 +627,17 @@ def main() -> None:
         # engine regression.
         "load_avg_at_start": round(load_at_start, 2),
         "isolation": isolation,
+        # In-run contention canary trail (r10): per-attempt first-3-query
+        # deviation vs the archived stamped best, with abort-and-retry on
+        # >CANARY_TOLERANCE. The final attempt's verdict is the headline's
+        # contention stamp; aborted attempts document that the host never
+        # offered a window.
+        "canary": {
+            "reference_sec": canary_ref,
+            "reference_source": "docs/bench_trials_r9/t9.json",
+            "tolerance": CANARY_TOLERANCE,
+            "attempts": canary_attempts,
+        },
         # Host-speed stamp (r8): normalize cross-round headline deltas by
         # these before calling anything a regression — the guest cannot
         # see hypervisor-level contention any other way.

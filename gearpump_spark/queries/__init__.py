@@ -88,11 +88,13 @@ DRIVER_SAMPLE_WINDOW = [
     # repeat; the staleness ratchet in tests/test_registry_order.py
     # encodes the policy).
     #
-    # -- the two r10 additions (never sampled by construction): the
-    #    unigram-LM Viterbi segmenter and the sliding-window streaming
-    #    query. --
+    # -- the four r10 additions (never sampled by construction): the
+    #    unigram-LM Viterbi segmenter and the three streaming queries
+    #    (sliding panes, replay dedup, merging session windows). --
     "text_sentencepiece_tokens",
     "q_window_sliding_stream",
+    "q_stream_dedup_replay",
+    "q_session_window_stream",
     # -- the full remaining round-4 cohort (33 oracle-backed queries
     #    whose newest green is CORRECTNESS_r04, 6 rounds stale — the
     #    16 other r4 records were re-greened in the r9 window). --
@@ -129,8 +131,8 @@ DRIVER_SAMPLE_WINDOW = [
     "q_first_touch_attribution",
     "q_zorder_layout",
     "q_compaction_plan",
-    # -- 15 of the 48 round-5 records (5 rounds stale), registration
-    #    order; the remaining 33 head the r11 rotation. --
+    # -- 13 of the 48 round-5 records (5 rounds stale), registration
+    #    order; the remaining 35 head the r11 rotation. --
     "dedup_duplicate_spans",
     "multimodal_jfif_real",
     "dedup_savings_report",
@@ -144,8 +146,6 @@ DRIVER_SAMPLE_WINDOW = [
     "embedding_center_project",
     "multimodal_qoi_real",
     "multimodal_tiff_pixels_real",
-    "graph_assortativity",
-    "q_psi_drift",
 ]
 
 

@@ -277,6 +277,151 @@ def q_window_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
+@register(
+    "q_stream_dedup_replay",
+    oracle=f"""
+    SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) * 1000000)
+             AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM (SELECT DISTINCT * FROM events)
+    GROUP BY 1, event_type
+    ORDER BY window_start, event_type
+    """,
+    desc="the reference's REPLAY story under the driver oracle gate: the "
+    "events source is unioned with ITSELF (every record delivered "
+    "twice — an at-least-once redelivery), streaming dedup drops the "
+    "re-deliveries in the state store (same keys AND same event time = "
+    "a duplicate, the TimeStampFilter contract, transaction/api/"
+    "TimeStampFilter.scala:23-25), and the surviving stream flows into "
+    "the watermarked tumbling aggregation — so the drained panes must "
+    "hash-match the batch SQL over DISTINCT rows despite 2x delivery; "
+    "third stateful streaming operator type under the gate (dedup "
+    "state, next to windowed-agg state and the stateless map)",
+)
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: dedup state is hash-partitioned by the full row key in the
+    state store (bounded runs; watermark-expired for unbounded — see
+    stream_dedup); the aggregation reuses the tumbling query's shuffle
+    shape. The doubled source is the test harness for redelivery —
+    production replay arrives from the checkpointed source for free."""
+    import uuid
+
+    from gearpump_spark.streaming.core import (
+        flush_sentinel_source,
+        run_to_completion,
+        stream_dedup,
+        stream_source_path,
+        windowed_aggregate,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.simpleString() == "bigint"
+    path = stream_source_path(f"{sf_dir}/events.parquet")
+    once = spark.readStream.schema(raw_schema).parquet(path)
+    twice = spark.readStream.schema(raw_schema).parquet(path)
+    sentinel = flush_sentinel_source(spark, raw_schema, "ts", ts_is_long)
+    ev = once.union(twice).union(sentinel)
+    if ts_is_long:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    keys = [f.name for f in ev.schema.fields if f.name != "ts"]
+    deduped = stream_dedup(ev, keys, ts_col="ts")
+    agg = windowed_aggregate(
+        deduped,
+        "ts",
+        "5 minutes",
+        None,
+        ["event_type"],
+        [F.count("*").alias("n"), dsum("value").alias("total_value")],
+        drop_flush_sentinel=True,
+        set_watermark=False,  # stream_dedup already set it
+    )
+    out = run_to_completion(
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        ),
+        f"stream_dedup_replay_{uuid.uuid4().hex[:8]}",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "q_session_window_stream",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    desc="MERGING (session) windows through a REAL streaming pipeline "
+    "under the driver oracle gate — the one window type the reference "
+    "rejects outright (GroupByKeyTranslator.java:43-47 throws on "
+    "merging WindowFns), so this is strict engine upside: 30-minute-gap "
+    "per-user sessions merge in the state store as events arrive, "
+    "append mode emits each session once when the watermark passes its "
+    "end (the flush sentinel closes the last ones); hash-matches the "
+    "batch q_session_window oracle because session membership and "
+    "count are delivery-order-free",
+)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: session state is keyed by user in the state store and
+    merged incrementally — no per-user sort, no global window; the
+    memory sink holds |sessions| rows, never events. Completes the
+    streaming evidence family: stateless map, tumbling, sliding,
+    dedup, and MERGING window state all oracle-gated in their real
+    execution mode."""
+    import uuid
+
+    from gearpump_spark.streaming.core import (
+        flush_sentinel_source,
+        run_to_completion,
+        session_window_aggregate,
+        stream_source_path,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.simpleString() == "bigint"
+    data = spark.readStream.schema(raw_schema).parquet(
+        stream_source_path(f"{sf_dir}/events.parquet")
+    )
+    sentinel = flush_sentinel_source(spark, raw_schema, "ts", ts_is_long)
+    ev = data.union(sentinel)
+    if ts_is_long:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = session_window_aggregate(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count("*").alias("n_events")],
+        drop_flush_sentinel=True,
+    )
+    out = run_to_completion(
+        agg.select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        ),
+        f"session_window_stream_{uuid.uuid4().hex[:8]}",
+    )
+    return out.orderBy("user_id", "session_start")
+
+
 # ---------------------------------------------------------------------------
 # Partitioner semantics (SURVEY §2.A)
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ Mapping (SURVEY.md §1.3/§2.C):
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Iterator
 from typing import Any
@@ -88,6 +89,14 @@ def stream_source_path(path: str) -> str:
 
 
 _SENTINEL_ROOT: str | None = None
+# Streaming queries sharing a source schema share one sentinel fixture;
+# plan-audit harnesses build many query plans concurrently (threads), so
+# the once-per-process write must be mutually excluded — without it, two
+# threads both see the dir missing and race overwrite-mode writes into
+# the same path (observed: FileNotFoundException on a _temporary task
+# file mid-commit). Created at import time, so the lock itself cannot
+# race.
+_SENTINEL_WRITE_LOCK = threading.Lock()
 
 
 def _sentinel_root() -> str:
@@ -134,11 +143,17 @@ def flush_sentinel_source(
     key = hashlib.md5(
         f"{ts_col}|{ts_is_long}|{schema.simpleString()}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(_sentinel_root(), key)
-    if not os.path.isdir(path):
-        spark.range(1).select(*[_sent_col(f) for f in schema.fields]).coalesce(
-            1
-        ).write.mode("overwrite").parquet(path)
+    with _SENTINEL_WRITE_LOCK:
+        path = os.path.join(_sentinel_root(), key)
+        if not os.path.isdir(path):
+            # Write to a staging dir and rename so a path that EXISTS is
+            # always a COMPLETE fixture — readers outside the lock never
+            # observe a half-committed write.
+            staging = f"{path}.staging"
+            spark.range(1).select(*[_sent_col(f) for f in schema.fields]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(staging)
+            os.rename(staging, path)
     return spark.readStream.schema(schema).parquet(path)
 
 

@@ -238,6 +238,15 @@ EXTRA = [
     "q_window_tumbling_stream",
     # DoReMi-lite: one corpus pass for domain losses, then 20-row steps
     "sample_domain_reweight_int",
+    # r10 wave: the unigram Viterbi segmenter (trainer driver rounds
+    # dominate — the WordPiece/BPE pattern), and the three streaming
+    # queries (sliding panes 2x state rows; replay dedup = 2x source
+    # read + dedup state; merging session windows |sessions| state) —
+    # all micro-batch-fixed-cost dominated at these scales
+    "text_sentencepiece_tokens",
+    "q_window_sliding_stream",
+    "q_stream_dedup_replay",
+    "q_session_window_stream",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
