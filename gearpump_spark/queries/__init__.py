@@ -88,13 +88,19 @@ DRIVER_SAMPLE_WINDOW = [
     # repeat; the staleness ratchet in tests/test_registry_order.py
     # encodes the policy).
     #
-    # -- the four r10 additions (never sampled by construction): the
-    #    unigram-LM Viterbi segmenter and the three streaming queries
-    #    (sliding panes, replay dedup, merging session windows). --
+    # -- the eight r10 additions (never sampled by construction): the
+    #    unigram-LM Viterbi segmenter, the six streaming queries
+    #    (sliding panes, replay dedup, merging session windows,
+    #    update-mode running state, inner and LEFT OUTER stream-stream
+    #    interval joins), and the DSIR example selector. --
     "text_sentencepiece_tokens",
     "q_window_sliding_stream",
     "q_stream_dedup_replay",
     "q_session_window_stream",
+    "q_running_aggregate_stream",
+    "q_stream_stream_join",
+    "q_stream_join_outer",
+    "sample_dsir_select",
     # -- the full remaining round-4 cohort (33 oracle-backed queries
     #    whose newest green is CORRECTNESS_r04, 6 rounds stale — the
     #    16 other r4 records were re-greened in the r9 window). --
@@ -131,8 +137,8 @@ DRIVER_SAMPLE_WINDOW = [
     "q_first_touch_attribution",
     "q_zorder_layout",
     "q_compaction_plan",
-    # -- 13 of the 48 round-5 records (5 rounds stale), registration
-    #    order; the remaining 35 head the r11 rotation. --
+    # -- 9 of the 48 round-5 records (5 rounds stale), registration
+    #    order; the remaining 39 head the r11 rotation. --
     "dedup_duplicate_spans",
     "multimodal_jfif_real",
     "dedup_savings_report",
@@ -142,10 +148,6 @@ DRIVER_SAMPLE_WINDOW = [
     "text_char_entropy",
     "graph_clustering_coeff",
     "similarity_ivf_recall",
-    "multimodal_mulaw_real",
-    "embedding_center_project",
-    "multimodal_qoi_real",
-    "multimodal_tiff_pixels_real",
 ]
 
 

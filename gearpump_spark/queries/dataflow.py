@@ -422,6 +422,244 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start")
 
 
+@register(
+    "q_running_aggregate_stream",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    desc="NonWindowState running aggregate in its REAL execution mode "
+    "under the driver oracle gate: an UNBOUNDED (no watermark, no "
+    "window) per-event_type running count/min/max whose state lives in "
+    "the state store and re-emits on every micro-batch in UPDATE output "
+    "mode (state/impl/NonWindowState.scala:30-48 — the reference's "
+    "non-windowed monoid state); the final state is read back by "
+    "folding the emission log with the SAME monoid (running count/"
+    "min/max only grow), so the result is exact under ANY micro-batch "
+    "split — completes the streaming evidence family's last state "
+    "type: stateless map, tumbling, sliding, dedup, session, and now "
+    "unbounded running state",
+)
+def q_running_aggregate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: state is |event_type| rows keyed in the state store; the
+    emission log the sink folds is |event_type| x n_batches rows — both
+    independent of corpus size. No sentinel needed: update mode emits
+    on every batch regardless of watermark progress."""
+    import uuid
+
+    from gearpump_spark.streaming.core import (
+        run_to_completion,
+        running_aggregate,
+        stream_source_path,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.simpleString() == "bigint"
+    ev = spark.readStream.schema(raw_schema).parquet(
+        stream_source_path(f"{sf_dir}/events.parquet")
+    )
+    if ts_is_long:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = running_aggregate(
+        ev,
+        ["event_type"],
+        [
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ],
+    )
+    out = run_to_completion(
+        agg,
+        f"running_aggregate_stream_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    # Fold the per-batch emission log back to the final state with the
+    # same monoid — running count/min/max are monotone, so the last
+    # emission per key IS the max/min over all emissions.
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+    ORDER BY click_id, purchase_id
+    """,
+    desc="watermarked STREAM-STREAM interval join under the driver "
+    "oracle gate: clicks and purchases read as two live streams, inner-"
+    "joined on user with purchase_ts in [click_ts, click_ts + 1 day] — "
+    "both sides buffered in the symmetric-hash-join state store, the "
+    "time bounds giving the state its eviction horizon; the reference "
+    "has NO relational join operator (its DAG merges streams only "
+    "task-wise), so like session windows this is strict engine upside, "
+    "and it completes the state-type roster: every stateful operator "
+    "Structured Streaming ships (windowed agg, dedup, session, running "
+    "state, join) now carries oracle-gated evidence in its real "
+    "execution mode",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each side's state is hash-partitioned on user_id and the
+    interval condition bounds retention to 1 day of events per side —
+    state is O(daily volume), not corpus size; the join shuffles both
+    streams once on the equi-key. Inner-join matches emit as they pair
+    (no watermark wait), so a single availableNow batch yields exactly
+    the batch join."""
+    import uuid
+
+    from gearpump_spark.streaming.core import (
+        run_to_completion,
+        stream_source_path,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.simpleString() == "bigint"
+    path = stream_source_path(f"{sf_dir}/events.parquet")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(raw_schema).parquet(path)
+        if ts_is_long:
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "0 seconds")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    j = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+        "inner",
+    )
+    out = run_to_completion(
+        j.select(
+            F.col("click_user").alias("user_id"),
+            F.col("click_id"),
+            F.col("purchase_id"),
+            F.col("click_ts"),
+            F.col("purchase_ts"),
+        ),
+        f"stream_stream_join_{uuid.uuid4().hex[:8]}",
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           a.ts AS click_ts, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+    ORDER BY click_id, purchase_id
+    """,
+    desc="LEFT OUTER stream-stream interval join under the driver "
+    "oracle gate — the watermark-DEPENDENT emission path the inner "
+    "join never exercises: an unmatched click emits its NULL-purchase "
+    "row only when the watermark proves no match can still arrive "
+    "(click_ts + 1 day), so the flush sentinel (Watermark.MAX, "
+    "Watermark.scala:29-36) must ride BOTH input streams — the join's "
+    "clock is the MIN of its inputs — to flush the last day's "
+    "unmatched clicks; sentinel rows themselves are dropped post-join "
+    "by the before-flush predicate; hash-matches the batch LEFT JOIN "
+    "exactly",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same symmetric-hash state and 1-day eviction horizon as
+    the inner join; outer emission adds no state, it changes WHEN
+    eviction emits (row + NULLs instead of silent drop). The sentinel
+    is one far-future row per side."""
+    import uuid
+
+    from gearpump_spark.streaming.core import (
+        before_flush,
+        flush_sentinel_source,
+        run_to_completion,
+        stream_source_path,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = raw_schema["ts"].dataType.simpleString() == "bigint"
+    path = stream_source_path(f"{sf_dir}/events.parquet")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(raw_schema).parquet(path)
+        # The sentinel unions in BEFORE the event-type filter drops its
+        # NULL payload: project first, filter the real rows, then union
+        # so the far-future row reaches this side's watermark operator.
+        proj = [
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        ]
+        real = s.where(F.col("event_type") == event_type).select(*proj)
+        # The sentinel's join key must be NON-NULL: the outer join's
+        # equi-condition makes Catalyst infer isnotnull(user) on the
+        # preserved-side's opposite input and push it below the watermark
+        # operator (the no-pushdown guarantee covers only predicates ON
+        # the watermark column), which would silently drop the sentinel
+        # before it advances the clock — observed as the last day's
+        # unmatched rows never flushing. -1 matches no real user, and the
+        # far-future ts satisfies no interval, so it joins nothing.
+        sent = flush_sentinel_source(spark, raw_schema, "ts", ts_is_long).select(
+            F.coalesce(F.col("user_id"), F.lit(-1)).alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+        u = real.union(sent)
+        if ts_is_long:
+            u = u.withColumn(
+                f"{prefix}_ts",
+                F.timestamp_micros(F.expr(f"{prefix}_ts div 1000")),
+            )
+        return u.withWatermark(f"{prefix}_ts", "0 seconds")
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    j = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+        "leftOuter",
+    )
+    out = run_to_completion(
+        j.where(before_flush("click_ts")).select(
+            F.col("click_user").alias("user_id"),
+            F.col("click_id"),
+            F.col("purchase_id"),
+            F.col("click_ts"),
+            F.col("purchase_ts"),
+        ),
+        f"stream_join_outer_{uuid.uuid4().hex[:8]}",
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
 # ---------------------------------------------------------------------------
 # Partitioner semantics (SURVEY §2.A)
 # ---------------------------------------------------------------------------

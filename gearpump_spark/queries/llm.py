@@ -9709,3 +9709,172 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# DSIR selects individual pretraining examples that look like a TARGET
+# domain: hashed n-gram bucket counts estimate a target and a raw
+# distribution, each candidate doc scores the sum of per-bucket log
+# importance ratios over its n-gram occurrences, and the top-weighted
+# docs are kept. The deterministic top-K variant below replaces the
+# paper's Gumbel-noise resampling so both engines select the identical
+# set (ties broken by doc_id). Companion to sample_domain_reweight_int:
+# DoReMi reweights whole domains, DSIR picks individual examples.
+_DSIR_TGT = "('src1', 'src2', 'src3')"
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 100
+_DSIR_SEED = 13
+
+
+@register(
+    "sample_dsir_select",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               LIST_TRANSFORM(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                          t -> t <> ''), t -> LOWER(t)) AS tk
+        FROM documents),
+    feats AS (
+        SELECT doc_id, source, UNNEST(tk) AS g FROM base
+        UNION ALL
+        SELECT doc_id, source,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                   i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]))
+                 AS g
+        FROM base WHERE LEN(tk) >= 2),
+    fb AS (SELECT doc_id, source,
+                  {_SQL_H15.format(seed="'13'", key="g")} % {_DSIR_BUCKETS} AS b
+           FROM feats),
+    tc AS (SELECT b, COUNT(*) AS ct FROM fb
+           WHERE source IN {_DSIR_TGT} GROUP BY b),
+    rc AS (SELECT b, COUNT(*) AS cr FROM fb
+           WHERE source NOT IN {_DSIR_TGT} GROUP BY b),
+    tt AS (SELECT COUNT(*) AS nt FROM fb WHERE source IN {_DSIR_TGT}),
+    rt AS (SELECT COUNT(*) AS nr FROM fb WHERE source NOT IN {_DSIR_TGT}),
+    wt AS (
+        SELECT g.b,
+               CAST(ROUND(LN(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+             - CAST(ROUND(LN(CAST(tt.nt + {_DSIR_BUCKETS} AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+             - CAST(ROUND(LN(CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+             + CAST(ROUND(LN(CAST(rt.nr + {_DSIR_BUCKETS} AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lw
+        FROM (SELECT UNNEST(RANGE({_DSIR_BUCKETS})) AS b) g
+        LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        CROSS JOIN tt CROSS JOIN rt),
+    sc AS (SELECT f.doc_id, COUNT(*) AS n_feats, SUM(w.lw) AS s
+           FROM fb f JOIN wt w USING (b)
+           WHERE f.source NOT IN {_DSIR_TGT} GROUP BY f.doc_id),
+    sel AS (
+        SELECT c.doc_id, c.source,
+               CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+               COALESCE(sc.s, CAST(0 AS DECIMAL(18,6))) AS s
+        FROM (SELECT doc_id, source FROM documents
+              WHERE source NOT IN {_DSIR_TGT}) c
+        LEFT JOIN sc ON sc.doc_id = c.doc_id
+        ORDER BY s DESC, c.doc_id LIMIT {_DSIR_TOPK})
+    SELECT doc_id, source, n_feats,
+           ROUND(CAST(s AS DOUBLE), 6) AS dsir_logweight
+    FROM sel ORDER BY doc_id
+    """,
+    desc="DSIR data selection (Xie et al. 2023 'Data Selection for "
+    "Language Models via Importance Resampling'), deterministic top-K "
+    "variant: unigram+bigram features hash (seeded md5) into 256 "
+    "buckets, target (src1-3) vs raw bucket counts give add-1-smoothed "
+    "log importance ratios — four ROUND(LN,6) decimal terms per bucket, "
+    "every LN arg integral — each candidate doc sums the ratio over its "
+    "feature OCCURRENCES (exact decimal sum), and the 100 most "
+    "target-like docs are kept (ties by doc_id; the paper's Gumbel "
+    "resampling replaced by exact top-K so both engines select the "
+    "identical set); companion to sample_domain_reweight_int — DoReMi "
+    "reweights domains, DSIR selects examples",
+)
+def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bucket counts collapse map-side to <=256 rows per mapper
+    (two shuffles of 256 rows); the 256-row weight table rides a
+    broadcast into the scoring join, so the corpus shuffles once on
+    doc_id for the per-doc sum; top-K is TakeOrdered (no global sort
+    shuffle, no window). At 100 TB nothing but (doc_id, bucket) pairs
+    ever moves."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+
+    tgt = ["src1", "src2", "src3"]
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
+    )
+    uni = base.select("doc_id", "source", F.explode("tk").alias("g"))
+    big = base.where(F.size("tk") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, CAST(i AS INT)), ' ',"
+                " element_at(tk, CAST(i + 1 AS INT))))"
+            )
+        ).alias("g"),
+    )
+    fb = uni.unionByName(big).select(
+        "doc_id",
+        "source",
+        (seeded_hash15(F.col("g"), _DSIR_SEED) % _DSIR_BUCKETS).alias("b"),
+    )
+    is_tgt = F.col("source").isin(*tgt)
+    tc = fb.where(is_tgt).groupBy("b").agg(F.count("*").alias("ct"))
+    rc = fb.where(~is_tgt).groupBy("b").agg(F.count("*").alias("cr"))
+    tt = fb.where(is_tgt).agg(F.count("*").alias("nt"))
+    rt = fb.where(~is_tgt).agg(F.count("*").alias("nr"))
+
+    def rln(c):
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(18,6)")
+
+    wt = (
+        spark.range(_DSIR_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                rln(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - rln(F.col("nt") + _DSIR_BUCKETS)
+                - rln(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                + rln(F.col("nr") + _DSIR_BUCKETS)
+            ).alias("lw"),
+        )
+    )
+    sc = (
+        fb.where(~is_tgt)
+        .join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lw").alias("s"))
+    )
+    sel = (
+        docs.where(~is_tgt)
+        .select("doc_id", "source")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,6)")).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+    return sel.select(
+        "doc_id",
+        "source",
+        "n_feats",
+        F.round(F.col("s").cast("double"), 6).alias("dsir_logweight"),
+    ).orderBy("doc_id")

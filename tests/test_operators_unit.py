@@ -3104,3 +3104,37 @@ def test_quality_lr_multiclass_actually_learns(spark):
     majority = Counter(r.label for r in out).most_common(1)[0][1] / n
     assert acc >= 0.55, f"multi-class classifier failed to train: acc={acc}"
     assert acc >= majority + 0.15, (majority, acc)
+
+
+def test_dsir_select_semantics(spark):
+    """DSIR selection must (a) never select a target-domain doc (the
+    target defines the distribution, it is not a candidate), (b) return
+    exactly K rows surfaced in doc_id order, (c) actually discriminate
+    (more than one distinct weight), (d) score every candidate (all docs
+    carry text, so n_feats > 0), and (e) agree with an independent
+    DuckDB recompute of the selected SET — the top-K boundary is where
+    a 1-ulp score divergence would silently swap membership, so the set
+    identity is the semantic heart of the deterministic variant."""
+    import duckdb
+
+    from gearpump_spark.queries import REGISTRY, all_queries
+
+    tgt = {"src1", "src2", "src3"}
+    out = all_queries()["sample_dsir_select"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(out) == 100
+    assert not {r.source for r in out} & tgt
+    assert all(r.n_feats > 0 for r in out)
+    assert len({r.dsir_logweight for r in out}) > 1
+    assert [r.doc_id for r in out] == sorted(r.doc_id for r in out)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    oracle_ids = {
+        r[0] for r in con.execute(REGISTRY["sample_dsir_select"].oracle).fetchall()
+    }
+    assert {r.doc_id for r in out} == oracle_ids

@@ -916,3 +916,69 @@ def test_streaming_lr_scored_emission_matches_batch(spark, tmp_path):
     ).collect()
     got = {r.doc_id: (r.margin, r.pred) for r in out}
     assert got == batch
+
+
+def test_update_mode_running_aggregate_multibatch_fold(spark, tmp_path):
+    """q_running_aggregate_stream's readout claims exactness under ANY
+    micro-batch split: update mode re-emits each key's running state
+    every batch, and folding the emission log with the same monoid
+    (max of running count, min/max of ts) recovers the final state.
+    Force a genuinely multi-batch run (3 files, maxFilesPerTrigger=1)
+    and require (a) more emissions than keys — update mode really did
+    re-emit — and (b) the fold equals the batch aggregate."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gearpump_spark.streaming.core import (
+        run_to_completion,
+        running_aggregate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=i), ["click", "view"][i % 2], i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, v long")
+    src = str(tmp_path / "ev_multibatch")
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = running_aggregate(
+        stream,
+        ["event_type"],
+        [
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ],
+    )
+    log = run_to_completion(agg, "run_agg_multibatch", output_mode="update")
+    assert log.count() > 2  # >|keys| emissions: multiple batches updated
+
+    folded = {
+        r.event_type: (r.n, r.first_ts, r.last_ts)
+        for r in log.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.first_ts, r.last_ts)
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert folded == batch

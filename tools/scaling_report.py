@@ -247,6 +247,15 @@ EXTRA = [
     "q_window_sliding_stream",
     "q_stream_dedup_replay",
     "q_session_window_stream",
+    # DSIR: two 256-row bucket-count shuffles + one doc_id shuffle;
+    # the 256-row weight table broadcasts; top-K is TakeOrdered
+    "sample_dsir_select",
+    # update-mode running state: |event_type| state rows, corpus-free
+    "q_running_aggregate_stream",
+    # stream-stream interval join: state bounded by the 1-day horizon
+    "q_stream_stream_join",
+    # outer variant: same state, watermark-driven NULL emission
+    "q_stream_join_outer",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
