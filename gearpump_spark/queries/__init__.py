@@ -88,11 +88,12 @@ DRIVER_SAMPLE_WINDOW = [
     # repeat; the staleness ratchet in tests/test_registry_order.py
     # encodes the policy).
     #
-    # -- the eight r10 additions (never sampled by construction): the
+    # -- the nine r10 additions (never sampled by construction): the
     #    unigram-LM Viterbi segmenter, the six streaming queries
     #    (sliding panes, replay dedup, merging session windows,
     #    update-mode running state, inner and LEFT OUTER stream-stream
-    #    interval joins), and the DSIR example selector. --
+    #    interval joins), the DSIR example selector, and the composed
+    #    media curation pipeline. --
     "text_sentencepiece_tokens",
     "q_window_sliding_stream",
     "q_stream_dedup_replay",
@@ -101,6 +102,7 @@ DRIVER_SAMPLE_WINDOW = [
     "q_stream_stream_join",
     "q_stream_join_outer",
     "sample_dsir_select",
+    "pipeline_media_dedup_shard",
     # -- the full remaining round-4 cohort (33 oracle-backed queries
     #    whose newest green is CORRECTNESS_r04, 6 rounds stale — the
     #    16 other r4 records were re-greened in the r9 window). --
@@ -137,8 +139,8 @@ DRIVER_SAMPLE_WINDOW = [
     "q_first_touch_attribution",
     "q_zorder_layout",
     "q_compaction_plan",
-    # -- 9 of the 48 round-5 records (5 rounds stale), registration
-    #    order; the remaining 39 head the r11 rotation. --
+    # -- 8 of the 48 round-5 records (5 rounds stale), registration
+    #    order; the remaining 40 head the r11 rotation. --
     "dedup_duplicate_spans",
     "multimodal_jfif_real",
     "dedup_savings_report",
@@ -147,7 +149,6 @@ DRIVER_SAMPLE_WINDOW = [
     "text_unigram_logprob",
     "text_char_entropy",
     "graph_clustering_coeff",
-    "similarity_ivf_recall",
 ]
 
 

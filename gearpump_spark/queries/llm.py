@@ -4619,15 +4619,16 @@ def text_bpe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ahash_oracle() -> str:
-    """Closed-form mirror of the aHash near-dup pipeline over the LCG
-    noise-pair fixture (operators/multimodal.py
-    synthesize_noise_pair_payloads): instead of iterating the per-pixel
-    LCG 384 times, each pixel k gets jump constants (a_k, b_k) with
-    s_k = (a_k * s0 + b_k) mod 2^31 — generated here, shipped as a
-    384-row VALUES table. Blocks/threshold/bits are pure integer
-    (ahash63); pairing is all-pairs popcount (200 hashes — the Spark
-    side's banded join is the scale path, the oracle only needs truth)."""
+def _ahash_hashes_cte() -> str:
+    """The WITH-body producing `hashes(doc_id, ahash)` — the closed-form
+    mirror of the aHash pipeline over the LCG noise-pair fixture
+    (operators/multimodal.py synthesize_noise_pair_payloads): instead of
+    iterating the per-pixel LCG 384 times, each pixel k gets jump
+    constants (a_k, b_k) with s_k = (a_k * s0 + b_k) mod 2^31 —
+    generated here, shipped as a 384-row VALUES table. Blocks/threshold/
+    bits are pure integer (ahash63). Shared by the near-dup pair query
+    and the composed media-curation pipeline so the two oracles carry
+    identical constants by construction."""
     M31 = 2**31
     A, C = 1103515245, 12345
     rows = []
@@ -4656,13 +4657,23 @@ def _ahash_oracle() -> str:
                SUM(CASE WHEN idx >= 1 AND bv * 64 >= total
                         THEN (CAST(1 AS BIGINT) << CAST(idx - 1 AS INT))
                         ELSE 0 END) AS ahash
-        FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id)"""
+
+
+def _ahash_oracle() -> str:
+    """aHash near-dup pairs: the shared hashes CTE + all-pairs popcount
+    (200 hashes — the Spark side's banded join is the scale path, the
+    oracle only needs truth)."""
+    return (
+        _ahash_hashes_cte()
+        + """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     ORDER BY id_a, id_b
     """
+    )
 
 
 @register(
@@ -9877,4 +9888,67 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_feats",
         F.round(F.col("s").cast("double"), 6).alias("dsir_logweight"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Composed multimodal curation pipeline (the media analog of
+# pipeline_quality_dedup_pack)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_media_dedup_shard",
+    oracle=_ahash_hashes_cte()
+    + f""",
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+    surv AS (
+        SELECT h.doc_id, h.ahash FROM hashes h
+        WHERE h.doc_id NOT IN (SELECT id_b FROM pairs))
+    SELECT doc_id, CAST(ahash AS BIGINT) AS ahash,
+           {_SQL_H15.format(seed="'5'", key="doc_id")} % 8 AS shard
+    FROM surv ORDER BY doc_id
+    """,
+    desc="composed MEDIA curation pipeline, every stage a shipped "
+    "operator: synthesize real image payloads (LCG noise-pair fixture) "
+    "-> decode + integer average-hash in one narrow Arrow map -> "
+    "banded-Hamming near-dup pairs (4x16-bit bands, pigeonhole-exact "
+    "recall to 3 bits, never all-pairs) -> greedy keeper dedup (drop "
+    "any image with a near-dup partner of smaller id — each odd "
+    "brightness-shifted twin dies to its even original) -> seeded-md5 "
+    "sharding of the survivors for downstream parallel feature "
+    "extraction; the media analog of pipeline_quality_dedup_pack, "
+    "oracle-exact end-to-end because every pixel is reconstructed "
+    "closed-form via the shared LCG jump-table CTE",
+)
+def pipeline_media_dedup_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: payload bytes live only inside the Arrow decode map — the
+    shuffle carries (doc_id, 8-byte hash); pairing is the banded
+    equi-join, dedup one anti-join on the pair list, sharding a pure
+    row-local hash. At 100 TB of images nothing but fingerprints ever
+    moves between executors."""
+    from gearpump_spark.operators.hashing import seeded_hash15
+    from gearpump_spark.operators.multimodal import (
+        ahash_fingerprints,
+        phash_candidate_pairs,
+        synthesize_noise_pair_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    fps = ahash_fingerprints(synthesize_noise_pair_payloads(docs))
+    pairs = phash_candidate_pairs(fps, max_hamming=3, hash_col="ahash")
+    surv = fps.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return surv.select(
+        "doc_id",
+        F.col("ahash").cast("bigint").alias("ahash"),
+        (seeded_hash15(F.col("doc_id"), 5) % 8).alias("shard"),
     ).orderBy("doc_id")

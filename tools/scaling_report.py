@@ -256,6 +256,8 @@ EXTRA = [
     "q_stream_stream_join",
     # outer variant: same state, watermark-driven NULL emission
     "q_stream_join_outer",
+    # media pipeline: fixed 200-image fixture; only 8-byte hashes shuffle
+    "pipeline_media_dedup_shard",
 ]
 # HEADLINE absorbed two EXTRA entries in r3 — dedupe, preserve order
 SWEEP = list(dict.fromkeys(HEADLINE + EXTRA))
