@@ -628,8 +628,11 @@ def triangle_count_estimate(
     )
     # explicit strategy (no count action); "merge" because a graph worth
     # SAMPLING is one whose sampled edge list may still be too big to
-    # broadcast
-    sampled = triangle_count(kept, src="u", dst="v", close_strategy="merge").select(
+    # broadcast. kept IS canonical (a filter over the distinct canonical
+    # und), so the inner canonicalize+distinct pass is skipped outright.
+    sampled = triangle_count(
+        kept, src="u", dst="v", close_strategy="merge", assume_canonical=True
+    ).select(
         F.col("n_edges").alias("n_sampled_edges"),
         F.col("n_triangles").alias("n_sampled_triangles"),
     )
@@ -653,24 +656,58 @@ def triangle_count_estimate(
     )
 
 
-def _degree_oriented_wedges(und: DataFrame):
+def _degree_oriented_wedges(und: DataFrame, broadcast_wedges: bool = False):
     """(deg, oriented, wedges, closing) over a canonical undirected edge
     list — the degree-ordered wedge machinery shared by triangle_count
     and clustering_coefficient:
 
     - degrees, then orientation low-(degree, id) → high-(degree, id)
       (bounds every out-degree by O(sqrt(m)), Suri & Vassilvitskii 2011);
-    - wedge self-join on the shared source, SALTED on the center: hub
-      centers (power-law graphs, or AQE coalescing the small edge input
-      into few partitions) otherwise concentrate a center's full
-      quadratic fan-out in one task — measured OOM on a default-heap
-      driver at sf0.1. Salt = hash bucket of t1; the right side
-      replicates across all salts. Cluster cost: n_salts× replication of
-      the (tiny) oriented edge list;
-    - explicit width pin on the wedge exchange: AQE sizes it by its
-      (tiny) edge-list input and would coalesce the quadratic fan-out
-      into a handful of tasks; a user repartition with an explicit count
-      is exempt from AQE coalescing;
+    - ``deg`` and ``oriented`` are lazily localCheckpoint'd: both are
+      consumed by three downstream legs (both wedge sides + the closing
+      set; deg additionally by the orientation attach twice and the
+      clustering-coefficient output join), and without the cut each
+      consumer re-derives the whole degree-agg + attach-join subtree —
+      the r10 plan audit counted the orientation derivation THREE times
+      in the physical plan (6 SortMergeJoins, ~15 Exchanges for what is
+      one pass of work). eager=False keeps DataFrame construction
+      side-effect-free (the estimate path's invariant); blocks
+      materialize once at the first action.
+
+    Two wedge-join strategies, chosen by the caller's closing strategy
+    (the same small-graph/large-graph split):
+
+    - broadcast_wedges=True (callers that already broadcast the closing
+      set, i.e. m <= broadcast_max_edges): the wedge build side IS the
+      oriented edge list — the same order of bytes as the closing set
+      the caller broadcasts — so broadcast it too and generate the
+      quadratic fan-out STREAM-SIDE with no exchange, no sort and no
+      salting at all. The probe side is round-robin repartitioned to the
+      pinned width first (the checkpointed edge list is tiny — AQE/
+      upstream coalescing would otherwise leave the fan-out on a handful
+      of tasks), and round-robin spreads a hub center's probe rows
+      evenly by construction — the skew the salt existed to break was a
+      property of hash-partitioning on the center key. Measured at
+      sf0.1 (1.17M edges): the salted-exchange design shuffles 16×|E|
+      replicated build rows + |E| probe rows and sorts both; this plan
+      shuffles |E| round-robin rows and sorts nothing — the whole
+      quadratic stage (fan-out, t1<t2 filter, closing semi-join,
+      partial count) fuses into one WholeStageCodegen span.
+    - broadcast_wedges=False (cluster-scale path, edge list too big to
+      broadcast): the salted exchange design — wedge self-join on the
+      shared source, SALTED on the center: hub centers (power-law
+      graphs) otherwise concentrate a center's full quadratic fan-out
+      in one task — measured OOM on a default-heap driver at sf0.1.
+      Salt = hash bucket of t1; the right side replicates across all
+      salts (n_salts× replication of the tiny oriented edge list). The
+      join carries a shuffle_hash hint on the unreplicated w1 side:
+      per-partition build of |E|/width rows instead of SORTING the
+      16×|E| replicated probe side (the cc sf1 lesson applied to the
+      wedge join itself).
+    - explicit width pin on the wedge exchange either way: AQE sizes it
+      by its (tiny) edge-list input and would coalesce the quadratic
+      fan-out into a handful of tasks; a user repartition with an
+      explicit count is exempt from AQE coalescing;
     - closing set as canonical undirected pairs (a closing edge may be
       oriented either way between t1 and t2 in the (degree, id) order).
     """
@@ -679,37 +716,50 @@ def _degree_oriented_wedges(und: DataFrame):
         .union(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
-    with_deg = (
-        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
-    )
+    deg_u = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")
+    deg_v = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")
+    if broadcast_wedges:
+        # |deg| <= 2m <= 2*broadcast_max_edges rows of (long, long) — no
+        # bigger than the closing set the caller already broadcasts.
+        deg_u, deg_v = F.broadcast(deg_u), F.broadcast(deg_v)
+    with_deg = und.join(deg_u, "u").join(deg_v, "v")
     fwd = F.struct("du", "u") < F.struct("dv", "v")
     oriented = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
-    n_salts = 16
-    w1 = oriented.select(
-        F.col("s"),
-        F.col("t").alias("t1"),
-        (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
-    )
-    w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
-        F.broadcast(
-            oriented.sparkSession.range(n_salts).select(
-                F.col("id").cast("int").alias("_salt")
-            )
-        )
-    )
+    ).localCheckpoint(eager=False)
     n_wedge_parts = max(
         64, int(und.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     )
-    wedges = (
-        w1.repartition(n_wedge_parts, "s", "_salt")
-        .join(w2, ["s", "_salt"])
-        .where(F.col("t1") < F.col("t2"))
-    )
+    if broadcast_wedges:
+        wedges = (
+            oriented.repartition(n_wedge_parts)
+            .select(F.col("s"), F.col("t").alias("t1"))
+            .join(F.broadcast(oriented.select(F.col("s"), F.col("t").alias("t2"))), "s")
+            .where(F.col("t1") < F.col("t2"))
+        )
+    else:
+        n_salts = 16
+        w1 = oriented.select(
+            F.col("s"),
+            F.col("t").alias("t1"),
+            (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
+        )
+        w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
+            F.broadcast(
+                oriented.sparkSession.range(n_salts).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
+            )
+        )
+        wedges = (
+            w1.repartition(n_wedge_parts, "s", "_salt")
+            .hint("shuffle_hash")
+            .join(w2, ["s", "_salt"])
+            .where(F.col("t1") < F.col("t2"))
+        )
     closing = oriented.select(
         F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
     )
@@ -722,9 +772,17 @@ def triangle_count(
     dst: str = "dst",
     close_strategy: str = "auto",
     broadcast_max_edges: int = 5_000_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count over an undirected edge list → 1 row
     (n_nodes, n_edges, n_triangles).
+
+    ``assume_canonical=True`` asserts the input is ALREADY a deduped
+    canonical undirected list (src < dst, no self-loops, no duplicates)
+    and skips the canonicalize + distinct pass — one whole exchange +
+    aggregate over the edge list. Callers that derive the edge list from
+    an upstream canonical set (triangle_count_estimate's sampled filter)
+    use it; results are identical by construction.
 
     Degree-ordered node-iterator (the MapReduce-era standard, Suri &
     Vassilvitskii 2011): orient every edge from its lower-(degree, id)
@@ -769,20 +827,25 @@ def triangle_count(
     checkpoint, no driver-side action (what triangle_count_estimate
     relies on to stay declarative end-to-end).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-        F.col("a") != F.col("b")
-    )
-    # canonical undirected form, deduped
-    und = e.select(
-        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+    if assume_canonical:
+        und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        # canonical undirected form, deduped
+        und = e.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
     if close_strategy == "auto":
         und = und.localCheckpoint()
         m = und.count()  # cheap: counts the checkpointed blocks
         close_strategy = "broadcast" if m <= broadcast_max_edges else "merge"
     if close_strategy not in ("broadcast", "merge"):
         raise ValueError(f"close_strategy must be auto|broadcast|merge, got {close_strategy!r}")
-    deg, _oriented, wedges, closing = _degree_oriented_wedges(und)
+    deg, _oriented, wedges, closing = _degree_oriented_wedges(
+        und, broadcast_wedges=(close_strategy == "broadcast")
+    )
     pairs = wedges.select(
         F.least("t1", "t2").alias("c1"), F.greatest("t1", "t2").alias("c2")
     )
@@ -811,7 +874,11 @@ def triangle_count(
         # stays on the wedge join above, whose exchange input is the
         # deceptively tiny edge list).
         wedge_pairs = pairs.groupBy("c1", "c2").agg(F.count("*").alias("n_w"))
-        tri_count = wedge_pairs.join(closing, ["c1", "c2"]).agg(
+        # shuffle_hash on the closing side (the cc sf1 lesson, 409s→~150s
+        # there): the default SMJ SORTS the aggregated wedge-pair stream —
+        # still the quadratic side in clique-light graphs — while a hash
+        # join builds on the linear edge set per partition instead.
+        tri_count = wedge_pairs.join(closing.hint("shuffle_hash"), ["c1", "c2"]).agg(
             F.coalesce(F.sum("n_w"), F.lit(0)).alias("n_triangles")
         )
     return (
@@ -1274,7 +1341,9 @@ def clustering_coefficient(
     # makes.
     und = und.localCheckpoint()
     m = und.count()
-    deg, _oriented, wedges, closing = _degree_oriented_wedges(und)
+    deg, _oriented, wedges, closing = _degree_oriented_wedges(
+        und, broadcast_wedges=(m <= broadcast_max_edges)
+    )
     # closing strategy by measured edge count (the triangle_count trade):
     # small graphs broadcast the closing set (the wedge stream flows
     # through a broadcast semi-join, no exchange, no sort — 2x faster at

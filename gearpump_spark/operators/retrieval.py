@@ -60,13 +60,17 @@ def tokenize_postings(
     per-doc token counts, and the 1-row (n_docs, total_tokens) table —
     the three relations every lexical scorer needs.
 
-    Single-tokenize discipline: doc lengths and total tokens DERIVE from
-    the postings aggregate (dl = Σ tf per doc, t = Σ dl), so the
-    expensive tokenize+explode subtree appears once and Spark's
-    ReusedExchange shares its shuffle across all three relations; only
-    n_docs touches the source again, as a column-pruned count. Docs with
-    zero tokens get no dl row — they can't match any term, and n/t are
-    unaffected."""
+    Doc lengths come from size(tk) — a NARROW map over the tokenize
+    scan, no explode and no shuffle — not from re-aggregating the
+    postings relation: dl = Σ tf per doc is definitionally len(tk), and
+    deriving it through postings forced a second full tokenize+explode
+    plus a full-vocabulary (word, doc) exchange whenever the scoring
+    branch filters postings to its query terms pre-aggregate (which
+    breaks exchange reuse — the r10 bm25 plan audit counted THREE
+    tokenize subtrees for one query). Docs with zero tokens get no dl
+    row (same contract as the postings-derived aggregate) — they can't
+    match any term, and n/t are unaffected (their Σ contribution is 0).
+    Total tokens t likewise rides the narrow dl relation."""
     toks = docs.select(
         F.col(id_col), F.transform(TX.tokens(F.col(text_col)), F.lower).alias("tk")
     )
@@ -75,7 +79,9 @@ def tokenize_postings(
         .groupBy("word", id_col)
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dl = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dl = toks.select(
+        F.col(id_col), F.size("tk").cast("long").alias("dl")
+    ).where(F.col("dl") > 0)
     stats = docs.agg(F.count("*").cast("long").alias("n")).crossJoin(
         dl.agg(F.sum("dl").cast("long").alias("t"))
     )
