@@ -154,11 +154,45 @@ CANARY_BEST_SEC = {  # docs/bench_trials_r9/t9.json, the r9 stamped best
     "q3_shipping_priority": 0.996,
     "q5_local_supplier_volume": 1.067,
 }
-CANARY_TOLERANCE = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_TOL", "1.20"))
+# r11 (r10 verdict "Next round" #2): the r10 official artifact was produced
+# in a window the canary accepted at 1.189x (tolerance 1.20) with degraded
+# stamps — 22% above the same tree's stamped best, and three untouched
+# queries read as >10% "regressions" in PERF. Tolerance tightens to 1.10,
+# and two new gates bracket the BACK half of the timed loop, which the
+# front-of-run canary cannot see:
+#   - a post-queries checkpoint: the expensive tiers (bm25 + graph) are
+#     compared against their archived clean-window floors
+#     (docs/bench_trials_r10/t9.json) — a contended back half aborts the
+#     attempt just like a contended front half;
+#   - a post-queries CPU stamp: matmul > BACKHALF_STAMP_MAX (2x the clean
+#     <=0.3 s watcher threshold) marks the window dirty even when the
+#     engine figures happen to pass (the t11/t12 stamp-blindness lesson
+#     cuts both ways — a slow stamp with fast queries is retry-worthy).
+# Every attempt (aborted or not) still logs into the artifact.
+CANARY_TOLERANCE = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_TOL", "1.10"))
 CANARY_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_ATTEMPTS", "3"))
 CANARY_RETRY_WAIT_SEC = float(
     os.environ.get("SPARK_GRAFT_BENCH_CANARY_RETRY_WAIT", "45")
 )
+BACKHALF_QUERIES = [
+    "text_bm25_topk",
+    "graph_triangle_count",
+    "graph_triangle_estimate",
+]
+BACKHALF_BEST_SEC = {  # docs/bench_trials_r10/t9.json, the r10 stamped best
+    "text_bm25_topk": 1.316,
+    "graph_triangle_count": 5.844,
+    "graph_triangle_estimate": 1.664,
+}
+# multimodal_jpeg_refined_real is deliberately NOT in the back-half gate:
+# it is the suite's most host-sensitive tier (Python-worker Arrow batches;
+# 2-3x swings under host turbulence with every other tier clean — r10 t9),
+# so gating on it would abort clean windows. The post-loop CPU stamp covers
+# the same failure mode without the per-query variance.
+BACKHALF_TOLERANCE = float(
+    os.environ.get("SPARK_GRAFT_BENCH_BACKHALF_TOL", "1.25")
+)
+BACKHALF_STAMP_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_END_STAMP_MAX", "0.6"))
 
 
 def main() -> None:
@@ -266,25 +300,41 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"),
     )
 
+    construction: dict[str, float] = {}
+
     def run_best_of_2(name: str) -> float:
         # Best-of-2 at the target SF: run 1 still pays parquet footer reads
         # and any codegen the sf0.001 warmup missed; run 2 is the
         # steady-state cost a resident engine pays per query. Data is NOT
         # cached (noop sink, no .cache() anywhere) — both runs do the full
         # scan+shuffle+agg.
+        # r11 (r10 verdict "Next round" #9): DataFrame CONSTRUCTION time is
+        # recorded separately per query — the timed region below covers
+        # execution only, and for adaptive queries (triangle_count's "auto"
+        # pays a strategy-selection count at plan time, r6-era) the
+        # construction cost is real engine work the timer never covered.
+        # Reported as queries_construction_sec so the artifact states
+        # explicitly what the timer does and does not include, without
+        # changing the timed region round-over-round.
         best = float("inf")
+        best_c = float("inf")
         for _ in range(2):
+            c0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
+            best_c = min(best_c, time.perf_counter() - c0)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+        construction[name] = round(best_c, 3)
         return round(best, 3)
 
     timings: dict[str, float] = {}
     canary_ref = round(sum(CANARY_BEST_SEC.values()), 3)
+    backhalf_ref = round(sum(BACKHALF_BEST_SEC.values()), 3)
     canary_attempts: list[dict] = []
     for attempt in range(1, CANARY_MAX_ATTEMPTS + 1):
         timings = {}
+        construction.clear()
         aborted = False
         for name in HEADLINE:
             timings[name] = run_best_of_2(name)
@@ -295,6 +345,7 @@ def main() -> None:
             ratio = round(got / canary_ref, 3)
             rec = {
                 "attempt": attempt,
+                "checkpoint": "front",
                 "canary_sec": got,
                 "canary_queries": {c: timings[c] for c in CANARY_QUERIES},
                 "ratio_vs_stamped_best": ratio,
@@ -330,8 +381,58 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
-        if not aborted:
+        if aborted:
+            continue
+        # Back-half checkpoint (r11): the front canary certifies only the
+        # first three queries' window; the expensive tiers run minutes
+        # later and the r10 official artifact was dirtied exactly there.
+        # Gate on (a) the bm25+graph sum vs the archived clean floors and
+        # (b) a post-loop CPU stamp — either failing marks the back half
+        # contended and retries the attempt (bounded by
+        # CANARY_MAX_ATTEMPTS, trail logged either way).
+        bh_got = round(sum(timings[c] for c in BACKHALF_QUERIES), 3)
+        bh_ratio = round(bh_got / backhalf_ref, 3)
+        stamp = cpu_calibration()
+        rec = {
+            "attempt": attempt,
+            "checkpoint": "backhalf",
+            "canary_sec": bh_got,
+            "canary_queries": {c: timings[c] for c in BACKHALF_QUERIES},
+            "ratio_vs_stamped_best": bh_ratio,
+            "post_queries_stamp": stamp,
+            "load_avg": round(os.getloadavg()[0], 2),
+        }
+        stamp_dirty = stamp["matmul_2000_sec"] > BACKHALF_STAMP_MAX
+        if bh_ratio <= BACKHALF_TOLERANCE and not stamp_dirty:
+            rec["verdict"] = "clean"
+            canary_attempts.append(rec)
             break
+        reason = (
+            f"tier sum {bh_got:.2f}s = {bh_ratio:.2f}x stamped best"
+            if bh_ratio > BACKHALF_TOLERANCE
+            else f"end stamp {stamp['matmul_2000_sec']:.3f}s matmul > {BACKHALF_STAMP_MAX}"
+        )
+        if attempt < CANARY_MAX_ATTEMPTS:
+            rec["verdict"] = "abort_contended_backhalf"
+            canary_attempts.append(rec)
+            print(
+                f"bench: back-half checkpoint dirty ({reason}); aborting "
+                f"attempt {attempt}, waiting for a clean window...",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(CANARY_RETRY_WAIT_SEC)
+            wait_for_idle_machine()
+            continue
+        rec["verdict"] = "proceed_contended_final_attempt"
+        canary_attempts.append(rec)
+        print(
+            f"bench: back-half checkpoint still dirty on the final attempt "
+            f"({reason}); proceeding — stamped contended in the trail.",
+            file=sys.stderr,
+            flush=True,
+        )
+        break
 
     # Streaming throughput = rows / trigger busy-time over steady-state
     # batches. rate-micro-batch (unlike `rate`, which couples batch size to
@@ -603,6 +704,12 @@ def main() -> None:
         "unit": "sec",
         "headline_total_linear": linear_total,
         "queries": timings,
+        # r11: per-query DataFrame-construction seconds (best-of-2 min),
+        # measured OUTSIDE the timed region — makes the timer's coverage
+        # explicit for adaptive queries whose construction does real work
+        # (triangle_count "auto" pays its strategy-selection count and the
+        # kcore family runs its eager peel at construction time).
+        "queries_construction_sec": construction,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "sol_passthrough_rows_per_sec": sol_rows_per_sec,
         "windowed_agg_rows_per_sec": windowed_rows_per_sec,
@@ -636,6 +743,10 @@ def main() -> None:
             "reference_sec": canary_ref,
             "reference_source": "docs/bench_trials_r9/t9.json",
             "tolerance": CANARY_TOLERANCE,
+            "backhalf_reference_sec": backhalf_ref,
+            "backhalf_reference_source": "docs/bench_trials_r10/t9.json",
+            "backhalf_tolerance": BACKHALF_TOLERANCE,
+            "backhalf_stamp_max_sec": BACKHALF_STAMP_MAX,
             "attempts": canary_attempts,
         },
         # Host-speed stamp (r8): normalize cross-round headline deltas by

@@ -83,6 +83,17 @@ def _minhash_cols(k: int) -> list[Column]:
     return [F.min(seeded_md5(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
 
 
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str = "doc_id", k: int = 6
+) -> DataFrame:
+    """Per-document MinHash signature from an exploded (id, shingle)
+    relation. MIN is duplicate-insensitive, so a distinct shingle set and
+    the raw multiset give identical signatures — callers that already
+    materialized a shingle relation (dedup_lsh_recall's ground-truth leg)
+    reuse it instead of re-tokenizing the corpus."""
+    return sh.groupBy(id_col).agg(*_minhash_cols(k))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 6, shingle_n: int = 3
 ) -> DataFrame:
@@ -94,7 +105,7 @@ def minhash_signatures(
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
-    return sh.groupBy(id_col).agg(*_minhash_cols(k))
+    return minhash_signatures_from_shingles(sh, id_col, k)
 
 
 def lsh_candidate_pairs(
@@ -130,6 +141,13 @@ def lsh_candidate_pairs(
     keyed = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, "band.band_idx", "band.band_key"
     )
+    # The banded relation is BOTH sides of the self-join, and Spark does
+    # not share a subtree across join inputs — every caller paid the full
+    # upstream (tokenize + shingle explode + MinHash aggregate) twice.
+    # Lazy localCheckpoint (r11, the wedge-tier discipline) materializes
+    # the n_bands-rows-per-doc relation once; both join sides read the
+    # blocks. eager=False keeps construction side-effect-free.
+    keyed = keyed.localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -694,16 +694,26 @@ def _degree_oriented_wedges(und: DataFrame, broadcast_wedges: bool = False):
       quadratic stage (fan-out, t1<t2 filter, closing semi-join,
       partial count) fuses into one WholeStageCodegen span.
     - broadcast_wedges=False (cluster-scale path, edge list too big to
-      broadcast): the salted exchange design — wedge self-join on the
-      shared source, SALTED on the center: hub centers (power-law
-      graphs) otherwise concentrate a center's full quadratic fan-out
-      in one task — measured OOM on a default-heap driver at sf0.1.
-      Salt = hash bucket of t1; the right side replicates across all
-      salts (n_salts× replication of the tiny oriented edge list). The
-      join carries a shuffle_hash hint on the unreplicated w1 side:
-      per-partition build of |E|/width rows instead of SORTING the
-      16×|E| replicated probe side (the cc sf1 lesson applied to the
-      wedge join itself).
+      broadcast): FREQUENCY-GATED two-path salting (guide §2.5: salt
+      the measured hot keys, plain hash-join the long tail — r11; the
+      r10 uniform-salt design replicated the ENTIRE oriented list
+      n_salts× for every center, hub or not, so the wedge exchange
+      carried 17×|E| rows when the skew it defends against lives in a
+      handful of centers). Hub centers = oriented out-degree ≥
+      ``hub_min_outdeg`` (computed from the checkpointed ``oriented``,
+      one broadcastable aggregate ≤ |E|/threshold rows — lazy, no
+      driver action). The salted branch (same design as r10: salt =
+      hash bucket of t1, build side replicated across all salts,
+      shuffle_hash on the unreplicated side) now sees ONLY hub-centered
+      edges; the tail joins plain on the center key with a shuffle_hash
+      hint — a non-hub center's fan-out is < threshold² wedge rows by
+      construction, bounded per-key work no salt is needed for. The two
+      branches partition centers by hub membership, so their union is
+      exactly the old wedge multiset. Orientation already bounds
+      out-degree by O(√(2m)), so graphs with m ≤ threshold²/2 have no
+      hubs at all and the whole fan-out flows through the unsalted
+      branch (measured at sf0.1: the estimate's 235k-edge sampled graph
+      shuffles 2×|E| rows instead of 17×|E|).
     - explicit width pin on the wedge exchange either way: AQE sizes it
       by its (tiny) edge-list input and would coalesce the quadratic
       fan-out into a handful of tasks; a user repartition with an
@@ -742,24 +752,51 @@ def _degree_oriented_wedges(und: DataFrame, broadcast_wedges: bool = False):
         )
     else:
         n_salts = 16
-        w1 = oriented.select(
-            F.col("s"),
-            F.col("t").alias("t1"),
-            (F.pmod(F.hash("t"), F.lit(n_salts))).alias("_salt"),
+        # Hub threshold: a tail center's quadratic fan-out is bounded by
+        # threshold²/2 ≈ 0.5M wedge rows — an absolute per-key work bound
+        # (tens of MB of join output per center), independent of cluster
+        # or data size, so it is a constant rather than a conf. The hub
+        # set itself is ≤ |E|/threshold centers — broadcastable whenever
+        # the edge list is storable.
+        hub_min_outdeg = 1024
+        outdeg = oriented.groupBy("s").agg(F.count("*").alias("_od"))
+        hubs = F.broadcast(
+            outdeg.where(F.col("_od") >= hub_min_outdeg).select("s")
         )
-        w2 = oriented.select(F.col("s"), F.col("t").alias("t2")).crossJoin(
+        w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+        w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+        # Salted branch — HUB centers only (guide §2.5: salt the hot keys).
+        w1h = w1.join(hubs, "s", "left_semi").withColumn(
+            "_salt", F.pmod(F.hash("t1"), F.lit(n_salts))
+        )
+        w2h = w2.join(hubs, "s", "left_semi").crossJoin(
             F.broadcast(
                 oriented.sparkSession.range(n_salts).select(
                     F.col("id").cast("int").alias("_salt")
                 )
             )
         )
-        wedges = (
-            w1.repartition(n_wedge_parts, "s", "_salt")
+        wedges_hub = (
+            w1h.repartition(n_wedge_parts, "s", "_salt")
             .hint("shuffle_hash")
-            .join(w2, ["s", "_salt"])
+            .join(w2h, ["s", "_salt"])
             .where(F.col("t1") < F.col("t2"))
+            .select("s", "t1", "t2")
         )
+        # Unsalted branch — the long tail: plain hash join on the center,
+        # per-key fan-out < hub_min_outdeg² by construction; AQE skew-join
+        # still splits oversized PARTITIONS (multi-key collisions) at
+        # runtime. shuffle_hash keeps the quadratic output unsorted.
+        w1t = w1.join(hubs, "s", "left_anti")
+        w2t = w2.join(hubs, "s", "left_anti")
+        wedges_tail = (
+            w1t.repartition(n_wedge_parts, "s")
+            .hint("shuffle_hash")
+            .join(w2t, "s")
+            .where(F.col("t1") < F.col("t2"))
+            .select("s", "t1", "t2")
+        )
+        wedges = wedges_hub.unionByName(wedges_tail)
     closing = oriented.select(
         F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
     )
@@ -1032,6 +1069,7 @@ def kcore(
     n_rounds: int = 4,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Bounded-round k-core peel: repeatedly drop nodes with degree < k
     (each removal lowers neighbors' degrees — the cascade), then report
@@ -1076,19 +1114,34 @@ def kcore(
             .agg(F.count("*").alias("deg"))
         )
 
-    def restrict(alive_now: DataFrame) -> DataFrame:
-        return e0.join(
-            alive_now.withColumnRenamed("n", "u"), "u", "left_semi"
-        ).join(alive_now.withColumnRenamed("n", "v"), "v", "left_semi")
+    # Survivor-join strategy, measured per round (r11, guide §3.1): the
+    # survivor set is already eagerly checkpointed each round, so counting
+    # it reads materialized blocks — essentially free — and the count picks
+    # the join deliberately instead of leaving it to AQE's estimates (which
+    # planned SortMergeJoins here: 4 SMJs sorting the EDGE list per peel).
+    # Small survivor sets broadcast (the edge list is never shuffled at
+    # all); past the broadcast ceiling a shuffle_hash hint builds on the
+    # node-sized survivor set per partition — either way the peel sorts
+    # nothing.
+    def restrict(alive_now: DataFrame, n_alive: int) -> DataFrame:
+        au = alive_now.withColumnRenamed("n", "u")
+        av = alive_now.withColumnRenamed("n", "v")
+        if n_alive <= broadcast_max_nodes:
+            au, av = F.broadcast(au), F.broadcast(av)
+        else:
+            au, av = au.hint("shuffle_hash"), av.hint("shuffle_hash")
+        return e0.join(au, "u", "left_semi").join(av, "v", "left_semi")
 
     alive: DataFrame | None = None
+    n_alive = 0
     for _ in range(n_rounds):
-        e = e0 if alive is None else restrict(alive)
+        e = e0 if alive is None else restrict(alive, n_alive)
         alive = (
             degrees(e).filter(F.col("deg") >= k).select("n").localCheckpoint()
         )
+        n_alive = alive.count()  # cheap: counts the checkpointed blocks
     return (
-        degrees(restrict(alive))
+        degrees(restrict(alive, n_alive))
         .filter(F.col("deg") >= k)
         .select(F.col("n").alias("node"), F.col("deg").cast("bigint").alias("deg"))
     )

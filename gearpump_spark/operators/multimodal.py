@@ -1904,13 +1904,11 @@ def synthesize_bmp_rle8_payloads(df: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
-def pixel_stats(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
-) -> DataFrame:
-    """Decode REAL raster pixels (PixelDecoder tier) and aggregate per
-    payload: dimensions plus the total of all channel bytes. Undecodable
-    payloads yield nulls. Arrow-batched; payload bytes never shuffle."""
-    decoder = decoder or PixelDecoder()
+def _pixel_stats_op(decoder, payload_col: str = "payload", id_col: str = "doc_id"):
+    """Batch-level pixel_stats seam: (id, payload) batches → (id, width,
+    height, px_sum) batches. Factored out so the fused synth+decode stage
+    composes the SAME decode function the standalone operator runs —
+    the codec seam is the batch function, not the physical stage."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1927,8 +1925,20 @@ def pixel_stats(
                     out["px_sum"].append(int(img["arr"].sum()))
             yield pd.DataFrame(out)
 
+    return op
+
+
+def pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Decode REAL raster pixels (PixelDecoder tier) and aggregate per
+    payload: dimensions plus the total of all channel bytes. Undecodable
+    payloads yield nulls. Arrow-batched; payload bytes never shuffle."""
+    decoder = decoder or PixelDecoder()
+
     return df.select(id_col, payload_col).mapInPandas(
-        op, _id_field(df, id_col) + ", width int, height int, px_sum bigint"
+        _pixel_stats_op(decoder, payload_col, id_col),
+        _id_field(df, id_col) + ", width int, height int, px_sum bigint",
     )
 
 
@@ -5595,6 +5605,24 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def _jpeg_refined_synth_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch-level refined-progressive-JPEG synth seam: (doc_id) batches →
+    (doc_id, payload) batches. Module-level so the fused synth+decode
+    stage composes the SAME encode function the standalone stage runs."""
+    for pdf in batches:
+        payloads = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            w, h = 2 + i % 6, 1 + i % 5
+            r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
+            payloads.append(
+                encode_jpeg_progressive(
+                    [[[b, g, r]] * w for _ in range(h)], successive=True
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+
 def synthesize_jpeg_refined_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Same constant-color rasters as synthesize_jpeg_color_payloads but
     encoded progressive WITH successive approximation (two precision
@@ -5602,22 +5630,30 @@ def synthesize_jpeg_refined_payloads(df: DataFrame, id_col: str = "doc_id") -> D
     same closed-form color oracle applies while the decode exercises the
     full G.1.2.2/G.1.2.3 refinement machinery."""
 
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _jpeg_refined_synth_op, "doc_id bigint, payload binary"
+    )
+
+
+def synthesize_jpeg_refined_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", decoder=None
+) -> DataFrame:
+    """Fused synth+decode for the refined-progressive tier (guide §4: the
+    JVM↔Python boundary is the cost — the two-stage form shipped every
+    payload's bytes across Arrow TWICE, synth-out then decode-in, plus a
+    second Python-worker round trip). This runs the SAME two batch seams
+    (_jpeg_refined_synth_op |> _pixel_stats_op) composed inside ONE
+    mapInPandas stage, so payload bytes never leave the Python worker at
+    all; results are identical by construction (generator composition is
+    exactly the two-stage dataflow minus the serialization)."""
+    decoder = decoder or JpegDecoder()
+    decode = _pixel_stats_op(decoder, "payload", "doc_id")
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                w, h = 2 + i % 6, 1 + i % 5
-                r, g, b = (37 * i + 11) % 256, (91 * i + 53) % 256, (13 * i + 199) % 256
-                payloads.append(
-                    encode_jpeg_progressive(
-                        [[[b, g, r]] * w for _ in range(h)], successive=True
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+        return decode(_jpeg_refined_synth_op(batches))
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        op, "doc_id bigint, payload binary"
+        op, "doc_id bigint, width int, height int, px_sum bigint"
     )
 
 

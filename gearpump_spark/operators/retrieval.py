@@ -53,12 +53,24 @@ def bm25_pivot_score(terms: tuple[str, ...] | list[str], s: Column = None) -> Co
     return total
 
 
-def tokenize_postings(
+def tokenized_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tk): lowercased whitespace tokens per document — the shared
+    upstream of every inline lexical relation. One row per input row
+    (zero-token docs keep an empty array)."""
+    return docs.select(
+        F.col(id_col), F.transform(TX.tokens(F.col(text_col)), F.lower).alias("tk")
+    )
+
+
+def postings_from_tokens(
+    toks: DataFrame, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(postings, doc_lengths, stats): per-(word, doc) term frequencies,
-    per-doc token counts, and the 1-row (n_docs, total_tokens) table —
-    the three relations every lexical scorer needs.
+    """(postings, doc_lengths, stats) from a tokenized (id, tk) relation:
+    per-(word, doc) term frequencies, per-doc token counts, and the 1-row
+    (n_docs, total_tokens) table — the three relations every lexical
+    scorer needs.
 
     Doc lengths come from size(tk) — a NARROW map over the tokenize
     scan, no explode and no shuffle — not from re-aggregating the
@@ -70,10 +82,8 @@ def tokenize_postings(
     tokenize subtrees for one query). Docs with zero tokens get no dl
     row (same contract as the postings-derived aggregate) — they can't
     match any term, and n/t are unaffected (their Σ contribution is 0).
-    Total tokens t likewise rides the narrow dl relation."""
-    toks = docs.select(
-        F.col(id_col), F.transform(TX.tokens(F.col(text_col)), F.lower).alias("tk")
-    )
+    Total tokens t likewise rides the narrow dl relation; n counts the
+    toks rows (one per doc — tokenized_docs preserves row count)."""
     postings = (
         toks.select(id_col, F.explode("tk").alias("word"))
         .groupBy("word", id_col)
@@ -82,10 +92,33 @@ def tokenize_postings(
     dl = toks.select(
         F.col(id_col), F.size("tk").cast("long").alias("dl")
     ).where(F.col("dl") > 0)
-    stats = docs.agg(F.count("*").cast("long").alias("n")).crossJoin(
+    stats = toks.agg(F.count("*").cast("long").alias("n")).crossJoin(
         dl.agg(F.sum("dl").cast("long").alias("t"))
     )
     return postings, dl, stats
+
+
+def tokenize_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_tokens: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """tokenized_docs |> postings_from_tokens, with the tokenized relation
+    lazily localCheckpoint'd by default (r11, the wedge-tier lesson): the
+    three returned relations hang off ONE (id, tk) upstream consumed by
+    multiple legs (postings; dl twice — the scoring join and the Σdl in
+    stats), and without the cut each leg re-runs the full regex tokenize
+    scan — the dominant per-query cost of the inline BM25 path. eager=False
+    keeps construction side-effect-free; blocks materialize once at the
+    first action and every leg reads them. ``materialize_tokens=False``
+    keeps the relation fully lazy for single-consumer callers (the
+    persistent-index build reads only postings — materializing the token
+    arrays there would be pure overhead)."""
+    toks = tokenized_docs(docs, text_col, id_col)
+    if materialize_tokens:
+        toks = toks.localCheckpoint(eager=False)
+    return postings_from_tokens(toks, id_col)
 
 
 def text_index_write(
@@ -117,7 +150,9 @@ def text_index_write(
 
     spark = docs.sparkSession
     n_docs = docs.count()  # snapshot once, before any write
-    postings, _dl, _stats = tokenize_postings(docs, text_col, id_col)
+    postings, _dl, _stats = tokenize_postings(
+        docs, text_col, id_col, materialize_tokens=False
+    )
     write_bucketed(postings, table_name, "word", n_buckets=n_buckets, sort_by="word")
     stored = spark.table(table_name)
     dl = stored.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
@@ -135,6 +170,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     require_all: bool = False,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Inline BM25 top-k (no index): one pass to build the three
     relations, then the same scoring join as the indexed path. The
@@ -142,9 +178,15 @@ def bm25_topk(
     per-token shuffle carries matching rows. ``require_all=True`` gives
     conjunctive (boolean AND) semantics: only documents containing EVERY
     query term rank — the matched-term count rides the same pivot
-    aggregate, no extra join."""
+    aggregate, no extra join. ``toks`` lets a caller that already built
+    (and typically checkpointed) the tokenized_docs relation share it
+    instead of re-tokenizing (the retrieval-eval harness scores rankers
+    AND derives relevance sets from the same tokens)."""
     terms = _clean_terms(terms)
-    postings, dl, stats = tokenize_postings(docs, text_col, id_col)
+    if toks is None:
+        postings, dl, stats = tokenize_postings(docs, text_col, id_col)
+    else:
+        postings, dl, stats = postings_from_tokens(toks, id_col)
     return _score_topk(
         postings.where(F.col("word").isin(*terms)), dl, stats, terms, k, id_col,
         require_all,

@@ -3893,11 +3893,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on subset size, not corpus size. Both sides reuse the
     inverted shingle index; the three counts collapse to one row."""
     docs = SP.hash_sample(table(spark, sf_dir, "documents"), "doc_id", 2000, seed=9)
+    # The distinct shingle set feeds FOUR legs (both sides of the exact-
+    # Jaccard self-join + the size aggregate consumed twice as sa/sb), and
+    # staying lazy re-ran the tokenize+shingle+explode+distinct subtree per
+    # leg — the r11 plan audit counted the banding/shingling machinery 16
+    # Generate nodes deep across 45 exchanges for this one query. Lazy
+    # localCheckpoint (the wedge-tier discipline): shingle once, read the
+    # blocks everywhere; truth and cand likewise each feed two consumers
+    # (their count and the intersect).
     sh = (
         docs.select(
             "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle")
         ).distinct()
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -3918,8 +3926,14 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.5
         )
         .select("a", "b")
+        .localCheckpoint(eager=False)
     )
-    cand = D.lsh_candidate_pairs(D.minhash_signatures(docs, k=6), k=6, rows_per_band=2)
+    # Signatures ride the SAME checkpointed shingle set (MIN is duplicate-
+    # insensitive, so distinct shingles give identical MinHash values) —
+    # the candidate leg no longer re-tokenizes the corpus at all.
+    cand = D.lsh_candidate_pairs(
+        D.minhash_signatures_from_shingles(sh, k=6), k=6, rows_per_band=2
+    ).localCheckpoint(eager=False)
     hit = truth.intersect(cand.select("a", "b"))
     m = (
         truth.agg(F.count("*").alias("n_truth"))
@@ -4412,15 +4426,14 @@ def multimodal_jpeg_progressive_real(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def multimodal_jpeg_refined_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gearpump_spark.operators.multimodal import (
-        JpegDecoder,
-        pixel_stats,
-        synthesize_jpeg_refined_payloads,
+        synthesize_jpeg_refined_pixel_stats,
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return pixel_stats(
-        synthesize_jpeg_refined_payloads(docs), decoder=JpegDecoder()
-    ).orderBy("doc_id")
+    # Fused synth+decode (r11, guide §4): one mapInPandas stage instead of
+    # two — payload bytes never cross the Arrow boundary. Same batch seams,
+    # composed (see synthesize_jpeg_refined_pixel_stats).
+    return synthesize_jpeg_refined_pixel_stats(docs).orderBy("doc_id")
 
 
 @register(
@@ -6084,15 +6097,19 @@ def text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunctive-match set; metrics aggregate <=20 rows."""
     from pyspark.sql import Window as W
 
-    from gearpump_spark.operators.retrieval import bm25_topk
+    from gearpump_spark.operators.retrieval import bm25_topk, tokenized_docs
     from gearpump_spark.operators.similarity import cosine
-    from gearpump_spark.functions import text as TX
 
     docs = table(spark, sf_dir, "documents")
     terms = ("vector", "merge", "stream")
+    # One tokenize pass shared by the BM25 ranker AND the relevance set
+    # (r11, the wedge-tier checkpoint lesson): both legs tokenize the same
+    # corpus, and without the cut the plan carried two full regex-tokenize
+    # subtrees. Lazy localCheckpoint — blocks materialize at first action.
+    toks = tokenized_docs(docs).localCheckpoint(eager=False)
     lexw = W.orderBy(F.desc("score"), F.col("doc_id"))
     lex = (
-        bm25_topk(docs, terms, k=10)
+        bm25_topk(docs, terms, k=10, toks=toks)
         .select("doc_id", F.row_number().over(lexw).cast("bigint").alias("r"))
     )
     emb = table(spark, sf_dir, "embeddings")
@@ -6107,9 +6124,12 @@ def text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.row_number().over(semw).cast("bigint").alias("r"))
     )
-    ltk = F.filter(F.split(F.lower(F.col("text")), TX.WS_RE), lambda t: t != "")
+    # Relevance leg reads the SAME checkpointed tokens (split-then-lower ≡
+    # lower-then-split for this whitespace class: lowercasing never maps a
+    # character into or out of [ \t\n\f\r], so the token multiset is
+    # identical — oracle hash-verified).
     rel = (
-        docs.select("doc_id", F.explode(ltk).alias("word"))
+        toks.select("doc_id", F.explode("tk").alias("word"))
         .where(F.col("word").isin(*terms))
         .groupBy("doc_id")
         .agg(F.count_distinct("word").alias("nw"))
@@ -9253,10 +9273,15 @@ def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     N and V ride 1-row broadcasts. The train/score split is a narrow
     filter, not a shuffle."""
     docs = table(spark, sf_dir, "documents")
+    # The tokenized corpus feeds EIGHT legs (n_tok, vsz, tcnt, c12, bcnt,
+    # c2, ucnt via train, plus tga) — fully lazy, each leg re-ran the
+    # regex tokenize scan (r11 plan audit: 8 tokenize subtrees for one
+    # query). Lazy localCheckpoint materializes it once at first action;
+    # every count table and the scoring stream read the blocks.
     base = docs.select(
         "doc_id",
         F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
-    )
+    ).localCheckpoint(eager=False)
     train = base.where(F.col("doc_id") % 2 == 0)
     n_tok = train.agg(F.sum(F.size("tk")).cast("long").alias("n"))
     vsz = train.select(F.explode("tk").alias("w")).agg(

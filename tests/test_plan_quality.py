@@ -1469,3 +1469,100 @@ def test_weekly_bitmaps_group_partitioned_window(spark, sf_dir):
     _assert_no_single_partition_windows(p, "weekly mask window went single-task")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
+
+
+def _count_nodes(p: str, node: str) -> int:
+    """Count physical-plan nodes by their details header '(k) Node' —
+    formatted plans repeat each node in the tree and the details, so a
+    plain substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"^\s*\(\d+\) {node}\b", p, flags=re.M))
+
+
+def _copurchase_edges(spark, n: int = 500):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("l_orderkey", "l_partkey")
+        .distinct()
+        .limit(n)
+        .selectExpr("l_orderkey as src", "l_partkey as dst")
+    )
+
+
+def test_triangle_count_broadcast_wedge_no_smj(spark):
+    """r11 pin (r10 verdict #4): broadcast-mode triangle_count's quadratic
+    stage is sort-free — the wedge join is a broadcast hash join over a
+    round-robin-repartitioned probe (exactly ONE RoundRobin exchange), the
+    closing check a broadcast left-semi, and no SortMergeJoin anywhere. A
+    Catalyst upgrade or careless edit reintroducing the 3x orientation
+    derivation / SMJ wedge join turns this red."""
+    from gearpump_spark.operators.graph import triangle_count
+
+    p = plan(triangle_count(_copurchase_edges(spark), close_strategy="broadcast"))
+    assert "SortMergeJoin" not in p
+    assert p.count("RoundRobinPartitioning") == 1, "one pinned wedge probe exchange"
+    assert "BroadcastHashJoin" in p
+
+
+def test_triangle_count_merge_hub_gated_two_path(spark):
+    """r11 pin (r10 verdict #1): merge-mode (cluster-scale) wedge join is
+    the frequency-gated two-path union — a salted branch scoped to hub
+    centers (left-semi against the broadcast hub set) unioned with an
+    unsalted shuffled-hash tail (left-anti), nothing sorted. The salt must
+    NOT replicate the whole edge list anymore."""
+    from gearpump_spark.operators.graph import triangle_count
+
+    p = plan(triangle_count(_copurchase_edges(spark), close_strategy="merge"))
+    assert "_salt" in p, "hub branch keeps the salt"
+    assert "Union" in p, "hub + tail branches union"
+    assert "LeftSemi" in p and "LeftAnti" in p, "hub gate splits the centers"
+    assert "SortMergeJoin" not in p
+    assert _count_nodes(p, "ShuffledHashJoin") >= 2, "both wedge branches hash-join"
+
+
+def test_kcore_peel_joins_never_sort(spark):
+    """r11 pin (r10 verdict #8): the k-core survivor semi-joins pick their
+    strategy from the measured survivor count (broadcast under the
+    ceiling, shuffled-hash above) — the returned plan must not sort the
+    edge list. (The per-round restricts execute eagerly at construction
+    under the same restrict() code path.)"""
+    from gearpump_spark.operators.graph import kcore
+
+    p = plan(kcore(_copurchase_edges(spark), k=2, n_rounds=2))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # tiny survivor set broadcasts
+
+
+def test_jpeg_refined_fused_single_arrow_stage(spark, sf_dir):
+    """r11 pin (r10 verdict #5): the refined-progressive tier is ONE
+    mapInPandas stage — payload bytes never cross the Arrow boundary. The
+    logical codec seam is asserted separately (fused == two-stage)."""
+    p = plan(QS["multimodal_jpeg_refined_real"](spark, sf_dir))
+    assert _count_nodes(p, "MapInPandas") == 1
+
+
+def test_jpeg_refined_fused_matches_two_stage(spark):
+    """The fused stage composes the SAME batch seams the two-stage form
+    runs (_jpeg_refined_synth_op |> _pixel_stats_op); results must be
+    identical row for row."""
+    from gearpump_spark.operators.multimodal import (
+        JpegDecoder,
+        pixel_stats,
+        synthesize_jpeg_refined_payloads,
+        synthesize_jpeg_refined_pixel_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    fused = sorted(
+        tuple(r) for r in synthesize_jpeg_refined_pixel_stats(docs).collect()
+    )
+    two_stage = sorted(
+        tuple(r)
+        for r in pixel_stats(
+            synthesize_jpeg_refined_payloads(docs), decoder=JpegDecoder()
+        ).collect()
+    )
+    assert fused == two_stage and len(fused) == 500

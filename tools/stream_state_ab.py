@@ -6,6 +6,21 @@ rate-micro-batch 20M rows/trigger -> watermark 0s -> 10s window x 64
 keys -> count, update mode, noop sink; rate = median of the best half of
 steady-state batches (bench.py's estimator, batchId >= 3).
 
+Estimator divergence from bench.py (ADVICE r10): this tool does NOT port
+bench.py's empty-done fallback (best completed batch after batchId >= 1),
+so on a host slow enough that warmup eats the whole 75 s window it reports
+rows_per_sec = 0 rather than an underestimate — read a 0 as "window too
+short here", not as a provider verdict.
+
+Arm-order caveat (ADVICE r10): both arms run sequentially in ONE Python
+process with fixed order (HDFSBacked first), so the RocksDB arm inherits
+a JIT-warm JVM — a mild bias in RocksDB's favor (and spark.driver.memory
+cannot change for the second arm's reused JVM; harmless, both arms set
+the same value). The recorded r10 conclusion (keep the HDFSBacked
+default) is robust to this: the favored arm still lost. For strict
+isolation, run each arm as its own process:
+    python -c "import tools.stream_state_ab as ab; print(ab.measure(ab.PROVIDERS['rocksdb']))"
+
 Usage: python tools/stream_state_ab.py [rows_per_batch]
 """
 
