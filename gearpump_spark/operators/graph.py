@@ -694,26 +694,31 @@ def _degree_oriented_wedges(und: DataFrame, broadcast_wedges: bool = False):
       quadratic stage (fan-out, t1<t2 filter, closing semi-join,
       partial count) fuses into one WholeStageCodegen span.
     - broadcast_wedges=False (cluster-scale path, edge list too big to
-      broadcast): FREQUENCY-GATED two-path salting (guide §2.5: salt
-      the measured hot keys, plain hash-join the long tail — r11; the
-      r10 uniform-salt design replicated the ENTIRE oriented list
-      n_salts× for every center, hub or not, so the wedge exchange
+      broadcast): FREQUENCY-GATED salting inside a single join (guide
+      §2.5: salt the measured hot keys, leave the long tail unsalted —
+      r11; the r10 uniform-salt design replicated the ENTIRE oriented
+      list n_salts× for every center, hub or not, so the wedge exchange
       carried 17×|E| rows when the skew it defends against lives in a
       handful of centers). Hub centers = oriented out-degree ≥
       ``hub_min_outdeg`` (computed from the checkpointed ``oriented``,
       one broadcastable aggregate ≤ |E|/threshold rows — lazy, no
-      driver action). The salted branch (same design as r10: salt =
-      hash bucket of t1, build side replicated across all salts,
-      shuffle_hash on the unreplicated side) now sees ONLY hub-centered
-      edges; the tail joins plain on the center key with a shuffle_hash
-      hint — a non-hub center's fan-out is < threshold² wedge rows by
-      construction, bounded per-key work no salt is needed for. The two
-      branches partition centers by hub membership, so their union is
-      exactly the old wedge multiset. Orientation already bounds
-      out-degree by O(√(2m)), so graphs with m ≤ threshold²/2 have no
-      hubs at all and the whole fan-out flows through the unsalted
-      branch (measured at sf0.1: the estimate's 235k-edge sampled graph
-      shuffles 2×|E| rows instead of 17×|E|).
+      driver action). Every edge carries a per-center salt-space width
+      ``_ns`` (n_salts for hubs, 1 for the tail, attached by a broadcast
+      left join against the hub set): the probe side salts by
+      pmod(hash(t1), _ns) — constant 0 for tail centers — and the build
+      side replicates each edge _ns× via explode(sequence(0, _ns-1)).
+      Salt key spaces are disjoint by center, so ONE (s, _salt)
+      shuffle_hash join emits exactly the r10 wedge multiset while a
+      tail center ships its edges once. Deliberately NOT a two-branch
+      union (semi/anti split + hub-branch ∪ tail-branch): measured at
+      sf1, the Union above the wedge joins de-fused the quadratic
+      join→filter→partial-agg codegen pipeline and cost +39% end-to-end
+      despite 10× less shuffle input. A non-hub center's fan-out is
+      < threshold² wedge rows by construction — bounded per-key work no
+      salt is needed for — and orientation bounds out-degree by
+      O(√(2m)), so graphs with m ≤ threshold²/2 have no hubs at all and
+      shuffle 2×|E| rows instead of 17×|E| (sf1's 12M-edge co-purchase
+      graph: max oriented out-degree 97 — hub-free).
     - explicit width pin on the wedge exchange either way: AQE sizes it
       by its (tiny) edge-list input and would coalesce the quadratic
       fan-out into a handful of tasks; a user repartition with an
@@ -758,45 +763,56 @@ def _degree_oriented_wedges(und: DataFrame, broadcast_wedges: bool = False):
         # or data size, so it is a constant rather than a conf. The hub
         # set itself is ≤ |E|/threshold centers — broadcastable whenever
         # the edge list is storable.
+        #
+        # SINGLE-JOIN gating (r11, second iteration): the first r11 cut
+        # expressed the gate as two branches (salted hub join ∪ plain tail
+        # join, partitioned by left-semi/left-anti). Measured at sf1 it was
+        # 39% SLOWER than r10's uniform salting despite shuffling 10× less:
+        # the Union above the wedge joins breaks the join→filter→project→
+        # partial-agg WholeStageCodegen pipeline, and the de-fused quadratic
+        # stage paid for it per row (event-log A/B, identical 409M-record
+        # stage output: 82.5 s fused vs 261.6 s under the Union — +20% CPU,
+        # 2× GC, ~3× shuffle-write time). The gate is therefore expressed
+        # inside ONE join: every edge carries a per-center salt-space width
+        # _ns (n_salts for hubs, 1 for the tail), the probe side salts by
+        # pmod(hash(t1), _ns) — constant 0 for tails — and the build side
+        # replicates each edge _ns times via explode(sequence(0, _ns-1)).
+        # Key spaces are disjoint by center, so the single (s, _salt) join
+        # emits exactly the two-branch multiset (= the r10 multiset), the
+        # pipeline stays one fused codegen span, and a no-hub graph still
+        # shuffles 2×|E| rows instead of 17×|E|.
         hub_min_outdeg = 1024
         outdeg = oriented.groupBy("s").agg(F.count("*").alias("_od"))
         hubs = F.broadcast(
-            outdeg.where(F.col("_od") >= hub_min_outdeg).select("s")
+            outdeg.where(F.col("_od") >= hub_min_outdeg)
+            .select("s", F.lit(n_salts).alias("_ns"))
         )
-        w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
-        w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
-        # Salted branch — HUB centers only (guide §2.5: salt the hot keys).
-        w1h = w1.join(hubs, "s", "left_semi").withColumn(
-            "_salt", F.pmod(F.hash("t1"), F.lit(n_salts))
-        )
-        w2h = w2.join(hubs, "s", "left_semi").crossJoin(
-            F.broadcast(
-                oriented.sparkSession.range(n_salts).select(
-                    F.col("id").cast("int").alias("_salt")
-                )
+        w1 = (
+            oriented.select(F.col("s"), F.col("t").alias("t1"))
+            .join(hubs, "s", "left")
+            .withColumn(
+                "_salt", F.pmod(F.hash("t1"), F.coalesce(F.col("_ns"), F.lit(1)))
             )
+            .drop("_ns")
         )
-        wedges_hub = (
-            w1h.repartition(n_wedge_parts, "s", "_salt")
+        w2 = (
+            oriented.select(F.col("s"), F.col("t").alias("t2"))
+            .join(hubs, "s", "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("_ns"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("_ns")
+        )
+        wedges = (
+            w1.repartition(n_wedge_parts, "s", "_salt")
             .hint("shuffle_hash")
-            .join(w2h, ["s", "_salt"])
+            .join(w2, ["s", "_salt"])
             .where(F.col("t1") < F.col("t2"))
             .select("s", "t1", "t2")
         )
-        # Unsalted branch — the long tail: plain hash join on the center,
-        # per-key fan-out < hub_min_outdeg² by construction; AQE skew-join
-        # still splits oversized PARTITIONS (multi-key collisions) at
-        # runtime. shuffle_hash keeps the quadratic output unsorted.
-        w1t = w1.join(hubs, "s", "left_anti")
-        w2t = w2.join(hubs, "s", "left_anti")
-        wedges_tail = (
-            w1t.repartition(n_wedge_parts, "s")
-            .hint("shuffle_hash")
-            .join(w2t, "s")
-            .where(F.col("t1") < F.col("t2"))
-            .select("s", "t1", "t2")
-        )
-        wedges = wedges_hub.unionByName(wedges_tail)
     closing = oriented.select(
         F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
     )

@@ -1505,20 +1505,24 @@ def test_triangle_count_broadcast_wedge_no_smj(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_triangle_count_merge_hub_gated_two_path(spark):
+def test_triangle_count_merge_hub_gated_single_join(spark):
     """r11 pin (r10 verdict #1): merge-mode (cluster-scale) wedge join is
-    the frequency-gated two-path union — a salted branch scoped to hub
-    centers (left-semi against the broadcast hub set) unioned with an
-    unsalted shuffled-hash tail (left-anti), nothing sorted. The salt must
-    NOT replicate the whole edge list anymore."""
+    frequency-gated salting expressed inside ONE shuffled-hash join — the
+    per-center salt width _ns (n_salts for hubs, 1 for the tail) rides a
+    broadcast left join against the hub set, the build side replicates via
+    explode(sequence(0, _ns-1)), nothing is sorted, and there is NO Union
+    in the wedge stage (a two-branch union de-fused the quadratic codegen
+    pipeline — measured +39% at sf1)."""
     from gearpump_spark.operators.graph import triangle_count
 
     p = plan(triangle_count(_copurchase_edges(spark), close_strategy="merge"))
-    assert "_salt" in p, "hub branch keeps the salt"
-    assert "Union" in p, "hub + tail branches union"
-    assert "LeftSemi" in p and "LeftAnti" in p, "hub gate splits the centers"
+    assert "_salt" in p, "gated salt present"
+    assert "sequence(0" in p, "build side replicates per-center (_ns-wide)"
+    assert "Union" not in p, "single join — no branch union in the wedge stage"
     assert "SortMergeJoin" not in p
-    assert _count_nodes(p, "ShuffledHashJoin") >= 2, "both wedge branches hash-join"
+    assert _count_nodes(p, "ShuffledHashJoin") >= 1, "wedge join hash-joins"
+    # the hub gate rides broadcast left joins, never a shuffle of the edges
+    assert "BroadcastHashJoin" in p
 
 
 def test_kcore_peel_joins_never_sort(spark):
