@@ -185,8 +185,15 @@ def ngram_jaccard_pairs(
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         ).distinct()
 
+    # The CORPUS shingle set feeds two consumers (size aggregate +
+    # intersection join) and each re-derivation is a full corpus scan +
+    # shingle explode + distinct — lazy localCheckpoint (r11 shared-
+    # relation discipline). The query side also has two consumers but
+    # re-derives from a pushed-filter scan of a handful of docs: cheaper
+    # than checkpoint materialization scheduling (measured), so it stays
+    # lazy.
     q = shingle_set(queries, "q_id")
-    c = shingle_set(corpus, "c_id")
+    c = shingle_set(corpus, "c_id").localCheckpoint(eager=False)
     q_size = q.groupBy("q_id").agg(F.count("*").alias("q_n"))
     c_size = c.groupBy("c_id").agg(F.count("*").alias("c_n"))
     # Exclude only the self-pair: query and corpus ids are independent
@@ -243,6 +250,10 @@ def ngram_containment_pairs(
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         ).distinct()
 
+    # Both sides stay lazy: the corpus side feeds only the intersection,
+    # and the query side's two consumers re-derive from a pushed-filter
+    # scan of a handful of docs — cheaper than checkpoint materialization
+    # scheduling (measured on the jaccard twin).
     q = shingle_set(queries, "q_id")
     c = shingle_set(corpus, "c_id")
     q_size = q.groupBy("q_id").agg(F.count("*").alias("q_n"))
@@ -478,15 +489,22 @@ def duplicate_spans(
     starts = F.when(
         F.size("tk") >= n, F.sequence(F.lit(1), F.size("tk") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # The fingerprint relation feeds the frequency aggregate AND the flag
+    # join, and the flagged relation feeds the per-doc counts AND the
+    # run detection — fully lazy, each leg re-ran the tokenize + per-
+    # window md5 posexplode scan (the expensive part: one md5 per sliding
+    # window). Lazy localCheckpoints (r11 shared-relation discipline).
     win = base.select(
         id_col,
         F.posexplode(
             F.transform(starts, lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, n))))
         ).alias("pos", "fp"),
-    )
+    ).localCheckpoint(eager=False)
     freq = win.groupBy("fp").agg(F.count("*").alias("c"))
-    flagged = win.join(freq, "fp").select(
-        id_col, "pos", (F.col("c") >= 2).alias("dup")
+    flagged = (
+        win.join(freq, "fp")
+        .select(id_col, "pos", (F.col("c") >= 2).alias("dup"))
+        .localCheckpoint(eager=False)
     )
     per_doc = flagged.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_windows"),

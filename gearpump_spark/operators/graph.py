@@ -1232,12 +1232,15 @@ def link_predict_common_neighbors(
     recommender over a co-occurrence graph.
 
     Plan: canonical undirected edges → full adjacency (both directions) →
-    wedge self-join on the center node, SALTED exactly like
-    `triangle_count` (hub centers can't concentrate their quadratic
-    fan-out in one task; the wedge exchange width is pinned because AQE
-    sizes it from the deceptively tiny adjacency input) → map-side
-    combinable pair count → LEFT-ANTI against the edge set (only unlinked
-    pairs are predictions) → degree join → one TakeOrderedAndProject.
+    wedge self-join on the center node, hub-gate-SALTED exactly like
+    `triangle_count`'s merge mode (only measured hub centers ≥ 1024
+    degree pay the 16× salt replication — a capped graph skips the salt
+    entirely since max_degree bounds every center's fan-out; the wedge
+    exchange width is pinned because AQE sizes it from the deceptively
+    tiny adjacency input) → map-side combinable pair count → LEFT-ANTI
+    against the edge set (only unlinked pairs are predictions) → degree
+    join → one TakeOrderedAndProject; every join shuffle_hash-hinted so
+    the quadratic stream is never sorted.
 
     jaccard = common / (deg_u + deg_v - common): bigint operands, ONE
     IEEE division — exact cross-engine.
@@ -1258,8 +1261,9 @@ def link_predict_common_neighbors(
     # The canonical edge list feeds FOUR consumers (both adjacency
     # directions, the degree agg, and the anti-join); materialize it once
     # so the possibly-expensive upstream edge derivation doesn't re-run
-    # per consumer (same trade as triangle_count's auto mode).
-    und = und.localCheckpoint()
+    # per consumer. Lazy (r11): blocks materialize at first action, so
+    # construction stays side-effect-free.
+    und = und.localCheckpoint(eager=False)
     adj = und.select(F.col("u").alias("n"), F.col("v").alias("nb")).union(
         und.select(F.col("v").alias("n"), F.col("u").alias("nb"))
     )
@@ -1270,37 +1274,79 @@ def link_predict_common_neighbors(
             F.broadcast(deg.where(F.col("d") > max_degree)), "n", "left_anti"
         )
     n_salts = 16
-    w1 = centers.select(
-        F.col("n").alias("c"),
-        F.col("nb").alias("x"),
-        F.pmod(F.hash("nb"), F.lit(n_salts)).alias("_salt"),
-    )
-    w2 = centers.select(F.col("n").alias("c"), F.col("nb").alias("y")).crossJoin(
-        F.broadcast(
-            edges.sparkSession.range(n_salts).select(
-                F.col("id").cast("int").alias("_salt")
-            )
-        )
-    )
+    # r11: uniform 16× salt replication (every center paid 17×|adj| rows
+    # through the wedge exchange, hub or not) replaced by the triangle-
+    # count merge-mode discipline — the frequency gate expressed INSIDE
+    # one join so the quadratic join→filter→partial-agg pipeline stays a
+    # single fused codegen span (the two-branch union variant measured
+    # 39% slower at sf1 on the wedge tier despite 10× less shuffle).
+    # hub_min_deg = 1024 is an absolute per-key output bound (≈0.5M wedge
+    # rows per center), independent of cluster and data size.
+    hub_min_deg = 1024
     n_wedge_parts = max(
         64, int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     )
-    wedges = (
-        w1.repartition(n_wedge_parts, "c", "_salt")
-        .join(w2, ["c", "_salt"])
-        .where(F.col("x") < F.col("y"))
-    )
+    w1 = centers.select(F.col("n").alias("c"), F.col("nb").alias("x"))
+    w2 = centers.select(F.col("n").alias("c"), F.col("nb").alias("y"))
+    if max_degree is not None and max_degree < hub_min_deg:
+        # The caller's degree cap already bounds every center's fan-out
+        # (≤ max_degree² wedge rows per center), so no hub can exist and
+        # the salt has nothing to break: one unsalted shuffled-hash join
+        # ships 2×|adj| rows instead of 17×|adj|.
+        wedges = (
+            w1.repartition(n_wedge_parts, "c")
+            .hint("shuffle_hash")
+            .join(w2, ["c"])
+            .where(F.col("x") < F.col("y"))
+        )
+    else:
+        # Exact (uncapped) mode: per-center salt-space width _ns — 16 for
+        # measured hubs (degree ≥ hub_min_deg, one broadcastable filter
+        # over the degree agg), 1 for the tail. The probe salts by
+        # pmod(hash(x), _ns) (constant 0 for tails), the build replicates
+        # each row _ns× via explode(sequence(0, _ns-1)); salt key spaces
+        # are disjoint by center, so the single (c, _salt) join emits
+        # exactly the uniform-salt multiset.
+        hubs = F.broadcast(
+            deg.where(F.col("d") >= hub_min_deg)
+            .select(F.col("n").alias("c"), F.lit(n_salts).alias("_ns"))
+        )
+        w1 = (
+            w1.join(hubs, "c", "left")
+            .withColumn(
+                "_salt", F.pmod(F.hash("x"), F.coalesce(F.col("_ns"), F.lit(1)))
+            )
+            .drop("_ns")
+        )
+        w2 = (
+            w2.join(hubs, "c", "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("_ns"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("_ns")
+        )
+        wedges = (
+            w1.repartition(n_wedge_parts, "c", "_salt")
+            .hint("shuffle_hash")
+            .join(w2, ["c", "_salt"])
+            .where(F.col("x") < F.col("y"))
+        )
     cn = wedges.groupBy("x", "y").agg(F.count("*").cast("long").alias("common"))
     cand = cn.join(
-        und.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")).hint(
+            "shuffle_hash"
+        ),
         ["x", "y"],
         "left_anti",
     )
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
     scored = (
-        cand.join(dx, "x")
-        .join(dy, "y")
+        cand.join(dx.hint("shuffle_hash"), "x")
+        .join(dy.hint("shuffle_hash"), "y")
         .select(
             F.col("x").alias("u"),
             F.col("y").alias("v"),

@@ -349,7 +349,15 @@ def kmv_anotb(
             .limit(k)
         )
 
-    ha, hb = kmin(a), kmin(b)
+    # Each 64-row min-set feeds multiple legs (theta — itself consumed by
+    # the combine AND the output row — plus the anti-join), and every leg
+    # otherwise re-runs the full distinct scan + TakeOrdered over the
+    # corpus. Lazy localCheckpoint (r11 shared-relation discipline): each
+    # side's sketch is computed once and every combine leg reads k rows.
+    ha, hb = (
+        kmin(a).localCheckpoint(eager=False),
+        kmin(b).localCheckpoint(eager=False),
+    )
     theta_df = (
         ha.agg(F.max("h").alias("ta"))
         .crossJoin(hb.agg(F.max("h").alias("tb")))
@@ -401,7 +409,14 @@ def kmv_overlap(
             .limit(k)
         )
 
-    ha, hb = kmin(a), kmin(b)
+    # Same shared-relation discipline as kmv_anotb: each 64-row min-set
+    # feeds the union-theta leg AND the intersection join (and theta is
+    # consumed twice), so without materialization every leg re-runs the
+    # full distinct scan + TakeOrdered over its corpus side.
+    ha, hb = (
+        kmin(a).localCheckpoint(eager=False),
+        kmin(b).localCheckpoint(eager=False),
+    )
     theta_df = (
         ha.unionByName(hb).distinct().orderBy("h").limit(k)
         .agg(F.max("h").alias("theta"))

@@ -2632,6 +2632,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
+    # The token relation feeds the tf AND df aggregates, so the shared-
+    # relation checkpoint looked indicated — but BOTH variants measured
+    # SLOWER at sf0.1 (exploded one-row-per-token 0.86x, compact array
+    # form 0.83x vs the plain shape, 3-run best-of paired A/B): each
+    # consumer is an immediate fused explode→partial-agg over the scan,
+    # so the duplicated regex tokenize costs less than writing and
+    # re-reading the materialized blocks. Deliberately left lazy.
     words = docs.select(
         "doc_id",
         F.explode(F.transform(TX.tokens(F.col("text")), F.lower)).alias("word"),
@@ -3339,11 +3346,17 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject — never a global sort."""
     docs = table(spark, sf_dir, "documents")
     tk = F.transform(TX.tokens(F.col("text")), F.lower)
-    toks = docs.select("doc_id", tk.alias("tk"))
+    # The tokenized corpus feeds the unigram and bigram legs, the unigram
+    # counts feed THREE consumers (total + both top-pair joins) and the
+    # bigram counts two (total + top-k) — fully lazy, every consumer
+    # re-ran the tokenize scan (5 Generate subtrees in the r10 sweep).
+    # Lazy localCheckpoints (r11 shared-relation discipline).
+    toks = docs.select("doc_id", tk.alias("tk")).localCheckpoint(eager=False)
     uni = (
         toks.select(F.explode("tk").alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     nu = uni.agg(F.sum("n").cast("long").alias("nu"))
     pairs = F.transform(
@@ -3358,7 +3371,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )
-    b = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
+    b = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n12"))
+        .localCheckpoint(eager=False)
+    )
     nb = b.agg(F.sum("n12").cast("long").alias("nbt"))
     top = b.orderBy(F.desc("n12"), "w1", "w2").limit(50)
 
@@ -6263,13 +6280,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the per-doc pre-aggregation (doc_tok collapses repeats BEFORE the
     join)."""
     docs = table(spark, sf_dir, "documents")
+    # The token relation feeds the vocab aggregate AND the per-doc
+    # counts, and the vocab feeds its total AND the scoring join — fully
+    # lazy, each leg re-ran the regex-extract scan. Lazy localCheckpoints
+    # (r11 shared-relation discipline): tokenize once, vocab agg once.
     toks = docs.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
         ).alias("tok"),
+    ).localCheckpoint(eager=False)
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
     doc_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("m"))
     lp = F.round(
@@ -6680,12 +6703,21 @@ def embedding_center_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    dims = emb.select("vec_id", F.posexplode(qv).alias("j", "v"))
+    # The exploded (vec_id, j, v) relation feeds the per-dim mean AND the
+    # centering join, and the centered relation feeds the norm aggregate
+    # AND the peak window — fully lazy, each leg re-ran the posexplode
+    # scan. Lazy localCheckpoints (r11 shared-relation discipline): the
+    # corpus explodes once, centers once.
+    dims = emb.select("vec_id", F.posexplode(qv).alias("j", "v")).localCheckpoint(
+        eager=False
+    )
     mean = dims.groupBy("j").agg(
         F.floor(F.sum("v") / F.count("*")).cast("long").alias("m")
     )
-    centered = dims.join(F.broadcast(mean), "j").select(
-        "vec_id", "j", (F.col("v") - F.col("m")).alias("c")
+    centered = (
+        dims.join(F.broadcast(mean), "j")
+        .select("vec_id", "j", (F.col("v") - F.col("m")).alias("c"))
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window as W
 
@@ -7235,11 +7267,13 @@ def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wedge-style common-neighbor count keyed on the shared neighbor —
-    SALTED like link_predict_common_neighbors (wedge cost is
-    Σ deg(center)² with no orientation trick, so hub centers above the
-    degree-64 cap are excluded BEFORE wedging and the rest can't
-    concentrate in one task); the cn >= 3 floor prunes the quadratic
-    tail before ranking; top-50 is TakeOrdered."""
+    wedge cost is Σ deg(center)² with no orientation trick, so hub
+    centers above the degree-64 cap are excluded BEFORE wedging; with
+    the cap in place no center can skew a task, so the wedge join runs
+    UNSALTED (link_predict_common_neighbors' capped mode — 2×|adj| rows
+    through the exchange instead of 17×|adj|) and shuffle_hash-hinted;
+    the cn >= 3 floor prunes the quadratic tail before ranking; top-50
+    is TakeOrdered."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -7261,23 +7295,23 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         "left_anti",
     )
-    n_salts = 16
-    x = centers.select(
-        F.col("m"),
-        F.col("n").alias("x"),
-        F.pmod(F.hash("n"), F.lit(n_salts)).alias("_salt"),
-    )
-    y = centers.select(F.col("m"), F.col("n").alias("y")).crossJoin(
-        F.broadcast(
-            spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
-        )
-    )
+    # r11: salt dropped — the degree-64 cap above already bounds every
+    # center's fan-out (≤ 64² wedge rows per center), so no hub can exist
+    # and the 16× salt replication bought nothing while shipping 17×|adj|
+    # rows through the wedge exchange (the link_predict_common_neighbors
+    # capped-mode lesson). One unsalted shuffled-hash join ships 2×|adj|
+    # and keeps the quadratic join→filter→partial-agg span fused and
+    # sort-free; the width stays pinned because AQE sizes the exchange
+    # from the deceptively tiny adjacency input.
+    x = centers.select(F.col("m"), F.col("n").alias("x"))
+    y = centers.select(F.col("m"), F.col("n").alias("y"))
     n_parts = max(
         64, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     )
     common = (
-        x.repartition(n_parts, "m", "_salt")
-        .join(y, ["m", "_salt"])
+        x.repartition(n_parts, "m")
+        .hint("shuffle_hash")
+        .join(y, ["m"])
         .where(F.col("x") < F.col("y"))
         .groupBy("x", "y")
         .agg(F.count("*").alias("cn"))
@@ -7285,7 +7319,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
-    pairs = common.join(dx, "x").join(dy, "y").select(
+    pairs = common.join(dx.hint("shuffle_hash"), "x").join(
+        dy.hint("shuffle_hash"), "y"
+    ).select(
         "x",
         "y",
         "cn",
@@ -7974,7 +8010,15 @@ def text_qgram_lang_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
     )
-    prof = cnt.select("lang", "g", rk.alias("rk")).where(F.col("rk") <= 40)
+    # The <=|langs|*40-row profile feeds THREE consumers (the language
+    # list + both compare sides) and each re-derivation is a full corpus
+    # trigram count + rank window. Lazy localCheckpoint (r11 shared-
+    # relation discipline): one corpus pass, three tiny readers.
+    prof = (
+        cnt.select("lang", "g", rk.alias("rk"))
+        .where(F.col("rk") <= 40)
+        .localCheckpoint(eager=False)
+    )
     langs = prof.select("lang").distinct().select(F.col("lang").alias("lang_b"))
     pairs = (
         prof.select(
@@ -8895,6 +8939,13 @@ def text_lang_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
     )
+    # The padded-trigram relation feeds the language-profile AND the
+    # doc-profile counts — the shared-relation checkpoint looked
+    # indicated, but materializing the exploded trigram-string relation
+    # (~3x the token text) measured 0.89x vs recomputing it per leg
+    # (isolated 4-run paired A/B; the trigram-LM/tfidf lesson): each leg
+    # is a fused explode→partial-agg over the scan, cheaper than the
+    # block write + two reads. Deliberately left lazy.
     tg = _padded_trigrams(tok, "doc_id", "lang")
     lcnt = tg.groupBy("lang", "g").agg(F.count("*").alias("c"))
     lrk = F.row_number().over(
@@ -8997,16 +9048,26 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded); the scoring join shuffles doc bigrams on the bigram key —
     linear in corpus tokens; V rides a 1-row broadcast."""
     docs = table(spark, sf_dir, "documents")
+    # The tokenized corpus feeds three legs (unigram counts + the bigram
+    # relation twice), the bigram relation two (its count + the scoring
+    # probe), the unigram counts two (V + the scoring join) — fully lazy,
+    # each leg re-ran the regex tokenize scan. Lazy localCheckpoints (r11
+    # shared-relation discipline): tokenize runs once.
     base = docs.select(
         "doc_id",
         F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
-    )
+    ).localCheckpoint(eager=False)
     ucnt = (
         base.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=False)
     )
     vv = ucnt.agg(F.count("*").alias("v"))
+    # bg itself stays LAZY (the trigram-twin lesson): materializing the
+    # exploded bigram-string relation costs more than re-exploding it
+    # from the checkpointed arrays, and the bg->bcnt scoring join
+    # re-uses bg's own (b) exchange.
     bg = base.where(F.size("tk") >= 2).select(
         "doc_id",
         F.explode(
@@ -9109,14 +9170,22 @@ def text_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus tokens; V rides a 1-row broadcast. Same plan shape
     as text_bigram_lm_perplexity with one extra keyed join."""
     docs = table(spark, sf_dir, "documents")
+    # The tokenized corpus feeds two legs (V + the trigram relation) and
+    # the trigram relation three (its count, the context count, the
+    # scoring probe) — fully lazy, each leg re-ran the regex tokenize
+    # scan. Lazy localCheckpoints (r11 shared-relation discipline).
     base = docs.select(
         "doc_id",
         F.transform(TX.tokens(F.col("text")), lambda w: F.lower(w)).alias("tk"),
-    )
+    ).localCheckpoint(eager=False)
     vv = (
         base.select(F.explode("tk").alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
+    # tg itself stays LAZY: materializing the trigram-string relation
+    # (~3x the token text) measured SLOWER than re-exploding it from the
+    # checkpointed arrays, and the tg->tcnt scoring join re-uses tg's
+    # own (g) exchange anyway.
     tg = base.where(F.size("tk") >= 3).select(
         "doc_id",
         F.explode(
@@ -9678,11 +9747,27 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     all_docs = table(spark, sf_dir, "documents")
     rate_bp = min(10000, 1_500_000 // all_docs.count())
-    docs = SP2.hash_sample(all_docs, "doc_id", rate_bp, seed=11)
-    sh = docs.select(
-        "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # The ~150-doc hash-stable sample feeds FOUR consumers (the shingle
+    # set, both crossJoin sides of the all-pairs id list, the MinHash
+    # side) and each otherwise re-runs the FULL-corpus scan + md5 sample
+    # filter. Same for the distinct shingle set (sizes ×2 via both size
+    # joins + both sides of the intersection self-join) and the tiny
+    # per-doc size aggregate. Lazy localCheckpoints (r11 shared-relation
+    # discipline): the corpus is scanned once, everything downstream
+    # reads materialized blocks.
+    docs = SP2.hash_sample(all_docs, "doc_id", rate_bp, seed=11).localCheckpoint(
+        eager=False
+    )
+    sh = (
+        docs.select(
+            "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        sh.groupBy("doc_id").agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -9858,10 +9943,19 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    fb = uni.unionByName(big).select(
-        "doc_id",
-        "source",
-        (seeded_hash15(F.col("g"), _DSIR_SEED) % _DSIR_BUCKETS).alias("b"),
+    # The hashed feature relation feeds FIVE legs (tc, rc, tt, rt and the
+    # scoring sum) and each leg otherwise re-runs tokenize + both explodes
+    # + union + hash over the corpus. Lazy localCheckpoint (the r11
+    # shared-relation discipline): features materialize once, all five
+    # legs read the blocks.
+    fb = (
+        uni.unionByName(big)
+        .select(
+            "doc_id",
+            "source",
+            (seeded_hash15(F.col("g"), _DSIR_SEED) % _DSIR_BUCKETS).alias("b"),
+        )
+        .localCheckpoint(eager=False)
     )
     is_tgt = F.col("source").isin(*tgt)
     tc = fb.where(is_tgt).groupBy("b").agg(F.count("*").alias("ct"))

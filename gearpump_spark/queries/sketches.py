@@ -878,7 +878,13 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("grp"),
         e,
     )
-    regs = SK.hll_register_table(tagged, "e", group_cols=["grp"], b=6, seed=0)
+    # The <=128-row register table feeds TWO consumers (the per-group
+    # branch and the max-merge union branch) and each re-ran the full
+    # corpus HLL aggregation. Lazy localCheckpoint (r11 shared-relation
+    # discipline): one corpus pass, both branches read <= 2*64 rows.
+    regs = SK.hll_register_table(
+        tagged, "e", group_cols=["grp"], b=6, seed=0
+    ).localCheckpoint(eager=False)
     merged = regs.select("grp", "idx", "rho").unionByName(
         regs.groupBy("idx")
         .agg(F.max("rho").alias("rho"))

@@ -832,10 +832,12 @@ def test_gopher_and_blocklist_scan_local(spark, sf_dir):
 
 
 def test_link_prediction_salted_wedge_and_anti_join(spark):
-    """The wedge self-join must run on the salted key (hub fan-out spread
-    over 16 tasks) with an AQE-exempt width pin; predictions come from a
-    LEFT-ANTI against existing edges; the top-k compiles to
-    TakeOrderedAndProject — no global sort of every candidate pair."""
+    """Exact (uncapped) mode: the wedge self-join must run on the
+    hub-GATED salted key (r11 — per-center width _ns, probe pmod hash,
+    build explode(sequence) replication, NO Union above the wedge join)
+    with an AQE-exempt width pin; predictions come from a LEFT-ANTI
+    against existing edges; the top-k compiles to TakeOrderedAndProject
+    — no global sort of every candidate pair."""
     from gearpump_spark.operators.graph import link_predict_common_neighbors
 
     edges = spark.createDataFrame(
@@ -843,9 +845,47 @@ def test_link_prediction_salted_wedge_and_anti_join(spark):
     )
     p = plan(link_predict_common_neighbors(edges, k=10))
     assert "_salt" in p
+    assert "pmod(hash(" in p, "probe-side gated salt missing"
+    assert "sequence(0," in p, "build-side _ns replication missing"
+    # the gate must ride INSIDE one join (r11 sf1 lesson: a two-branch
+    # hub/tail union de-fuses the quadratic codegen span): exactly ONE
+    # join keyed on the salt, and NO second wedge join keyed on the
+    # center alone (the two-branch variant's unsalted tail branch)
+    import re as _re
+
+    assert len(_re.findall(r"Left keys \[\d+\]: \[c#[^\]]*_salt", p)) == 1, (
+        "expected exactly one salted wedge join"
+    )
+    # a center-only-keyed join may ONLY be the broadcast hub-width attach
+    # (LeftOuter BHJ); a SHUFFLED inner join on the bare center key is the
+    # de-fused tail branch
+    for block in p.split("\n\n"):
+        if _re.search(r"Left keys \[1\]: \[c#", block):
+            assert "BroadcastHashJoin" in block, (
+                "shuffled center-key join present: wedge stage de-fused "
+                "into the two-branch union (r11 sf1 lesson)\n" + block
+            )
     assert "LeftAnti" in p
     assert "TakeOrderedAndProject" in p
     # REPARTITION_BY_NUM pins the wedge exchange width against AQE
+    assert "REPARTITION_BY_NUM" in p
+
+
+def test_link_prediction_capped_mode_unsalted(spark):
+    """Capped mode (max_degree below the hub threshold): no hub can
+    exist, so the wedge join must be UNSALTED (2x|adj| rows through the
+    exchange instead of 17x) and never sorted (shuffle_hash); the width
+    pin stays."""
+    from gearpump_spark.operators.graph import link_predict_common_neighbors
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 40) for i in range(40)], "src long, dst long"
+    )
+    p = plan(link_predict_common_neighbors(edges, k=10, max_degree=64))
+    assert "_salt" not in p, "capped graphs must skip the salt entirely"
+    assert "SortMergeJoin" not in p, "capped wedge/degree joins must not sort"
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
     assert "REPARTITION_BY_NUM" in p
 
 
@@ -1161,13 +1201,34 @@ def test_percentile_bands_window_is_group_partitioned(spark, sf_dir):
 
 
 def test_theta_anotb_sketches_are_takeordered_corpus_never_joined(spark, sf_dir):
-    """Each KMV min-set is a TakeOrdered of k hashes; the A-NOT-B combine
-    touches only the two 64-row min-sets (anti-join), so no join in the
-    plan carries corpus-sized inputs on both sides."""
-    p = plan(QS["sketch_theta_anotb"](spark, sf_dir))
-    assert "TakeOrderedAndProject" in p
+    """Each KMV min-set is a TakeOrdered of k hashes, materialized ONCE
+    (r11 lazy localCheckpoint — every combine leg otherwise re-ran the
+    full distinct scan + TakeOrdered over the corpus), so the combine's
+    plan joins only ExistingRDD leaves of <= k rows: no join carries
+    corpus-sized inputs on both sides, and the corpus scan appears in
+    neither combine leg. The TakeOrdered pin moves to the min-set
+    subtree itself (visible before the checkpoint cut)."""
+    df = QS["sketch_theta_anotb"](spark, sf_dir)
+    p = plan(df)
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p, "min-set combine should broadcast, not SMJ"
+    # the combine reads the two checkpointed 64-row min-sets, not the corpus
+    assert "ExistingRDD" in p, "min-set checkpoints gone — corpus re-scans are back"
+    assert "parquet" not in p, "combine leg re-reads the corpus"
+    # and the min-set subtree (pre-checkpoint) is a TakeOrdered, never a
+    # global sort: pin it on the operator's sketch shape directly
+    from gearpump_spark.operators.hashing import seeded_hash15
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kmin = (
+        ev.select(F.col("user_id").cast("string").alias("_v"))
+        .distinct()
+        .select(seeded_hash15(F.col("_v"), 4).alias("h"))
+        .orderBy("h")
+        .limit(64)
+    )
+    assert "TakeOrderedAndProject" in plan(kmin)
 
 
 def test_top_pc_int_single_distributed_agg(spark, sf_dir):
